@@ -1,0 +1,67 @@
+"""Lake layout and table loading.
+
+The reference hard-codes a three-layer directory convention
+(config/settings.py:16-25: data/raw, data/formatted, data/usage). We
+keep the medallion convention but make it a catalog object, and add a
+loader for the driver's synthetic test tables.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from yahoofinancedatalake_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass(frozen=True)
+class LakeCatalog:
+    """Directory-per-layer medallion catalog (bronze/silver/gold)."""
+
+    root: str
+    bronze: str = field(init=False)
+    silver: str = field(init=False)
+    gold: str = field(init=False)
+
+    def __post_init__(self) -> None:
+        object.__setattr__(self, "bronze", str(Path(self.root) / "bronze"))
+        object.__setattr__(self, "silver", str(Path(self.root) / "silver"))
+        object.__setattr__(self, "gold", str(Path(self.root) / "gold"))
+
+    def path(self, layer: str, table: str) -> str:
+        return str(Path(self.root) / layer / table)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver synthetic table (parquet, schema from footer).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    4 rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as a
+    long (legacy conf — runtime-settable) and truncate to microsecond
+    TimestampType, matching DuckDB's own nanos→micros truncation so
+    both engines see identical values.
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown test table {name!r}; have {TESTDATA_TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

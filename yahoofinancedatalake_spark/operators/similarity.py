@@ -1,0 +1,175 @@
+"""Embedding similarity search (beyond-parity extension, SURVEY.md §7.8).
+
+Two strategies over an ``array<float>`` embedding column:
+
+- :func:`brute_force_cosine_topk` — exact top-k. The query set is
+  broadcast; the corpus scan is embarrassingly parallel; per-partition
+  top-k then a driver merge (TakeOrderedAndProject per query via
+  window + filter on the *small* pair set). This is the correctness
+  baseline.
+- :func:`lsh_cosine_topk` — random-hyperplane LSH (SimHash for
+  vectors): bucket corpus and queries by sign-pattern, only compare
+  within matching buckets. Candidate generation is a hash
+  equi-join — at 100 TB the crossJoin disappears and the shuffle is
+  on the bucket key. Recall < 1 by construction; band count trades
+  recall vs cost.
+
+All vector math is built-in higher-order functions (``zip_with`` +
+``aggregate``) with explicit cast to double — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (left-to-right, double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (l2_norm(da) * l2_norm(db))
+
+
+def brute_force_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries``: (query_id, qv) — small, broadcast.
+    ``corpus``: (id_col, vec_col) — arbitrarily large, scanned once.
+    Self-matches (same id) are excluded.
+    """
+    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+
+    sim = cosine(F.col(query_vec_col), F.col(vec_col))
+    if round_to is not None:
+        sim = dround(sim, round_to)
+    pairs = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (driver-side, tiny)."""
+    import numpy as np  # noqa: PLC0415
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of ``vec`` against each hyperplane, as a bit-string."""
+    bits = [
+        F.when(
+            dot(_as_double(vec), F.array(*[F.lit(float(p)) for p in plane])) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH banding.
+
+    The ``n_planes``-bit signature is split into ``n_bands`` bands;
+    vectors colliding on ANY band become candidates (standard
+    MinHash-LSH banding applied to sign bits). The candidate join is
+    a shuffle on (band, band_bits) — linear, not quadratic.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    band_size = n_planes // n_bands
+
+    def with_bands(df: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
+        sig = signature_bits(F.col(vcol), planes)
+        df = df.withColumn("__sig", sig)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring("__sig", i * band_size + 1, band_size).alias(
+                        "bits"
+                    ),
+                )
+                for i in range(n_bands)
+            ]
+        )
+        return (
+            df.withColumn("__band", F.explode(bands))
+            .select(*keep, vcol, F.col("__band.band").alias("band"),
+                    F.col("__band.bits").alias("bits"))
+        )
+
+    cband = with_bands(corpus, vec_col, [id_col])
+    qband = with_bands(queries, query_vec_col, [query_id_col])
+    candidates = (
+        cband.join(qband, ["band", "bits"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, vec_col, query_vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+
+    sim = dround(cosine(F.col(query_vec_col), F.col(vec_col)), 4)
+    pairs = candidates.select(
+        query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,881 @@
+"""The analytic query pack (SURVEY.md §2 operator inventory as queries).
+
+Each :class:`Query` pairs a PySpark implementation (built from the
+operator library) with an ANSI-SQL oracle that DuckDB runs on the same
+parquet tables. Column names and rounding are aligned on both sides —
+the driver compares row count, schema, and an order-insensitive value
+hash (see ``/root/repo/__spark_entry__.py``).
+
+Determinism rules applied throughout:
+
+- every LIMIT/top-k has a total ordering (explicit tiebreak columns);
+- floating values are rounded on both sides with :func:`dround` —
+  ``floor(x * 10^s + 0.5) / 10^s`` — instead of ``round()``.
+  ``round()`` diverges between engines on decimal-half values
+  (Spark rounds the shortest decimal repr HALF_UP, DuckDB rounds the
+  binary double), while the floor form is plain IEEE arithmetic:
+  identical input doubles give bit-identical outputs on any engine.
+  Money-derived quantities are rounded at their *true* decimal scale
+  (price·(1−disc) has 4, ·(1+tax) has 6), which puts every true
+  value mid-bin after the +0.5 shift — summation-order error can
+  never flip the bin;
+- ratios of already-rounded (hence bit-identical) inputs are exact
+  IEEE quotients on both sides — no further rounding needed.
+
+Reference provenance is cited per query (files under /root/reference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.catalog import load_table
+from yahoofinancedatalake_spark.functions.sentiment import (
+    NEGATIVE_WORDS,
+    POSITIVE_WORDS,
+    SCALE,
+    sentiment_score_expr,
+)
+from yahoofinancedatalake_spark.functions.scalars import (
+    dround,
+    sentiment_label,
+    sql_dround,
+)
+from yahoofinancedatalake_spark.operators.windows import (
+    lag_delta,
+    last_row_per_group,
+    top_k,
+    top_k_with_other,
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    """One driver-checkable query: Spark impl + optional DuckDB oracle."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def _register(name: str, oracle: Optional[str], doc: str = ""):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# A1 — hash group-by with count + max (news_agg, combine_sources.py:71-77)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "group_agg_count_max",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           max(ts) AS latest_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="A1: groupBy(key).agg(count, max) — the news_agg shape.",
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("latest_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — broadcast left equi-joins fact×dim×dim (combine_sources.py:80-91)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "enrich_join",
+    """
+    SELECT o.o_orderkey,
+           o.o_orderdate,
+           o.o_totalprice,
+           c.c_name,
+           c.c_mktsegment,
+           n.n_name AS nation_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="J1/J2: fact LEFT JOIN two broadcast dims — stocks⋈company⋈news_agg.",
+)
+def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — range predicate pushed to the scan (format_to_parquet.py:141)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "range_filter_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    doc="P4: range filter on the scan (news >= 2020-01-01 analog); "
+    "Catalyst pushes it to parquet row groups.",
+)
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+# ---------------------------------------------------------------------------
+# P7 — derived-column projection (combine_sources.py:94-98)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "derived_projection",
+    f"""
+    SELECT l_orderkey,
+           l_linenumber,
+           {sql_dround("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+           {sql_dround("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}
+             AS charge
+    FROM lineitem
+    """,
+    doc="P7: arithmetic derived columns — daily_range/daily_change_pct "
+    "analog. Rounded at the true decimal scale (2+2 and 2+2+2 digits).",
+)
+def q_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(revenue, 4).alias("revenue"),
+        dround(revenue * (1 + F.col("l_tax")), 6).alias("charge"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — last value per group (Kibana "Last value", kibana_saved_objects:6,9)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "last_value_per_group",
+    """
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+      QUALIFY row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    """,
+    doc="W1: latest row per group by time, deterministic tiebreak on id.",
+)
+def q_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    latest = last_row_per_group(
+        events, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return latest.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/W3 — lag differences + percent return (Kibana export (1).ndjson:4)
+# ---------------------------------------------------------------------------
+
+_DAILY_CTE = f"""
+    WITH daily AS (
+      SELECT user_id,
+             date_trunc('day', ts) AS day,
+             {sql_dround("sum(value)", 2)} AS daily_value
+      FROM events
+      GROUP BY user_id, date_trunc('day', ts)
+    )
+"""
+
+
+def _daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared first stage: per-(user, day) value sum, dround(2).
+
+    ``value`` carries 2 decimals, so the sum's true value sits on the
+    centi-grid — dround lands both engines in the same bin and the
+    outputs are bit-identical doubles downstream.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dround(F.sum("value"), 2).alias("daily_value"))
+
+
+@_register(
+    "daily_lag_returns",
+    _DAILY_CTE
+    + """
+    SELECT user_id, day, daily_value,
+           daily_value - lag(daily_value) OVER w AS delta,
+           (daily_value - lag(daily_value) OVER w)
+                 / nullif(lag(daily_value) OVER w, 0) * 100 AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    """,
+    doc="W2/W3: day-over-day differences and percent return per group — "
+    "the Lens differences/shift formula. delta/pct are exact IEEE ops "
+    "on bit-identical rounded inputs; no further rounding needed.",
+)
+def q_lag_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_values(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.lag("daily_value", 1).over(w)
+    return daily.select(
+        "user_id",
+        "day",
+        "daily_value",
+        (F.col("daily_value") - prev).alias("delta"),
+        (
+            (F.col("daily_value") - prev) / F.nullif(prev, F.lit(0)) * 100
+        ).alias("pct_change"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1+W2+W4/O2 — the flagship Top/Flop query (kibana_saved_objects.ndjson:6):
+# per group, latest day-over-day delta; rank groups, keep top 10.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top_flop",
+    _DAILY_CTE
+    + """
+    , deltas AS (
+      SELECT user_id, day, daily_value,
+             daily_value - lag(daily_value) OVER (
+               PARTITION BY user_id ORDER BY day) AS delta
+      FROM daily
+    ), latest AS (
+      SELECT user_id, day AS last_day, daily_value AS last_value, delta
+      FROM deltas
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY day DESC) = 1
+    )
+    SELECT user_id, last_day, last_value, delta
+    FROM latest
+    ORDER BY delta DESC NULLS LAST, user_id ASC
+    LIMIT 10
+    """,
+    doc="Flagship Top/Flop: last_value of the daily delta per group, "
+    "top-10 by that metric (Lens terms ordered by last_value of "
+    "daily_change_pct, size 10).",
+)
+def q_top_flop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_values(spark, sf_dir)
+    deltas = lag_delta(
+        daily, ["user_id"], "day", "daily_value", delta_name="delta",
+        pct_name=None,
+    )
+    latest = last_row_per_group(deltas, ["user_id"], "day").select(
+        "user_id",
+        F.col("day").alias("last_day"),
+        F.col("daily_value").alias("last_value"),
+        "delta",
+    )
+    return top_k(latest, "delta", 10, tiebreak_cols=["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# O2 — top-k terms with ES "Other" bucket (kibana_saved_objects.ndjson:7-9)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "topk_other_bucket",
+    f"""
+    WITH agged AS (
+      SELECT o_orderpriority,
+             {sql_dround("sum(o_totalprice)", 2)} AS total_price
+      FROM orders
+      GROUP BY o_orderpriority
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               ORDER BY total_price DESC, o_orderpriority ASC) AS rnk
+      FROM agged
+    )
+    SELECT CASE WHEN rnk <= 3 THEN o_orderpriority ELSE 'Other' END
+             AS o_orderpriority,
+           {sql_dround("sum(total_price)", 2)} AS total_price
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc="O2: terms(size=3, otherBucket=true) — treemap/donut Other bucket.",
+)
+def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = top_k_with_other(
+        orders,
+        "o_orderpriority",
+        dround(F.sum("o_totalprice"), 2),
+        "total_price",
+        k=3,
+    )
+    return out.select(
+        "o_orderpriority", dround("total_price", 2).alias("total_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — distinct count per day bucket (Kibana "Buzz médiatique")
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "distinct_count_per_day",
+    """
+    SELECT date_trunc('day', l_shipdate) AS ship_day,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="A6: exact distinct count per time bucket (unique_count analog).",
+)
+def q_distinct_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.date_trunc("day", "l_shipdate").alias("ship_day")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@_register(
+    "approx_distinct_per_day",
+    None,  # HLL sketches differ between engines — rows-only check
+    doc="A6 (approximate): approx_count_distinct — the faithful mapping of "
+    "ES cardinality (HLL). No exact oracle by construction.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.date_trunc("day", "l_shipdate").alias("ship_day")).agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — multi-key desc sort + limit feed (saved search, kibana_saved_objects:5)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sort_limit_feed",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 50
+    """,
+    doc="O1: latest-news-feed sort/limit, 6-column projection, "
+    "deterministic tiebreak.",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — unionByName (arima_forecast.py:99,150 actual ∪ forecast)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "union_split",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'finished' AS bucket
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'open' AS bucket
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="U1: vertical union of two labeled branches (actual ∪ forecast shape).",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("finished").alias("bucket")
+    )
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("open").alias("bucket"), "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return finished.unionByName(open_)
+
+
+# ---------------------------------------------------------------------------
+# A5/F5 — time-bucketed average (Kibana trend panels)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "date_bucket_avg",
+    f"""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           {sql_dround("sum(value)", 2)} / count(*) AS avg_value,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="A5/F5: date_trunc bucket × term bucket → average metric. The "
+    "average is dround(sum)/count: the rounded sum is bit-identical "
+    "across engines, so the quotient is too — avg() of doubles is "
+    "order-sensitive and can land on either side of any rounding bin.",
+)
+def q_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        (dround(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 (multi-agg) — pricing summary, the classic scan→agg shape
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           {sql_dround("sum(l_extendedprice)", 2)} AS sum_base_price,
+           {sql_dround("sum(l_extendedprice * (1 - l_discount))", 4)}
+             AS sum_disc_price,
+           sum(l_quantity) / count(*) AS avg_qty,
+           {sql_dround("sum(l_discount)", 2)} / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1 multi-agg over a pushed-down range filter (TPC-H Q1 shape). "
+    "sum_qty is exact (integral doubles); money sums dround-ed at their "
+    "true decimal scale; averages are exact-or-rounded-sum / count so "
+    "both engines divide bit-identical numerators.",
+)
+def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dround(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — min per bucket (Kibana "Actualité du cours" min(pub_date_utc))
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "min_per_group",
+    """
+    SELECT event_type, min(ts) AS first_ts, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="A7: min timestamp per term bucket.",
+)
+def q_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.min("ts").alias("first_ts"), F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 — exists / not-null predicate (Kibana exists filter)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "exists_filter",
+    """
+    SELECT lang, count(*) AS n_docs
+    FROM documents
+    WHERE text IS NOT NULL AND n_chars >= 200
+    GROUP BY lang
+    """,
+    doc="P10: exists(field) + threshold filter, then bucket count.",
+)
+def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.col("n_chars") >= 200))
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11 — negated range predicate (Kibana negate:true range filter)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "negated_range",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE ts NOT BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                     AND TIMESTAMP '2024-01-20 23:59:59'
+    GROUP BY event_type
+    """,
+    doc="P11: NOT BETWEEN time-range filter, then bucket count.",
+)
+def q_negated_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-20 23:59:59").cast("timestamp")
+    return (
+        events.filter(~F.col("ts").between(lo, hi))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 — full-text-ish containment (ES text fields / KQL bar)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_contains",
+    """
+    SELECT source, count(*) AS n_matching
+    FROM documents
+    WHERE text LIKE '%spark%'
+    GROUP BY source
+    """,
+    doc="P12: substring containment as the SQL-core stand-in for full-text "
+    "search (scoring/relevance documented as out of scope).",
+)
+def q_text_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").contains("spark"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_matching"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions — sentiment scoring (X1) expressed as codegen'd lexicon math
+# ---------------------------------------------------------------------------
+
+
+def _sql_wordlist(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@_register(
+    "sentiment_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
+               x -> x <> '') AS tokens
+      FROM documents
+    ), counts AS (
+      SELECT doc_id,
+             len(list_filter(tokens,
+                 x -> x IN ({_sql_wordlist(POSITIVE_WORDS)}))) AS pos,
+             len(list_filter(tokens,
+                 x -> x IN ({_sql_wordlist(NEGATIVE_WORDS)}))) AS neg,
+             greatest(len(tokens), 1) AS n
+      FROM toks
+    )
+    SELECT doc_id,
+           score AS sentiment_score,
+           CASE WHEN score >= 0.05 THEN 'positive'
+                WHEN score <= -0.05 THEN 'negative'
+                ELSE 'neutral' END AS sentiment_label
+    FROM (
+      SELECT doc_id,
+             {sql_dround(f"greatest(-1.0, least(1.0, (pos - neg)::DOUBLE / n * {SCALE}))", 4)}
+               AS score
+      FROM counts
+    )
+    """,
+    doc="X1: deterministic lexicon sentiment + F10 threshold labels "
+    "(finnhub_news.py:27-51) — JVM-side expression, no Python in the "
+    "hot path; the pandas_udf variant is functions/sentiment.py.",
+)
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = sentiment_score_expr("text")
+    return docs.select(
+        "doc_id",
+        score.alias("sentiment_score"),
+        sentiment_label(score).alias("sentiment_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions — text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               x -> x <> '')) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+    doc="Text analysis: whitespace token count per document.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    return docs.select("doc_id", F.size(toks).alias("n_tokens"), "n_chars")
+
+
+_STOPWORDS = "the a an and of to in is it for on with as at by".split()
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
+               x -> x <> '') AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           {sql_dround(f"len(list_filter(tokens, x -> x IN ({_sql_wordlist(_STOPWORDS)})))::DOUBLE / greatest(len(tokens), 1)", 4)}
+             AS stopword_ratio,
+           {sql_dround("n_chars::DOUBLE / greatest(len(tokens), 1)", 4)}
+             AS avg_token_len,
+           (len(tokens) >= 20 AND n_chars >= 100) AS passes_length_gate
+    FROM toks
+    """,
+    doc="Text analysis: quality signals — stopword ratio, average token "
+    "length, length gate (pretraining-style heuristic filter).",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9']+"),
+        lambda t: t != "",
+    )
+    d = docs.select("doc_id", "n_chars", toks.alias("tokens"))
+    n = F.greatest(F.size("tokens"), F.lit(1))
+    stop_hits = F.size(F.filter(F.col("tokens"), lambda t: t.isin(*_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        dround(stop_hits.cast("double") / n, 4).alias("stopword_ratio"),
+        dround(F.col("n_chars").cast("double") / n, 4).alias("avg_token_len"),
+        ((F.size("tokens") >= 20) & (F.col("n_chars") >= 100)).alias(
+            "passes_length_gate"
+        ),
+    )
+
+
+@_register(
+    "lang_id",
+    """
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                WHEN regexp_matches(lower(text),
+                     '\\b(der|die|das|und|nicht)\\b') THEN 'de'
+                WHEN regexp_matches(lower(text),
+                     '\\b(le|la|les|et|une)\\b') THEN 'fr'
+                WHEN regexp_matches(lower(text),
+                     '\\b(el|los|las|una|que)\\b') THEN 'es'
+                ELSE 'en' END AS lang_guess,
+           lang AS lang_label
+    FROM documents
+    """,
+    doc="Text analysis: marker-based language ID heuristic (CJK codepoints "
+    "+ stopword markers), compared against the dataset label.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    guess = (
+        F.when(F.col("text").rlike("[一-鿿]"), F.lit("zh"))
+        .when(lower.rlike(r"\b(der|die|das|und|nicht)\b"), F.lit("de"))
+        .when(lower.rlike(r"\b(le|la|les|et|une)\b"), F.lit("fr"))
+        .when(lower.rlike(r"\b(el|los|las|una|que)\b"), F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    return docs.select(
+        "doc_id", guess.alias("lang_guess"), F.col("lang").alias("lang_label")
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint
+    FROM documents
+    """,
+    doc="Text analysis: normalized-content fingerprint (md5 over "
+    "lowercased, whitespace-collapsed text) — the exact-dedup key.",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Extensions — exact deduplication over `documents`
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint,
+           min(doc_id) AS kept_doc_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Dedup (exact): hash-groupBy on the normalized fingerprint; keep "
+    "min doc_id per group. One shuffle on the hash — at 100 TB this is "
+    "the standard exact-dedup plan.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.md5(normalized).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions — embedding similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), pairs AS (
+      SELECT q.query_id,
+             e.vec_id AS neighbor_id,
+             {sql_dround(
+                 "list_dot_product(q.qv, e.embedding::DOUBLE[])"
+                 " / (sqrt(list_dot_product(q.qv, q.qv))"
+                 " * sqrt(list_dot_product(e.embedding::DOUBLE[],"
+                 " e.embedding::DOUBLE[])))", 4)}
+               AS cosine
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM pairs
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) <= 5
+    """,
+    doc="Similarity search: brute-force cosine top-5 for 3 query vectors. "
+    "Query side is broadcast; the corpus scan is embarrassingly "
+    "parallel — the 100 TB baseline an IVF/LSH variant is judged "
+    "against (see operators/similarity.py).",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import (
+        brute_force_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return brute_force_cosine_topk(
+        queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
+    return QUERIES["top_flop"].spark(spark, sf_dir)

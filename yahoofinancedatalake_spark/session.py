@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference leaves every Spark knob at its default and pins only a
+legacy time parser and FileOutputCommitter v2
+(reference: scripts/formatting/format_to_parquet.py:36-45). We instead
+set the configs that matter at scale — AQE (runtime coalescing + skew
+join), Arrow for the Pandas-UDF path, UTC session timezone as the
+single timestamp truth, and shuffle partitions sized to the
+parallelism at hand rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "yahoofinancedatalake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults are chosen for correctness-at-scale:
+
+    - ``spark.sql.session.timeZone=UTC``: all timestamps are UTC
+      (reference normalizes with ``to_utc_timestamp(c, "UTC")``,
+      format_to_parquet.py:74 — we make it session-wide).
+    - AQE on with partition coalescing and skew-join handling: at
+      100 TB, static shuffle partitioning is always wrong for some
+      stage; AQE re-plans from runtime statistics.
+    - Arrow on: every applyInPandas/pandas_udf crosses the JVM↔Python
+      boundary in columnar batches, not pickled rows.
+    - shuffle partitions default to the local core count for tests;
+      a real cluster deployment overrides via ``extra_conf`` or
+      ``spark-submit --conf`` (rule of thumb: 2-3× total cores, or
+      let AQE coalesce from a high initial number).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not SparkSession.getActiveSession():
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
