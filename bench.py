@@ -1,0 +1,60 @@
+"""Benchmark harness: run the query pack at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": "query_pack_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}``
+
+Each query is forced end-to-end with the ``noop`` datasource sink
+(full computation, no driver collect bottleneck, no disk write).
+JVM/session startup is excluded; one warm-up query runs first so
+parquet footer caching and codegen warm-up don't pollute q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from yahoofinancedatalake_spark.queries.pack import QUERIES  # noqa: E402
+from yahoofinancedatalake_spark.session import get_spark  # noqa: E402
+
+
+def force(df) -> None:
+    """Execute the full plan without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JIT/codegen + parquet footer reads, excluded from timings.
+    force(QUERIES["pricing_summary"].spark(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, q in QUERIES.items():
+        t0 = time.perf_counter()
+        force(q.spark(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "query_pack_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Scalar function + sentiment tests (SURVEY.md §2.8-2.9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.functions.scalars import (
+    business_days,
+    daily_change_pct,
+    daily_range,
+    dround,
+    iso_date,
+    iso_instant,
+    sentiment_label,
+)
+from yahoofinancedatalake_spark.functions.sentiment import (
+    sentiment_score_expr,
+    sentiment_score_udf,
+)
+
+
+def test_dround_half_values(spark):
+    df = spark.createDataFrame(
+        [(1222.745,), (0.15625,), (-3.125,), (None,)], "x double"
+    )
+    out = df.select(dround("x", 2).alias("r")).collect()
+    # floor(x*100+0.5)/100 — deterministic on both engines, incl. None
+    assert out[0].r == 1222.74  # binary double sits just below .745
+    assert out[1].r == 0.16
+    assert out[2].r == -3.12
+    assert out[3].r is None
+
+
+def test_iso_formats_and_buckets(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 5, 14, 30, 15),)], "ts timestamp"
+    )
+    row = df.select(
+        iso_date("ts").alias("d"), iso_instant("ts").alias("i")
+    ).first()
+    assert row.d == "2024-03-05"
+    assert row.i == "2024-03-05T14:30:15Z"
+
+
+def test_derived_metric_exprs(spark):
+    df = spark.createDataFrame(
+        [(10.0, 12.0, 9.0, 11.0), (10.0, 12.0, 9.0, 11.0)],
+        "open double, high double, low double, close double",
+    )
+    row = df.select(
+        daily_range().alias("r"), daily_change_pct().alias("p")
+    ).first()
+    assert row.r == 3.0
+    assert abs(row.p - 10.0) < 1e-9
+    zero = spark.createDataFrame(
+        [(0.0, 1.0, 0.0, 1.0)], "open double, high double, low double, close double"
+    ).select(daily_change_pct().alias("p")).first()
+    assert zero.p is None  # null-safe on open=0
+
+
+def test_sentiment_label_thresholds(spark):
+    df = spark.createDataFrame(
+        [(0.05,), (0.0499,), (-0.05,), (-0.0499,), (0.0,)], "s double"
+    )
+    out = [r.l for r in df.select(sentiment_label("s").alias("l")).collect()]
+    assert out == ["positive", "neutral", "negative", "neutral", "neutral"]
+
+
+def test_sentiment_expr_matches_udf(spark):
+    texts = [
+        ("great great win",),
+        ("bad loss and fear of fraud",),
+        ("the sky is blue",),
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(texts, "t string")
+    rows = df.select(
+        sentiment_score_expr("t").alias("e"),
+        sentiment_score_udf("t").alias("u"),
+    ).collect()
+    for r in rows:
+        assert r.e == r.u  # JVM expression ≡ pandas_udf semantics
+    assert rows[0].e > 0.05
+    assert rows[1].e < -0.05
+    assert rows[2].e == 0.0
+
+
+def test_business_days_skips_weekends(spark):
+    # 2024-01-05 is a Friday → next 5 business days = Mon..Fri next week
+    df = spark.createDataFrame([(dt.date(2024, 1, 5),)], "d date")
+    row = df.select(business_days(F.col("d"), 5).alias("b")).first()
+    days = [d.isoformat() for d in row.b]
+    assert days == [
+        "2024-01-08", "2024-01-09", "2024-01-10", "2024-01-11", "2024-01-12"
+    ]
+    assert all(
+        dt.date.fromisoformat(x).weekday() < 5 for x in days
+    )

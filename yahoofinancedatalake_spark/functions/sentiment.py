@@ -44,7 +44,8 @@ _NEG = set(NEGATIVE_WORDS)
 
 
 def _tokens(col: Column) -> Column:
-    return F.split(F.lower(F.trim(col)), r"[^a-z0-9']+")
+    # coalesce: null text scores 0.0 (like the Python scorer), not null
+    return F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"[^a-z0-9']+")
 
 
 def sentiment_score_expr(text: Column | str) -> Column:

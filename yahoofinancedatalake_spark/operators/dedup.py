@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime permutation family for minhash: h_i(x) = (a_i*x + b_i) mod p.
-_MERSENNE = (1 << 61) - 1
+# p = 2^31 - 1 keeps a_i * h + b_i < 2^62 — no long overflow under ANSI mode.
+_MERSENNE = (1 << 31) - 1
 
 
 def normalized_text(col: Column) -> Column:
@@ -77,15 +78,11 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 32, seed: int = 42) -
         for _ in range(n_hashes)
     ]
     base = F.transform(
-        shingle_col, lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE)
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
     )
     mins = [
         F.array_min(
-            F.transform(
-                base,
-                lambda h: (h % F.lit(_MERSENNE) * F.lit(a % 100000) + F.lit(b))
-                % F.lit(_MERSENNE),
-            )
+            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
         )
         for a, b in coeffs
     ]
@@ -158,16 +155,19 @@ def simhash64(col: Column, shingle_n: int = 2) -> Column:
     """
     grams = shingles(col, shingle_n)
     hashes = F.transform(grams, lambda s: F.xxhash64(s))
+    one = F.lit(1).cast("long")
     bits = [
         F.when(
             F.aggregate(
                 hashes,
                 F.lit(0),
                 lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1),
+                + F.when(
+                    h.bitwiseAND(F.shiftleft(one, i)) != 0, 1
+                ).otherwise(-1),
             )
             > 0,
-            F.lit(1 << i).cast("long"),
+            F.shiftleft(one, i),  # bit 63 wraps to the sign bit — OR-safe
         ).otherwise(F.lit(0).cast("long"))
         for i in range(64)
     ]
