@@ -12,6 +12,7 @@ from yahoofinancedatalake_spark.operators.dedup import (
     ngram_jaccard,
     shingles,
     simhash64,
+    simhash_near_dup_pairs,
 )
 
 BASE = (
@@ -76,6 +77,44 @@ def test_simhash_hamming_orders_similarity(spark):
     dist = {(r.ia, r.ib): r.ham for r in d}
     assert dist[(1, 3)] < dist[(1, 4)]
     assert dist[(1, 3)] < dist[(3, 4)]
+
+
+def test_simhash_near_dup_pairs_blocking(spark, docs):
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            docs, "text", "id", max_hamming=16, shingle_n=2
+        ).collect()
+    }
+    # near-dups recovered through chunk blocking, far pair absent
+    assert (1, 2) in out and (1, 3) in out
+    assert (1, 4) not in out and (3, 4) not in out
+    assert out[(1, 2)] == 0  # whitespace/case dup → identical fingerprint
+
+
+def test_simhash_planted_pairs_recovered_sf(spark):
+    """The 25 planted near-dup pairs at sf0.01 (jaccard ≈ 0.98) are the
+    ground truth the rows-only `simhash_near_dup` query is judged on:
+    blocking + Hamming ≤ 12 must recover a solid majority, no FPs
+    below threshold (FP rate vs exact jaccard checked via spot gap)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=12, shingle_n=2
+    )
+    truth = (
+        ngram_jaccard(
+            got.select("id_a", "id_b"),
+            docs,
+            "doc_id",
+            "text",
+            shingle_n=3,
+        )
+        .filter(F.col("jaccard") >= 0.9)
+        .count()
+    )
+    n = got.count()
+    assert n >= 15  # recovers most of the 25 planted pairs
+    assert truth == n  # every recovered pair is a true near-dup
 
 
 def test_ngram_jaccard_exact_values(spark, docs):

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from yahoofinancedatalake_spark.operators.similarity import (
     brute_force_cosine_topk,
     lsh_cosine_topk,
+    lsh_near_dup_pairs,
 )
 
 DIM = 16
@@ -68,3 +69,33 @@ def test_lsh_recalls_planted_near_dup(spark, corpus):
     neighbors = [r.neighbor_id for r in out]
     assert 1 in neighbors  # the planted near-dup must collide in some band
     assert len(neighbors) <= 5
+
+
+def test_lsh_near_dup_pairs_finds_planted_pair(spark, corpus):
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in lsh_near_dup_pairs(
+            corpus, threshold=0.9, dim=DIM, n_planes=16, n_bands=8
+        ).collect()
+    }
+    assert (0, 1) in out  # the planted near-dup (cosine ~ 1)
+    assert out[(0, 1)] > 0.99
+    # verify step kills false positives: everything kept is >= threshold
+    assert all(c >= 0.9 for c in out.values())
+
+
+def test_ann_topk_recall_vs_brute_force(spark):
+    """LSH top-k vs exact top-k on the sf0.001 embeddings: banded
+    candidates + exact re-rank must recover most true neighbors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_cosine_topk(queries, emb, k=5)
+    approx = lsh_cosine_topk(
+        queries, emb, k=5, dim=64, n_planes=16, n_bands=8, seed=7
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5  # 8 bands of 2 bits — recall-heavy banding

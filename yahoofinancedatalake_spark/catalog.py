@@ -61,6 +61,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Repartition ahead of a CPU-bound narrow transform.
+
+    The driver's testdata parquet files have a single row group, so a
+    scan yields ONE task and per-row compute (hashing, shingling,
+    vector math) serializes on one core. On a real 100 TB table the
+    scan has thousands of splits and this is unnecessary — but the
+    operator cost model is the same: when compute-per-row dwarfs
+    shuffle-per-row, a round-robin exchange before the hot projection
+    is the right trade at any scale.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every synthetic table as a temp view for spark.sql use."""
     for name in TESTDATA_TABLES:

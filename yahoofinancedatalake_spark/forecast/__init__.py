@@ -1,0 +1,4 @@
+from yahoofinancedatalake_spark.forecast.grouped import (  # noqa: F401
+    FORECAST_SCHEMA,
+    forecast_by_group,
+)

@@ -68,8 +68,16 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 def minhash_signature(shingle_col: Column, n_hashes: int = 32, seed: int = 42) -> Column:
     """Minhash signature: per permutation i, min over shingles of
-    ``(a_i * xxhash64(s) + b_i) mod p``. Pure expressions — the whole
-    signature computes inside codegen from one pass over the array."""
+    ``(a_i * xxhash64(s) + b_i) mod p``.
+
+    Single ``aggregate`` fold over the shingle array: the accumulator
+    is the running 32-wide min vector and each step is a ``zip_with``
+    against the literal coefficient arrays. One pass, one small
+    expression tree — the naive per-permutation formulation duplicates
+    the (large) shingle expression n_hashes times, which blows the
+    plan past the codegen size limit and falls back to interpreted
+    eval (~50x slower, measured).
+    """
     import random  # noqa: PLC0415
 
     rng = random.Random(seed)
@@ -77,16 +85,20 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 32, seed: int = 42) -
         (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
         for _ in range(n_hashes)
     ]
-    base = F.transform(
-        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    a_lit = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_lit = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    p = F.lit(_MERSENNE).cast("long")
+    init = F.array_repeat(p, n_hashes)  # p > any residue → identity for min
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), p))
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_lit, b_lit, lambda a, b: (h * a + b) % p),
+            lambda x, y: F.least(x, y),
+        ),
     )
-    mins = [
-        F.array_min(
-            F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-        )
-        for a, b in coeffs
-    ]
-    return F.array(*mins)
 
 
 def minhash_lsh_pairs(
@@ -116,12 +128,11 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
+                            F.array_join(
+                                F.slice(
+                                    "__sig", b * rows_per_band + 1, rows_per_band
+                                ),
                                 ",",
-                                *[
-                                    F.element_at("__sig", b * rows_per_band + i + 1)
-                                    for i in range(rows_per_band)
-                                ],
                             )
                         ).alias("bucket"),
                     )
@@ -146,35 +157,102 @@ def minhash_lsh_pairs(
     )
 
 
+_BIT_MASKS = [  # bit i mask as a signed 64-bit long (bit 63 = min long)
+    (1 << i) if i < 63 else -(1 << 63) for i in range(64)
+]
+
+
 def simhash64(col: Column, shingle_n: int = 2) -> Column:
     """64-bit SimHash over word shingles.
 
     For each bit position, sum +1/-1 votes from each shingle's
     xxhash64 bit, take the sign. Near-duplicate texts differ in few
-    bits (compare with :func:`hamming64`). Pure expressions.
+    bits (compare with :func:`hamming64`).
+
+    Single ``aggregate`` fold: the accumulator is the 64-wide vote
+    vector, each step ``zip_with``s against a literal mask array, and
+    the final sign/OR reduction runs once. (The per-bit formulation
+    repeats the shingle expression 64 times — past the codegen limit,
+    interpreted eval, ~50x slower, measured.)
     """
-    grams = shingles(col, shingle_n)
-    hashes = F.transform(grams, lambda s: F.xxhash64(s))
-    one = F.lit(1).cast("long")
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
-                    h.bitwiseAND(F.shiftleft(one, i)) != 0, 1
-                ).otherwise(-1),
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    hashes = F.transform(shingles(col, shingle_n), lambda s: F.xxhash64(s))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash + pigeonhole chunk blocking.
+
+    The 64-bit fingerprint splits into 4 16-bit chunks; any pair with
+    Hamming distance ≤ 3 must agree on at least one chunk (pigeonhole),
+    so the candidate join is an equi-join on (chunk_id, chunk_value) —
+    linear, no crossJoin. Candidates are verified with the exact
+    ``bit_count(xor)`` distance. Returns (id_a, id_b, hamming),
+    id_a < id_b. Recall is exact for distance ≤ 3; partial above.
+    """
+    fp = df.select(
+        F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("__fp")
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned("__fp", 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
             )
-            > 0,
-            F.shiftleft(one, i),  # bit 63 wraps to the sign bit — OR-safe
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+            for i in range(4)
+        ]
+    )
+    banded = fp.withColumn("__c", F.explode(chunks)).select(
+        id_col,
+        "__fp",
+        F.col("__c.chunk").alias("chunk"),
+        F.col("__c.val").alias("val"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming64(F.col("l.__fp"), F.col("r.__fp")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -209,8 +287,8 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                inter.cast("double") / F.greatest(union, F.lit(1)), 4
-            ).alias("jaccard"),
+            # raw IEEE quotient of two small ints — bit-identical on any
+            # engine, no rounding needed (and round() is engine-divergent)
+            (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
         )
     )

@@ -66,11 +66,21 @@ def brute_force_cosine_topk(
     """
     from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
 
-    sim = cosine(F.col(query_vec_col), F.col(vec_col))
+    # Precompute norms once per vector (not once per pair — at n
+    # queries that's a 3-passes→1-pass cut on the corpus side).
+    corpus_n = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    queries_n = queries.select(
+        F.col(query_id_col),
+        _as_double(F.col(query_vec_col)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    sim = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     if round_to is not None:
         sim = dround(sim, round_to)
     pairs = (
-        corpus.join(F.broadcast(queries))
+        corpus_n.join(F.broadcast(queries_n))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
@@ -106,6 +116,94 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
         for plane in planes
     ]
     return F.concat(*bits)
+
+
+def banded_signature(
+    df: DataFrame,
+    vec_col: str,
+    keep: list[str],
+    planes: list[list[float]],
+    n_bands: int,
+) -> DataFrame:
+    """Explode a sign-LSH signature into (band, bits) bucket rows."""
+    n_planes = len(planes)
+    band_size = n_planes // n_bands
+    sig = signature_bits(F.col(vec_col), planes)
+    df = df.withColumn("__sig", sig)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.substring("__sig", i * band_size + 1, band_size).alias("bits"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return df.withColumn("__band", F.explode(bands)).select(
+        *keep,
+        vec_col,
+        F.col("__band.band").alias("band"),
+        F.col("__band.bits").alias("bits"),
+    )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """All-pairs embedding near-duplicates: LSH blocking + exact verify.
+
+    Pairs colliding on any sign-LSH band become candidates (one
+    shuffle on the (band, bits) bucket key — linear in corpus size,
+    never the O(n²) crossJoin); candidates are verified with the exact
+    cosine and kept when ``cosine >= threshold``. Returns
+    (id_a, id_b, cosine) with id_a < id_b.
+
+    This is the scale path for "find duplicate embeddings in 100 TB":
+    bucket width (n_planes / n_bands) trades recall against candidate
+    volume; recall for true near-dups (cosine → 1) approaches 1
+    because their sign bits almost always agree.
+    """
+    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    prepped = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    banded = banded_signature(prepped, "__v", [id_col, "__n"], planes, n_bands)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__v").alias("__va"),
+            F.col("r.__v").alias("__vb"),
+            F.col("l.__n").alias("__na"),
+            F.col("r.__n").alias("__nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    if round_to is not None:
+        sim = dround(sim, round_to)
+    return (
+        cand.select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def lsh_cosine_topk(
@@ -161,7 +259,7 @@ def lsh_cosine_topk(
     )
     from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
 
-    sim = dround(cosine(F.col(query_vec_col), F.col(vec_col)), 4)
+    sim = dround(cosine(F.col(query_vec_col), F.col(vec_col)), 4)  # few candidates — per-pair norms fine
     pairs = candidates.select(
         query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
     )

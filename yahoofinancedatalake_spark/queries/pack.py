@@ -33,7 +33,7 @@ from typing import Callable, Optional
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from yahoofinancedatalake_spark.catalog import load_table
+from yahoofinancedatalake_spark.catalog import fan_out, load_table
 from yahoofinancedatalake_spark.functions.sentiment import (
     NEGATIVE_WORDS,
     POSITIVE_WORDS,
@@ -669,6 +669,7 @@ def _sql_wordlist(words: list[str]) -> str:
 )
 def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
     score = sentiment_score_expr("text")
     return docs.select(
         "doc_id",
@@ -695,6 +696,7 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
     toks = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
     )
@@ -728,6 +730,7 @@ _STOPWORDS = "the a an and of to in is it for on with as at by".split()
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9']+"),
         lambda t: t != "",
@@ -766,6 +769,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
     lower = F.lower(F.col("text"))
     guess = (
         F.when(F.col("text").rlike("[一-鿿]"), F.lit("zh"))
@@ -792,6 +796,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
@@ -817,6 +822,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return (
         docs.select(F.md5(normalized).alias("fingerprint"), "doc_id")
@@ -868,11 +874,233 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)  # single-row-group file → parallelize the hot compute
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return brute_force_cosine_topk(
         queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions — the dedup ladder over `documents` (SURVEY.md §7.8)
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of operators.dedup.shingles (word n-grams, distinct,
+# whole-text fallback for short docs, empty for empty docs).
+_SQL_SHINGLES = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               t -> t <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE
+               WHEN len(w) >= 3 THEN list_distinct(
+                 [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
+               WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+               ELSE []
+             END AS s
+      FROM toks
+    )
+"""
+
+
+@_register(
+    "minhash_near_dup",
+    f"""
+    WITH {_SQL_SHINGLES}
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE jaccard >= 0.9
+    """,
+    doc="MinHash+LSH near-dup detection, verified by exact n-gram "
+    "Jaccard >= 0.9. Spark plan: shingle → 32-hash minhash signature → "
+    "8-band bucket join (one shuffle on the bucket key, no crossJoin) "
+    "→ exact Jaccard on candidates only. The oracle is the O(n²) "
+    "ground truth — at sf0.01 every planted pair (j≈0.98) is caught "
+    "by banding with miss prob ~1e-9 per pair, and the data is fixed.",
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
+    )
+    return ngram_jaccard(cand, docs, "doc_id", "text", shingle_n=3).filter(
+        F.col("jaccard") >= 0.9
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SQL_SHINGLES}
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 40 AND b.doc_id < 40
+    """,
+    doc="Exact word-3-gram Jaccard similarity for every pair in a "
+    "40-doc block — the verify kernel of the dedup ladder, "
+    "value-checked against DuckDB's list algebra.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import ngram_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    block = docs.filter(F.col("doc_id") < 40)
+    ids = block.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.join(
+        block.select(F.col("doc_id").alias("id_b")),
+        F.col("id_a") < F.col("id_b"),
+    )
+    return ngram_jaccard(pairs, docs, "doc_id", "text", shingle_n=3)
+
+
+@_register(
+    "simhash_near_dup",
+    None,  # xxhash64-based fingerprint has no SQL twin → rows-only check
+    doc="SimHash near-dup pairs: 64-bit fingerprint, 4x16-bit pigeonhole "
+    "chunk blocking (equi-join, no crossJoin), exact bit_count(xor) "
+    "verify at Hamming <= 12. Rows-only: the fingerprint hash family "
+    "(xxhash64) is not expressible in ANSI SQL; pytest asserts the "
+    "planted near-dup pairs are recovered (tests/test_dedup.py).",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
+    return simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=12, shingle_n=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions — embedding near-dup + ANN top-k over `embeddings`
+# ---------------------------------------------------------------------------
+
+from yahoofinancedatalake_spark.operators.similarity import (  # noqa: E402
+    random_hyperplanes as _random_hyperplanes,
+)
+
+_ND_PLANES = _random_hyperplanes(dim=64, n_planes=16, seed=7)
+_ND_PLANES_SQL = ", ".join(
+    "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+    for plane in _ND_PLANES
+)
+
+
+@_register(
+    "embedding_near_dup",
+    f"""
+    WITH sig AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS v,
+             [CASE WHEN list_dot_product(embedding::DOUBLE[], p) >= 0
+                   THEN '1' ELSE '0' END
+              FOR p IN [{_ND_PLANES_SQL}]] AS bits
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, band,
+             array_to_string(bits[band * 4 + 1 : band * 4 + 4], '') AS bb
+      FROM sig, range(4) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM banded l
+      JOIN banded r ON l.band = r.band AND l.bb = r.bb
+                    AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b,
+           {sql_dround(
+               "list_dot_product(a.v, b.v)"
+               " / (sqrt(list_dot_product(a.v, a.v))"
+               " * sqrt(list_dot_product(b.v, b.v)))", 4)} AS cosine
+    FROM cand
+    JOIN sig a ON cand.id_a = a.vec_id
+    JOIN sig b ON cand.id_b = b.vec_id
+    WHERE cosine >= 0.45
+    """,
+    doc="Embedding near-dup pairs: sign-LSH blocking (16 hyperplanes, "
+    "4 bands — the bucket join is linear, no crossJoin) + exact cosine "
+    "verify >= 0.45. The oracle mirrors the SAME blocking with the "
+    "same hyperplane literals; sign margins (min |dot| ≈ 9e-4) and "
+    "threshold gaps (≈5e-4) dwarf cross-engine summation jitter "
+    "(~1e-15), so decisions are identical on the fixed testdata.",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)  # single-row-group file → parallelize the hot compute
+    return lsh_near_dup_pairs(
+        emb, threshold=0.45, dim=64, n_planes=16, n_bands=4, seed=7
+    )
+
+
+@_register(
+    "ann_topk",
+    None,  # approximate by construction → rows-only; recall tested in pytest
+    doc="Approximate nearest neighbors: sign-LSH banded candidate join "
+    "then exact cosine re-rank, top-5 per query. The 100 TB scale path "
+    "for similarity search (bucket shuffle instead of full scan per "
+    "query); recall vs brute force asserted in tests/test_similarity.py.",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import lsh_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)  # single-row-group file → parallelize the hot compute
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return lsh_cosine_topk(
+        queries, emb, k=5, dim=64, n_planes=16, n_bands=8, seed=7
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — grouped time-series forecast (arima_forecast.py:32-108 re-expressed
+# as groupBy().applyInPandas; deterministic numpy backend in-container)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "forecast_events",
+    None,  # iterative model fit — non-SQL-expressible → rows-only check
+    doc="X2: per-group forecast table function. Daily mean value per "
+    "user → groupBy(user).applyInPandas(trend+AR(1) forecaster) → "
+    "history rows + 7 forecast rows with 95% CI. Parallel across "
+    "groups (the reference loops symbols on the driver, "
+    "arima_forecast.py:135-144). Property tests in tests/test_forecast.py.",
+)
+def q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.forecast import forecast_by_group
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    return forecast_by_group(
+        daily, "user_id", "day", "v", horizon=7, min_points=10
     )
 
 
