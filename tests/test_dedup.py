@@ -9,9 +9,12 @@ from yahoofinancedatalake_spark.operators.dedup import (
     exact_dedup,
     hamming64,
     minhash_lsh_pairs,
+    minhash_signature,
+    minhash_signature_expr,
     ngram_jaccard,
     shingles,
     simhash64,
+    simhash64_expr,
     simhash_near_dup_pairs,
 )
 
@@ -93,15 +96,17 @@ def test_simhash_near_dup_pairs_blocking(spark, docs):
 
 
 def test_simhash_planted_pairs_recovered_sf(spark):
-    """The 25 planted near-dup pairs at sf0.01 (jaccard ≈ 0.98) are the
-    ground truth the rows-only `simhash_near_dup` query is judged on:
-    blocking + Hamming ≤ 12 must recover a solid majority, no FPs
-    below threshold (FP rate vs exact jaccard checked via spot gap)."""
+    """Pigeonhole recall guarantee: with chunk count derived from the
+    radius (max_hamming+1 chunks), EVERY pair within the radius must
+    be recovered — including the planted pairs at distance 4-9, which
+    the old fixed-4-chunk blocking only found by luck. The 25 planted
+    near-dup pairs at sf0.01 (jaccard ≈ 0.98, measured Hamming 1-9)
+    are the ground truth for the rows-only `simhash_near_dup` query."""
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     got = simhash_near_dup_pairs(
-        docs, "text", "doc_id", max_hamming=12, shingle_n=2
+        docs, "text", "doc_id", max_hamming=9, shingle_n=2
     )
-    truth = (
+    planted = (
         ngram_jaccard(
             got.select("id_a", "id_b"),
             docs,
@@ -112,9 +117,46 @@ def test_simhash_planted_pairs_recovered_sf(spark):
         .filter(F.col("jaccard") >= 0.9)
         .count()
     )
-    n = got.count()
-    assert n >= 15  # recovers most of the 25 planted pairs
-    assert truth == n  # every recovered pair is a true near-dup
+    assert planted == 25  # exact recall at the stated radius
+    # distance > 3 pairs exist among the planted set (measured: 4,5,6,8,9)
+    assert got.filter(F.col("hamming") > 3).count() >= 5
+
+
+def test_vectorized_signatures_match_expression_twins(spark):
+    """The numpy pandas_udf signature folds must be bit-identical to
+    the pure-JVM expression forms, including punctuated, short, and
+    empty/whitespace-only texts."""
+    rows = [
+        (1, BASE), (2, NEAR), (3, FAR),
+        (4, ""), (5, "   "), (6, "one"), (7, "a b c. d, e! f?"),
+        (8, "Tabs\tand\nnewlines   collapse, right? Right."),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    chk = df.select(
+        minhash_signature(shingles(F.col("text"), 3)).alias("mv"),
+        minhash_signature_expr(shingles(F.col("text"), 3)).alias("me"),
+        simhash64(F.col("text"), 2).alias("sv"),
+        simhash64_expr(F.col("text"), 2).alias("se"),
+    )
+    bad = chk.filter(
+        (F.col("mv") != F.col("me")) | (F.col("sv") != F.col("se"))
+    ).count()
+    assert bad == 0
+
+
+def test_empty_docs_never_pair(spark):
+    """Empty/whitespace docs are filtered before banding — they must
+    not collide with each other in either LSH family (ADVICE: the
+    shared empty signature would otherwise generate O(m²) candidate
+    pairs, and simhash would report them as distance-0 near-dups)."""
+    rows = [(1, BASE), (2, NEAR), (10, ""), (11, "  "), (12, "\t\n")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    mh = minhash_lsh_pairs(df, "text", "id", n_hashes=32, n_bands=16)
+    assert all(r.id_a not in (10, 11, 12) and r.id_b not in (10, 11, 12)
+               for r in mh.collect())
+    sh = simhash_near_dup_pairs(df, "text", "id", max_hamming=9)
+    assert all(r.id_a not in (10, 11, 12) and r.id_b not in (10, 11, 12)
+               for r in sh.collect())
 
 
 def test_ngram_jaccard_exact_values(spark, docs):

@@ -62,17 +62,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Repartition ahead of a CPU-bound narrow transform.
+    """Repartition ahead of a CPU-bound narrow transform — but ONLY
+    when the input is under-split.
 
     The driver's testdata parquet files have a single row group, so a
     scan yields ONE task and per-row compute (hashing, shingling,
-    vector math) serializes on one core. On a real 100 TB table the
-    scan has thousands of splits and this is unnecessary — but the
-    operator cost model is the same: when compute-per-row dwarfs
-    shuffle-per-row, a round-robin exchange before the hot projection
-    is the right trade at any scale.
+    vector math) serializes on one core; a round-robin exchange is the
+    right trade there. On a real 100 TB table the scan already has
+    thousands of splits, and an unconditional full-payload exchange
+    would be a gratuitous shuffle — so this is a no-op once the input
+    has at least ``target`` partitions. Set
+    ``spark.yahoofinancedatalake.fanOut=false`` to disable entirely.
     """
-    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    if spark.conf.get("spark.yahoofinancedatalake.fanOut", "true") == "false":
+        return df
+    n = partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

@@ -976,11 +976,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "simhash_near_dup",
     None,  # xxhash64-based fingerprint has no SQL twin → rows-only check
-    doc="SimHash near-dup pairs: 64-bit fingerprint, 4x16-bit pigeonhole "
-    "chunk blocking (equi-join, no crossJoin), exact bit_count(xor) "
-    "verify at Hamming <= 12. Rows-only: the fingerprint hash family "
-    "(xxhash64) is not expressible in ANSI SQL; pytest asserts the "
-    "planted near-dup pairs are recovered (tests/test_dedup.py).",
+    doc="SimHash near-dup pairs: 64-bit fingerprint, pigeonhole chunk "
+    "blocking with chunk count derived from the radius (10 chunks of "
+    "~6 bits for Hamming <= 9 → exact recall at the stated radius; "
+    "equi-join, no crossJoin), exact bit_count(xor) verify. "
+    "Operating point: the planted near-dup pairs all sit at Hamming "
+    "<= 9 (measured), and 6-bit chunks keep candidate volume linear. "
+    "Rows-only: the fingerprint hash family (xxhash64) is not "
+    "expressible in ANSI SQL; pytest asserts every planted pair is "
+    "recovered (tests/test_dedup.py).",
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yahoofinancedatalake_spark.operators.dedup import simhash_near_dup_pairs
@@ -988,7 +992,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
     return simhash_near_dup_pairs(
-        docs, "text", "doc_id", max_hamming=12, shingle_n=2
+        docs, "text", "doc_id", max_hamming=9, shingle_n=2
     )
 
 
