@@ -75,6 +75,12 @@ def test_sentiment_expr_matches_udf(spark):
         ("the sky is blue",),
         ("",),
         (None,),
+        # punctuated: split() keeps empty tokens around separators —
+        # the expr must drop them or n is inflated vs the udf/oracle
+        ("good a a a a a a a a a.",),
+        ("Great!! Profit... (gain) -- win; really?",),
+        ("...",),
+        ("!?.,;",),
     ]
     df = spark.createDataFrame(texts, "t string")
     rows = df.select(
@@ -86,6 +92,8 @@ def test_sentiment_expr_matches_udf(spark):
     assert rows[0].e > 0.05
     assert rows[1].e < -0.05
     assert rows[2].e == 0.0
+    assert rows[5].e == 0.5  # 1 hit / 10 tokens * 5 — not 5/11
+    assert rows[7].e == 0.0  # punctuation-only → no tokens → 0
 
 
 def test_business_days_skips_weekends(spark):

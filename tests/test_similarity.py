@@ -99,3 +99,39 @@ def test_ann_topk_recall_vs_brute_force(spark):
     got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5  # 8 bands of 2 bits — recall-heavy banding
+
+
+def test_zero_norm_vectors_do_not_abort(spark):
+    """ANSI mode (default in Spark 4) turns x/0 into DIVIDE_BY_ZERO;
+    the nullif guard must yield null cosine instead, which fails the
+    threshold filter / sorts last — one all-zero embedding must not
+    kill the whole job."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    topk = brute_force_cosine_topk(queries, corpus, k=2).collect()
+    by_n = {r.neighbor_id: r.cosine for r in topk}
+    assert by_n[2] is None          # zero-norm → null cosine, sorts last
+    assert by_n[1] is not None and by_n[1] > 0.9
+    nd = lsh_near_dup_pairs(corpus, threshold=0.5, dim=2, n_planes=4,
+                            n_bands=2).collect()
+    assert all(2 not in (r.id_a, r.id_b) for r in nd)  # null fails filter
+
+
+def test_brute_force_salted_topk_matches_single_window(spark):
+    """The salted two-phase top-k must return exactly the same rows as
+    a direct global ranking (exactness of top-k of per-salt top-k)."""
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    a = brute_force_cosine_topk(queries, corpus, k=7, n_salts=32)
+    b = brute_force_cosine_topk(queries, corpus, k=7, n_salts=1)
+    ra = sorted((r.query_id, r.neighbor_id, r.cosine) for r in a.collect())
+    rb = sorted((r.query_id, r.neighbor_id, r.cosine) for r in b.collect())
+    assert ra == rb

@@ -44,8 +44,13 @@ _NEG = set(NEGATIVE_WORDS)
 
 
 def _tokens(col: Column) -> Column:
-    # coalesce: null text scores 0.0 (like the Python scorer), not null
-    return F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"[^a-z0-9']+")
+    # coalesce: null text scores 0.0 (like the Python scorer), not null.
+    # split keeps leading/trailing/adjacent-separator empty strings
+    # (limit=-1), so filter them — otherwise punctuated text inflates
+    # the token count n and deflates every score (the Python scorer
+    # and the DuckDB oracle both drop empties).
+    raw = F.split(F.lower(F.trim(F.coalesce(col, F.lit("")))), r"[^a-z0-9']+")
+    return F.filter(raw, lambda t: t != "")
 
 
 def sentiment_score_expr(text: Column | str) -> Column:

@@ -44,8 +44,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; null (not DIVIDE_BY_ZERO — ANSI mode is on
+    by default in Spark 4) when either vector has zero norm. A null
+    cosine fails every threshold filter and sorts last in top-k."""
     da, db = _as_double(a), _as_double(b)
-    return dot(da, db) / (l2_norm(da) * l2_norm(db))
+    return dot(da, db) / F.nullif(l2_norm(da) * l2_norm(db), F.lit(0.0))
 
 
 def brute_force_cosine_topk(
@@ -57,12 +60,21 @@ def brute_force_cosine_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
     round_to: int | None = 4,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     ``queries``: (query_id, qv) — small, broadcast.
     ``corpus``: (id_col, vec_col) — arbitrarily large, scanned once.
     Self-matches (same id) are excluded.
+
+    Top-k is two-phase to avoid reducer skew: a window over
+    (query_id, salt) keeps k rows per salt (n_salts reducers per
+    query), then the final window ranks the ≤ k·n_salts survivors per
+    query. With few queries and a huge corpus, a single-phase window
+    would funnel all n_corpus·n_queries scored pairs into n_queries
+    reducers. Result is identical (top-k of per-salt top-k is exact;
+    ties broken deterministically by neighbor id).
     """
     from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
 
@@ -76,7 +88,9 @@ def brute_force_cosine_topk(
         F.col(query_id_col),
         _as_double(F.col(query_vec_col)).alias("__qv"),
     ).withColumn("__qn", l2_norm(F.col("__qv")))
-    sim = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    sim = dot(F.col("__qv"), F.col("__cv")) / F.nullif(
+        F.col("__qn") * F.col("__cn"), F.lit(0.0)
+    )
     if round_to is not None:
         sim = dround(sim, round_to)
     pairs = (
@@ -88,11 +102,18 @@ def brute_force_cosine_topk(
             sim.alias("cosine"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    order = (F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc())
+    w_local = Window.partitionBy(
+        query_id_col, F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salts))
+    ).orderBy(*order)
+    local = (
+        pairs.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
+    w = Window.partitionBy(query_id_col).orderBy(*order)
     return (
-        pairs.withColumn("__rn", F.row_number().over(w))
+        local.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -197,7 +218,9 @@ def lsh_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
     if round_to is not None:
         sim = dround(sim, round_to)
     return (
