@@ -3,17 +3,32 @@
 The reference fits one SARIMAX model per symbol in a sequential Python
 loop (reference: scripts/prediction/arima_forecast.py:32-108,135-144 —
 order (2,1,2), seasonal (1,1,1,5), 252-day train window, 30-step
-horizon, 95% CI, exogenous daily sentiment). The Spark-first
+horizon, 95% CI, **exogenous daily news sentiment**). The Spark-first
 re-expression is ``groupBy(key).applyInPandas`` — every group trains
 in parallel across executors, Arrow moves the data, and the output is
 a normal DataFrame (union of ``actual`` history rows and ``forecast``
 rows with confidence bounds, arima_forecast.py:76-99).
 
+Exogenous-regressor semantics (faithful to arima_forecast.py):
+
+- the exog column is the daily sentiment **as-of-aligned** onto the
+  value series dates (exact-date left join — see
+  :func:`yahoofinancedatalake_spark.operators.etl.align_daily_signal`);
+  missing days stay null in the input.
+- for FITTING, nulls become 0.0 (neutral), mirroring
+  ``sentiment.reindex(series.index).fillna(0)`` (:47).
+- for the FUTURE exog, the mean of the last 30 train dates *skips*
+  missing days (pandas ``.tail(30).mean()`` skips NaN, :61) and falls
+  back to 0.0 when all 30 are missing (:62-63).
+- output rows carry the exog: actual rows the aligned+filled value
+  (:77,84), forecast rows the constant future mean (:95).
+
 Model backend:
 
 - ``statsmodels`` SARIMAX with the reference's exact hyperparameters
-  when the library is importable.
-- Otherwise a deterministic numpy fallback — OLS linear trend plus
+  when the library is importable (exog threaded through fit and
+  forecast exactly as :50-66).
+- Otherwise a deterministic numpy fallback — OLS on [1, t, exog] plus
   AR(1) on the residuals, with a widening normal CI from the residual
   stddev. Same output contract (shape, column names, CI ordering);
   documented substitute, NOT a SARIMAX clone. This container has no
@@ -43,42 +58,53 @@ try:  # pragma: no cover - not installed in this container
 except Exception:  # pragma: no cover
     _HAS_STATSMODELS = False
 
-#: Output contract of :func:`forecast_by_group` (arima_forecast.py:86-99
-#: shape: actual rows carry the observed value; forecast rows carry the
-#: prediction and a 95% confidence interval).
+#: Output contract of :func:`forecast_by_group` (arima_forecast.py:78-97
+#: shape: actual rows carry the observed value with lower=upper=value,
+#: :82-83; forecast rows carry prediction + 95% CI; both carry exog).
 FORECAST_SCHEMA = (
     "group_key string, day date, predicted double, "
-    "confidence_lower double, confidence_upper double, kind string"
+    "confidence_lower double, confidence_upper double, "
+    "exog double, kind string"
 )
 
 _Z95 = 1.959963984540054  # 97.5th normal quantile
 
 
-def _fallback_forecast(y: np.ndarray, horizon: int) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic trend + AR(1) forecast with widening 95% CI.
+def _fallback_forecast(
+    y: np.ndarray,
+    horizon: int,
+    exog: np.ndarray | None = None,
+    exog_future: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic OLS([1, t, exog]) + AR(1) forecast, widening 95% CI.
 
     Returns (point_forecasts, half_widths), each of length ``horizon``.
     Pure numpy linear algebra — bit-stable across runs and partitions.
     """
     n = len(y)
     t = np.arange(n, dtype=np.float64)
-    # OLS trend: y ~ a + b*t
-    b, a = np.polyfit(t, y, 1)
-    resid = y - (a + b * t)
+    cols = [np.ones(n), t]
+    if exog is not None:
+        cols.append(exog)
+    design = np.column_stack(cols)
+    beta, *_ = np.linalg.lstsq(design, y, rcond=None)
+    resid = y - design @ beta
     # AR(1) on residuals (lag-1 regression through the origin)
     denom = float(np.dot(resid[:-1], resid[:-1]))
     phi = float(np.dot(resid[1:], resid[:-1]) / denom) if denom > 0 else 0.0
     phi = max(min(phi, 0.99), -0.99)
     sigma = float(np.std(resid, ddof=1)) if n > 2 else 0.0
 
-    last_r = float(resid[-1])
     preds = np.empty(horizon, dtype=np.float64)
     halves = np.empty(horizon, dtype=np.float64)
     var_acc = 0.0
-    r = last_r
+    r = float(resid[-1])
     for h in range(1, horizon + 1):
         r *= phi
-        preds[h - 1] = a + b * (n - 1 + h) + r
+        point = beta[0] + beta[1] * (n - 1 + h)
+        if exog is not None and exog_future is not None:
+            point += beta[2] * float(exog_future[h - 1])
+        preds[h - 1] = point + r
         # forecast variance of AR(1): sigma^2 * sum_{j<h} phi^(2j)
         var_acc += phi ** (2 * (h - 1))
         halves[h - 1] = _Z95 * sigma * math.sqrt(var_acc)
@@ -86,20 +112,27 @@ def _fallback_forecast(y: np.ndarray, horizon: int) -> tuple[np.ndarray, np.ndar
 
 
 def _sarimax_forecast(
-    y: np.ndarray, horizon: int
+    y: np.ndarray,
+    horizon: int,
+    exog: np.ndarray | None = None,
+    exog_future: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:  # pragma: no cover - needs statsmodels
-    """Reference-parity SARIMAX(2,1,2)x(1,1,1,5) (arima_forecast.py:50-58)."""
+    """Reference-parity SARIMAX(2,1,2)x(1,1,1,5) with exogenous
+    sentiment (arima_forecast.py:50-66)."""
     model = SARIMAX(
         y,
+        exog=exog.reshape(-1, 1) if exog is not None else None,
         order=(2, 1, 2),
         seasonal_order=(1, 1, 1, 5),
         enforce_stationarity=False,
         enforce_invertibility=False,
     )
     fit = model.fit(disp=False, maxiter=200)
-    res = fit.get_forecast(steps=horizon)
-    ci = res.conf_int(alpha=0.05)
-    ci = np.asarray(ci)
+    res = fit.get_forecast(
+        steps=horizon,
+        exog=exog_future.reshape(-1, 1) if exog_future is not None else None,
+    )
+    ci = np.asarray(res.conf_int(alpha=0.05))
     mean = np.asarray(res.predicted_mean)
     return mean, mean - ci[:, 0]
 
@@ -112,15 +145,26 @@ def make_group_forecaster(
     train_window: int = 252,
     history: int = 90,
     min_points: int = 10,
+    exog_col: str | None = None,
+    exog_tail: int = 30,
+    future_freq: str = "B",
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """Build the per-group pandas function for ``applyInPandas``.
 
     Mirrors the reference's per-symbol flow (arima_forecast.py:32-108):
     sort by date, train on the last ``train_window`` points, emit the
-    last ``history`` observed rows as ``kind='actual'`` plus
-    ``horizon`` daily ``kind='forecast'`` rows with 95% CI; groups
-    with fewer than ``min_points`` observations are skipped
+    last ``history`` observed rows as ``kind='actual'`` (with
+    lower=upper=value, :82-83) plus ``horizon``
+    business-day ``kind='forecast'`` rows (``freq='B'``, :72 —
+    override ``future_freq='D'`` for calendar-daily series) with 95%
+    CI; groups with fewer than ``min_points`` observations are skipped
     (arima_forecast.py:39-41).
+
+    ``exog_col``: optional per-row exogenous regressor, possibly null
+    on dates with no signal. Fitting nulls→0 (:47); the future exog is
+    the null-skipping mean of the last ``exog_tail`` train dates
+    (:61-63). Output column ``exog`` carries it (:84,95); all-null
+    when ``exog_col`` is None.
     """
     backend = _sarimax_forecast if _HAS_STATSMODELS else _fallback_forecast
 
@@ -132,6 +176,7 @@ def make_group_forecaster(
                 "predicted": pd.Series(dtype="float64"),
                 "confidence_lower": pd.Series(dtype="float64"),
                 "confidence_upper": pd.Series(dtype="float64"),
+                "exog": pd.Series(dtype="float64"),
                 "kind": pd.Series(dtype="str"),
             }
         )
@@ -139,25 +184,44 @@ def make_group_forecaster(
         if len(pdf) < min_points:
             return empty
         key = str(pdf[key_col].iloc[0])
-        days = pd.to_datetime(pdf[time_col])
-        y = pdf[value_col].to_numpy(dtype=np.float64)[-train_window:]
-        preds, halves = backend(y, horizon)
+        train = pdf.tail(train_window)
+        days = pd.to_datetime(train[time_col])
+        y = train[value_col].to_numpy(dtype=np.float64)
 
-        hist = pdf.tail(history)
+        if exog_col is not None:
+            exog_raw = train[exog_col].astype("float64")  # nulls → NaN
+            exog_fit = exog_raw.fillna(0.0).to_numpy()
+            recent = exog_raw.tail(exog_tail).mean()  # skips NaN (:61)
+            recent = 0.0 if pd.isna(recent) else float(recent)
+            exog_future = np.full(horizon, recent)
+        else:
+            exog_fit = exog_future = None
+            recent = None
+
+        preds, halves = backend(y, horizon, exog_fit, exog_future)
+
+        hist = train.tail(history)
+        vals = hist[value_col].astype(np.float64)
         actual = pd.DataFrame(
             {
                 "group_key": key,
                 "day": pd.to_datetime(hist[time_col]).dt.normalize(),
-                "predicted": hist[value_col].astype(np.float64),
-                "confidence_lower": np.nan,
-                "confidence_upper": np.nan,
+                "predicted": vals,
+                # visual-continuity contract: lower=upper=value (:82-83)
+                "confidence_lower": vals,
+                "confidence_upper": vals,
+                "exog": (
+                    hist[exog_col].astype("float64").fillna(0.0)
+                    if exog_col is not None
+                    else np.nan
+                ),
                 "kind": "actual",
             }
         )
         future_days = pd.date_range(
             days.iloc[-1].normalize() + pd.Timedelta(days=1),
             periods=horizon,
-            freq="D",
+            freq=future_freq,
         )
         forecast = pd.DataFrame(
             {
@@ -166,6 +230,7 @@ def make_group_forecaster(
                 "predicted": preds,
                 "confidence_lower": preds - halves,
                 "confidence_upper": preds + halves,
+                "exog": recent if exog_col is not None else np.nan,
                 "kind": "forecast",
             }
         )
@@ -183,23 +248,104 @@ def forecast_by_group(
     train_window: int = 252,
     history: int = 90,
     min_points: int = 10,
+    exog_col: str | None = None,
+    exog_tail: int = 30,
+    future_freq: str = "B",
 ) -> DataFrame:
     """Per-group forecast table function.
 
     ``df`` must already be one row per (key, day) — e.g. a daily
-    aggregate. The plan is a single hash-partition exchange on
-    ``key_col`` feeding Arrow-batched python workers; no collect, no
-    driver loop (unlike arima_forecast.py:135-144).
+    aggregate, optionally carrying an aligned exogenous column (see
+    ``operators.etl.align_daily_signal``). The plan is a single
+    hash-partition exchange on ``key_col`` feeding Arrow-batched
+    python workers; no collect, no driver loop (unlike
+    arima_forecast.py:135-144).
     """
     fn = make_group_forecaster(
-        key_col, time_col, value_col, horizon, train_window, history, min_points
+        key_col,
+        time_col,
+        value_col,
+        horizon,
+        train_window,
+        history,
+        min_points,
+        exog_col,
+        exog_tail,
+        future_freq,
     )
-    return (
-        df.select(
-            F.col(key_col).cast("string").alias(key_col),
-            F.col(time_col),
-            F.col(value_col).cast("double").alias(value_col),
+    cols = [
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(time_col),
+        F.col(value_col).cast("double").alias(value_col),
+    ]
+    if exog_col is not None:
+        cols.append(F.col(exog_col).cast("double").alias(exog_col))
+    return df.select(*cols).groupBy(key_col).applyInPandas(
+        fn, schema=FORECAST_SCHEMA
+    )
+
+
+def forecast_predictions(
+    daily_values: DataFrame,
+    daily_sentiment: DataFrame | None = None,
+    key_col: str = "symbol",
+    time_col: str = "date",
+    value_col: str = "close",
+    sentiment_col: str = "sentiment_score",
+    horizon: int = 30,
+    train_window: int = 252,
+    history: int = 90,
+    min_points: int = 60,
+) -> DataFrame:
+    """Reference-shaped predictions table (schemas.PREDICTIONS).
+
+    End-to-end X2+J3 parity: align daily sentiment onto the value
+    series by exact date (arima_forecast.py:47), forecast per symbol
+    with sentiment as the exogenous regressor, and emit the exact
+    reference output contract — symbol / date / predicted_close /
+    confidence_lower / confidence_upper / sentiment_score / type
+    (arima_forecast.py:78-97). ``min_points`` defaults to the
+    reference's 60-observation guard (:39-41).
+
+    ``daily_sentiment``: (key, day, sentiment) one row per (key, day),
+    e.g. from ``operators.etl.daily_mean_sentiment``; None → neutral
+    (all-zero) sentiment, mirroring the reference's missing-news path
+    (arima_forecast.py:130-132).
+    """
+    df = daily_values
+    exog_col = None
+    if daily_sentiment is not None:
+        from yahoofinancedatalake_spark.operators.etl import (  # noqa: PLC0415
+            align_daily_signal,
         )
-        .groupBy(key_col)
-        .applyInPandas(fn, schema=FORECAST_SCHEMA)
+
+        df = align_daily_signal(
+            daily_values,
+            daily_sentiment,
+            key_col=key_col,
+            time_col=time_col,
+            signal_col=sentiment_col,
+            neutral_fill=False,  # keep nulls: future-exog mean skips them
+        )
+        exog_col = sentiment_col
+    out = forecast_by_group(
+        df,
+        key_col,
+        time_col,
+        value_col,
+        horizon=horizon,
+        train_window=train_window,
+        history=history,
+        min_points=min_points,
+        exog_col=exog_col,
+        future_freq="B",
+    )
+    return out.select(
+        F.col("group_key").alias("symbol"),
+        F.col("day").cast("timestamp").alias("date"),
+        F.col("predicted").alias("predicted_close"),
+        "confidence_lower",
+        "confidence_upper",
+        F.coalesce(F.col("exog"), F.lit(0.0)).alias("sentiment_score"),
+        F.col("kind").alias("type"),
     )

@@ -91,6 +91,72 @@ def format_news(raw: DataFrame, min_pub_date: str = "2020-01-01") -> DataFrame:
     )
 
 
+def daily_mean_sentiment(
+    news: DataFrame,
+    key_col: str = "symbol",
+    ts_col: str = "pub_date_utc",
+    score_col: str = "sentiment_score",
+    time_col: str = "date",
+) -> DataFrame:
+    """Per-(symbol, day) mean sentiment (A2, arima_forecast.py:24-29).
+
+    The reference normalizes the publish timestamp to midnight and
+    takes the per-day mean inside a pandas loop; here it is one
+    hash aggregation over (key, day) — partial aggregation map-side,
+    dimension-sized output.
+    """
+    return news.groupBy(
+        F.col(key_col), F.to_date(ts_col).alias(time_col)
+    ).agg(F.avg(score_col).alias(score_col))
+
+
+def align_daily_signal(
+    values: DataFrame,
+    signal: DataFrame,
+    key_col: str,
+    time_col: str,
+    signal_col: str,
+    neutral_fill: bool = True,
+    neutral: float = 0.0,
+) -> DataFrame:
+    """J3: exact-date alignment of a sparse daily signal onto a value
+    series, with neutral fill for missing days.
+
+    Reference semantics (arima_forecast.py:47):
+    ``sentiment.reindex(series.index).fillna(0)`` — for each value-row
+    date, take that exact day's signal if present, else neutral. That
+    is a left equi-join on (key, day) + ``coalesce(signal, neutral)``.
+    (A *true* as-of join — latest signal at-or-before each date — is
+    ``operators.windows``-territory; the reference deliberately uses
+    exact-date match + fill, so this operator does too.)
+
+    ``signal`` must be one row per (key, day), e.g. from
+    :func:`daily_mean_sentiment`. Set ``neutral_fill=False`` to keep
+    missing days null — needed by the forecaster, whose future-exog
+    mean must *skip* missing days rather than count them as neutral
+    (arima_forecast.py:61 uses ``.tail(30).mean()`` on the unfilled
+    series).
+
+    Scale: the signal side is one row per (key, day) — for daily data
+    it is ~5 orders of magnitude smaller than a tick-level fact table
+    but NOT necessarily broadcastable (10⁶ keys × years of days), so
+    this is a plain shuffle join on (key, day) and Catalyst picks
+    broadcast when statistics allow.
+    """
+    sig = signal.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.col(signal_col).alias("__sig"),
+    )
+    out = values.join(sig, [key_col, time_col], "left")
+    filled = (
+        F.coalesce(F.col("__sig"), F.lit(neutral))
+        if neutral_fill
+        else F.col("__sig")
+    )
+    return out.withColumn(signal_col, filled).drop("__sig")
+
+
 def aggregate_news(news: DataFrame) -> DataFrame:
     """Per-symbol news rollup (combine_sources.py:71-77).
 

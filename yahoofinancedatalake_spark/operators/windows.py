@@ -126,3 +126,44 @@ def top_k_with_other(
         .groupBy(group_col)
         .agg(F.sum(metric_name).alias(metric_name))
     )
+
+
+def rolling_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n_rows: int = 30,
+    out_col: str = "rolling_mean",
+    deterministic_round: int | None = None,
+) -> DataFrame:
+    """A3: trailing mean over the last ``n_rows`` rows per group.
+
+    The reference computes "average recent sentiment (last 30 days)"
+    as a scalar inside its per-symbol loop (arima_forecast.py:61-63);
+    the relational form is an ``avg`` over a rows-frame window —
+    ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW`` — which yields the
+    trailing mean *for every row*, one shuffle on the group key.
+
+    ``deterministic_round``: when set, compute ``dround(sum, d) /
+    count`` instead of ``avg`` so the result is bit-identical across
+    engines (floating avg/sliding-sum accumulation order differs
+    between Spark and DuckDB; the rounded numerator pins it). Use for
+    oracle-checked queries; plain ``avg`` otherwise.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    if deterministic_round is None:
+        expr = F.avg(value_col).over(w)
+    else:
+        from yahoofinancedatalake_spark.functions.scalars import (  # noqa: PLC0415
+            dround,
+        )
+
+        expr = dround(F.sum(value_col).over(w), deterministic_round) / F.count(
+            value_col
+        ).over(w)
+    return df.withColumn(out_col, expr)

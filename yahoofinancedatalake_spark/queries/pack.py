@@ -483,6 +483,55 @@ def q_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A3 — trailing rolling mean over a rows frame (arima_forecast.py:61-63)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rolling_mean_30",
+    f"""
+    WITH daily AS (
+      SELECT user_id,
+             date_trunc('day', ts) AS day,
+             {sql_dround("sum(value)", 2)} / count(*) AS v
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           day,
+           v,
+           {sql_dround("sum(v) OVER w", 4)} / count(v) OVER w
+             AS rolling_avg_30
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+    doc="A3: trailing 30-row mean via ROWS BETWEEN 29 PRECEDING AND "
+    "CURRENT ROW — the reference's 'average recent sentiment (last 30 "
+    "days)' (arima_forecast.py:61-63) as a window, one shuffle on the "
+    "group key. dround(sum)/count on BOTH engines: sliding-window sum "
+    "accumulation order differs between Spark and DuckDB, the rounded "
+    "numerator pins the quotient.",
+)
+def q_rolling_mean_30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.windows import rolling_mean
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg((dround(F.sum("value"), 2) / F.count("*")).alias("v"))
+    return rolling_mean(
+        daily,
+        ["user_id"],
+        "day",
+        "v",
+        n_rows=30,
+        out_col="rolling_avg_30",
+        deterministic_round=4,
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1 (multi-agg) — pricing summary, the classic scan→agg shape
 # ---------------------------------------------------------------------------
 
@@ -1104,7 +1153,43 @@ def q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.avg("value").alias("v"))
     return forecast_by_group(
-        daily, "user_id", "day", "v", horizon=7, min_points=10
+        daily, "user_id", "day", "v", horizon=7, min_points=10,
+        future_freq="D",  # synthetic events are calendar-daily
+    )
+
+
+@_register(
+    "forecast_with_exog",
+    None,  # iterative model fit — non-SQL-expressible → rows-only check
+    doc="X2+J3: forecast with an exogenous daily regressor. The "
+    "'view'-event daily mean is the value series; the sparser "
+    "'click'-event daily mean is the exog signal, exact-date aligned "
+    "with neutral fill (arima_forecast.py:47) and trailing-30 "
+    "null-skipping mean as the future exog (:61-63). Exercises "
+    "align_daily_signal (J3) + the exog path of forecast_by_group. "
+    "Property tests in tests/test_forecast.py.",
+)
+def q_forecast_with_exog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.forecast import forecast_by_group
+    from yahoofinancedatalake_spark.operators.etl import align_daily_signal
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.avg("value").alias("v"))
+    )
+    signal = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.avg("value").alias("sig"))
+    )
+    aligned = align_daily_signal(
+        daily, signal, "user_id", "day", "sig", neutral_fill=False
+    )
+    return forecast_by_group(
+        aligned, "user_id", "day", "v", horizon=7, min_points=10,
+        exog_col="sig", future_freq="D",
     )
 
 
