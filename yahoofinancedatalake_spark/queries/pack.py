@@ -483,6 +483,94 @@ def q_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1+P1-P4+A1+J1/J2+P6/P7 — the full bronze→silver→gold ETL, end to end
+# over reference-shaped JSONL fixtures (driver-oracle-checked)
+# ---------------------------------------------------------------------------
+
+_BRONZE = "/root/repo/tests/fixtures/bronze"
+
+
+@_register(
+    "etl_gold_contract",
+    f"""
+    WITH stocks AS (
+      SELECT symbol,
+             CAST(date AS DATE) AS date,
+             open, high, low, close, volume,
+             CAST(fetched_at AS TIMESTAMP) AS fetched_at_utc
+      FROM read_json('{_BRONZE}/stocks.jsonl',
+                     format='newline_delimited',
+                     columns={{'symbol':'VARCHAR','date':'VARCHAR',
+                              'open':'DOUBLE','high':'DOUBLE',
+                              'low':'DOUBLE','close':'DOUBLE',
+                              'volume':'BIGINT','fetched_at':'VARCHAR'}})
+    ),
+    company AS (
+      SELECT symbol, name, sector, industry, market_cap
+      FROM read_json('{_BRONZE}/company_info.jsonl',
+                     format='newline_delimited',
+                     columns={{'symbol':'VARCHAR','name':'VARCHAR',
+                              'sector':'VARCHAR','industry':'VARCHAR',
+                              'country':'VARCHAR','market_cap':'BIGINT',
+                              'currency':'VARCHAR','fetched_at':'VARCHAR'}})
+    ),
+    news AS (  -- dedup by id: clones agree on (id, symbol, pub_date)
+      SELECT DISTINCT id, symbol, CAST(pub_date AS TIMESTAMP) AS pub_date_utc
+      FROM read_json('{_BRONZE}/news.jsonl',
+                     format='newline_delimited',
+                     columns={{'id':'VARCHAR','symbol':'VARCHAR',
+                              'pub_date':'VARCHAR'}})
+      WHERE CAST(pub_date AS TIMESTAMP) >= TIMESTAMP '2020-01-01'
+    ),
+    news_agg AS (
+      SELECT symbol, count(*) AS news_count,
+             max(pub_date_utc) AS latest_news_date
+      FROM news GROUP BY symbol
+    )
+    SELECT s.symbol, c.name, c.sector, c.industry, s.date,
+           s.open, s.high, s.low, s.close, s.volume, c.market_cap,
+           s.high - s.low AS daily_range,
+           CASE WHEN s.open <> 0
+                THEN (s.close - s.open) / s.open * 100 END AS daily_change_pct,
+           n.news_count, n.latest_news_date, s.fetched_at_utc
+    FROM stocks s
+    LEFT JOIN company c USING (symbol)
+    LEFT JOIN news_agg n USING (symbol)
+    """,
+    doc="The reference's whole relational pipeline as ONE checked query: "
+    "schema-enforced JSONL scan (S1) of reference-shaped bronze "
+    "fixtures → typed casts + UTC parse + date normalization (P1-P3) "
+    "→ >=2020 range filter + dedup-by-id (P4/S11) → per-symbol news "
+    "rollup (A1) → two broadcast left joins + derived metrics + the "
+    "16-column gold contract (J1/J2, P6/P7 — combine_sources.py:"
+    "101-118). Planted edges: JPM has no dim row, WMT no news (left-"
+    "join null survival), pre-2020 artifacts dropped, duplicate ids "
+    "collapsed.",
+)
+def q_etl_gold_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.etl import (
+        aggregate_news,
+        combine,
+        format_company,
+        format_news,
+        format_stocks,
+    )
+    from yahoofinancedatalake_spark.schemas import (
+        COMPANY_RAW,
+        NEWS_RAW,
+        STOCKS_RAW,
+    )
+    from yahoofinancedatalake_spark.sources.json_source import read_jsonl
+
+    stocks = format_stocks(read_jsonl(spark, f"{_BRONZE}/stocks.jsonl", STOCKS_RAW))
+    company = format_company(
+        read_jsonl(spark, f"{_BRONZE}/company_info.jsonl", COMPANY_RAW)
+    )
+    news = format_news(read_jsonl(spark, f"{_BRONZE}/news.jsonl", NEWS_RAW))
+    return combine(stocks, company, aggregate_news(news))
+
+
+# ---------------------------------------------------------------------------
 # A3 — trailing rolling mean over a rows frame (arima_forecast.py:61-63)
 # ---------------------------------------------------------------------------
 
