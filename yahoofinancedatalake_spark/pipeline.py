@@ -1,0 +1,231 @@
+"""End-to-end pipeline driver — the Airflow DAG re-expressed as code.
+
+The reference orchestrates ingest → format → combine → predict →
+index as a daily Airflow DAG (airflow/dags/yahoo_finance_pipeline.py:
+58-112: PythonOperator ingests, spark-submit BashOperators for the
+two Spark jobs, then prediction and ES indexing). This module is the
+same flow without the scheduler: one :class:`Pipeline` whose stages
+are plain methods over a :class:`~yahoofinancedatalake_spark.catalog.
+LakeCatalog`, runnable as
+
+    python pipeline.py run --root /tmp/lake
+
+Stage map (reference → here):
+
+| DAG task       | reference                         | stage        |
+|----------------|-----------------------------------|--------------|
+| ingest_stocks  | yahoo_stocks.py (yfinance REST)   | ``ingest``   |
+| ingest_news    | finnhub_news.py (Finnhub REST)    | ``ingest``   |
+| format_data    | format_to_parquet.py              | ``format``   |
+| combine_data   | combine_sources.py                | ``combine``  |
+| predict_arima  | arima_forecast.py                 | ``predict``  |
+| index_data     | to_elasticsearch.py (3 ES indices)| ``serve``    |
+
+Ingestion reads the replayable fixture sources (sources/replay.py) —
+swap in real REST callables with the same shapes for production.
+The serving layer is keyed parquet tables instead of ES indices:
+``stock_analysis`` upserts by symbol partition (the ES ``_id =
+symbol_date`` analog, to_elasticsearch.py:78), ``stock_news`` dedups
+by article id (:159), ``predictions`` is a full refresh (:199-201).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.catalog import LakeCatalog
+from yahoofinancedatalake_spark.forecast import forecast_predictions
+from yahoofinancedatalake_spark.operators.etl import (
+    aggregate_news,
+    combine,
+    daily_mean_sentiment,
+    format_company,
+    format_news,
+    format_stocks,
+)
+from yahoofinancedatalake_spark.operators.windows import last_row_per_group
+from yahoofinancedatalake_spark.schemas import COMPANY_RAW, NEWS_RAW, STOCKS_RAW
+from yahoofinancedatalake_spark.sources.json_source import (
+    read_jsonl,
+    write_jsonl_partitioned,
+)
+from yahoofinancedatalake_spark.sources.parquet_io import (
+    upsert_by_partition,
+    write_parquet,
+)
+from yahoofinancedatalake_spark.sources.replay import ingest_news, _load_jsonl
+
+DEFAULT_FIXTURES = str(Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "bronze")
+SYMBOLS = ["AAPL", "GOOGL", "MSFT", "AMZN", "META", "TSLA", "NVDA", "JPM", "V", "WMT"]
+
+
+class Pipeline:
+    """bronze → silver → gold → forecast → serving, one lake root."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        fixtures: str = DEFAULT_FIXTURES,
+        symbols: list[str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.cat = LakeCatalog(root)
+        self.fixtures = fixtures
+        self.symbols = symbols or SYMBOLS
+
+    # -- ingest (DAG: ingest_stocks ∥ ingest_news) ----------------------
+
+    def ingest(self, ingest_date: str) -> dict[str, int]:
+        """Drive the replay sources and land date-partitioned bronze
+        JSONL (S9, yahoo_stocks.py:68-81 layout → hive partitions)."""
+        spark = self.spark
+        stocks = _load_jsonl(Path(self.fixtures) / "stocks.jsonl")
+        stocks = [r for r in stocks if r["symbol"] in self.symbols]
+        company = [
+            r
+            for r in _load_jsonl(Path(self.fixtures) / "company_info.jsonl")
+            if r["symbol"] in self.symbols
+        ]
+        news = ingest_news(
+            Path(self.fixtures) / "news.jsonl", self.symbols, now=ingest_date
+        )
+        out = {}
+        for name, rows, schema in (
+            ("stocks", stocks, STOCKS_RAW),
+            ("company_info", company, COMPANY_RAW),
+            ("news", news, NEWS_RAW),
+        ):
+            df = spark.createDataFrame(rows, schema).withColumn(
+                "ingest_date", F.lit(ingest_date)
+            )
+            write_jsonl_partitioned(df, self.cat.path("bronze", name))
+            out[name] = len(rows)
+        return out
+
+    # -- format (DAG: format_data, format_to_parquet.py) ----------------
+
+    def _bronze(self, table: str, schema) -> DataFrame:
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        # StructType.add mutates in place — build a copy so the
+        # module-level contracts stay pristine
+        sch = T.StructType(
+            list(schema.fields) + [T.StructField("ingest_date", T.StringType())]
+        )
+        return read_jsonl(self.spark, self.cat.path("bronze", table), sch).drop(
+            "ingest_date"
+        )
+
+    def format(self) -> None:
+        """Bronze JSONL → silver typed parquet (P1-P4, F3, S4).
+
+        Re-ingested history is deduped per key, keeping the latest
+        fetch — the idempotence the reference only gets at the ES
+        sink (to_elasticsearch.py:78) moved up to silver.
+        """
+        stocks = last_row_per_group(
+            format_stocks(self._bronze("stocks", STOCKS_RAW)),
+            ["symbol", "date"],
+            "fetched_at_utc",
+        )
+        write_parquet(stocks, self.cat.path("silver", "stocks"))
+        company = last_row_per_group(
+            format_company(self._bronze("company_info", COMPANY_RAW)),
+            ["symbol"],
+            "fetched_at_utc",
+        )
+        write_parquet(company, self.cat.path("silver", "company_info"))
+        news = format_news(self._bronze("news", NEWS_RAW))
+        write_parquet(news, self.cat.path("silver", "news"))
+
+    # -- combine (DAG: combine_data, combine_sources.py) ----------------
+
+    def combine(self) -> None:
+        """Silver → gold 16-column enriched table (A1+J1/J2+P6/P7)."""
+        spark = self.spark
+        stocks = spark.read.parquet(self.cat.path("silver", "stocks"))
+        company = spark.read.parquet(self.cat.path("silver", "company_info"))
+        news = spark.read.parquet(self.cat.path("silver", "news"))
+        gold = combine(stocks, company, aggregate_news(news))
+        write_parquet(gold, self.cat.path("gold", "enriched_stocks"))
+
+    # -- predict (DAG: predict_arima, arima_forecast.py) ----------------
+
+    def predict(self) -> None:
+        """Gold close series + silver news sentiment → predictions
+        (X2+J3, parallel across symbols via applyInPandas)."""
+        spark = self.spark
+        gold = spark.read.parquet(self.cat.path("gold", "enriched_stocks"))
+        news = spark.read.parquet(self.cat.path("silver", "news"))
+        preds = forecast_predictions(
+            gold.select("symbol", "date", "close"),
+            daily_mean_sentiment(news),
+        )
+        # full refresh each run (to_elasticsearch.py:199-201 semantics)
+        write_parquet(preds, self.cat.path("gold", "predictions"))
+
+    # -- serve (DAG: index_data, to_elasticsearch.py) --------------------
+
+    def serve(self) -> None:
+        """Keyed serving tables replacing the three ES indices:
+        stock_analysis (upsert by symbol partition — the ``_id =
+        symbol_date`` analog), stock_news (dedup by id), predictions
+        (full refresh)."""
+        spark = self.spark
+        gold = spark.read.parquet(self.cat.path("gold", "enriched_stocks"))
+        upsert_by_partition(
+            spark, gold, self.cat.path("serving", "stock_analysis"), "symbol"
+        )
+        news = spark.read.parquet(self.cat.path("silver", "news"))
+        upsert_by_partition(
+            spark,
+            news.dropDuplicates(["id"]),
+            self.cat.path("serving", "stock_news"),
+            "symbol",
+        )
+        preds = spark.read.parquet(self.cat.path("gold", "predictions"))
+        write_parquet(preds, self.cat.path("serving", "predictions"))
+
+    # -- the DAG edge list ----------------------------------------------
+
+    def run(self, ingest_date: str = "2024-04-01") -> dict[str, int]:
+        """ingest → format → combine → predict → serve
+        (yahoo_finance_pipeline.py:110-112 dependency chain)."""
+        counts = self.ingest(ingest_date)
+        self.format()
+        self.combine()
+        self.predict()
+        self.serve()
+        spark = self.spark
+        counts["enriched_stocks"] = spark.read.parquet(
+            self.cat.path("gold", "enriched_stocks")
+        ).count()
+        counts["predictions"] = spark.read.parquet(
+            self.cat.path("gold", "predictions")
+        ).count()
+        return counts
+
+
+def main(argv: list[str] | None = None) -> None:
+    from yahoofinancedatalake_spark.session import get_spark  # noqa: PLC0415
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    run = sub.add_parser("run", help="run the full pipeline")
+    run.add_argument("--root", required=True, help="lake root directory")
+    run.add_argument("--fixtures", default=DEFAULT_FIXTURES)
+    run.add_argument("--date", default="2024-04-01", help="ingest date")
+    args = ap.parse_args(argv)
+    spark = get_spark("pipeline")
+    counts = Pipeline(spark, args.root, args.fixtures).run(args.date)
+    for k, v in counts.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

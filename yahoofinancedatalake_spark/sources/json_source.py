@@ -36,10 +36,13 @@ def write_jsonl_partitioned(
     Replaces the reference's per-run ``data/raw/<src>/<type>/
     YYYY-MM-DD/<type>.json`` layout (yahoo_stocks.py:68-81) with hive
     partitioning: one directory per ``ingest_date``, JSONL inside, so
-    downstream reads prune partitions declaratively.
+    downstream reads prune partitions declaratively. Dynamic partition
+    overwrite: re-ingesting a date replaces only that date's
+    directory — other dates' bronze history is never touched.
     """
     (
         df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .option("compression", "gzip")
         .json(path)
