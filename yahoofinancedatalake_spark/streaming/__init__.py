@@ -1,0 +1,6 @@
+from yahoofinancedatalake_spark.streaming.ops import (  # noqa: F401
+    RUNNING_LAST_SCHEMA,
+    running_last_state,
+    stream_daily_avg,
+    stream_last_value_per_group,
+)

@@ -1,0 +1,140 @@
+"""Structured Streaming re-expression of the gold queries (SURVEY §2.10).
+
+The reference is batch-only (daily Airflow DAG,
+yahoo_finance_pipeline.py:62; streaming is its own listed future work,
+docs/medium_article.md:235). These operators are the idiomatic Spark
+upgrade path: the same Kibana-panel semantics (time-bucketed average,
+last value per group) expressed over ``readStream`` with event-time
+windows + watermarks, so late events fold in correctly and state is
+bounded.
+
+Design notes for scale:
+
+- Watermarks bound the aggregation state: a ``1 day`` tumbling window
+  with a ``2 days`` watermark keeps ≤ 3 days of open windows per
+  grouping key regardless of stream length.
+- ``stream_daily_avg`` is the streaming twin of the batch
+  ``date_bucket_avg`` query — the test suite asserts bit-equal results
+  between the two plans over the same files (availableNow trigger),
+  which is the real contract of a lambda-free architecture.
+- ``last value per group`` has no ORDER BY in streaming; the
+  streaming-legal form is ``max_by(value, ts)`` — one state row per
+  key.
+- ``running_last_state`` shows the custom-stateful escape hatch
+  (``applyInPandasWithState``) for semantics the built-in aggregates
+  can't express: per-key running last + count + first-seen carried in
+  explicit GroupState with a processing-time timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_daily_avg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_col: str = "event_type",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming twin of the batch ``date_bucket_avg`` (A5/F5):
+    tumbling 1-day event-time window × term bucket → deterministic
+    average (dround(sum)/count, same cross-engine trick as batch).
+    Append-mode-compatible: the watermark closes windows."""
+    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("win"), bucket_col)
+        .agg(
+            (dround(F.sum(value_col), 2) / F.count("*")).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("day"), bucket_col, "avg_value", "n"
+        )
+    )
+
+
+def stream_last_value_per_group(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming W1 (Kibana "last value of X per group"): streaming
+    aggregations admit no ORDER BY, so the streaming-legal form is
+    ``max_by(value, ts)`` — one state row per key, updated in place.
+    Run in update/complete output mode."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .agg(
+            F.max_by(value_col, ts_col).alias("last_value"),
+            F.max(ts_col).alias("last_ts"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+#: Output schema of :func:`running_last_state`.
+RUNNING_LAST_SCHEMA = (
+    "user_id long, last_value double, last_ts timestamp, n_events long"
+)
+_STATE_SCHEMA = "last_value double, last_ts timestamp, n_events long"
+
+
+def _running_last_fn(key, pdf_iter, state: GroupState):
+    """Per-key stateful update: keep (last_value, last_ts, count)."""
+    import pandas as pd  # noqa: PLC0415
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    last_value, last_ts, n = (
+        state.get if state.exists else (None, None, 0)
+    )
+    for pdf in pdf_iter:
+        pdf = pdf.dropna(subset=["ts"])
+        if pdf.empty:
+            continue
+        n += len(pdf)
+        idx = pdf["ts"].idxmax()
+        ts = pdf.loc[idx, "ts"]
+        if last_ts is None or ts >= last_ts:
+            last_ts = ts
+            last_value = float(pdf.loc[idx, "value"])
+    state.update((last_value, last_ts, n))
+    state.setTimeoutDuration(24 * 3600 * 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_value": [last_value],
+            "last_ts": [last_ts],
+            "n_events": [n],
+        }
+    )
+
+
+def running_last_state(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    running (last_value, last_ts, n_events) per key with explicit
+    GroupState + processing-time timeout. The built-in ``max_by``
+    aggregate covers this case (see
+    :func:`stream_last_value_per_group`); this exists as the tested
+    integration shape for semantics aggregates can't express
+    (session logic, decaying counters, model state)."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        _running_last_fn,
+        outputStructType=RUNNING_LAST_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
