@@ -43,6 +43,19 @@ def main() -> None:
         force(q.spark(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Approximation-quality tracking: recall@5 of the LSH ANN vs the
+    # exact brute-force top-k over the same queries. Both results are
+    # tiny (k rows per query) — the collect is on the final top-k only.
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["cosine_topk"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["ann_topk"].spark(spark, sf_dir).collect()
+    }
+    recall = round(len(truth & approx) / len(truth), 4) if truth else None
+
     print(
         json.dumps(
             {
@@ -51,6 +64,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ann_recall_at_5": recall,
             }
         )
     )

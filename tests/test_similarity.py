@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from yahoofinancedatalake_spark.operators.similarity import (
     brute_force_cosine_topk,
+    ivf_cosine_topk,
+    kmeans_centroids,
     lsh_cosine_topk,
     lsh_near_dup_pairs,
 )
@@ -99,6 +101,47 @@ def test_ann_topk_recall_vs_brute_force(spark):
     got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5  # 8 bands of 2 bits — recall-heavy banding
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF top-k vs exact top-k on the sf0.001 embeddings: with 4 of
+    16 clusters probed, most true neighbors must fall in a probed
+    cluster (near vectors land near the same centroid)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_cosine_topk(queries, emb, k=5)
+    approx = ivf_cosine_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5
+    assert all(len([g for g in got if g[0] == q]) <= 5 for q, _ in truth)
+
+
+def test_ivf_is_deterministic(spark, corpus):
+    """Fixed seed + fixed sample + stable argsort → identical results
+    across runs (the rows-only driver check depends on this)."""
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    a = sorted(map(tuple, ivf_cosine_topk(queries, corpus, k=3,
+                                          n_centroids=8).collect()))
+    b = sorted(map(tuple, ivf_cosine_topk(queries, corpus, k=3,
+                                          n_centroids=8).collect()))
+    assert a == b
+
+
+def test_kmeans_centroids_unit_norm_and_deterministic():
+    import numpy as np
+    rng = np.random.default_rng(3)
+    sample = rng.standard_normal((100, 8)).tolist()
+    c1 = kmeans_centroids(sample, 4, seed=5)
+    c2 = kmeans_centroids(sample, 4, seed=5)
+    assert c1 == c2
+    for c in c1:
+        assert abs(float(np.linalg.norm(c)) - 1.0) < 1e-9
 
 
 def test_zero_norm_vectors_do_not_abort(spark):

@@ -229,6 +229,142 @@ def lsh_near_dup_pairs(
     )
 
 
+def kmeans_centroids(
+    sample: "list[list[float]]", k: int, iters: int = 20, seed: int = 11
+) -> "list[list[float]]":
+    """Deterministic Lloyd's k-means on a (small, driver-side) sample of
+    unit-normalized vectors — the IVF coarse quantizer trainer.
+
+    IVF training always runs on a bounded sample (FAISS trains on
+    ~max(10k, 39·k) points regardless of corpus size), so a
+    driver-side fit is the honest scale design too: the *corpus* is
+    never collected, only the fixed-size training sample. Fixed seed +
+    fixed iteration count + argmin tie-break by lowest index →
+    bit-deterministic centroids for the tests and oracles.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    x = np.asarray(sample, dtype=np.float64)
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(n == 0, 1.0, n)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        # cosine distance on unit vectors == ordering by dot product
+        assign = (x @ cent.T).argmax(1)
+        for j in range(len(cent)):
+            mask = assign == j
+            if mask.any():
+                m = x[mask].mean(0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cent[j] = m / nm
+    return cent.tolist()
+
+
+def _ivf_assign_udf(centroids: "list[list[float]]", n_probe: int):
+    """Vectorized cluster assignment: numpy argsort of the dot products
+    against the (tiny, closure-captured) centroid matrix. Returns the
+    ``n_probe`` nearest centroid ids per vector — Arrow batches in,
+    one matmul per batch, no per-row Python."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batch):
+        m = np.asarray(batch.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1.0, norms)
+        # stable argsort → deterministic probe order under ties
+        order = np.argsort(-(m @ cent.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype("int32")))
+
+    # `from __future__ import annotations` stringifies hints and `pd`
+    # is function-local here, so attach real annotation objects instead.
+    assign.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "array<int>")
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    sample_mod: int = 3,
+    seed: int = 11,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index —
+    the other classic ANN scale path next to :func:`lsh_cosine_topk`.
+
+    1. Train a coarse quantizer (k-means centroids) on a deterministic
+       corpus sample (``xxhash64(id) % sample_mod == 0`` — rate-bounded,
+       the only data that ever reaches the driver).
+    2. Assign every corpus vector to its nearest centroid
+       (``cluster``) — one Arrow-batched matmul per partition.
+    3. Assign every query its ``n_probe`` nearest centroids and
+       explode → the candidate join is an equi-join on ``cluster``,
+       scanning ~``n_probe / n_centroids`` of the corpus per query
+       instead of all of it.
+    4. Exact cosine re-rank of candidates, top-k per query.
+
+    At 100 TB: the corpus is hash-partitioned by cluster id once
+    (write-time bucketing makes step 4 shuffle-free), centroids are a
+    closure-broadcast constant, and recall is tuned by ``n_probe``.
+    """
+    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+
+    sample_rows = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    cent = kmeans_centroids([r.v for r in sample_rows], n_centroids, seed=seed)
+
+    corpus_assigned = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__cv"),
+        _ivf_assign_udf(cent, 1)(F.col(vec_col))[0].alias("cluster"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    query_probes = queries.select(
+        F.col(query_id_col),
+        _as_double(F.col(query_vec_col)).alias("__qv"),
+        F.explode(
+            _ivf_assign_udf(cent, n_probe)(F.col(query_vec_col))
+        ).alias("cluster"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+
+    sim = dot(F.col("__qv"), F.col("__cv")) / F.nullif(
+        F.col("__qn") * F.col("__cn"), F.lit(0.0)
+    )
+    if round_to is not None:
+        sim = dround(sim, round_to)
+    pairs = (
+        corpus_assigned.join(F.broadcast(query_probes), "cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

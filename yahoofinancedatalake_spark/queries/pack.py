@@ -189,6 +189,65 @@ def q_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F1/F2/F4/F6/F9 — the scalar function kit, oracle-checked in one query
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scalar_kit",
+    """
+    WITH e AS (
+      SELECT event_id, ts, event_type,
+             (date_trunc('day', ts))::DATE AS day
+      FROM events WHERE event_id < 100
+    ), b AS (
+      SELECT *,
+             list_filter([day + i::INT FOR i IN range(1, 15)],
+                         d -> isodow(d) <= 5)[1:5] AS bdays
+      FROM e
+    )
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d') AS iso_day,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_instant,
+           make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000)
+             AS ts_roundtrip,
+           concat(event_type, '. ', strftime(ts, '%Y-%m-%d')) AS tagline,
+           bdays[1] AS bday_1, bdays[3] AS bday_3, bdays[5] AS bday_5
+    FROM b
+    """,
+    doc="F1/F2/F4/F6/F9 in one oracle-checked projection: ISO date and "
+    "instant formatting (yahoo_stocks.py:32, to_elasticsearch.py:96-98), "
+    "epoch-seconds round-trip through timestamp_seconds "
+    "(finnhub_news.py:91-92), string concat (finnhub_news.py:98), and the "
+    "pd.date_range(freq='B') business-day generator "
+    "(arima_forecast.py:71-73) — all pure codegen expressions, no UDF.",
+)
+def q_scalar_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.functions.scalars import (  # noqa: PLC0415
+        business_days,
+        day_bucket,
+        epoch_to_utc_ts,
+        iso_date,
+        iso_instant,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.filter(F.col("event_id") < 100)
+    day = F.to_date(day_bucket(F.col("ts")))
+    bdays = business_days(day, 5)
+    return e.select(
+        "event_id",
+        iso_date("ts").alias("iso_day"),
+        iso_instant("ts").alias("iso_instant"),
+        epoch_to_utc_ts(F.unix_timestamp(F.col("ts"))).alias("ts_roundtrip"),
+        F.concat_ws(". ", F.col("event_type"), iso_date("ts")).alias("tagline"),
+        F.element_at(bdays, 1).alias("bday_1"),
+        F.element_at(bdays, 3).alias("bday_3"),
+        F.element_at(bdays, 5).alias("bday_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # W1 — last value per group (Kibana "Last value", kibana_saved_objects:6,9)
 # ---------------------------------------------------------------------------
 
@@ -1215,6 +1274,30 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lsh_cosine_topk(
         queries, emb, k=5, dim=64, n_planes=16, n_bands=8, seed=7
+    )
+
+
+@_register(
+    "ivf_topk",
+    None,  # approximate by construction → rows-only; recall tested in pytest
+    doc="Approximate nearest neighbors via an IVF index: k-means coarse "
+    "quantizer trained on a deterministic bounded sample, corpus "
+    "assigned to clusters (Arrow-batched matmul), queries probe their "
+    "4 nearest of 16 clusters → candidate equi-join on cluster id, "
+    "exact cosine re-rank. The FAISS-style alternative scale path to "
+    "ann_topk's sign-LSH; recall vs brute force asserted in "
+    "tests/test_similarity.py.",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)  # single-row-group file → parallelize the hot compute
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_cosine_topk(
+        queries, emb, k=5, n_centroids=16, n_probe=4, seed=11
     )
 
 
