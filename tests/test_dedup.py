@@ -7,14 +7,17 @@ from pyspark.sql import functions as F
 
 from yahoofinancedatalake_spark.operators.dedup import (
     exact_dedup,
+    gram_hashes,
     hamming64,
+    hashed_ngram_jaccard,
     minhash_lsh_pairs,
     minhash_signature,
-    minhash_signature_expr,
     ngram_jaccard,
+    ref_gram_hashes,
+    ref_minhash,
+    ref_simhash,
     shingles,
     simhash64,
-    simhash64_expr,
     simhash_near_dup_pairs,
 )
 
@@ -96,12 +99,11 @@ def test_simhash_near_dup_pairs_blocking(spark, docs):
 
 
 def test_simhash_planted_pairs_recovered_sf(spark):
-    """Pigeonhole recall guarantee: with chunk count derived from the
-    radius (max_hamming+1 chunks), EVERY pair within the radius must
-    be recovered — including the planted pairs at distance 4-9, which
-    the old fixed-4-chunk blocking only found by luck. The 25 planted
-    near-dup pairs at sf0.01 (jaccard ≈ 0.98, measured Hamming 1-9)
-    are the ground truth for the rows-only `simhash_near_dup` query."""
+    """Multi-probe recall guarantee: at radius 9 (5 wide chunks, 1-bit
+    probes) EVERY pair within the radius must be recovered. The 25
+    planted near-dup pairs at sf0.01 (jaccard ≈ 0.98, measured Hamming
+    1-8 under the siphash/rotate-xor gram scheme) are the ground truth
+    for the rows-only `simhash_near_dup` query."""
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     got = simhash_near_dup_pairs(
         docs, "text", "doc_id", max_hamming=9, shingle_n=2
@@ -118,30 +120,53 @@ def test_simhash_planted_pairs_recovered_sf(spark):
         .count()
     )
     assert planted == 25  # exact recall at the stated radius
-    # distance > 3 pairs exist among the planted set (measured: 4,5,6,8,9)
+    # distance > 3 pairs exist among the planted set (measured: 4,5,7,8)
     assert got.filter(F.col("hamming") > 3).count() >= 5
 
 
-def test_vectorized_signatures_match_expression_twins(spark):
-    """The numpy pandas_udf signature folds must be bit-identical to
-    the pure-JVM expression forms, including punctuated, short, and
-    empty/whitespace-only texts."""
+def test_signatures_match_python_reference(spark):
+    """The vectorized numpy kernels must match the plain-python
+    reference twins bit-for-bit, including punctuation-free collapse,
+    short, and empty/whitespace-only texts (null signature)."""
     rows = [
         (1, BASE), (2, NEAR), (3, FAR),
-        (4, ""), (5, "   "), (6, "one"), (7, "a b c. d, e! f?"),
-        (8, "Tabs\tand\nnewlines   collapse, right? Right."),
+        (4, ""), (5, "   "), (6, "one"), (7, "one two"),
+        (8, "Tabs\tand\nnewlines   collapse  right"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
-    chk = df.select(
-        minhash_signature(shingles(F.col("text"), 3)).alias("mv"),
-        minhash_signature_expr(shingles(F.col("text"), 3)).alias("me"),
-        simhash64(F.col("text"), 2).alias("sv"),
-        simhash64_expr(F.col("text"), 2).alias("se"),
+    got = {
+        r.id: (r.g, r.m, r.s)
+        for r in df.select(
+            "id",
+            gram_hashes(F.col("text"), 3).alias("g"),
+            minhash_signature(F.col("text"), 32, 42, 3).alias("m"),
+            simhash64(F.col("text"), 2).alias("s"),
+        ).collect()
+    }
+    mask = (1 << 64) - 1
+    for rid, text in rows:
+        g, m, s = got[rid]
+        ref_g = ref_gram_hashes(text, 3)
+        if not ref_g:
+            assert g is None and m is None and s is None
+            continue
+        assert {v & mask for v in g} == ref_g
+        assert m == ref_minhash(text, 32, 42, 3)
+        assert s == ref_simhash(text, 2)
+
+
+def test_hashed_jaccard_equals_string_jaccard(spark, docs):
+    """Jaccard over hashed shingle sets must equal the string-shingle
+    Jaccard (hash collisions are ~2^-64) — this is what lets the
+    minhash query verify against DuckDB's string-based oracle."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4)], "id_a long, id_b long"
     )
-    bad = chk.filter(
-        (F.col("mv") != F.col("me")) | (F.col("sv") != F.col("se"))
-    ).count()
-    assert bad == 0
+    a = {(r.id_a, r.id_b): r.jaccard
+         for r in ngram_jaccard(pairs, docs, "id", "text").collect()}
+    b = {(r.id_a, r.id_b): r.jaccard
+         for r in hashed_ngram_jaccard(pairs, docs, "id", "text").collect()}
+    assert a == b
 
 
 def test_empty_docs_never_pair(spark):

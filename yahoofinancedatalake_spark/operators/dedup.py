@@ -8,27 +8,40 @@ needs the full ladder, all expressed as shuffle-lean DataFrame plans:
 - :func:`minhash_lsh_pairs` — shingle → minhash → band → bucket-join
   candidate pairs (near-duplicate detection, one shuffle on the
   band-bucket key instead of an O(n²) crossJoin).
-- :func:`simhash` — 64-bit weighted sign fingerprint; near-dups have
-  small Hamming distance.
-- :func:`ngram_jaccard` — exact Jaccard on shingle sets for a
-  candidate pair table (the verify step after LSH).
+- :func:`simhash_near_dup_pairs` — 64-bit fingerprint + pigeonhole /
+  1-bit-multi-probe blocking; near-dups have small Hamming distance.
+- :func:`ngram_jaccard` / :func:`hashed_ngram_jaccard` — exact
+  Jaccard on shingle sets for a candidate pair table (the verify step
+  after LSH).
 
-Shingling and hashing stay JVM-side (xxhash64, explode, groupBy);
-the per-document signature folds (32-way min / 64-bit vote) run as
-Arrow-batched numpy ``pandas_udf``s — Spark's higher-order-function
-lambdas evaluate interpreted (no whole-stage codegen), which measured
-~100x slower than the numpy kernel on the same data.
+Hot-path design: per-shingle work never runs as Spark higher-order-
+function lambdas (those evaluate interpreted, no whole-stage codegen
+— measured ~100x slower than the numpy kernel on the same data) and
+never builds shingle *strings* at all. Each signature is one
+Arrow-batched ``pandas_udf`` over the normalized text: C-speed
+whitespace split, one vectorized siphash pass over the flattened
+token array (``pandas.util.hash_array`` with its fixed default key —
+process-independent), then rotate/xor window combining + fmix64
+finalization in numpy. Everything downstream (banding, bucket joins,
+verify) is JVM codegen over compact ``bigint`` arrays.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime permutation family for minhash: h_i(x) = (a_i*x + b_i) mod p.
-# p = 2^31 - 1 keeps a_i * h + b_i < 2^62 — no long overflow under ANSI mode.
+# p = 2^31 - 1 keeps a_i * x + b_i < 2^62 — exact in uint64 arithmetic.
 _MERSENNE = (1 << 31) - 1
+
+#: Per-position bit rotations for the n-gram window combine (n <= 5).
+_ROT = (21, 43, 7, 53, 31)
+_U64 = np.uint64
+_FMIX1 = _U64(0xFF51AFD7ED558CCD)
+_FMIX2 = _U64(0xC4CEB9FE1A85EC53)
 
 
 def normalized_text(col: Column) -> Column:
@@ -54,7 +67,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct) from raw text."""
+    """Word n-gram shingle array (distinct) from raw text, as strings.
+
+    Interpreted-HOF construction — used only where the *string* form
+    is semantically required (the DuckDB-checkable Jaccard kernel,
+    :func:`ngram_jaccard`); the dedup hot paths use the hashed twin
+    :func:`gram_hashes` instead.
+    """
     toks = F.filter(
         F.split(normalized_text(col), " "), lambda t: t != ""
     )
@@ -70,6 +89,90 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Vectorized gram hashing (shared by minhash + simhash + hashed verify)
+# ---------------------------------------------------------------------------
+
+
+def _rotl64(x: np.ndarray, k: int) -> np.ndarray:
+    k = _U64(k)
+    return (x << k) | (x >> (_U64(64) - k))
+
+
+def _fmix64(x: np.ndarray) -> np.ndarray:
+    """Murmur3 finalizer — breaks the GF(2)-linearity of the
+    rotate/xor combine so every output bit mixes every input bit
+    (simhash votes read the bits directly)."""
+    x = x.copy()
+    x ^= x >> _U64(33)
+    x *= _FMIX1
+    x ^= x >> _U64(33)
+    x *= _FMIX2
+    x ^= x >> _U64(33)
+    return x
+
+
+def _gram_hash_arrays(texts: pd.Series, n: int) -> list:
+    """Per text: np.unique'd uint64 hashes of its word ``n``-grams
+    (whole-text gram when 0 < n_tokens < n — mirroring
+    :func:`shingles`), or None for empty/whitespace-only/null text.
+
+    One C-speed split + ONE vectorized siphash over the flattened
+    token array for the whole Arrow batch; the window combine is
+    ``xor`` of per-position bit-rotations + fmix64 — numpy-
+    vectorized, position-sensitive ("a b" ≠ "b a").
+    """
+    if n > len(_ROT):
+        raise ValueError(f"shingle_n must be <= {len(_ROT)}, got {n}")
+    tok = texts.str.split()
+    lens = np.array(
+        [len(t) if isinstance(t, list) else 0 for t in tok], dtype=np.int64
+    )
+    if lens.sum() == 0:
+        return [None] * len(texts)
+    flat = np.array(
+        [w for t in tok if isinstance(t, list) for w in t], dtype=object
+    )
+    h = pd.util.hash_array(flat)  # uint64, fixed key → deterministic
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    out = []
+    for i, length in enumerate(lens):
+        if length == 0:
+            out.append(None)
+            continue
+        hs = h[offs[i]: offs[i + 1]]
+        if length >= n:
+            g = np.zeros(length - n + 1, dtype=_U64)
+            for j in range(n):
+                g ^= _rotl64(hs[j: length - n + 1 + j], _ROT[j])
+        else:  # short doc → single whole-text gram
+            acc = _U64(0)
+            for j in range(length):
+                acc ^= _rotl64(hs[j: j + 1], _ROT[j])[0]
+            g = np.array([acc], dtype=_U64)
+        out.append(np.unique(_fmix64(g)))
+    return out
+
+
+def gram_hashes(col: Column, shingle_n: int = 3) -> Column:
+    """``array<bigint>`` of distinct hashed word n-grams of ``col``
+    (null for empty text) — the hashed twin of :func:`shingles`.
+    Shingle equality ⇔ hash equality modulo ~2⁻⁶⁴ collisions, so set
+    algebra (Jaccard) over these arrays equals the string form."""
+
+    def _f(texts):
+        return pd.Series(
+            [
+                None if g is None else g.view(np.int64)
+                for g in _gram_hash_arrays(texts, shingle_n)
+            ]
+        )
+
+    _f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_f, "array<bigint>")(normalized_text(col))
+
+
 def _minhash_coeffs(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random  # noqa: PLC0415
 
@@ -80,81 +183,124 @@ def _minhash_coeffs(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def shingle_hashes(col: Column, shingle_n: int = 3) -> Column:
-    """``array<long>`` of xxhash64 over the word shingles — the
-    JVM-side half of both signature computations."""
-    return F.transform(shingles(col, shingle_n), lambda s: F.xxhash64(s))
-
-
-def minhash_signature(shingle_col: Column, n_hashes: int = 32, seed: int = 42) -> Column:
-    """Minhash signature: per permutation i, min over shingles of
-    ``(a_i * xxhash64(s) + b_i) mod p``.
-
-    Split JVM/numpy: xxhash64 of each shingle is computed JVM-side
-    (codegen), then the 32-way min fold runs in an Arrow-batched
-    ``pandas_udf`` — ``((a*h + b) % p).min(axis=1)`` is microseconds
-    per document in numpy, vs ~19 ms/doc for the interpreted
-    higher-order-function fold this replaces (measured at sf0.1).
-    Bit-identical to :func:`minhash_signature_expr` (same coefficient
-    stream, same modular arithmetic — a*h < 2^62 so no int64
-    overflow); a pytest asserts the equivalence.
-    """
-    hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
-    return minhash_signature_from_hashes(hashes, n_hashes, seed)
-
-
-def minhash_signature_from_hashes(
-    hash_col: Column, n_hashes: int = 32, seed: int = 42
+def minhash_signature(
+    col: Column, n_hashes: int = 32, seed: int = 42, shingle_n: int = 3
 ) -> Column:
-    """Vectorized minhash fold over a precomputed ``array<long>`` of
-    shingle hashes (see :func:`minhash_signature`)."""
-    import numpy as np  # noqa: PLC0415
-
+    """Minhash signature of the text's gram-hash set: per permutation
+    i, ``min over grams of (a_i * (g mod p) + b_i) mod p``. Null for
+    empty text (callers filter before banding). One Arrow-batched
+    numpy kernel — ``((a*g + b) % p).min(axis=1)`` is microseconds
+    per document; matches :func:`ref_minhash` bit-for-bit (pytest).
+    """
     coeffs = _minhash_coeffs(n_hashes, seed)
-    a = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
-    b = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
-    p = _MERSENNE
-    empty_sig = np.full(n_hashes, p, dtype=np.int64)
+    a = np.array([c[0] for c in coeffs], dtype=_U64)[:, None]
+    b = np.array([c[1] for c in coeffs], dtype=_U64)[:, None]
+    p = _U64(_MERSENNE)
 
-    @F.pandas_udf("array<bigint>")
-    def _sig(hashes: pd.Series) -> pd.Series:
+    def _sig(texts):
         out = []
-        for h in hashes:
-            if h is None or len(h) == 0:
-                out.append(empty_sig.copy())
+        for g in _gram_hash_arrays(texts, shingle_n):
+            if g is None:
+                out.append(None)
                 continue
-            # numpy int64 % positive follows floor-mod → matches F.pmod
-            hm = np.asarray(h, dtype=np.int64) % p
-            out.append(((a * hm[None, :] + b) % p).min(axis=1))
+            gm = g % p
+            out.append(
+                ((a * gm[None, :] + b) % p).min(axis=1).astype(np.int64)
+            )
         return pd.Series(out)
 
-    return _sig(hash_col)
+    _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sig, "array<bigint>")(normalized_text(col))
 
 
-def minhash_signature_expr(
-    shingle_col: Column, n_hashes: int = 32, seed: int = 42
-) -> Column:
-    """Pure-JVM expression twin of :func:`minhash_signature` (single
-    ``aggregate`` fold, ``zip_with`` against literal coefficient
-    arrays). Kept as the cross-check oracle for the vectorized path —
-    HOF lambdas evaluate interpreted, so this form is ~100x slower
-    and must not sit on the hot path.
-    """
-    coeffs = _minhash_coeffs(n_hashes, seed)
-    a_lit = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
-    b_lit = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
-    p = F.lit(_MERSENNE).cast("long")
-    init = F.array_repeat(p, n_hashes)  # p > any residue → identity for min
-    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), p))
-    return F.aggregate(
-        base,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.zip_with(a_lit, b_lit, lambda a, b: (h * a + b) % p),
-            lambda x, y: F.least(x, y),
-        ),
-    )
+def simhash64(col: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over the text's distinct word shingles: per bit,
+    majority vote of the gram-hash bits; near-duplicate texts differ
+    in few bits (compare with :func:`hamming64`). Null for empty text.
+    Same one-UDF vectorized pipeline as :func:`minhash_signature`;
+    matches :func:`ref_simhash` bit-for-bit (pytest)."""
+    shifts = np.arange(64, dtype=_U64)
+
+    def _fp(texts):
+        out = []
+        for g in _gram_hash_arrays(texts, shingle_n):
+            if g is None:
+                out.append(None)
+                continue
+            ones = ((g[:, None] >> shifts[None, :]) & _U64(1)).sum(axis=0)
+            bits = (2 * ones > len(g)).astype(_U64)
+            val = np.bitwise_or.reduce(bits << shifts)
+            out.append(int(np.array([val], dtype=_U64).view(np.int64)[0]))
+        return pd.Series(out, dtype="object")
+
+    _fp.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_fp, "bigint")(normalized_text(col))
+
+
+# ---------------------------------------------------------------------------
+# Pure-python reference twins (test cross-checks for the numpy kernels)
+# ---------------------------------------------------------------------------
+
+
+def ref_gram_hashes(text: str, n: int) -> set[int]:
+    """Plain-python twin of :func:`_gram_hash_arrays` for one text."""
+    mask = (1 << 64) - 1
+
+    def rotl(x: int, k: int) -> int:
+        return ((x << k) | (x >> (64 - k))) & mask
+
+    def fmix(x: int) -> int:
+        x ^= x >> 33
+        x = (x * int(_FMIX1)) & mask
+        x ^= x >> 33
+        x = (x * int(_FMIX2)) & mask
+        x ^= x >> 33
+        return x
+
+    toks = " ".join(text.lower().strip().split()).split()
+    if not toks:
+        return set()
+    th = [int(v) for v in pd.util.hash_array(np.array(toks, dtype=object))]
+    if len(toks) >= n:
+        windows = [th[i: i + n] for i in range(len(toks) - n + 1)]
+    else:
+        windows = [th]
+    out = set()
+    for w in windows:
+        acc = 0
+        for j, hv in enumerate(w):
+            acc ^= rotl(hv, _ROT[j])
+        out.add(fmix(acc))
+    return out
+
+
+def ref_minhash(text: str, n_hashes: int = 32, seed: int = 42,
+                shingle_n: int = 3) -> list[int] | None:
+    grams = ref_gram_hashes(text, shingle_n)
+    if not grams:
+        return None
+    p = _MERSENNE
+    return [
+        min((a * (g % p) + b) % p for g in grams)
+        for a, b in _minhash_coeffs(n_hashes, seed)
+    ]
+
+
+def ref_simhash(text: str, shingle_n: int = 2) -> int | None:
+    grams = ref_gram_hashes(text, shingle_n)
+    if not grams:
+        return None
+    val = 0
+    for bit in range(64):
+        ones = sum((g >> bit) & 1 for g in grams)
+        if 2 * ones > len(grams):
+            val |= 1 << bit
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH banding
+# ---------------------------------------------------------------------------
 
 
 def minhash_lsh_pairs(
@@ -169,23 +315,21 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
     signature → split into bands → explode (band_id, band_hash) →
-    self-join on the bucket key → distinct (a, b) pairs with a < b.
-    The only heavy exchange is the bucket-key shuffle; band width
+    group by the bucket key → emit member pairs. The only heavy
+    exchange is the bucket-key shuffle; band width
     (n_hashes / n_bands) sets the similarity threshold
     ~ (1/n_bands)^(band_size⁻¹).
 
-    Empty/whitespace-only documents are dropped before banding: they
-    all share the empty signature, so every band would bucket them
-    together and generate O(m²) candidate pairs that the Jaccard
-    verify then discards — a quadratic blowup for zero output.
+    Empty/whitespace-only documents (null signature) are dropped
+    before banding: they would all share one bucket and generate
+    O(m²) candidate pairs that the Jaccard verify then discards.
     """
     rows_per_band = n_hashes // n_bands
-    hashed = df.select(
-        F.col(id_col),
-        shingle_hashes(F.col(text_col), shingle_n).alias("__h"),
-    ).filter(F.size("__h") > 0)
-    sig = minhash_signature_from_hashes(F.col("__h"), n_hashes, seed)
-    banded = hashed.select(F.col(id_col), sig.alias("__sig")).select(
+    sig = minhash_signature(F.col(text_col), n_hashes, seed, shingle_n)
+    signed = df.select(F.col(id_col), sig.alias("__sig")).filter(
+        F.col("__sig").isNotNull()
+    )
+    banded = signed.select(
         id_col,
         F.explode(
             F.array(
@@ -209,7 +353,7 @@ def minhash_lsh_pairs(
     # group-by-bucket pair generation (not a self-join): the signature
     # is computed ONCE, and the only exchanges are the bucket-key
     # shuffle + the pair dedup — a self-join would re-evaluate the
-    # whole scan→shingle→signature subtree on both sides.
+    # whole scan→signature subtree on both sides.
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -232,81 +376,9 @@ def minhash_lsh_pairs(
     )
 
 
-_BIT_MASKS = [  # bit i mask as a signed 64-bit long (bit 63 = min long)
-    (1 << i) if i < 63 else -(1 << 63) for i in range(64)
-]
-
-
-def simhash64(col: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash over word shingles.
-
-    For each bit position, sum +1/-1 votes from each shingle's
-    xxhash64 bit, take the sign. Near-duplicate texts differ in few
-    bits (compare with :func:`hamming64`).
-
-    Split JVM/numpy like :func:`minhash_signature`: xxhash64 per
-    shingle JVM-side, then the 64-bit vote/sign fold in an
-    Arrow-batched numpy ``pandas_udf`` (the interpreted HOF fold it
-    replaces was ~11 ms/doc at sf0.1). Bit-identical to
-    :func:`simhash64_expr`; a pytest asserts the equivalence.
-    """
-    return simhash64_from_hashes(shingle_hashes(col, shingle_n))
-
-
-def simhash64_from_hashes(hash_col: Column) -> Column:
-    """Vectorized SimHash fold over a precomputed ``array<long>`` of
-    shingle hashes (see :func:`simhash64`). Empty input → 0."""
-    import numpy as np  # noqa: PLC0415
-
-    shifts = np.arange(64, dtype=np.uint64)
-
-    @F.pandas_udf("bigint")
-    def _fp(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, h in enumerate(hashes):
-            if h is None or len(h) == 0:
-                continue
-            hu = np.asarray(h, dtype=np.int64).view(np.uint64)
-            ones = ((hu[:, None] >> shifts[None, :]) & np.uint64(1)).sum(
-                axis=0
-            )
-            # vote = ones - zeros > 0  ⇔  2*ones > n
-            fp_bits = (2 * ones > len(hu)).astype(np.uint64)
-            val = np.bitwise_or.reduce(fp_bits << shifts)
-            out[i] = np.asarray([val], dtype=np.uint64).view(np.int64)[0]
-        return pd.Series(out)
-
-    return _fp(hash_col)
-
-
-def simhash64_expr(col: Column, shingle_n: int = 2) -> Column:
-    """Pure-JVM expression twin of :func:`simhash64` (single
-    ``aggregate`` vote fold). Kept as the cross-check oracle for the
-    vectorized path — interpreted HOF eval, not for the hot path.
-    """
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
-    hashes = F.transform(shingles(col, shingle_n), lambda s: F.xxhash64(s))
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                masks,
-                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            masks,
-            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc.bitwiseOR(b),
-    )
+# ---------------------------------------------------------------------------
+# SimHash near-dup with pigeonhole / multi-probe blocking
+# ---------------------------------------------------------------------------
 
 
 def simhash_near_dup_pairs(
@@ -316,82 +388,100 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash + pigeonhole chunk blocking.
+    """Near-duplicate pairs by SimHash with **exact recall at the
+    stated radius**, blocking chosen by the radius:
 
-    The 64-bit fingerprint splits into ``max_hamming + 1`` chunks: a
-    pair with Hamming distance ≤ max_hamming has fewer differing bits
-    than chunks, so (pigeonhole) it must agree exactly on at least one
-    chunk — the candidate join is an equi-join on (chunk_id,
-    chunk_value), linear, no crossJoin, with **exact recall at the
-    stated radius**. Candidates are verified with the exact
-    ``bit_count(xor)`` distance. Returns (id_a, id_b, hamming),
-    id_a < id_b.
+    - ``max_hamming <= 4`` — pigeonhole chunks: the fingerprint splits
+      into ``max_hamming + 1`` chunks (≥ 12 bits each); a pair within
+      the radius must agree exactly on some chunk → equi-join on
+      (chunk, value).
+    - ``max_hamming >= 5`` — 1-bit multi-probe (HmSearch-style):
+      ``ceil((max_hamming+1) / 2)`` wide chunks; within the radius
+      some chunk differs by ≤ 1 bit (if every chunk differed by ≥ 2
+      the total would exceed the radius), so each doc posts its exact
+      chunk value plus all 1-bit flips, and candidates pair exact ×
+      (exact ∪ probe). Wide chunks keep buckets sparse where narrow
+      pigeonhole chunks (64/(h+1) bits) collapse into huge buckets —
+      measured at sf0.1/h=9: 1.9M candidate pairs with 6-bit chunks
+      vs ~0.2M with 13-bit chunks + probes, for 254 true pairs.
 
-    Cost/recall trade-off: more chunks → narrower chunk values → more
-    bucket collisions. At max_hamming=3 the chunks are 16 bits (2^16
-    buckets each — sparse); beyond ~7 the chunks drop under 8 bits
-    and candidate volume grows sharply. Callers wanting a large
-    radius should verify-and-filter from a smaller guaranteed radius
-    instead.
+    Candidates are verified inline with the exact ``bit_count(xor)``
+    distance (fingerprints ride in the bucket member structs — no
+    re-join, signature UDF evaluated exactly once). Returns
+    (id_a, id_b, hamming), id_a < id_b. The only exchanges are the
+    bucket-key shuffle and the pair dedup — linear, no crossJoin.
 
-    Empty/whitespace-only documents (fingerprint 0 by construction)
-    are dropped first — they would all pairwise collide and be
-    reported as distance-0 "near-dups" of each other.
+    Empty/whitespace-only documents (null fingerprint) are dropped
+    first — they would all pairwise collide and be reported as
+    distance-0 "near-dups" of each other.
     """
-    n_chunks = max_hamming + 1
-    if not 1 <= n_chunks <= 64:
+    if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    multi_probe = max_hamming >= 5
+    n_chunks = (max_hamming + 2) // 2 if multi_probe else max_hamming + 1
     # chunk i covers bits [offsets[i], offsets[i+1]) — widths differ by
-    # at most 1 so the pigeonhole guarantee holds for every chunk
+    # at most 1 so the recall guarantee holds for every chunk
     bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     fp = df.select(
-        F.col(id_col),
-        shingle_hashes(F.col(text_col), shingle_n).alias("__h"),
-    ).filter(F.size("__h") > 0).select(
-        F.col(id_col), simhash64_from_hashes(F.col("__h")).alias("__fp")
-    )
+        F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("__fp")
+    ).filter(F.col("__fp").isNotNull())
+
     def _chunk_val(i: int) -> Column:
-        # top chunk needs no mask (unsigned shift zero-fills), and for
-        # n_chunks=1 the 64-bit mask wouldn't fit a long literal anyway
+        # top chunk needs no mask (unsigned shift zero-fills)
         shifted = F.shiftrightunsigned("__fp", bounds[i])
         if bounds[i + 1] == 64:
             return shifted
         return shifted.bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
 
-    chunks = F.array(
-        *[
-            F.struct(F.lit(i).alias("chunk"), _chunk_val(i).alias("val"))
-            for i in range(n_chunks)
-        ]
-    )
-    banded = fp.withColumn("__c", F.explode(chunks)).select(
+    def _member(i: int, val: Column, exact: bool) -> Column:
+        return F.struct(
+            F.lit(i).alias("chunk"),
+            val.alias("val"),
+            F.lit(exact).alias("ex"),
+        )
+
+    posts = []
+    for i in range(n_chunks):
+        v = _chunk_val(i)
+        posts.append(_member(i, v, True))
+        if multi_probe:
+            posts.extend(
+                _member(i, v.bitwiseXOR(F.lit(1 << j)), False)
+                for j in range(bounds[i + 1] - bounds[i])
+            )
+    banded = fp.withColumn("__c", F.explode(F.array(*posts))).select(
         id_col,
         "__fp",
         F.col("__c.chunk").alias("chunk"),
         F.col("__c.val").alias("val"),
+        F.col("__c.ex").alias("ex"),
     )
-    # group-by-bucket pair generation (not a self-join, see
-    # minhash_lsh_pairs): fingerprints ride along in the bucket member
-    # structs so the Hamming verify is inline — no re-join back to the
-    # fingerprint table, signature UDF evaluated exactly once.
     buckets = (
         banded.groupBy("chunk", "val")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "__fp"))
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), "__fp", "ex")
             ).alias("members")
         )
         .filter(F.size("members") > 1)
     )
     ms = F.col("members")
+    # exact members pair with every other member; exact-exact pairs
+    # only once (id order) — probe-probe pairs carry no guarantee and
+    # are skipped
     pair_structs = F.flatten(
         F.transform(
             ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.size(ms)),
+            lambda x: F.transform(
+                F.filter(
+                    ms,
+                    lambda y: x["ex"]
+                    & (y["id"] != x["id"])
+                    & (~y["ex"] | (x["id"] < y["id"])),
+                ),
                 lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
                     hamming64(x["__fp"], y["__fp"]).alias("hamming"),
                 ),
             ),
@@ -410,6 +500,11 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# ---------------------------------------------------------------------------
+# Jaccard verify kernels
+# ---------------------------------------------------------------------------
+
+
 def ngram_jaccard(
     pairs: DataFrame,
     docs: DataFrame,
@@ -417,7 +512,9 @@ def ngram_jaccard(
     text_col: str,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs.
+    """Exact n-gram Jaccard similarity for candidate pairs, over
+    *string* shingles (the ANSI-SQL-checkable form — the DuckDB
+    oracle mirrors it with list algebra).
 
     ``pairs``: (id_a, id_b) — e.g. from :func:`minhash_lsh_pairs`.
     Joins the shingle arrays in (two hash joins on the id), then
@@ -427,6 +524,33 @@ def ngram_jaccard(
     sh = docs.select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     )
+    return _jaccard_join(pairs, sh, id_col)
+
+
+def hashed_ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs over *hashed* shingles
+    (:func:`gram_hashes`) — the hot-path twin of :func:`ngram_jaccard`.
+    Set equality ⇔ hash-set equality modulo ~2⁻⁶⁴ collisions, so the
+    value is the string-shingle Jaccard (the sf0.01 correctness gate
+    checks it against DuckDB's string-based ground truth); the
+    intersect/union run on compact bigint arrays instead of rebuilding
+    every shingle string per side.
+    """
+    empty = F.array().cast("array<bigint>")
+    sh = docs.select(
+        F.col(id_col),
+        F.coalesce(gram_hashes(F.col(text_col), shingle_n), empty).alias("sh"),
+    )
+    return _jaccard_join(pairs, sh, id_col)
+
+
+def _jaccard_join(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -14,8 +14,13 @@ Two strategies over an ``array<float>`` embedding column:
   on the bucket key. Recall < 1 by construction; band count trades
   recall vs cost.
 
-All vector math is built-in higher-order functions (``zip_with`` +
-``aggregate``) with explicit cast to double — JVM-side, no Python.
+Vector math on the *bulk* paths (hyperplane signatures, candidate
+cosine verify, IVF assignment) runs as Arrow-batched numpy
+``pandas_udf`` matmuls — Spark's array higher-order functions
+evaluate interpreted (no codegen), which loses by ~10-100x on wide
+vectors. The HOF forms (:func:`dot`, :func:`l2_norm`,
+:func:`cosine`) are kept for the broadcast brute-force baseline and
+per-candidate use, where they stay off the hot path.
 """
 
 from __future__ import annotations
@@ -127,16 +132,60 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign pattern of ``vec`` against each hyperplane, as a bit-string."""
-    bits = [
-        F.when(
-            dot(_as_double(vec), F.array(*[F.lit(float(p)) for p in plane])) >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+def band_values(
+    vec: Column, planes: list[list[float]], n_bands: int
+) -> Column:
+    """Sign-LSH band bucket values of ``vec``: one matmul against the
+    (tiny, closure-captured) hyperplane matrix per Arrow batch, sign
+    bits packed per band into an int — ``array<int>`` of length
+    ``n_bands``. Replaces the per-plane interpreted-HOF dot products
+    (n_planes folds per row, no codegen) with vectorized numpy."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    p = np.asarray(planes, dtype=np.float64)
+    n_planes = len(planes)
+    band_size = n_planes // n_bands
+
+    def _bv(batch):
+        m = np.asarray(batch.tolist(), dtype=np.float64)
+        bits = (m @ p.T) >= 0  # (B, n_planes)
+        vals = np.zeros((len(m), n_bands), dtype=np.int32)
+        for b in range(n_bands):
+            for j in range(band_size):
+                vals[:, b] = (vals[:, b] << 1) | bits[:, b * band_size + j]
+        return pd.Series(list(vals))
+
+    _bv.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_bv, "array<int>")(vec)
+
+
+def pair_cosine(a: Column, b: Column, round_to: int | None = 4) -> Column:
+    """Exact cosine for candidate *pairs*, vectorized: one Arrow batch
+    → row-wise einsum + norms in numpy (the verify step after LSH/IVF
+    blocking — runs on candidates only). Null on zero-norm inputs,
+    matching :func:`cosine`."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def _pc(va, vb):
+        x = np.asarray(va.tolist(), dtype=np.float64)
+        y = np.asarray(vb.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den == 0, np.nan, num / den)
+        return pd.Series(out)
+
+    _pc.__annotations__ = {"va": pd.Series, "vb": pd.Series,
+                           "return": pd.Series}
+    sim = F.pandas_udf(_pc, "double")(a, b)
+    sim = F.when(F.isnan(sim), F.lit(None).cast("double")).otherwise(sim)
+    if round_to is not None:
+        from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+
+        sim = dround(sim, round_to)
+    return sim
 
 
 def banded_signature(
@@ -146,16 +195,14 @@ def banded_signature(
     planes: list[list[float]],
     n_bands: int,
 ) -> DataFrame:
-    """Explode a sign-LSH signature into (band, bits) bucket rows."""
-    n_planes = len(planes)
-    band_size = n_planes // n_bands
-    sig = signature_bits(F.col(vec_col), planes)
-    df = df.withColumn("__sig", sig)
+    """Explode a sign-LSH signature into (band, bits) bucket rows
+    (``bits`` is the packed int band value from :func:`band_values`)."""
+    df = df.withColumn("__bv", band_values(F.col(vec_col), planes, n_bands))
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.substring("__sig", i * band_size + 1, band_size).alias("bits"),
+                F.col("__bv")[i].alias("bits"),
             )
             for i in range(n_bands)
         ]
@@ -192,13 +239,13 @@ def lsh_near_dup_pairs(
     volume; recall for true near-dups (cosine → 1) approaches 1
     because their sign bits almost always agree.
     """
-    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
-
     planes = random_hyperplanes(dim, n_planes, seed)
     prepped = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", l2_norm(F.col("__v")))
-    banded = banded_signature(prepped, "__v", [id_col, "__n"], planes, n_bands)
+    )
+    banded = banded_signature(prepped, "__v", [id_col], planes, n_bands).select(
+        id_col, "band", "bits"  # ids only — the 64-double payload must
+    )  # not ride the band explode, bucket shuffle, and pair dedup
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -211,20 +258,17 @@ def lsh_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.__v").alias("__va"),
-            F.col("r.__v").alias("__vb"),
-            F.col("l.__n").alias("__na"),
-            F.col("r.__n").alias("__nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
-        F.col("__na") * F.col("__nb"), F.lit(0.0)
-    )
-    if round_to is not None:
-        sim = dround(sim, round_to)
+    # fetch vectors for the deduped candidates only, then verify
+    a = prepped.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    b = prepped.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    sim = pair_cosine(F.col("__va"), F.col("__vb"), round_to)
     return (
-        cand.select("id_a", "id_b", sim.alias("cosine"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -386,40 +430,25 @@ def lsh_cosine_topk(
     a shuffle on (band, band_bits) — linear, not quadratic.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
-    band_size = n_planes // n_bands
 
-    def with_bands(df: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
-        sig = signature_bits(F.col(vcol), planes)
-        df = df.withColumn("__sig", sig)
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.substring("__sig", i * band_size + 1, band_size).alias(
-                        "bits"
-                    ),
-                )
-                for i in range(n_bands)
-            ]
-        )
-        return (
-            df.withColumn("__band", F.explode(bands))
-            .select(*keep, vcol, F.col("__band.band").alias("band"),
-                    F.col("__band.bits").alias("bits"))
-        )
-
-    cband = with_bands(corpus, vec_col, [id_col])
-    qband = with_bands(queries, query_vec_col, [query_id_col])
+    cband = banded_signature(corpus, vec_col, [id_col], planes, n_bands).select(
+        id_col, "band", "bits"  # ids only through the bucket join
+    )
+    qband = banded_signature(
+        queries, query_vec_col, [query_id_col], planes, n_bands
+    ).select(query_id_col, "band", "bits")
     candidates = (
         cband.join(qband, ["band", "bits"])
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, vec_col, query_vec_col)
+        .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
-
-    sim = dround(cosine(F.col(query_vec_col), F.col(vec_col)), 4)  # few candidates — per-pair norms fine
-    pairs = candidates.select(
+    withvecs = candidates.join(
+        corpus.select(id_col, vec_col), id_col
+    ).join(F.broadcast(queries.select(query_id_col, query_vec_col)),
+           query_id_col)
+    sim = pair_cosine(F.col(query_vec_col), F.col(vec_col), 4)
+    pairs = withvecs.select(
         query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("cosine")
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -1119,16 +1119,19 @@ _SQL_SHINGLES = """
     WHERE jaccard >= 0.9
     """,
     doc="MinHash+LSH near-dup detection, verified by exact n-gram "
-    "Jaccard >= 0.9. Spark plan: shingle → 32-hash minhash signature → "
+    "Jaccard >= 0.9. Spark plan: one-UDF vectorized minhash signature "
+    "(siphash tokens + rotate/xor window combine, numpy fold) → "
     "8-band bucket join (one shuffle on the bucket key, no crossJoin) "
-    "→ exact Jaccard on candidates only. The oracle is the O(n²) "
-    "ground truth — at sf0.01 every planted pair (j≈0.98) is caught "
-    "by banding with miss prob ~1e-9 per pair, and the data is fixed.",
+    "→ exact Jaccard on candidates only, over hashed shingle sets "
+    "(value equals the string-shingle Jaccard modulo ~2e-64 hash "
+    "collisions). The oracle is the O(n²) string-shingle ground "
+    "truth — at sf0.01 every planted pair (j≈0.98) is caught by "
+    "banding with miss prob ~1e-9 per pair, and the data is fixed.",
 )
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yahoofinancedatalake_spark.operators.dedup import (
+        hashed_ngram_jaccard,
         minhash_lsh_pairs,
-        ngram_jaccard,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1136,9 +1139,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
     )
-    return ngram_jaccard(cand, docs, "doc_id", "text", shingle_n=3).filter(
-        F.col("jaccard") >= 0.9
-    )
+    return hashed_ngram_jaccard(
+        cand, docs, "doc_id", "text", shingle_n=3
+    ).filter(F.col("jaccard") >= 0.9)
 
 
 @_register(
@@ -1172,15 +1175,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "simhash_near_dup",
     None,  # xxhash64-based fingerprint has no SQL twin → rows-only check
-    doc="SimHash near-dup pairs: 64-bit fingerprint, pigeonhole chunk "
-    "blocking with chunk count derived from the radius (10 chunks of "
-    "~6 bits for Hamming <= 9 → exact recall at the stated radius; "
-    "equi-join, no crossJoin), exact bit_count(xor) verify. "
-    "Operating point: the planted near-dup pairs all sit at Hamming "
-    "<= 9 (measured), and 6-bit chunks keep candidate volume linear. "
-    "Rows-only: the fingerprint hash family (xxhash64) is not "
-    "expressible in ANSI SQL; pytest asserts every planted pair is "
-    "recovered (tests/test_dedup.py).",
+    doc="SimHash near-dup pairs: 64-bit fingerprint, 1-bit multi-probe "
+    "blocking (5 chunks of ~13 bits for Hamming <= 9: some chunk "
+    "differs by <= 1 bit, so exact-value x 1-bit-flip probes give "
+    "exact recall at the stated radius; equi-join, no crossJoin — "
+    "13-bit buckets stay sparse where 6-bit pigeonhole chunks "
+    "measured 1.9M candidate pairs for 254 true ones at sf0.1), "
+    "exact bit_count(xor) verify. Operating point: every planted "
+    "sf0.01 near-dup sits at Hamming <= 8 (measured). Rows-only: the "
+    "fingerprint hash family is not expressible in ANSI SQL; pytest "
+    "asserts every planted pair is recovered (tests/test_dedup.py).",
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yahoofinancedatalake_spark.operators.dedup import simhash_near_dup_pairs
@@ -1240,11 +1244,18 @@ _ND_PLANES_SQL = ", ".join(
     WHERE cosine >= 0.45
     """,
     doc="Embedding near-dup pairs: sign-LSH blocking (16 hyperplanes, "
-    "4 bands — the bucket join is linear, no crossJoin) + exact cosine "
-    "verify >= 0.45. The oracle mirrors the SAME blocking with the "
-    "same hyperplane literals; sign margins (min |dot| ≈ 9e-4) and "
-    "threshold gaps (≈5e-4) dwarf cross-engine summation jitter "
-    "(~1e-15), so decisions are identical on the fixed testdata.",
+    "4 bands — the bucket join is linear, no crossJoin) + vectorized "
+    "exact cosine verify >= 0.45 on the deduped id-only candidates "
+    "(the 64-double payload never rides the band explode or bucket "
+    "shuffle). 4-bit bands are deliberate: the testdata's strongest "
+    "pairs sit at cosine ≈ 0.5 where sign agreement is only ~2/3 per "
+    "plane, so wider bands collapse recall (measured: 6-bit bands "
+    "find 2 of 14 threshold pairs vs 6 for 4-bit); at a production "
+    "near-dup threshold (0.9+) wider bands are the right trade. The "
+    "oracle mirrors the SAME blocking with the same hyperplane "
+    "literals; sign margins and threshold gaps dwarf cross-engine "
+    "summation jitter (~1e-15), so decisions are identical on the "
+    "fixed testdata.",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yahoofinancedatalake_spark.operators.similarity import lsh_near_dup_pairs
@@ -1298,6 +1309,84 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_cosine_topk(
         queries, emb, k=5, n_centroids=16, n_probe=4, seed=11
+    )
+
+
+@_register(
+    "multimodal_features",
+    None,  # binary payloads + registered codec → not ANSI-SQL-expressible
+    doc="Multimodal pipeline end-to-end: documents re-landed as a media "
+    "table (binary payload + typed metadata), metadata filter "
+    "width >= 64 prunes BEFORE any payload touch (codegen, no "
+    "deserialize), then Arrow-batched mapInPandas decode+featurize "
+    "(deterministic fake codec — the container ships no "
+    "image/audio libs; plumbing, schema, and batch shapes are the "
+    "real contract), JVM-side resize planning, and per-frame "
+    "sampling for videos. No fan_out here by design: the stub codec "
+    "is cheaper than a repartition exchange, so pipelining the whole "
+    "flow in the scan tasks wins — with a REAL codec registered, "
+    "insert fan_out before extract_features (cost model: "
+    "compute-per-row >> shuffle-per-row, see multimodal.py). "
+    "Rows-only: feature values are pytest-checked against the codec "
+    "stub (tests/test_multimodal.py).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.multimodal import (
+        extract_features,
+        fake_decoder,
+        register_decoder,
+        resize_metadata,
+        sample_frames,
+    )
+
+    for kind in ("image", "audio", "video"):
+        register_decoder(kind, fake_decoder)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("raw").alias("format"),
+        (F.col("doc_id") % 480 + 32).cast("int").alias("width"),
+        (F.col("doc_id") % 360 + 24).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 3 == 2, (F.col("doc_id") % 90 + 10))
+        .cast("int")
+        .alias("n_frames"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit(16000)).cast("int")
+        .alias("sample_rate"),
+    )
+    # metadata-only pruning: never deserializes the payload
+    sized = resize_metadata(media.filter(F.col("width") >= 64), max_side=128)
+    feats = extract_features(sized)
+    frames = (
+        sample_frames(sized, every_nth=10)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_sampled_frames"))
+    )
+    mean_feat = dround(
+        F.aggregate(
+            F.col("feature"), F.lit(0.0), lambda a, v: a + v
+        ) / F.greatest(F.size("feature"), F.lit(1)),
+        6,
+    )
+    return (
+        feats.join(
+            sized.select("media_id", "resized_width", "resized_height"),
+            "media_id",
+        )
+        .join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            mean_feat.alias("feature_mean"),
+            "resized_width",
+            "resized_height",
+            F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
+        )
     )
 
 
