@@ -260,6 +260,16 @@ def forecast_by_group(
     hash-partition exchange on ``key_col`` feeding Arrow-batched
     python workers; no collect, no driver loop (unlike
     arima_forecast.py:135-144).
+
+    The exchange is an explicit ``repartition(n, key)`` rather than
+    the groupBy's implicit shuffle: a grouped-model stage is
+    compute-bound per GROUP, not per byte, so AQE's byte-based
+    partition coalescing (which would fold a few-MB shuffle into one
+    partition and serialize every model fit on a single python
+    worker — measured 12s vs 1.3s at sf0.1) must not shrink it.
+    ``REPARTITION_BY_NUM`` shuffles are exempt from coalescing, and
+    the groupBy reuses the partitioning (same key, no second
+    exchange).
     """
     fn = make_group_forecaster(
         key_col,
@@ -280,8 +290,12 @@ def forecast_by_group(
     ]
     if exog_col is not None:
         cols.append(F.col(exog_col).cast("double").alias(exog_col))
-    return df.select(*cols).groupBy(key_col).applyInPandas(
-        fn, schema=FORECAST_SCHEMA
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(*cols)
+        .repartition(n, key_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, schema=FORECAST_SCHEMA)
     )
 
 
