@@ -55,7 +55,12 @@ def get_spark(
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # 40g, deliberately NOT most of the box: an oversized heap lets
+        # garbage pile up until multi-second collections hit whatever
+        # query runs next (measured: the same 36-query bench takes 110s
+        # with a 90g heap, 32s with 40g on a 125G host — the python
+        # UDF workers and OS page cache need the rest).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "40g"))
     )
     if master is not None:
         builder = builder.master(master)
