@@ -879,16 +879,30 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: GPT-2-style BPE pre-tokenizer pattern (simplified, lowercase input):
+#: contractions, then optionally-space-prefixed letter / digit /
+#: punctuation runs, then residual whitespace. Pure alternation +
+#: character classes — identical semantics in Java regex (Spark) and
+#: RE2 (DuckDB).
+_BPE_RE = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+"
+
+
 @_register(
     "token_count",
-    """
+    f"""
     SELECT doc_id,
            len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                x -> x <> '')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_RE.replace("'", "''")}'))
+             AS n_bpe_tokens,
            n_chars
     FROM documents
     """,
-    doc="Text analysis: whitespace token count per document.",
+    doc="Text analysis: token counts per document — whitespace tokens "
+    "plus a GPT-2-style BPE pre-tokenizer count (contractions, "
+    "space-prefixed letter/digit/punctuation runs — the standard "
+    "cost estimate for LLM training data budgeting). Both engines "
+    "evaluate the same RE2/Java-compatible pattern.",
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -896,7 +910,14 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
     )
-    return docs.select("doc_id", F.size(toks).alias("n_tokens"), "n_chars")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE)).alias(
+            "n_bpe_tokens"
+        ),
+        "n_chars",
+    )
 
 
 _STOPWORDS = "the a an and of to in is it for on with as at by".split()
