@@ -1,0 +1,114 @@
+"""As-of and binned range join tests (operators/asof.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.operators.asof import (
+    asof_join,
+    range_join_binned,
+)
+
+
+def _t(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _t("2024-01-01 10:00:00")),  # before any right → null
+            (2, 10, _t("2024-01-01 12:00:00")),  # exact tie → inclusive
+            (3, 10, _t("2024-01-01 15:00:00")),  # latest prior = 12:00
+            (4, 20, _t("2024-01-01 15:00:00")),  # other key
+        ],
+        "id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _t("2024-01-01 12:00:00"), 1.0),
+            (10, _t("2024-01-01 14:00:00"), 2.0),
+            (20, _t("2024-01-01 09:00:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.id: (r.matched_ts, r.value)
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts", value_cols=["value"]
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (_t("2024-01-01 12:00:00"), 1.0)  # tie is inclusive
+    assert out[3] == (_t("2024-01-01 14:00:00"), 2.0)
+    assert out[4] == (_t("2024-01-01 09:00:00"), 9.0)
+    # left row count preserved (left-join semantics)
+    assert (
+        asof_join(left, right, ["user_id"], "ts", ["value"]).count()
+        == left.count()
+    )
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _t("2024-01-10 00:00:00"))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _t("2024-01-01 00:00:00"), 5.0)],
+        "k long, ts timestamp, value double",
+    )
+    with_tol = asof_join(
+        left, right, ["k"], "ts", ["value"],
+        tolerance=F.expr("INTERVAL 2 DAYS"),
+    ).collect()[0]
+    assert with_tol.value is None  # 9 days old > 2-day tolerance
+    without = asof_join(left, right, ["k"], "ts", ["value"]).collect()[0]
+    assert without.value == 5.0
+
+
+def test_range_join_binned_matches_exact_predicate(spark):
+    """Binned equi-join + verify ≡ the direct non-equi predicate,
+    including intervals spanning multiple buckets."""
+    import random
+
+    rng = random.Random(5)
+    base = _t("2024-01-01 00:00:00")
+    points = spark.createDataFrame(
+        [
+            (i, i % 7, base + dt.timedelta(minutes=rng.randrange(0, 10000)))
+            for i in range(300)
+        ],
+        "pid long, k long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (
+                j,
+                j % 7,
+                base + dt.timedelta(minutes=rng.randrange(0, 8000)),
+                dt.timedelta(minutes=rng.randrange(30, 4000)),
+            )
+            for j in range(40)
+        ],
+        "iid long, k long, start timestamp, dur interval day to second",
+    ).select("iid", "k", "start", (F.col("start") + F.col("dur")).alias("end"))
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_binned(
+            points, intervals, "ts", "start", "end",
+            bucket_seconds=3600, on=["k"],
+        ).collect()
+    }
+    expect = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (points.k == intervals.k)
+            & (points.ts >= intervals.start)
+            & (points.ts < intervals.end),
+        ).collect()
+    }
+    assert got == expect
+    assert expect  # non-degenerate fixture
