@@ -14,7 +14,9 @@ from yahoofinancedatalake_spark.catalog import load_table
 from yahoofinancedatalake_spark.streaming import (
     running_last_state,
     stream_daily_avg,
+    stream_dedup_by_id,
     stream_last_value_per_group,
+    stream_sessions,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -100,6 +102,70 @@ def test_stream_last_value_matches_batch(spark, event_files, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_dedup_and_sessions_match_batch(spark, event_files, tmp_path):
+    """One availableNow pass for the two bounded-state extensions:
+    watermarked dedup keeps exactly one row per event_id, and
+    streaming session_window (append mode) emits exactly the batch
+    sessions the final watermark has closed."""
+    path, batch_df = event_files
+    # plant duplicate event_ids by unioning the stream dir with itself
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    _run_to_memory(
+        stream_dedup_by_id(stream.union(stream), ["event_id"]),
+        "s_dedup", "append", str(tmp_path / "ckd"),
+    )
+    assert (
+        spark.table("s_dedup").count() == batch_df.count()
+    )  # every duplicate dropped
+    assert (
+        spark.table("s_dedup").groupBy("event_id").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+
+    _run_to_memory(
+        stream_sessions(stream), "s_sessions", "append",
+        str(tmp_path / "cks"),
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.session_value)
+        for r in spark.table("s_sessions").collect()
+    }
+    from yahoofinancedatalake_spark.functions.scalars import dround
+
+    max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+    expect_all = (
+        batch_df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    # append mode only emits sessions the final watermark closed
+    import datetime as dt
+
+    horizon = max_ts - dt.timedelta(days=2)
+    expect = {
+        tuple(r)
+        for r in expect_all.filter(F.col("session_end") < F.lit(horizon))
+        .collect()
+    }
+    assert expect  # non-degenerate: most sessions are closed
+    assert expect.issubset(got)
+    # nothing emitted that batch doesn't have
+    allb = {tuple(r) for r in expect_all.collect()}
+    assert got.issubset(allb)
 
 
 def test_running_last_state_accumulates_across_restarts(spark, tmp_path):

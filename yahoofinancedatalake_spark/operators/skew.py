@@ -1,0 +1,50 @@
+"""Skew-handling join (salting) — the manual lever next to AQE.
+
+AQE's skew-join rule (on in ``session.get_spark``) splits oversized
+sort-merge partitions at runtime, which covers most cases. Salting is
+the explicit form for when the planner can't help: shuffle-hash
+joins, skew on the *aggregation* side of a join key, or engines/
+stages where AQE is off. The classic recipe: append a salt in
+``[0, n)`` to the skewed side's join key (splitting each hot key into
+``n`` sub-keys that hash to different reducers) and replicate the
+other side ``n``× so every sub-key still finds its match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side's hot keys split over ``n_salts``
+    reducers.
+
+    ``skewed``: the side with hot keys (e.g. a fact table where one
+    user/symbol dominates). Each row gets a deterministic salt —
+    ``xxhash64`` of the whole row mod ``n_salts`` — so the same input
+    always produces the same partitioning (no ``rand()``:
+    deterministic plans re-execute identically under task retries,
+    which nondeterministic salting does not guarantee).
+
+    ``other``: replicated ``n_salts``× via an exploded literal range —
+    at 100 TB this trades ``n_salts``× duplication of the smaller side
+    for eliminating the single hot reducer that otherwise runs as long
+    as the whole rest of the stage. Result columns and semantics equal
+    the plain ``skewed.join(other, on, how)``.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    ).cast("int")
+    s = skewed.withColumn("__salt", salt)
+    o = other.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    return s.join(o, [*on, "__salt"], how).drop("__salt")

@@ -81,6 +81,53 @@ def stream_last_value_per_group(
     )
 
 
+def stream_dedup_by_id(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps
+    one row per id, holding state only within the watermark horizon —
+    the bounded-state form of the batch dedup-by-id sink (S11). At
+    100 TB/day the horizon IS the knob: state size = ids seen per
+    watermark window, not per stream lifetime."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
+def stream_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming sessionization: the same ``session_window``
+    aggregation as the batch ``user_sessions`` query, with merging
+    session state and the watermark closing sessions (append mode
+    emits a session once no event can extend it)."""
+    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.session_window(ts_col, gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(F.sum(value_col), 2).alias("session_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 #: Output schema of :func:`running_last_state`.
 RUNNING_LAST_SCHEMA = (
     "user_id long, last_value double, last_ts timestamp, n_events long"
