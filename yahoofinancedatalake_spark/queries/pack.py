@@ -459,6 +459,35 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hll_partial_rollup",
+    """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           count(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Mergeable-sketch pre-aggregation (the 100 TB dashboard "
+    "pattern): per-DAY datasketches HLL sketches of the part key, "
+    "unioned up to month level, then estimated — distinct-count "
+    "rollups become partial-aggregable, so the daily sketch table is "
+    "computed once and every coarser bucket is a cheap union instead "
+    "of a re-scan (exact count-distinct cannot merge). Oracle is the "
+    "exact month-level distinct: at gate scale (<= ~2k distinct per "
+    "month << 3/4 * 2^16 coupons) the lgK=16 sketch never leaves "
+    "exact coupon mode, so the estimate IS the exact count; at 100 TB "
+    "it degrades gracefully to ~0.4% rank error.",
+)
+def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        F.date_trunc("day", "l_shipdate").alias("ship_day"),
+    ).agg(F.hll_sketch_agg("l_partkey", F.lit(16)).alias("sk"))
+    return daily.groupBy("ship_month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_parts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # O1 — multi-key desc sort + limit feed (saved search, kibana_saved_objects:5)
 # ---------------------------------------------------------------------------
