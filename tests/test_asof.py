@@ -68,6 +68,48 @@ def test_asof_join_tolerance(spark):
     assert without.value == 5.0
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-check against the canonical single-node implementation:
+    random keyed series must produce exactly pandas.merge_asof's
+    backward-inclusive matches."""
+    import pandas as pd
+    import random
+
+    rng = random.Random(17)
+    base = _t("2024-01-01 00:00:00")
+    lrows = sorted(
+        (base + dt.timedelta(seconds=rng.randrange(0, 500000)), rng.randrange(4))
+        for _ in range(200)
+    )
+    rrows = sorted(
+        (base + dt.timedelta(seconds=rng.randrange(0, 500000)),
+         rng.randrange(4), rng.random())
+        for _ in range(80)
+    )
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (ts, k) in enumerate(lrows)],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for ts, k, v in rrows], "k long, ts timestamp, v double"
+    )
+    got = {
+        r.id: (r.matched_ts, r.v)
+        for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["ts", "k"]).assign(
+        id=range(len(lrows))
+    ).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["ts", "k", "v"]).sort_values("ts")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for _, row in merged.iterrows():
+        mts, mv = got[row["id"]]
+        if pd.isna(row["v"]):
+            assert mv is None
+        else:
+            assert mv == row["v"]
+
+
 def test_range_join_binned_matches_exact_predicate(spark):
     """Binned equi-join + verify ≡ the direct non-equi predicate,
     including intervals spanning multiple buckets."""

@@ -184,6 +184,23 @@ def test_empty_docs_never_pair(spark):
                for r in sh.collect())
 
 
+def test_connected_components_clusters(spark):
+    """Chain A-B-C must collapse into one cluster (transitivity), a
+    separate pair stays its own cluster, labels are the min id."""
+    from yahoofinancedatalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_ngram_jaccard_exact_values(spark, docs):
     pairs = spark.createDataFrame([(1, 3), (1, 4)], "id_a long, id_b long")
     out = {(r.id_a, r.id_b): r.jaccard

@@ -495,6 +495,87 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph → dedup
+    clusters: ``(node, component)`` with component = min node id in
+    the cluster. This is the step that turns pairwise LSH output into
+    a keep-list (keep ``node == component``, drop the rest) when
+    near-duplication is transitive A~B~C.
+
+    Min-label propagation: each round every node takes the min label
+    over itself and its neighbors (one join + one groupBy-min per
+    round, all distributed); converges in O(graph diameter) rounds —
+    near-dup clusters are shallow, and ``max_iter`` guards
+    pathological chains. The driver loop only *counts* changed labels
+    per round (single long per round, no data to the driver); each
+    round's result is cached and the previous round unpersisted so
+    lineage stays O(1). The same scheme at 100 TB is the standard
+    alternating large/small-star contraction shape.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    n_edges = edges.count()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    # Size the iterative stage by the graph, not the session default:
+    # each round is 3 shuffles of the label/edge tables, and scheduling
+    # 32+ tasks per stage over a few hundred edges costs more than the
+    # work. ~1M edges per partition; the session default caps it.
+    spark = pairs.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, min(int(old_parts), n_edges // 1_000_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("comp").alias("ncomp"))
+            )
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels.node == neighbor_min.a, "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node"), F.col("comp").alias("component")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        edges.unpersist()
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count(xor))."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -1480,6 +1480,57 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    jac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jac
+      UNION SELECT id_b, id_a FROM jac
+    ),
+    reach AS (
+      SELECT a AS node, a AS comp FROM edges
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT node AS doc_id, min(comp) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="Dedup clusters: near-dup PAIRS (minhash-LSH + Jaccard >= 0.9 "
+    "verify) closed into connected components, component = min doc_id "
+    "— the keep-list step (keep doc_id == cluster_id) that handles "
+    "transitive near-duplication A~B~C. Spark side is distributed "
+    "min-label propagation (join + groupBy-min per round, O(diameter) "
+    "rounds, only a changed-count per round reaches the driver); the "
+    "oracle closes the same pair graph with a recursive CTE.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (
+        connected_components,
+        hashed_ngram_jaccard,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
+    )
+    pairs = hashed_ngram_jaccard(cand, docs, "doc_id", "text", 3).filter(
+        F.col("jaccard") >= 0.9
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — embedding near-dup + ANN top-k over `embeddings`
 # ---------------------------------------------------------------------------
