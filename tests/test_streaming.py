@@ -15,6 +15,7 @@ from yahoofinancedatalake_spark.streaming import (
     running_last_state,
     stream_daily_avg,
     stream_dedup_by_id,
+    stream_enrich,
     stream_last_value_per_group,
     stream_sessions,
 )
@@ -166,6 +167,27 @@ def test_stream_dedup_and_sessions_match_batch(spark, event_files, tmp_path):
     # nothing emitted that batch doesn't have
     allb = {tuple(r) for r in expect_all.collect()}
     assert got.issubset(allb)
+
+    # stream-static enrichment: broadcast dim join matches batch join
+    dim = spark.createDataFrame(
+        [(t,  f"label_{t}") for t in
+         ("click", "error", "purchase", "signup", "view")],
+        "event_type string, label string",
+    )
+    _run_to_memory(
+        stream_enrich(stream, dim, ["event_type"])
+        .groupBy("label").count(),
+        "s_enrich", "complete", str(tmp_path / "cke"),
+    )
+    got_e = {
+        r.label: r["count"] for r in spark.table("s_enrich").collect()
+    }
+    expect_e = {
+        r.label: r["count"]
+        for r in batch_df.join(dim, "event_type").groupBy("label")
+        .count().collect()
+    }
+    assert got_e == expect_e
 
 
 def test_running_last_state_accumulates_across_restarts(spark, tmp_path):

@@ -459,6 +459,58 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_SQL_RULES = [
+    ("not_null_l_orderkey", "l_orderkey IS NOT NULL"),
+    ("range_l_discount",
+     "l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.1"),
+    ("range_l_quantity",
+     "l_quantity IS NOT NULL AND l_quantity >= 1 AND l_quantity <= 50"),
+    ("one_of_l_returnflag",
+     "l_returnflag IS NOT NULL AND l_returnflag IN ('A', 'N', 'R')"),
+]
+
+
+@_register(
+    "dq_violations",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS rule,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE NOT ({ok})) AS n_violations,
+           count(*) FILTER (WHERE NOT ({ok}))::DOUBLE / count(*)
+             AS violation_rate
+    FROM lineitem
+    """
+        for name, ok in _DQ_SQL_RULES
+    ),
+    doc="Data-quality gate: a declarative rule suite (not-null, "
+    "ranges, domain membership) compiled into ONE aggregation pass — "
+    "each rule is a count_if conditional aggregate, so a 100-rule "
+    "suite over 100 TB costs one scan with map-side partials, not one "
+    "scan per rule (operators/quality.py). The reference only "
+    "sanitizes nulls ad hoc at indexing time "
+    "(to_elasticsearch.py:83-109).",
+)
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.quality import (
+        check,
+        in_range,
+        not_null,
+        one_of,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return check(
+        li,
+        [
+            not_null("l_orderkey"),
+            in_range("l_discount", 0.0, 0.1),
+            in_range("l_quantity", 1, 50),
+            one_of("l_returnflag", ["A", "N", "R"]),
+        ],
+    )
+
+
 @_register(
     "hll_partial_rollup",
     """

@@ -82,6 +82,41 @@ def write_bucketed(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files. Returns the new file count.
+
+    Streaming sinks and frequent incremental upserts accumulate small
+    files; at 100 TB the scan's task count (and the NameNode/listing
+    load) follows file count, so periodic compaction to ~128 MB is
+    standard lake maintenance. The rewrite lands in a sibling
+    directory first and swaps in via rename, so readers never observe
+    a half-written table (the same no-rm-window reasoning as
+    ``write_parquet``'s real overwrite).
+    """
+    import math  # noqa: PLC0415
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(
+        str(tmp)
+    )
+    old = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+    fs.rename(hpath, old)
+    fs.rename(tmp, hpath)
+    fs.delete(old, True)
+    return n
+
+
 def upsert_delta_merge(
     spark: SparkSession, df: DataFrame, path: str, key_cols: Sequence[str]
 ) -> bool:

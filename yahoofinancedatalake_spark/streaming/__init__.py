@@ -3,6 +3,7 @@ from yahoofinancedatalake_spark.streaming.ops import (  # noqa: F401
     running_last_state,
     stream_daily_avg,
     stream_dedup_by_id,
+    stream_enrich,
     stream_last_value_per_group,
     stream_sessions,
 )

@@ -128,6 +128,19 @@ def stream_sessions(
     )
 
 
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join the stream against a batch
+    dimension (broadcast — the dim is re-read per micro-batch, so
+    slowly-changing dimensions pick up updates without restarting the
+    query). The streaming twin of the gold enrich join (J1/J2)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 #: Output schema of :func:`running_last_state`.
 RUNNING_LAST_SCHEMA = (
     "user_id long, last_value double, last_ts timestamp, n_events long"
