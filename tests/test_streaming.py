@@ -18,6 +18,7 @@ from yahoofinancedatalake_spark.streaming import (
     stream_enrich,
     stream_last_value_per_group,
     stream_sessions,
+    stream_stream_attribution,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -188,6 +189,47 @@ def test_stream_dedup_and_sessions_match_batch(spark, event_files, tmp_path):
         .count().collect()
     }
     assert got_e == expect_e
+
+
+def test_stream_stream_join_matches_batch(spark, event_files, tmp_path):
+    """Stream-stream click→purchase attribution (time-bounded inner
+    join, watermarks both sides) must emit exactly the batch join's
+    matches when the whole history arrives in one availableNow pass."""
+    path, batch_df = event_files
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    _run_to_memory(
+        stream_stream_attribution(clicks, purchases, within="INTERVAL 6 HOURS"),
+        "s_attr", "append", str(tmp_path / "ckj"),
+    )
+    got = {
+        (r.click_id, r.purchase_id) for r in spark.table("s_attr").collect()
+    }
+    bc = batch_df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_key"), F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    bp = batch_df.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    expect = {
+        (r.click_id, r.purchase_id)
+        for r in bc.join(
+            bp,
+            F.expr(
+                "l_key = r_key AND r_ts <= l_ts "
+                "AND r_ts >= l_ts - INTERVAL 6 HOURS"
+            ),
+        ).collect()
+    }
+    assert expect  # non-degenerate fixture
+    assert got == expect
 
 
 def test_running_last_state_accumulates_across_restarts(spark, tmp_path):

@@ -1289,6 +1289,37 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@_register(
+    "unpivot_measures",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT l_orderkey, l_linenumber,
+           '{m}' AS measure, {m}::DOUBLE AS value
+    FROM lineitem WHERE l_orderkey < 100
+    """
+        for m in _UNPIVOT_MEASURES
+    ),
+    doc="Unpivot (melt): wide measure columns reshaped to long "
+    "(measure, value) rows — the inverse of pivot and the standard "
+    "reshape before per-measure normalization in a training-data "
+    "pipeline. Spark native `unpivot` (Generate, no join, no "
+    "shuffle); oracle is the equivalent UNION ALL.",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    li = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(m).cast("double").alias(m) for m in _UNPIVOT_MEASURES],
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"], _UNPIVOT_MEASURES, "measure", "value"
+    )
+
+
 @_register(
     "rollup_order_totals",
     f"""

@@ -6,4 +6,5 @@ from yahoofinancedatalake_spark.streaming.ops import (  # noqa: F401
     stream_enrich,
     stream_last_value_per_group,
     stream_sessions,
+    stream_stream_attribution,
 )

@@ -141,6 +141,39 @@ def stream_enrich(
     return events.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_attribution(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: left
+    events matched to right events at-or-before them within
+    ``within`` (click→purchase attribution). Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    each side's state is evicted once the other's watermark passes —
+    bounded state however long the streams run (the unbounded-state
+    trap is a stream-stream join with no time bound)."""
+    l = left.select(
+        F.col(key_col).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        "*",
+    ).drop(key_col, ts_col).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key_col).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        "*",
+    ).drop(key_col, ts_col).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts <= l_ts AND r_ts >= l_ts - {within}"
+        ),
+    )
+
+
 #: Output schema of :func:`running_last_state`.
 RUNNING_LAST_SCHEMA = (
     "user_id long, last_value double, last_ts timestamp, n_events long"
