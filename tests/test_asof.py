@@ -154,3 +154,18 @@ def test_range_join_binned_matches_exact_predicate(spark):
     }
     assert got == expect
     assert expect  # non-degenerate fixture
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """A right row with a null timestamp must never 'match' — it would
+    otherwise sort nulls-first with a non-null payload struct and
+    attach to every left row before the first real right row."""
+    left = spark.createDataFrame(
+        [(1, 10, _t("2024-01-01 10:00:00"))], "id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, None, 666.0), (10, _t("2024-01-01 12:00:00"), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    row = asof_join(left, right, ["user_id"], "ts", ["value"]).collect()[0]
+    assert row.matched_ts is None and row.value is None

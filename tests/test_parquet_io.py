@@ -76,3 +76,103 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = {r.k: r.name for r in salted_join(fact, dim, ["k"], 4,
                                             how="left").collect()}
     assert out == {1: "a", 99: None}
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Replicating the build side n_salts× would emit every unmatched
+    `other` row n_salts times under right/full — must raise, not
+    silently corrupt."""
+    fact = spark.createDataFrame([(1, 10)], "k long, p long")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    for how in ("right", "full", "right_outer", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="not salt-safe"):
+            salted_join(fact, dim, ["k"], 4, how=how)
+
+
+def test_salted_join_identical_duplicate_rows_one_bucket(spark):
+    """Documented limitation: byte-identical hot rows hash to ONE salt
+    (the deterministic salt is a pure function of the row), so the hot
+    reducer survives — and results are still correct."""
+    fact = spark.createDataFrame([(0, 7)] * 500 + [(1, 8)], "k long, p long")
+    dim = spark.createDataFrame([(0, "z"), (1, "o")], "k long, name string")
+    salted = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64("k", "p"), F.lit(8)).cast("int"),
+    )
+    assert salted.filter(F.col("k") == 0).select("__salt").distinct().count() == 1
+    out = salted_join(fact, dim, ["k"], 8)
+    assert out.count() == 501  # semantics still exact
+
+
+def test_salted_join_salt_cols_spreads_hot_key(spark):
+    """A finer deterministic discriminator via salt_cols spreads a hot
+    key whose rows differ only in that column across salt buckets."""
+    fact = spark.createDataFrame(
+        [(0, i) for i in range(2000)], "k long, event_id long"
+    )
+    dim = spark.createDataFrame([(0, "z")], "k long, name string")
+    salted = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(8)).cast("int")
+    )
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets == 8  # hot key split over all reducers
+    out = salted_join(fact, dim, ["k"], 8, salt_cols=["event_id"])
+    assert out.count() == 2000
+
+
+def test_upsert_rows_replaces_exactly_the_incoming_keys(spark, tmp_path):
+    """Row-level ES-``_id`` semantics (to_elasticsearch.py:78):
+    re-ingesting one (symbol, date) replaces exactly that row; every
+    other row — including same-symbol history — survives."""
+    from yahoofinancedatalake_spark.sources.parquet_io import upsert_rows
+
+    path = str(tmp_path / "keyed")
+    base = spark.createDataFrame(
+        [("AAPL", "2024-01-02", 105.0), ("AAPL", "2024-01-03", 102.0),
+         ("MSFT", "2024-01-02", 375.0)],
+        "symbol string, date string, close double",
+    )
+    upsert_rows(spark, base, path, ["symbol", "date"], "symbol")
+    patch = spark.createDataFrame(
+        [("AAPL", "2024-01-03", 999.0), ("AAPL", "2024-01-04", 110.0)],
+        "symbol string, date string, close double",
+    )
+    swapped = upsert_rows(spark, patch, path, ["symbol", "date"], "symbol")
+    assert swapped == ["symbol=AAPL"]
+    got = {(r.symbol, r.date): r.close
+           for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("AAPL", "2024-01-02"): 105.0,   # same-symbol history survives
+        ("AAPL", "2024-01-03"): 999.0,   # replaced by key
+        ("AAPL", "2024-01-04"): 110.0,   # inserted
+        ("MSFT", "2024-01-02"): 375.0,   # untouched partition
+    }
+
+
+def test_upsert_rows_write_amplification_is_touched_partitions(spark, tmp_path):
+    """Untouched partitions' files are not rewritten: O(touched
+    partitions), not O(table)."""
+    import os
+
+    from yahoofinancedatalake_spark.sources.parquet_io import upsert_rows
+
+    path = str(tmp_path / "keyed")
+    base = spark.createDataFrame(
+        [("AAPL", "2024-01-02", 105.0), ("MSFT", "2024-01-02", 375.0)],
+        "symbol string, date string, close double",
+    )
+    upsert_rows(spark, base, path, ["symbol", "date"], "symbol")
+    msft_dir = os.path.join(path, "symbol=MSFT")
+    before = {
+        f: os.path.getmtime(os.path.join(msft_dir, f))
+        for f in os.listdir(msft_dir)
+    }
+    patch = spark.createDataFrame(
+        [("AAPL", "2024-01-02", 1.0)], "symbol string, date string, close double"
+    )
+    upsert_rows(spark, patch, path, ["symbol", "date"], "symbol")
+    after = {
+        f: os.path.getmtime(os.path.join(msft_dir, f))
+        for f in os.listdir(msft_dir)
+    }
+    assert before == after  # byte-identical file set, never rewritten

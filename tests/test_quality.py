@@ -68,3 +68,28 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10000
     assert got.agg(F.sum("v")).collect()[0][0] == 10000 * 9999
+
+
+def test_check_empty_input_reports_null_rate(spark):
+    """Empty table: rates are null, not DIVIDE_BY_ZERO (ANSI mode)."""
+    empty = spark.createDataFrame([], "close double, symbol string")
+    rows = check(empty, [not_null("close")]).collect()
+    assert len(rows) == 1
+    assert rows[0].n_rows == 0 and rows[0].n_violations == 0
+    assert rows[0].violation_rate is None
+
+
+def test_compact_parquet_recovers_from_stale_temp_dirs(spark, tmp_path):
+    """A crashed prior compaction leaves __compacting/__precompact
+    dirs; rename into an existing dir would silently NEST the live
+    table — compaction must clear them and still swap correctly."""
+    import os
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).write.parquet(path)
+    os.makedirs(path + "__compacting/junk")
+    os.makedirs(path + "__precompact/junk")
+    compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__precompact")

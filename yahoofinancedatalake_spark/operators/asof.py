@@ -56,6 +56,11 @@ def asof_join(
     rstruct = F.struct(
         F.col(ts_col).alias("__rts"), *[F.col(c) for c in value_cols]
     )
+    # A null-ts right row would sort nulls-first yet carry a non-null
+    # payload struct, "matching" every left row that precedes the first
+    # real right row — drop them: a row with no timestamp can never be
+    # the latest-at-or-before anything.
+    right = right.filter(F.col(ts_col).isNotNull())
     r = right.select(
         *on,
         F.col(ts_col).alias("__ts"),

@@ -75,10 +75,13 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
             F.col("r.rule").alias("rule"),
             "n_rows",
             F.col("r.n_violations").alias("n_violations"),
-            # exact IEEE quotient — cross-engine deterministic
-            (F.col("r.n_violations").cast("double") / F.col("n_rows")).alias(
-                "violation_rate"
-            ),
+            # exact IEEE quotient — cross-engine deterministic; nullif
+            # guards the empty-table case (ANSI mode raises
+            # DIVIDE_BY_ZERO otherwise) → null rate on zero rows
+            (
+                F.col("r.n_violations").cast("double")
+                / F.nullif(F.col("n_rows").cast("double"), F.lit(0.0))
+            ).alias("violation_rate"),
         )
     )
 

@@ -349,8 +349,10 @@ def ivf_cosine_topk(
     the other classic ANN scale path next to :func:`lsh_cosine_topk`.
 
     1. Train a coarse quantizer (k-means centroids) on a deterministic
-       corpus sample (``xxhash64(id) % sample_mod == 0`` — rate-bounded,
-       the only data that ever reaches the driver).
+       corpus sample (``xxhash64(id) % sample_mod == 0`` rate bound plus
+       a ``max(10_000, 39·n_centroids)`` absolute cap, mirroring FAISS's
+       bounded training set — the only data that ever reaches the
+       driver, O(n_centroids) regardless of corpus size).
     2. Assign every corpus vector to its nearest centroid
        (``cluster``) — one Arrow-batched matmul per partition.
     3. Assign every query its ``n_probe`` nearest centroids and
@@ -365,9 +367,17 @@ def ivf_cosine_topk(
     """
     from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
 
+    # Rate-bound via the hash filter, then SIZE-bound with the FAISS-style
+    # training cap (~max(10k, 39·k) points): any deterministic prefix of
+    # the hash-sampled stream is a valid training sample, and the absolute
+    # limit keeps the driver collect O(n_centroids), not O(corpus) — at
+    # 100 TB the rate bound alone would still pull ~1/sample_mod of the
+    # corpus through the driver.
+    train_cap = max(10_000, 39 * n_centroids)
     sample_rows = (
         corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
         .select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(train_cap)
         .collect()
     )
     cent = kmeans_centroids([r.v for r in sample_rows], n_centroids, seed=seed)

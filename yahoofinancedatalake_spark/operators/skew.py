@@ -16,32 +16,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Join types whose semantics survive replicating ``other`` n_salts×:
+#: every `other` row that matches still matches exactly once per salt
+#: bucket, and unmatched `other` rows are never emitted. 'right'/'full'
+#: would emit each unmatched `other` row n_salts times — rejected.
+_SALT_SAFE_HOW = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
     on: list[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the skewed side's hot keys split over ``n_salts``
     reducers.
 
     ``skewed``: the side with hot keys (e.g. a fact table where one
     user/symbol dominates). Each row gets a deterministic salt —
-    ``xxhash64`` of the whole row mod ``n_salts`` — so the same input
-    always produces the same partitioning (no ``rand()``:
-    deterministic plans re-execute identically under task retries,
-    which nondeterministic salting does not guarantee).
+    ``xxhash64`` of ``salt_cols`` (default: the whole row) mod
+    ``n_salts`` — so the same input always produces the same
+    partitioning (no ``rand()``: deterministic plans re-execute
+    identically under task retries, which nondeterministic salting
+    does not guarantee).
 
     ``other``: replicated ``n_salts``× via an exploded literal range —
     at 100 TB this trades ``n_salts``× duplication of the smaller side
     for eliminating the single hot reducer that otherwise runs as long
     as the whole rest of the stage. Result columns and semantics equal
-    the plain ``skewed.join(other, on, how)``.
+    the plain ``skewed.join(other, on, how)`` for ``how`` in
+    ``{'inner','left','left_semi','left_anti'}``; 'right'/'full' are
+    rejected because the replicated side would emit unmatched rows
+    ``n_salts`` times.
+
+    Limitation — byte-identical duplicate rows: the deterministic salt
+    is a pure function of the salted columns, so a hot key whose rows
+    are *byte-identical* (common in denormalized logs) all land on ONE
+    salt bucket and the hot reducer survives. When a finer
+    deterministic discriminator exists (an event id, an offset), pass
+    it via ``salt_cols``; when rows are truly identical, pre-aggregate
+    (count per distinct row) before the join instead — duplicates
+    carry no information a join can use.
     """
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
-    ).cast("int")
+    if how not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe (replicating the "
+            f"build side would duplicate its unmatched rows); use one of "
+            f"{sorted(_SALT_SAFE_HOW)} or a plain join"
+        )
+    cols = salt_cols if salt_cols is not None else skewed.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast(
+        "int"
+    )
     s = skewed.withColumn("__salt", salt)
     o = other.withColumn(
         "__salt",

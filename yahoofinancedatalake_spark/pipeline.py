@@ -55,6 +55,7 @@ from yahoofinancedatalake_spark.sources.json_source import (
 )
 from yahoofinancedatalake_spark.sources.parquet_io import (
     upsert_by_partition,
+    upsert_rows,
     write_parquet,
 )
 from yahoofinancedatalake_spark.sources.replay import ingest_news, _load_jsonl
@@ -109,9 +110,17 @@ class Pipeline:
 
     # -- format (DAG: format_data, format_to_parquet.py) ----------------
 
-    def _bronze(self, table: str, schema) -> DataFrame:
+    def _bronze(
+        self, table: str, schema, ingest_date: str | None = None
+    ) -> DataFrame:
         from pyspark.sql import types as T  # noqa: PLC0415
 
+        if ingest_date is not None:
+            # ONE hive partition directory — the scan lists only this
+            # date's files (assert via .inputFiles()); the partition
+            # column lives in the dir name, so the base schema applies.
+            path = f"{self.cat.path('bronze', table)}/ingest_date={ingest_date}"
+            return read_jsonl(self.spark, path, schema)
         # StructType.add mutates in place — build a copy so the
         # module-level contracts stay pristine
         sch = T.StructType(
@@ -121,27 +130,62 @@ class Pipeline:
             "ingest_date"
         )
 
-    def format(self) -> None:
+    def format(self, ingest_date: str | None = None) -> None:
         """Bronze JSONL → silver typed parquet (P1-P4, F3, S4).
 
         Re-ingested history is deduped per key, keeping the latest
         fetch — the idempotence the reference only gets at the ES
         sink (to_elasticsearch.py:78) moved up to silver.
+
+        With ``ingest_date`` (the default from :meth:`run`): process
+        ONLY that bronze partition and row-upsert it into silver
+        keyed on the natural key — read cost O(one ingest day), write
+        cost O(touched symbol partitions). The reference (and round-2
+        ``format()``) re-reads ALL bronze history every run
+        (format_to_parquet.py:26-33 rmtree+rewrite) — at 100 TB the
+        full recompute grows with history while the merge stays
+        O(daily delta). ``ingest_date=None`` keeps the full-recompute
+        path (backfills / layout migrations); on an empty silver the
+        two are identical, so the first daily run bootstraps itself.
         """
         stocks = last_row_per_group(
-            format_stocks(self._bronze("stocks", STOCKS_RAW)),
+            format_stocks(self._bronze("stocks", STOCKS_RAW, ingest_date)),
             ["symbol", "date"],
             "fetched_at_utc",
         )
-        write_parquet(stocks, self.cat.path("silver", "stocks"))
         company = last_row_per_group(
-            format_company(self._bronze("company_info", COMPANY_RAW)),
+            format_company(self._bronze("company_info", COMPANY_RAW, ingest_date)),
             ["symbol"],
             "fetched_at_utc",
         )
-        write_parquet(company, self.cat.path("silver", "company_info"))
-        news = format_news(self._bronze("news", NEWS_RAW))
-        write_parquet(news, self.cat.path("silver", "news"))
+        news = format_news(self._bronze("news", NEWS_RAW, ingest_date))
+        if ingest_date is not None:
+            upsert_rows(
+                self.spark, stocks, self.cat.path("silver", "stocks"),
+                ["symbol", "date"], "symbol",
+            )
+            upsert_rows(
+                self.spark, company, self.cat.path("silver", "company_info"),
+                ["symbol"], "symbol",
+            )
+            # article id is the ES ``_id`` (to_elasticsearch.py:159);
+            # a re-fetched article keeps the latest fetch — upsert wins
+            upsert_rows(
+                self.spark, news, self.cat.path("silver", "news"),
+                ["id"], "symbol",
+            )
+        else:
+            write_parquet(
+                stocks, self.cat.path("silver", "stocks"),
+                partition_by=["symbol"],
+            )
+            write_parquet(
+                company, self.cat.path("silver", "company_info"),
+                partition_by=["symbol"],
+            )
+            write_parquet(
+                news, self.cat.path("silver", "news"), partition_by=["symbol"]
+            )
 
     # -- combine (DAG: combine_data, combine_sources.py) ----------------
 
@@ -197,7 +241,7 @@ class Pipeline:
         """ingest → format → combine → predict → serve
         (yahoo_finance_pipeline.py:110-112 dependency chain)."""
         counts = self.ingest(ingest_date)
-        self.format()
+        self.format(ingest_date)
         self.combine()
         self.predict()
         self.serve()

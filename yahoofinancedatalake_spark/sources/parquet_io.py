@@ -94,9 +94,15 @@ def compact_parquet(
     files; at 100 TB the scan's task count (and the NameNode/listing
     load) follows file count, so periodic compaction to ~128 MB is
     standard lake maintenance. The rewrite lands in a sibling
-    directory first and swaps in via rename, so readers never observe
-    a half-written table (the same no-rm-window reasoning as
-    ``write_parquet``'s real overwrite).
+    directory first and swaps in via two renames. Stale temp dirs
+    from a crashed prior run are deleted up front and every rename's
+    boolean return is asserted (HDFS ``rename`` into an existing dir
+    silently *nests* the source — the failure mode the assertions
+    catch). NOTE the swap itself is two renames, not one atomic op:
+    there is a sub-second window where ``path`` does not exist and a
+    concurrent reader's listing fails — schedule compaction off-peak
+    or behind a table lock; single-writer pipelines (this repo's
+    ``Pipeline``) are unaffected.
     """
     import math  # noqa: PLC0415
 
@@ -104,17 +110,103 @@ def compact_parquet(
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
+    old = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
+    for stale in (tmp, old):  # crashed prior run → rename would nest
+        if fs.exists(stale):
+            fs.delete(stale, True)
     total = fs.getContentSummary(hpath).getLength()
     n = max(1, math.ceil(total / target_file_bytes))
-    tmp = jvm.org.apache.hadoop.fs.Path(path + "__compacting")
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(
         str(tmp)
     )
-    old = jvm.org.apache.hadoop.fs.Path(path + "__precompact")
-    fs.rename(hpath, old)
-    fs.rename(tmp, hpath)
+    if not fs.rename(hpath, old):
+        raise OSError(f"compact_parquet: rename {path} -> {old} failed")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back so the live table survives
+        raise OSError(f"compact_parquet: rename {tmp} -> {path} failed")
     fs.delete(old, True)
     return n
+
+
+def upsert_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    partition_col: str,
+) -> list[str]:
+    """Row-level keyed upsert — the exact ES semantics of
+    ``_id = f"{symbol}_{date}"`` (reference to_elasticsearch.py:78):
+    each incoming row replaces the existing row with the same
+    ``key_cols`` tuple; all other rows survive untouched.
+
+    Parquet-native MERGE at O(touched partitions) write cost:
+
+    1. touched = distinct ``partition_col`` values in ``df`` (a
+       partition value count, not a row count — bounded by the number
+       of partitions a batch can span, e.g. symbols or dates);
+    2. read ONLY those partitions of the existing table (the ``isin``
+       filter partition-prunes the scan), anti-join on ``key_cols`` to
+       keep survivors;
+    3. survivors ∪ incoming land in a staging dir partitioned by
+       ``partition_col``; each touched partition dir is swapped into
+       the live table by delete+rename (per-partition atomic).
+
+    Untouched partitions are never read, never rewritten — write
+    amplification is O(touched partitions' files), not O(history).
+    This is exactly Delta/Iceberg ``MERGE`` with copy-on-write
+    granularity = partition; :func:`upsert_delta_merge` is the
+    file-granularity upgrade when delta-spark is on the cluster.
+    Returns the list of swapped partition directory names.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        write_parquet(df, path, partition_by=[partition_col])
+        return sorted(
+            s.getPath().getName()
+            for s in fs.listStatus(hpath)
+            if s.isDirectory()
+        )
+
+    touched = [
+        r[0] for r in df.select(partition_col).distinct().collect()
+    ]
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    survivors = existing.join(
+        df.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    )
+    merged = survivors.unionByName(df.select(*existing.columns))
+
+    staging = path + "__upserting"
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(spath):  # stale staging from a crashed prior run
+        fs.delete(spath, True)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+
+    # Swap the partition dirs Spark actually wrote (robust to partition
+    # value escaping) — delete-then-rename per partition, asserting the
+    # rename boolean like compact_parquet.
+    swapped: list[str] = []
+    for status in fs.listStatus(spath):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        dst = jvm.org.apache.hadoop.fs.Path(path + "/" + name)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        if not fs.rename(status.getPath(), dst):
+            raise OSError(f"upsert_rows: rename {name} -> {dst} failed")
+        swapped.append(name)
+    fs.delete(spath, True)
+    return sorted(swapped)
 
 
 def upsert_delta_merge(
