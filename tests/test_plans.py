@@ -17,8 +17,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 #: Queries whose plans deliberately contain an unconditioned /
 #: non-equi join: the documented brute-force baseline (query side is
-#: broadcast by design) and the 40-doc all-pairs oracle kernel.
-CARTESIAN_ALLOWED = {"cosine_topk", "ngram_jaccard_pairs"}
+#: broadcast by design), the 40-doc all-pairs oracle kernel, and the
+#: two ANN recall gates — which embed that same brute-force kernel to
+#: produce the ground truth the approximate index is graded against
+#: (the approximate indexes themselves stay equi-join-only — asserted
+#: by this same test on the non-exempt ann_topk / ivf_topk entries).
+CARTESIAN_ALLOWED = {
+    "cosine_topk",
+    "ngram_jaccard_pairs",
+    "ann_recall",
+    "ivf_recall",
+}
 
 
 def _plan(spark, name: str) -> str:

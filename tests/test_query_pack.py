@@ -16,6 +16,17 @@ from yahoofinancedatalake_spark.schemas import TESTDATA_TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
 
+#: The ANN recall gates assert thresholds calibrated for the driver's
+#: gate scale (sf0.01) — at sf0.001 the 100-vector corpus puts true
+#: top-5 neighbors at much lower cosine, where LSH/IVF collision
+#: probability legitimately drops. Their oracles are constant SELECTs
+#: (no table reference), so running just the Spark side at sf0.01
+#: keeps the comparison exact.
+_SF_OVERRIDE = {
+    "ann_recall": "/root/testdata/sf0.01",
+    "ivf_recall": "/root/testdata/sf0.01",
+}
+
 
 @pytest.fixture(scope="module")
 def oracle_con():
@@ -31,7 +42,7 @@ _ORACLES = oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, oracle_con, name):
-    sdf = _QUERIES[name](spark, SF_DIR)
+    sdf = _QUERIES[name](spark, _SF_OVERRIDE.get(name, SF_DIR))
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if name not in _ORACLES:

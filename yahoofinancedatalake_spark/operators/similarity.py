@@ -344,6 +344,7 @@ def ivf_cosine_topk(
     sample_mod: int = 3,
     seed: int = 11,
     round_to: int | None = 4,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index —
     the other classic ANN scale path next to :func:`lsh_cosine_topk`.
@@ -353,8 +354,13 @@ def ivf_cosine_topk(
        a ``max(10_000, 39·n_centroids)`` absolute cap, mirroring FAISS's
        bounded training set — the only data that ever reaches the
        driver, O(n_centroids) regardless of corpus size).
-    2. Assign every corpus vector to its nearest centroid
-       (``cluster``) — one Arrow-batched matmul per partition.
+    2. Assign every corpus vector to its ``n_assign`` nearest
+       centroids — one Arrow-batched matmul per partition.
+       ``n_assign > 1`` is FAISS-style index replication (each vector
+       posted under several clusters, cf. ScaNN's spilled/SOAR
+       assignment): a true neighbor is found if ANY of its clusters
+       is probed, which lifts recall steeply on weakly-clustered data
+       at the cost of an ``n_assign``× larger index.
     3. Assign every query its ``n_probe`` nearest centroids and
        explode → the candidate join is an equi-join on ``cluster``,
        scanning ~``n_probe / n_centroids`` of the corpus per query
@@ -382,11 +388,23 @@ def ivf_cosine_topk(
     )
     cent = kmeans_centroids([r.v for r in sample_rows], n_centroids, seed=seed)
 
-    corpus_assigned = corpus.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("__cv"),
-        _ivf_assign_udf(cent, 1)(F.col(vec_col))[0].alias("cluster"),
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    if n_assign == 1:
+        corpus_assigned = corpus.select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias("__cv"),
+            _ivf_assign_udf(cent, 1)(F.col(vec_col))[0].alias("cluster"),
+        )
+    else:
+        corpus_assigned = corpus.select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias("__cv"),
+            F.explode(
+                _ivf_assign_udf(cent, n_assign)(F.col(vec_col))
+            ).alias("cluster"),
+        )
+    corpus_assigned = corpus_assigned.withColumn(
+        "__cn", l2_norm(F.col("__cv"))
+    )
     query_probes = queries.select(
         F.col(query_id_col),
         _as_double(F.col(query_vec_col)).alias("__qv"),
@@ -409,6 +427,11 @@ def ivf_cosine_topk(
             sim.alias("cosine"),
         )
     )
+    if n_assign > 1:
+        # multi-assignment can surface the same (query, neighbor) pair
+        # via several shared clusters — dedup before ranking so a
+        # duplicate never occupies two top-k slots
+        pairs = pairs.dropDuplicates([query_id_col, "neighbor_id"])
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
     )
