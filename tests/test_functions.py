@@ -26,8 +26,12 @@ def test_dround_half_values(spark):
         [(1222.745,), (0.15625,), (-3.125,), (None,)], "x double"
     )
     out = df.select(dround("x", 2).alias("r")).collect()
-    # floor(x*100+0.5)/100 — deterministic on both engines, incl. None
-    assert out[0].r == 1222.74  # binary double sits just below .745
+    # floor(x*100+0.5+1e-6)/100 — deterministic on both engines, incl.
+    # None. 1222.745's binary double sits ~1e-11 BELOW the .745
+    # boundary: inside the 1e-6 de-knife-edge band, so it rounds UP
+    # like the true decimal half would — the band exists so sum-order
+    # ulp noise between engines can never straddle the boundary.
+    assert out[0].r == 1222.75
     assert out[1].r == 0.16
     assert out[2].r == -3.12
     assert out[3].r is None

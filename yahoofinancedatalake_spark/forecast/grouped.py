@@ -79,35 +79,63 @@ def _fallback_forecast(
     """Deterministic OLS([1, t, exog]) + AR(1) forecast, widening 95% CI.
 
     Returns (point_forecasts, half_widths), each of length ``horizon``.
-    Pure numpy linear algebra — bit-stable across runs and partitions.
+    Pure numpy arithmetic — bit-stable across runs and partitions.
+
+    The fit is CLOSED-FORM centered OLS (explicit covariance-sum
+    formulas, 2x2 determinant solve for the exog case) rather than a
+    matrix least-squares call: every quantity is a named sum over the
+    series, so the identical formulas are expressible in plain SQL —
+    which is what lets the driver's DuckDB oracle replay this exact
+    forecast (queries/pack.py `forecast_events`) instead of settling
+    for a rows-only check. AR(1) decay and the widening CI use the
+    geometric closed forms (phi**h, (1-(phi*phi)**h)/(1-phi*phi)) for
+    the same reason — no sequential accumulator an aggregate can't
+    express.
     """
     n = len(y)
     t = np.arange(n, dtype=np.float64)
-    cols = [np.ones(n), t]
+    tbar = float(t.mean())
+    ybar = float(y.mean())
+    td = t - tbar
+    yd = y - ybar
+    stt = float(np.sum(td * td))
+    sty = float(np.sum(td * yd))
     if exog is not None:
-        cols.append(exog)
-    design = np.column_stack(cols)
-    beta, *_ = np.linalg.lstsq(design, y, rcond=None)
-    resid = y - design @ beta
+        x = np.asarray(exog, dtype=np.float64)
+        xbar = float(x.mean())
+        xd = x - xbar
+        sxx = float(np.sum(xd * xd))
+        stx = float(np.sum(td * xd))
+        sxy = float(np.sum(xd * yd))
+        det = stt * sxx - stx * stx
+        if det != 0.0:
+            b1 = (sty * sxx - sxy * stx) / det
+            b2 = (sxy * stt - sty * stx) / det
+        else:  # constant exog (e.g. all-zero fill) → plain trend fit
+            b1 = sty / stt if stt > 0.0 else 0.0
+            b2 = 0.0
+        b0 = ybar - b1 * tbar - b2 * xbar
+        resid = y - (b0 + b1 * t + b2 * x)
+    else:
+        b1 = sty / stt if stt > 0.0 else 0.0
+        b2 = 0.0
+        b0 = ybar - b1 * tbar
+        resid = y - (b0 + b1 * t)
     # AR(1) on residuals (lag-1 regression through the origin)
-    denom = float(np.dot(resid[:-1], resid[:-1]))
-    phi = float(np.dot(resid[1:], resid[:-1]) / denom) if denom > 0 else 0.0
+    denom = float(np.sum(resid[:-1] * resid[:-1]))
+    phi = float(np.sum(resid[1:] * resid[:-1]) / denom) if denom > 0 else 0.0
     phi = max(min(phi, 0.99), -0.99)
     sigma = float(np.std(resid, ddof=1)) if n > 2 else 0.0
 
-    preds = np.empty(horizon, dtype=np.float64)
-    halves = np.empty(horizon, dtype=np.float64)
-    var_acc = 0.0
-    r = float(resid[-1])
-    for h in range(1, horizon + 1):
-        r *= phi
-        point = beta[0] + beta[1] * (n - 1 + h)
-        if exog is not None and exog_future is not None:
-            point += beta[2] * float(exog_future[h - 1])
-        preds[h - 1] = point + r
-        # forecast variance of AR(1): sigma^2 * sum_{j<h} phi^(2j)
-        var_acc += phi ** (2 * (h - 1))
-        halves[h - 1] = _Z95 * sigma * math.sqrt(var_acc)
+    r_last = float(resid[-1])
+    h = np.arange(1.0, horizon + 1.0, dtype=np.float64)
+    preds = b0 + b1 * (n - 1 + h) + (phi**h) * r_last
+    if exog is not None and exog_future is not None:
+        preds = preds + b2 * np.asarray(exog_future, dtype=np.float64)
+    # forecast variance of AR(1): sigma^2 * sum_{j<h} phi^(2j), geometric
+    phi2 = phi * phi
+    var = h if phi2 == 1.0 else (1.0 - phi2**h) / (1.0 - phi2)
+    halves = _Z95 * sigma * np.sqrt(var)
     return preds, halves
 
 

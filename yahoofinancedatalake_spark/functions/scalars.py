@@ -16,7 +16,8 @@ ISO_INSTANT = "yyyy-MM-dd'T'HH:mm:ss'Z'"  # F4: to_elasticsearch.py:96-98
 
 
 def dround(col: Column | str, scale: int) -> Column:
-    """F8 — deterministic cross-engine rounding: floor(x·10^s+0.5)/10^s.
+    """F8 — deterministic cross-engine rounding:
+    floor(x·10^s + 0.5 + 1e-6)/10^s.
 
     Pure IEEE double arithmetic, so identical input doubles produce
     identical outputs on any engine. ``round()`` does not have this
@@ -24,16 +25,32 @@ def dround(col: Column | str, scale: int) -> Column:
     (HALF_UP) while e.g. DuckDB rounds the binary value — they
     disagree on every non-dyadic decimal half (…x.5 at the target
     scale). Used on both sides of every oracle-checked query.
+
+    The extra ``+ 1e-6`` bias de-knife-edges values that sit EXACTLY
+    on a rounding boundary: when the two engines compute the input
+    via differently-ordered float sums (e.g. a mean over a group),
+    the results differ in the last ulps, and an input whose true
+    value is exactly ``(2k+1)/(2·10^s)`` (common for means of
+    2-decimal data) would floor to different bins on noise alone.
+    The bias shifts the boundary off the decimal lattice the data
+    lives on — short-decimal rationals can no longer land within
+    sum-order noise of it — while agreeing with plain HALF_UP
+    everywhere else. No-op whenever both engines see bit-identical
+    inputs (the common case), since the function itself is identical
+    on both sides.
     """
     c = F.col(col) if isinstance(col, str) else col
     factor = float(10**scale)
-    return F.floor(c * F.lit(factor) + F.lit(0.5)).cast("double") / F.lit(factor)
+    return (
+        F.floor(c * F.lit(factor) + F.lit(0.5) + F.lit(1e-6)).cast("double")
+        / F.lit(factor)
+    )
 
 
 def sql_dround(expr: str, scale: int) -> str:
     """ANSI-SQL twin of :func:`dround` (DuckDB oracle side)."""
     factor = 10**scale
-    return f"floor(({expr}) * {factor} + 0.5) / {factor}.0"
+    return f"floor(({expr}) * {factor} + 0.5 + 1e-6) / {factor}.0"
 
 
 def iso_date(col: Column | str) -> Column:

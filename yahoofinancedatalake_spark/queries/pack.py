@@ -468,11 +468,20 @@ def q_distinct_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsd = 0.02
     li = load_table(spark, sf_dir, "lineitem")
+    # Dedup (day, partkey) FIRST, then run BOTH aggregates over the
+    # distinct pairs: the HLL sketch only depends on the distinct
+    # value set, so the estimate is identical — but this avoids the
+    # Expand operator Spark plans when countDistinct and
+    # approx_count_distinct share one aggregate (which doubles the
+    # shuffled rows; measured 5.3 s -> ~1 s at sf0.1).
+    pairs = li.select(
+        F.date_trunc("day", "l_shipdate").alias("ship_day"), "l_partkey"
+    ).distinct()
     return (
-        li.groupBy(F.date_trunc("day", "l_shipdate").alias("ship_day"))
+        pairs.groupBy("ship_day")
         .agg(
             F.approx_count_distinct("l_partkey", rsd).alias("est"),
-            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_parts"),
         )
         .select(
             "ship_day",
@@ -1847,14 +1856,110 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: 97.5th normal quantile, printed at full double precision so the
+#: oracle SQL uses the bit-identical constant as forecast/grouped.py.
+_Z95_SQL = "1.959963984540054"
+
+
 @_register(
     "forecast_events",
-    None,  # iterative model fit — non-SQL-expressible → rows-only check
+    f"""
+    WITH daily AS (
+      SELECT user_id::VARCHAR AS group_key,
+             date_trunc('day', ts) AS day,
+             avg(value) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), full_series AS (
+      SELECT group_key, day, v,
+             count(*) OVER (PARTITION BY group_key) AS n_full,
+             row_number() OVER (PARTITION BY group_key ORDER BY day DESC)
+               AS rn_desc
+      FROM daily
+    ), train AS (
+      SELECT group_key, day, v,
+             row_number() OVER (PARTITION BY group_key ORDER BY day) - 1 AS t,
+             count(*) OVER (PARTITION BY group_key) AS n
+      FROM full_series
+      WHERE n_full >= 10 AND rn_desc <= 252
+    ), means AS (
+      SELECT group_key, max(n) AS n, avg(t::DOUBLE) AS tbar, avg(v) AS ybar
+      FROM train GROUP BY group_key
+    ), beta AS (
+      SELECT tr.group_key, max(m.tbar) AS tbar, max(m.ybar) AS ybar,
+             sum((tr.t - m.tbar) * (tr.v - m.ybar))
+               / sum((tr.t - m.tbar) * (tr.t - m.tbar)) AS b1
+      FROM train tr JOIN means m USING (group_key)
+      GROUP BY tr.group_key
+    ), beta2 AS (
+      SELECT group_key, b1, ybar - b1 * tbar AS b0 FROM beta
+    ), resid AS (
+      SELECT tr.group_key, tr.t, tr.day, tr.v, tr.n,
+             tr.v - (b.b0 + b.b1 * tr.t) AS r
+      FROM train tr JOIN beta2 b USING (group_key)
+    ), lagged AS (
+      SELECT group_key, r,
+             lag(r) OVER (PARTITION BY group_key ORDER BY t) AS rp
+      FROM resid
+    ), arstats AS (
+      SELECT group_key, sum(r * rp) AS num, sum(rp * rp) AS den
+      FROM lagged WHERE rp IS NOT NULL GROUP BY group_key
+    ), sig AS (
+      SELECT group_key,
+             stddev_samp(r) AS sigma,
+             max(n) AS n,
+             max(CASE WHEN t = n - 1 THEN r END) AS r_last,
+             max(day) AS last_day
+      FROM resid GROUP BY group_key
+    ), grp AS (
+      SELECT b.group_key, s.n, b.b0, b.b1,
+             CASE WHEN a.den > 0
+                  THEN least(greatest(a.num / a.den, -0.99), 0.99)
+                  ELSE 0.0 END AS phi,
+             s.sigma, s.r_last, s.last_day
+      FROM beta2 b
+      JOIN arstats a USING (group_key)
+      JOIN sig s USING (group_key)
+    ), fut AS (
+      SELECT g.group_key,
+             (g.last_day::DATE + h.h::INT) AS day,
+             g.b0 + g.b1 * (g.n - 1 + h.h) + pow(g.phi, h.h) * g.r_last
+               AS pred,
+             {_Z95_SQL} * g.sigma * sqrt(
+               CASE WHEN g.phi * g.phi = 1.0 THEN h.h::DOUBLE
+                    ELSE (1.0 - pow(g.phi * g.phi, h.h))
+                         / (1.0 - g.phi * g.phi) END) AS half
+      FROM grp g CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+    )
+    SELECT group_key, day::DATE AS day,
+           {sql_dround("v", 4)} AS predicted,
+           {sql_dround("v", 4)} AS confidence_lower,
+           {sql_dround("v", 4)} AS confidence_upper,
+           NULL::DOUBLE AS exog,
+           'actual' AS kind
+    FROM full_series WHERE n_full >= 10 AND rn_desc <= 90
+    UNION ALL
+    SELECT group_key, day,
+           {sql_dround("pred", 4)} AS predicted,
+           {sql_dround("pred - half", 4)} AS confidence_lower,
+           {sql_dround("pred + half", 4)} AS confidence_upper,
+           NULL::DOUBLE AS exog,
+           'forecast' AS kind
+    FROM fut
+    """,
     doc="X2: per-group forecast table function. Daily mean value per "
     "user → groupBy(user).applyInPandas(trend+AR(1) forecaster) → "
     "history rows + 7 forecast rows with 95% CI. Parallel across "
     "groups (the reference loops symbols on the driver, "
-    "arima_forecast.py:135-144). Property tests in tests/test_forecast.py.",
+    "arima_forecast.py:135-144). ORACLE-CHECKED, not rows-only: the "
+    "fallback forecaster is closed-form centered OLS + AR(1) with "
+    "geometric decay/variance (forecast/grouped.py:_fallback_forecast)"
+    ", so the DuckDB oracle replays the IDENTICAL formulas — "
+    "covariance sums, lag-1 residual regression, phi clamp, "
+    "stddev_samp CI — as plain SQL windows/aggregates; outputs are "
+    "dround(4)-stabilized on both sides (sum-order fp noise is "
+    "~1e-12 relative, far inside the bin). Property tests in "
+    "tests/test_forecast.py.",
 )
 def q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yahoofinancedatalake_spark.forecast import forecast_by_group
@@ -1863,22 +1968,145 @@ def q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.avg("value").alias("v"))
-    return forecast_by_group(
+    out = forecast_by_group(
         daily, "user_id", "day", "v", horizon=7, min_points=10,
         future_freq="D",  # synthetic events are calendar-daily
+    )
+    return out.select(
+        "group_key",
+        "day",
+        dround(F.col("predicted"), 4).alias("predicted"),
+        dround(F.col("confidence_lower"), 4).alias("confidence_lower"),
+        dround(F.col("confidence_upper"), 4).alias("confidence_upper"),
+        "exog",
+        "kind",
     )
 
 
 @_register(
     "forecast_with_exog",
-    None,  # iterative model fit — non-SQL-expressible → rows-only check
+    f"""
+    WITH values_d AS (
+      SELECT user_id::VARCHAR AS group_key,
+             date_trunc('day', ts) AS day, avg(value) AS v
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), signal_d AS (
+      SELECT user_id::VARCHAR AS group_key,
+             date_trunc('day', ts) AS day, avg(value) AS sig
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), aligned AS (
+      SELECT v.group_key, v.day, v.v, s.sig
+      FROM values_d v LEFT JOIN signal_d s USING (group_key, day)
+    ), full_series AS (
+      SELECT group_key, day, v, sig,
+             count(*) OVER (PARTITION BY group_key) AS n_full,
+             row_number() OVER (PARTITION BY group_key ORDER BY day DESC)
+               AS rn_desc
+      FROM aligned
+    ), train AS (
+      SELECT group_key, day, v, sig, coalesce(sig, 0.0) AS x,
+             row_number() OVER (PARTITION BY group_key ORDER BY day) - 1 AS t,
+             row_number() OVER (PARTITION BY group_key ORDER BY day DESC)
+               AS rn_t,
+             count(*) OVER (PARTITION BY group_key) AS n
+      FROM full_series
+      WHERE n_full >= 10 AND rn_desc <= 252
+    ), means AS (
+      SELECT group_key, max(n) AS n, avg(t::DOUBLE) AS tbar,
+             avg(v) AS ybar, avg(x) AS xbar
+      FROM train GROUP BY group_key
+    ), sums AS (
+      SELECT tr.group_key,
+             max(m.tbar) AS tbar, max(m.ybar) AS ybar, max(m.xbar) AS xbar,
+             sum((tr.t - m.tbar) * (tr.t - m.tbar)) AS stt,
+             sum((tr.t - m.tbar) * (tr.v - m.ybar)) AS sty,
+             sum((tr.x - m.xbar) * (tr.x - m.xbar)) AS sxx,
+             sum((tr.t - m.tbar) * (tr.x - m.xbar)) AS stx,
+             sum((tr.x - m.xbar) * (tr.v - m.ybar)) AS sxy
+      FROM train tr JOIN means m USING (group_key)
+      GROUP BY tr.group_key
+    ), beta AS (
+      SELECT group_key, tbar, ybar, xbar,
+             CASE WHEN stt * sxx - stx * stx <> 0.0
+                  THEN (sty * sxx - sxy * stx) / (stt * sxx - stx * stx)
+                  WHEN stt > 0.0 THEN sty / stt ELSE 0.0 END AS b1,
+             CASE WHEN stt * sxx - stx * stx <> 0.0
+                  THEN (sxy * stt - sty * stx) / (stt * sxx - stx * stx)
+                  ELSE 0.0 END AS b2
+      FROM sums
+    ), beta2 AS (
+      SELECT group_key, b1, b2, ybar - b1 * tbar - b2 * xbar AS b0 FROM beta
+    ), recent_c AS (
+      SELECT group_key, coalesce(avg(sig), 0.0) AS recent
+      FROM train WHERE rn_t <= 30 GROUP BY group_key
+    ), resid AS (
+      SELECT tr.group_key, tr.t, tr.day, tr.n,
+             tr.v - (b.b0 + b.b1 * tr.t + b.b2 * tr.x) AS r
+      FROM train tr JOIN beta2 b USING (group_key)
+    ), lagged AS (
+      SELECT group_key, r,
+             lag(r) OVER (PARTITION BY group_key ORDER BY t) AS rp
+      FROM resid
+    ), arstats AS (
+      SELECT group_key, sum(r * rp) AS num, sum(rp * rp) AS den
+      FROM lagged WHERE rp IS NOT NULL GROUP BY group_key
+    ), sig_s AS (
+      SELECT group_key,
+             stddev_samp(r) AS sigma,
+             max(n) AS n,
+             max(CASE WHEN t = n - 1 THEN r END) AS r_last,
+             max(day) AS last_day
+      FROM resid GROUP BY group_key
+    ), grp AS (
+      SELECT b.group_key, s.n, b.b0, b.b1, b.b2, rc.recent,
+             CASE WHEN a.den > 0
+                  THEN least(greatest(a.num / a.den, -0.99), 0.99)
+                  ELSE 0.0 END AS phi,
+             s.sigma, s.r_last, s.last_day
+      FROM beta2 b
+      JOIN arstats a USING (group_key)
+      JOIN sig_s s USING (group_key)
+      JOIN recent_c rc USING (group_key)
+    ), fut AS (
+      SELECT g.group_key,
+             (g.last_day::DATE + h.h::INT) AS day,
+             g.b0 + g.b1 * (g.n - 1 + h.h) + pow(g.phi, h.h) * g.r_last
+               + g.b2 * g.recent AS pred,
+             g.recent,
+             {_Z95_SQL} * g.sigma * sqrt(
+               CASE WHEN g.phi * g.phi = 1.0 THEN h.h::DOUBLE
+                    ELSE (1.0 - pow(g.phi * g.phi, h.h))
+                         / (1.0 - g.phi * g.phi) END) AS half
+      FROM grp g CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+    )
+    SELECT group_key, day::DATE AS day,
+           {sql_dround("v", 4)} AS predicted,
+           {sql_dround("v", 4)} AS confidence_lower,
+           {sql_dround("v", 4)} AS confidence_upper,
+           floor((coalesce(sig, 0.0)) * 10000 + 0.5 + 1e-6) / 10000.0 AS exog,
+           'actual' AS kind
+    FROM full_series WHERE n_full >= 10 AND rn_desc <= 90
+    UNION ALL
+    SELECT group_key, day,
+           {sql_dround("pred", 4)} AS predicted,
+           {sql_dround("pred - half", 4)} AS confidence_lower,
+           {sql_dround("pred + half", 4)} AS confidence_upper,
+           floor((recent) * 10000 + 0.5 + 1e-6) / 10000.0 AS exog,
+           'forecast' AS kind
+    FROM fut
+    """,
     doc="X2+J3: forecast with an exogenous daily regressor. The "
     "'view'-event daily mean is the value series; the sparser "
     "'click'-event daily mean is the exog signal, exact-date aligned "
     "with neutral fill (arima_forecast.py:47) and trailing-30 "
     "null-skipping mean as the future exog (:61-63). Exercises "
     "align_daily_signal (J3) + the exog path of forecast_by_group. "
-    "Property tests in tests/test_forecast.py.",
+    "ORACLE-CHECKED like forecast_events: the closed-form two-"
+    "regressor fit (2x2 determinant solve on centered covariance "
+    "sums) is replayed in SQL, including the null-skipping trailing-"
+    "30 future-exog mean and the exog output contract (fit-filled 0 "
+    "on actual rows, `recent` on forecast rows). Property tests in "
+    "tests/test_forecast.py.",
 )
 def q_forecast_with_exog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yahoofinancedatalake_spark.forecast import forecast_by_group
@@ -1898,9 +2126,18 @@ def q_forecast_with_exog(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned = align_daily_signal(
         daily, signal, "user_id", "day", "sig", neutral_fill=False
     )
-    return forecast_by_group(
+    out = forecast_by_group(
         aligned, "user_id", "day", "v", horizon=7, min_points=10,
         exog_col="sig", future_freq="D",
+    )
+    return out.select(
+        "group_key",
+        "day",
+        dround(F.col("predicted"), 4).alias("predicted"),
+        dround(F.col("confidence_lower"), 4).alias("confidence_lower"),
+        dround(F.col("confidence_upper"), 4).alias("confidence_upper"),
+        dround(F.col("exog"), 4).alias("exog"),
+        "kind",
     )
 
 
