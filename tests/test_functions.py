@@ -111,3 +111,51 @@ def test_business_days_skips_weekends(spark):
     assert all(
         dt.date.fromisoformat(x).weekday() < 5 for x in days
     )
+
+
+def test_dround_knife_edge_lattice(spark):
+    """Pin dround on a lattice of exact rounding boundaries ± 1 ulp.
+
+    Round-3 regression guard (VERDICT r3 §next-6): changing dround's
+    boundary behavior after downstream consumers (ANN recall gates,
+    oracle hashes) are tuned must fail HERE, in a unit test, not in an
+    integration gate. Three-way pin: Spark `dround` == DuckDB
+    `sql_dround` == the plain-python floor form, bit-exact, on values
+    that sit exactly on a half boundary (2k+1)/(2·10^s) and one ulp to
+    either side — the worst inputs the +1e-6 de-knife-edge band exists
+    for.
+    """
+    import math
+
+    import duckdb
+
+    from yahoofinancedatalake_spark.functions.scalars import sql_dround
+
+    for scale in (2, 4):
+        f = float(10**scale)
+        lattice = []
+        for k in (-7, -1, 0, 1, 3, 12, 123, 9999):
+            half = (2 * k + 1) / (2.0 * 10**scale)
+            lattice += [
+                half,
+                math.nextafter(half, -math.inf),
+                math.nextafter(half, math.inf),
+            ]
+        pyref = [math.floor(x * f + 0.5 + 1e-6) / f for x in lattice]
+
+        df = spark.createDataFrame([(x,) for x in lattice], "x double")
+        # re-pair on the input value rather than trusting collect order
+        got_by_x = {
+            r.x: r.r
+            for r in df.select("x", dround("x", scale).alias("r")).collect()
+        }
+        for x, want in zip(lattice, pyref):
+            assert got_by_x[x] == want, (scale, x, got_by_x[x], want)
+
+        con = duckdb.connect()
+        for x, want in zip(lattice, pyref):
+            (dk,) = con.execute(
+                f"SELECT {sql_dround('?::DOUBLE', scale)}", [x]
+            ).fetchone()
+            assert dk == want, (scale, x, dk, want)
+        con.close()

