@@ -72,6 +72,27 @@ def test_anti_join_plans_as_left_anti(spark):
     assert "LeftAnti" in _plan(spark, "anti_join_inactive")
 
 
+#: Queries whose plans contain Expand BY CONSTRUCTION: unpivot/melt is
+#: literally the Expand operator, and ROLLUP compiles to grouping-set
+#: expansion. Everything else must stay Expand-free — r3's
+#: approx_distinct rework removed an accidental Expand (count distinct
+#: + other aggs in one pass) worth ~5× on that query; this pin keeps
+#: such regressions out (VERDICT r3 §next-8).
+EXPAND_ALLOWED = {
+    "unpivot_measures",
+    "rollup_order_totals",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unexpected_expand(spark, name):
+    """No query plan may contain an Expand (grouping-sets/unpivot row
+    multiplication) unless it is the operator's own semantics."""
+    if name in EXPAND_ALLOWED:
+        pytest.skip("Expand is the operator itself (unpivot / ROLLUP)")
+    assert "Expand" not in _plan(spark, name), name
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_scale_killers_in_any_query(spark, name):
     """No query plan may contain a cartesian product or an unintended

@@ -1,0 +1,156 @@
+"""Edge-case tests for the training-data prep queries (chunking,
+decontamination, packing) — the oracle gate proves engine parity on the
+synthetic corpus; these pin the operator semantics on constructed
+inputs where the edges are visible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.queries.pack import (
+    _CHUNK_S,
+    _CHUNK_W,
+    _CONTAM_N,
+    _PACK_BUDGET,
+)
+
+
+def _chunk(spark, docs_rows):
+    """Run the doc_chunking transform on constructed docs."""
+    from yahoofinancedatalake_spark.queries.pack import _word_toks
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    base = (
+        docs.select("doc_id", _word_toks().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    ex = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+        ).alias("st"),
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("st") / _CHUNK_S).cast("long").alias("chunk_id"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("st"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("st") + 1, F.lit(_CHUNK_W)), " "
+        ).alias("chunk_text"),
+    ).collect()
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    # doc shorter than one window → exactly one (short) chunk
+    out = _chunk(spark, [(1, "alpha beta gamma")])
+    assert len(out) == 1
+    assert out[0].chunk_id == 0
+    assert out[0].n_chunk_tokens == 3
+    assert out[0].chunk_text == "alpha beta gamma"
+
+
+def test_chunking_overlap_and_tail(spark):
+    # W tokens + 1 → two chunks; second starts at the stride and holds
+    # the overlapping tail
+    n = _CHUNK_W + 1
+    text = " ".join(f"t{i}" for i in range(n))
+    out = sorted(_chunk(spark, [(1, text)]), key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in out] == [0, 1]
+    assert out[0].n_chunk_tokens == _CHUNK_W
+    assert out[1].n_chunk_tokens == n - _CHUNK_S
+    assert out[0].chunk_text.split(" ")[0] == "t0"
+    assert out[1].chunk_text.split(" ")[0] == f"t{_CHUNK_S}"
+    # the overlap region appears in both chunks
+    assert f"t{_CHUNK_S}" in out[0].chunk_text.split(" ")
+
+
+def test_chunking_exact_multiple_no_empty_chunk(spark):
+    # n exactly 2 strides → starts at 0, S, 2S; 2S < n so the last
+    # chunk is non-empty (sequence stops at n-1, never emits start=n)
+    n = 2 * _CHUNK_S
+    text = " ".join(f"t{i}" for i in range(n))
+    out = _chunk(spark, [(1, text)])
+    assert all(r.n_chunk_tokens >= 1 for r in out)
+    assert len(out) == 2  # starts 0 and S (start=2S == n is excluded)
+
+
+def test_packing_bins_fill_in_order(spark):
+    # 5 docs × 200 tokens, one source: cumulative-before = 0,200,...,800
+    # → bins floor(x/512) = 0,0,0,1,1
+    rows = [(i, "s", " ".join(["w"] * 200)) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    from pyspark.sql import Window
+
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    t = docs.select("doc_id", "source", n_tok.alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        t.withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.col("cum") - F.col("n_tok")) / F.lit(_PACK_BUDGET)
+            ).cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bin")
+        .collect()
+    )
+    assert [(r.bin, r.n_docs) for r in out] == [(0, 3), (1, 2)]
+
+
+def test_contamination_detects_planted_overlap(spark):
+    # doc 37 (eval: 37 % 37 == 0) shares an n-gram with doc 1 (train);
+    # doc 2 shares nothing
+    shared = " ".join(f"g{i}" for i in range(_CONTAM_N))
+    rows = [
+        (37, f"eval doc containing {shared} verbatim"),
+        # different word right before the planted gram, so the ONLY
+        # shared n-gram is the planted one itself
+        (1, f"train doc that includes {shared} here"),
+        (2, "completely different words everywhere always"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from yahoofinancedatalake_spark.queries.pack import _word_toks
+
+    base = (
+        docs.select("doc_id", _word_toks().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= _CONTAM_N)
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - _CONTAM_N),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i + 1, F.lit(_CONTAM_N)), " "
+                ),
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("g"))
+    ev = grams.filter(F.col("doc_id") % 37 == 0).select("g").distinct()
+    tr = grams.filter(F.col("doc_id") % 37 != 0)
+    out = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .collect()
+    )
+    assert {r.doc_id for r in out} == {1}
+    assert out[0].n_shared == 1

@@ -3056,6 +3056,338 @@ def q_percent_rank_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# ---------------------------------------------------------------------------
+# Extensions — training-data prep: chunking, decontamination, packing
+# ---------------------------------------------------------------------------
+
+#: Chunking window / stride (tokens) — 25% overlap, the common RAG /
+#: pretraining-chunk shape.
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+_WORD_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), "
+    "'[^a-z0-9'']+'), x -> x <> '')"
+)
+
+
+def _word_toks() -> Column:
+    """Lowercase word tokens — the shared cross-engine tokenization
+    (same pattern as fuzzy_match / repetition_quality)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9']+"),
+        lambda t: t != "",
+    )
+
+
+@_register(
+    "doc_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
+    ), base AS (
+      SELECT doc_id, tokens, len(tokens) AS n
+      FROM toks WHERE len(tokens) >= 1
+    ), ex AS (
+      SELECT doc_id, tokens, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_S})) AS st
+      FROM base
+    )
+    SELECT doc_id,
+           st // {_CHUNK_S} AS chunk_id,
+           st AS chunk_start,
+           least({_CHUNK_W}, n - st) AS n_chunk_tokens,
+           array_to_string(tokens[st + 1 : st + {_CHUNK_W}], ' ')
+             AS chunk_text
+    FROM ex
+    """,
+    doc="Training-data op: split every document into overlapping "
+    f"token-window chunks ({_CHUNK_W}-token window, {_CHUNK_S}-token "
+    "stride = 25% overlap) — the standard pre-embedding / "
+    "pretraining chunker. Entirely JVM-side: sequence() generates "
+    "chunk starts, explode multiplies rows, slice+array_join "
+    "materialize each chunk's text. At 100 TB this is a narrow "
+    "map-side transform — zero shuffles, output partitioning "
+    "inherits the scan, and chunk_text is the ONLY wide column "
+    "produced (ids/offsets ride along for free).",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    base = (
+        docs.select("doc_id", _word_toks().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    ex = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+        ).alias("st"),
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("st") / _CHUNK_S).cast("long").alias("chunk_id"),
+        F.col("st").cast("long").alias("chunk_start"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("st"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("st") + 1, F.lit(_CHUNK_W)), " "
+        ).alias("chunk_text"),
+    )
+
+
+#: Decontamination n-gram size. The published recipes use 8-13-gram
+#: overlap on real corpora; the synthetic documents table has almost no
+#: verbatim 8-gram overlap (1 doc at sf0.01), so the gate runs the same
+#: pipeline at n=4 where the check exercises a real result set
+#: (13 docs at sf0.01). The operator is the constant's only consumer —
+#: production would set 8+.
+_CONTAM_N = 4
+
+
+@_register(
+    "contamination_ngrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
+    ), base AS (
+      SELECT doc_id, tokens, len(tokens) AS n
+      FROM toks WHERE len(tokens) >= {_CONTAM_N}
+    ), ex AS (
+      SELECT doc_id, tokens,
+             unnest(generate_series(0, n - {_CONTAM_N})) AS i
+      FROM base
+    ), grams AS (
+      SELECT doc_id,
+             md5(array_to_string(tokens[i + 1 : i + {_CONTAM_N}], ' '))
+               AS g
+      FROM ex
+    ), ev AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0
+    ), tr AS (
+      SELECT * FROM grams WHERE doc_id % 37 <> 0
+    )
+    SELECT tr.doc_id, count(DISTINCT tr.g) AS n_shared_grams
+    FROM tr JOIN ev USING (g)
+    GROUP BY tr.doc_id
+    ORDER BY tr.doc_id
+    """,
+    doc="Training-data op: benchmark decontamination by n-gram overlap "
+    "(the GPT-3/PaLM appendix recipe: a train doc is contaminated if "
+    "it shares any n-gram with the eval set — here docs with "
+    "doc_id % 37 = 0 stand in for the benchmark; n=_CONTAM_N). Each "
+    "side derives identical lowercase word n-grams; only the md5 of each "
+    "gram rides the shuffle, and the check is an EQUI-join on that "
+    "hash (never text×text) followed by a per-doc distinct count. "
+    "At 100 TB: eval grams are tiny (benchmarks are small) → "
+    "broadcast; the train side stays map-local until the final "
+    "per-doc agg.",
+)
+def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    base = (
+        docs.select("doc_id", _word_toks().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= _CONTAM_N)
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - _CONTAM_N),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i + 1, F.lit(_CONTAM_N)), " "
+                ),
+            )
+        ).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("g"))
+    ev = (
+        grams.filter(F.col("doc_id") % 37 == 0).select("g").distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % 37 != 0)
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+#: Sequence-packing context budget (tokens).
+_PACK_BUDGET = 512
+
+
+@_register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> x <> '')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT *,
+             sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST(floor((cum - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           sum(n_tok) AS bin_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    doc="Training-data op: deterministic sequence packing — assign "
+    f"whole documents to {_PACK_BUDGET}-token context bins in stable "
+    "doc_id order, bin = floor(tokens-before-this-doc / budget) (the "
+    "contiguous-fill approximation of first-fit; no RNG, no driver "
+    "loop). Packing is PARTITIONED BY source, which is the 100 TB "
+    "shape: each shard packs independently under one window, state "
+    "is a running sum, and no global coordination exists — exactly "
+    "how packing shards out on a real cluster. Output is the bin "
+    "manifest (doc span + fill), the thing a downstream batch "
+    "assembler consumes.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    t = docs.select("doc_id", "source", n_tok.alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn(
+            "bin",
+            F.floor(
+                (F.col("cum") - F.col("n_tok")) / F.lit(_PACK_BUDGET)
+            ).cast("bigint"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+@_register(
+    "corpus_top_bigrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
+    ), base AS (
+      SELECT doc_id, tokens FROM toks WHERE len(tokens) >= 2
+    ), bg AS (
+      SELECT unnest([tokens[i] || ' ' || tokens[i+1]
+                     FOR i IN range(1, len(tokens))]) AS b
+      FROM base
+    )
+    SELECT b, count(*) AS c
+    FROM bg
+    GROUP BY b
+    ORDER BY c DESC, b ASC
+    LIMIT 20
+    """,
+    doc="Training-data op: corpus-level top-20 bigram frequency table "
+    "(vocabulary/boilerplate audit — the corpus-wide companion of "
+    "the per-doc repetition_quality signals). Bigrams built JVM-side "
+    "with zip_with over two slices of the token array, partial "
+    "(map-side) counts combine before the single wide exchange on "
+    "the gram key, and the global top-20 is a TakeOrdered, not a "
+    "full sort. Deterministic tiebreak: count desc, gram asc.",
+)
+def q_corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    base = docs.select(_word_toks().alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("b")
+    )
+    return (
+        bigrams.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "stream_dedup_batch_eq",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    doc="Watermarked streaming dedup under the ORACLE gate: events are "
+    "re-landed TWICE (two parquet copies of every row), read with "
+    "readStream, and dropDuplicatesWithinWatermark(event_id) must "
+    "collapse the duplicates exactly back to the original table — "
+    "hash-compared against plain SELECT of the source. The copies "
+    "are bit-identical rows, so the result is deterministic no "
+    "matter which copy survives. Dedup state is bounded by the "
+    "watermark horizon (ids seen per window, not per stream "
+    "lifetime) — the S11 dedup-by-id sink's streaming twin.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
+        stream_dedup_by_id,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_dedup_eq_")
+    src = f"{work}/events"
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    batch.repartition(4).write.mode("append").parquet(src)  # duplicates
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"s_dedup_eq_{uuid.uuid4().hex[:8]}"
+    # Watermark wider than the data's whole time span: the 8 files fit
+    # one availableNow batch today, but if a future driver splits them,
+    # no row may be late-dropped instead of dedup-dropped — lateness
+    # would make the batch split visible in the result. The production
+    # knob stays the horizon (see stream_dedup_by_id); the GATE must be
+    # batching-invariant.
+    q = (
+        stream_dedup_by_id(stream, ["event_id"], watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -3076,6 +3408,11 @@ _FRESH_FIRST = [
     "stream_daily_avg_batch_eq",  # NTZ crash fixed this round
     "ivf_recall",                 # operating point retuned this round
     "stream_sessions_batch_eq",
+    "stream_dedup_batch_eq",
+    "doc_chunking",
+    "contamination_ngrams",
+    "sequence_packing",
+    "corpus_top_bigrams",
     # round 3 additions the driver never reached
     "json_extract_agg",
     "train_split_assign",
