@@ -3388,6 +3388,149 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_register(
+    "stream_attribution_batch_eq",
+    """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           p.value AS purchase_value
+    FROM (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream join under the ORACLE gate: purchases and views "
+    "re-landed as two readStreams over the same parquet, inner-joined "
+    "on user with a 1-hour attribution window (view at-or-before the "
+    "purchase), availableNow to a memory sink, hash-compared against "
+    "the plain batch self-join. Both sides carry watermarks and the "
+    "time-bounded condition evicts each side's state as the other's "
+    "watermark passes — the bounded-state stream-stream shape, now "
+    "driver-verified end-to-end (previously pytest-only).",
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
+        stream_stream_attribution,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_attr_eq_")
+    src = f"{work}/events"
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+
+    def side(event_type: str, id_alias: str, keep_value: bool):
+        cols = [
+            "user_id",
+            "ts",
+            F.col("event_id").alias(id_alias),
+        ]
+        if keep_value:
+            cols.append(F.col("value").alias("purchase_value"))
+        return (
+            spark.readStream.schema(batch.schema)
+            .parquet(src)
+            .filter(F.col("event_type") == event_type)
+            .select(*cols)
+        )
+
+    joined = stream_stream_attribution(
+        side("purchase", "purchase_id", True),
+        side("view", "view_id", False),
+        key_col="user_id",
+        ts_col="ts",
+        within="INTERVAL 1 HOUR",
+    ).select(
+        F.col("l_key").alias("user_id"),
+        "purchase_id",
+        F.col("l_ts").alias("purchase_ts"),
+        "view_id",
+        F.col("r_ts").alias("view_ts"),
+        "purchase_value",
+    )
+    name = f"s_attr_eq_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_register(
+    "stream_custom_state_batch_eq",
+    """
+    SELECT user_id,
+           arg_max(value, ts) AS last_value,
+           max(ts) AS last_ts,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator under the ORACLE gate: "
+    "running_last_state (applyInPandasWithState — explicit per-key "
+    "GroupState carrying last_value/last_ts/n_events, the escape "
+    "hatch for semantics built-in aggregates can't express) over "
+    "re-landed events, availableNow, update mode to a memory sink; "
+    "hash-compared against batch arg_max/max/count. Deterministic "
+    "because (user_id, ts) pairs are unique in the data, so the "
+    "running-last choice can never tie. The W1 last-value semantics "
+    "done three ways — batch window, streaming max_by, and explicit "
+    "state — all provably equal.",
+)
+def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
+        running_last_state,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_state_eq_")
+    src = f"{work}/events"
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"s_state_eq_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_last_state(stream, evict_idle=False)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode memory sink appends the per-batch updated rows; the
+    # single-batch availableNow run emits each key once, but guard the
+    # multi-batch case deterministically: the LAST update per key is
+    # the final state (n_events is monotone, so max_by(struct) on
+    # n_events picks it without any batch-id bookkeeping).
+    t = spark.table(name)
+    return t.groupBy("user_id").agg(
+        F.max_by("last_value", "n_events").alias("last_value"),
+        F.max_by("last_ts", "n_events").alias("last_ts"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -3409,6 +3552,8 @@ _FRESH_FIRST = [
     "ivf_recall",                 # operating point retuned this round
     "stream_sessions_batch_eq",
     "stream_dedup_batch_eq",
+    "stream_attribution_batch_eq",
+    "stream_custom_state_batch_eq",
     "doc_chunking",
     "contamination_ngrams",
     "sequence_packing",

@@ -181,13 +181,11 @@ RUNNING_LAST_SCHEMA = (
 _STATE_SCHEMA = "last_value double, last_ts timestamp, n_events long"
 
 
-def _running_last_fn(key, pdf_iter, state: GroupState):
-    """Per-key stateful update: keep (last_value, last_ts, count)."""
+def _update_last(key, pdf_iter, state: GroupState):
+    """Per-key stateful update core: keep (last_value, last_ts, count)
+    and yield the updated row. Shared by both timeout flavors."""
     import pandas as pd  # noqa: PLC0415
 
-    if state.hasTimedOut:
-        state.remove()
-        return
     last_value, last_ts, n = (
         state.get if state.exists else (None, None, 0)
     )
@@ -202,7 +200,6 @@ def _running_last_fn(key, pdf_iter, state: GroupState):
             last_ts = ts
             last_value = float(pdf.loc[idx, "value"])
     state.update((last_value, last_ts, n))
-    state.setTimeoutDuration(24 * 3600 * 1000)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -213,21 +210,49 @@ def _running_last_fn(key, pdf_iter, state: GroupState):
     )
 
 
+def _running_last_fn(key, pdf_iter, state: GroupState):
+    """ProcessingTimeTimeout flavor: evict idle keys after 24 h."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    yield from _update_last(key, pdf_iter, state)
+    state.setTimeoutDuration(24 * 3600 * 1000)
+
+
+def _running_last_fn_no_timeout(key, pdf_iter, state: GroupState):
+    """NoTimeout flavor: state lives for the query's lifetime."""
+    yield from _update_last(key, pdf_iter, state)
+
+
 def running_last_state(
     events: DataFrame,
     key_col: str = "user_id",
+    evict_idle: bool = True,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``:
     running (last_value, last_ts, n_events) per key with explicit
-    GroupState + processing-time timeout. The built-in ``max_by``
-    aggregate covers this case (see
-    :func:`stream_last_value_per_group`); this exists as the tested
-    integration shape for semantics aggregates can't express
-    (session logic, decaying counters, model state)."""
+    GroupState. The built-in ``max_by`` aggregate covers this case
+    (see :func:`stream_last_value_per_group`); this exists as the
+    tested integration shape for semantics aggregates can't express
+    (session logic, decaying counters, model state).
+
+    ``evict_idle=True`` (production default) arms a 24 h
+    processing-time timeout that removes idle keys — bounded state on
+    an unbounded stream. Set it False for finite availableNow
+    replays: with a timeout armed, the microbatch engine keeps
+    scheduling empty batches to let timers fire, so an availableNow
+    run never reaches its natural end.
+    """
+    fn = _running_last_fn if evict_idle else _running_last_fn_no_timeout
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if evict_idle
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy(key_col).applyInPandasWithState(
-        _running_last_fn,
+        fn,
         outputStructType=RUNNING_LAST_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=conf,
     )
