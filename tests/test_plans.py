@@ -84,6 +84,39 @@ EXPAND_ALLOWED = {
 }
 
 
+def test_chunking_is_map_side(spark):
+    # doc_chunking must stay a narrow transform: the only allowed
+    # Exchange is fan_out's conditional repartition of the driver's
+    # single-row-group test file (a no-op on a real multi-split scan);
+    # no join, no aggregation exchange, no sort
+    plan = _plan(spark, "doc_chunking")
+    assert plan.count("Exchange") <= 1, plan
+    assert "Join" not in plan
+    assert "Sort" not in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    # the eval-gram side (benchmarks are small) must broadcast — a
+    # shuffled join here would move the full train-gram stream twice
+    plan = _plan(spark, "contamination_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_top_bigrams_is_take_ordered(spark):
+    # global top-20 must be TakeOrderedAndProject, never a full sort
+    assert "TakeOrderedAndProject" in _plan(spark, "corpus_top_bigrams")
+
+
+def test_sequence_packing_exchange_budget(spark):
+    # one window exchange (partition by source) + one agg exchange on
+    # (source, bin); anything more means the plan grew a hidden extra
+    # shuffle (the final ORDER BY folds into AQE's output or a
+    # TakeOrdered-like range exchange at real scale)
+    plan = _plan(spark, "sequence_packing")
+    assert plan.count("Exchange") <= 3, plan
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_unexpected_expand(spark, name):
     """No query plan may contain an Expand (grouping-sets/unpivot row

@@ -1,0 +1,88 @@
+"""End-to-end test of the training-data prep pipeline
+(yahoofinancedatalake_spark/prep.py): documents → quality → dedup →
+decontaminate → split → chunk → pack, landed as parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.prep import run_prep
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def prep_out(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("prep"))
+    counts = run_prep(spark, SF, root)
+    return root, counts
+
+
+def test_stage_counts_monotone(prep_out):
+    _, c = prep_out
+    assert c["input"] >= c["quality_pass"] >= c["after_dedup"] >= c["after_decontam"]
+    assert c["after_decontam"] > 0
+    assert c["chunks"] >= c["after_decontam"]  # every doc ≥ 1 chunk
+    assert 0 < c["bins"] <= c["chunks"]
+
+
+def test_no_contaminated_survivors(spark, prep_out):
+    # re-running decontamination on the output must be a no-op
+    from yahoofinancedatalake_spark.catalog import load_table
+    from yahoofinancedatalake_spark.prep import decontaminate
+
+    root, c = prep_out
+    clean = spark.read.parquet(f"{root}/clean_docs")
+    eval_set = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") % 37 == 0
+    )
+    assert decontaminate(clean, eval_set).count() == c["after_decontam"]
+
+
+def test_chunks_shape(spark, prep_out):
+    from yahoofinancedatalake_spark.queries.pack import _CHUNK_W
+
+    root, _ = prep_out
+    chunks = spark.read.parquet(f"{root}/chunks")
+    assert set(chunks.columns) >= {
+        "doc_id", "split", "source", "chunk_id", "n_chunk_tokens",
+        "chunk_text",
+    }
+    bad = chunks.filter(
+        (F.col("n_chunk_tokens") < 1)
+        | (F.col("n_chunk_tokens") > _CHUNK_W)
+        | (F.size(F.split("chunk_text", " ")) != F.col("n_chunk_tokens"))
+    )
+    assert bad.count() == 0
+    assert {r.split for r in chunks.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+
+
+def test_bins_contiguous_and_filled(spark, prep_out):
+    root, _ = prep_out
+    manifest = spark.read.parquet(f"{root}/pack_manifest")
+    # bins within each (split, source) start at 0 and are contiguous
+    per = (
+        manifest.groupBy("split", "source")
+        .agg(
+            F.min("bin").alias("lo"),
+            F.max("bin").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in per:
+        assert r.lo == 0, r
+        assert r.n == r.hi + 1, r
+    assert manifest.filter(F.col("bin_tokens") <= 0).count() == 0
+
+
+def test_prep_is_deterministic(spark, prep_out, tmp_path):
+    root1, c1 = prep_out
+    c2 = run_prep(spark, SF, str(tmp_path / "again"))
+    assert c1 == c2
+    a = spark.read.parquet(f"{root1}/pack_manifest")
+    b = spark.read.parquet(f"{tmp_path}/again/pack_manifest")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

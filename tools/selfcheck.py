@@ -66,9 +66,11 @@ def main() -> int:
         )
     qs, oracles = queries(), oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -114,7 +116,10 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"ok    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
+    # denominator = queries actually executed, so a filtered run can't
+    # read as a clean full pass
+    print(f"\n{n_run - len(failed)}/{n_run} passed"
+          + ("" if n_run == len(qs) else f" (of {len(qs)} registered)"))
     return 1 if failed else 0
 
 

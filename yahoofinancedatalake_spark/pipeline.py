@@ -264,9 +264,23 @@ def main(argv: list[str] | None = None) -> None:
     run.add_argument("--root", required=True, help="lake root directory")
     run.add_argument("--fixtures", default=DEFAULT_FIXTURES)
     run.add_argument("--date", default="2024-04-01", help="ingest date")
+    prep = sub.add_parser(
+        "prep", help="run the training-data prep pipeline over documents"
+    )
+    prep.add_argument("--root", required=True, help="output root directory")
+    prep.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="input directory holding documents.parquet",
+    )
     args = ap.parse_args(argv)
     spark = get_spark("pipeline")
-    counts = Pipeline(spark, args.root, args.fixtures).run(args.date)
+    if args.cmd == "prep":
+        from yahoofinancedatalake_spark.prep import run_prep  # noqa: PLC0415
+
+        counts = run_prep(spark, args.sf_dir, args.root)
+    else:
+        counts = Pipeline(spark, args.root, args.fixtures).run(args.date)
     for k, v in counts.items():
         print(f"{k}: {v}")
 

@@ -1,0 +1,261 @@
+"""Training-data prep pipeline: documents → model-ready pack manifest.
+
+The medallion pipeline (:mod:`yahoofinancedatalake_spark.pipeline`)
+re-expresses the reference's financial DAG; this module is its
+LLM-training-data sibling — the end-to-end composition of the engine's
+training-data operators into one deterministic Spark job:
+
+    documents
+      → quality gate        (length/stopword heuristics, map-side)
+      → exact dedup         (16-byte content fingerprint, one shuffle)
+      → near-dup removal    (MinHash-LSH candidates → hashed-Jaccard
+                             verify → connected components → keep the
+                             min-id doc per cluster)
+      → decontamination     (drop docs sharing an n-gram with the
+                             benchmark/eval set — md5 equi-join)
+      → split assignment    (deterministic md5 hash → train/val/test)
+      → chunking            (overlapping token windows, map-side)
+      → sequence packing    (context-bin manifest per (split, source))
+
+Every stage is the SAME operator the oracle-gated query pack verifies
+(imported from :mod:`..queries.pack` / :mod:`..operators.dedup`), so
+the pipeline's correctness is inherited from the driver gate rather
+than re-proven here; ``tests/test_prep.py`` asserts the composition
+(counts monotone, no contaminated survivors, determinism across runs).
+
+Scale shape: stages 1, 5, 6 are narrow map-side transforms; the wide
+exchanges are exact-dedup's fingerprint agg, LSH's bucket shuffle, the
+component propagation (O(cluster diameter) rounds), the contamination
+hash join (eval side broadcast), and packing's per-(split, source)
+window — each documented at its operator. Nothing collects to the
+driver except the component-convergence counter.
+
+Run: ``python pipeline.py prep --root /tmp/prep [--sf-dir .../sf0.01]``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.catalog import fan_out, load_table
+
+#: Quality gate thresholds (the text_quality query's length gate).
+MIN_TOKENS = 20
+MIN_CHARS = 100
+
+#: Near-dup verify threshold (the minhash_near_dup query's).
+JACCARD_THRESHOLD = 0.9
+
+#: Split fractions over the md5 hash space (the train_split_assign
+#: query's 80/10/10 boundaries).
+SPLIT_BOUNDS = (("train", "cd"), ("val", "e6"), ("test", None))
+
+
+def _word_tokens():
+    from yahoofinancedatalake_spark.queries.pack import _word_toks  # noqa: PLC0415
+
+    return _word_toks()
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Stage 1 — keep docs passing the length gate (map-side)."""
+    toks = _word_tokens()
+    return (
+        docs.withColumn("__n_tokens", F.size(toks))
+        .filter(
+            (F.col("__n_tokens") >= MIN_TOKENS)
+            & (F.col("n_chars") >= MIN_CHARS)
+        )
+        .drop("__n_tokens")
+    )
+
+
+def drop_near_dups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stages 2+3 — exact dedup, then near-dup cluster removal.
+
+    Exact first: it is one cheap fingerprint aggregation and shrinks
+    the LSH input. Near-dup: LSH candidates → Jaccard verify →
+    connected components → anti-join away every node that is not its
+    cluster's min id (the deterministic keeper).
+    """
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+        exact_dedup,
+        hashed_ngram_jaccard,
+        minhash_lsh_pairs,
+    )
+
+    exact = exact_dedup(docs, "text", id_col)
+    cand = minhash_lsh_pairs(
+        exact, "text", id_col, n_hashes=32, n_bands=8, shingle_n=3
+    )
+    verified = hashed_ngram_jaccard(
+        cand, exact, id_col, "text", shingle_n=3
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    comps = connected_components(verified.select("id_a", "id_b"))
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return exact.join(losers, id_col, "left_anti")
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Stage 4 — drop docs sharing any n-gram with the eval set.
+
+    Same kernel as the ``contamination_ngrams`` query: both sides emit
+    lowercase word n-grams, only md5 hashes ride the shuffle, eval side
+    broadcasts (benchmarks are small).
+    """
+    from yahoofinancedatalake_spark.queries.pack import _CONTAM_N  # noqa: PLC0415
+
+    def grams(d: DataFrame) -> DataFrame:
+        base = (
+            d.select("doc_id", _word_tokens().alias("toks"))
+            .withColumn("n", F.size("toks"))
+            .filter(F.col("n") >= _CONTAM_N)
+        )
+        return base.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - _CONTAM_N),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i + 1, F.lit(_CONTAM_N)), " "
+                    ),
+                )
+            ).alias("gram"),
+        ).select("doc_id", F.md5("gram").alias("g"))
+
+    ev = grams(eval_docs).select("g").distinct()
+    contaminated = (
+        grams(docs).join(F.broadcast(ev), "g").select("doc_id").distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti")
+
+
+def assign_splits(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stage 5 — deterministic content-free split: first hex byte of
+    md5(id) against the 80/10/10 boundaries (the train_split_assign
+    query's rule; free map-side expression, stable across runs and
+    cluster sizes)."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    expr = F.when(h < SPLIT_BOUNDS[0][1], SPLIT_BOUNDS[0][0]).when(
+        h < SPLIT_BOUNDS[1][1], SPLIT_BOUNDS[1][0]
+    ).otherwise(SPLIT_BOUNDS[2][0])
+    return docs.withColumn("split", expr)
+
+
+def chunk_docs(docs: DataFrame) -> DataFrame:
+    """Stage 6 — overlapping token-window chunks (the doc_chunking
+    query's transform, carrying split/source through)."""
+    from yahoofinancedatalake_spark.queries.pack import (  # noqa: PLC0415
+        _CHUNK_S,
+        _CHUNK_W,
+    )
+
+    base = (
+        docs.select("doc_id", "split", "source", _word_tokens().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    ex = base.select(
+        "doc_id",
+        "split",
+        "source",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+        ).alias("st"),
+    )
+    return ex.select(
+        "doc_id",
+        "split",
+        "source",
+        (F.col("st") / _CHUNK_S).cast("long").alias("chunk_id"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("st"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("st") + 1, F.lit(_CHUNK_W)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def pack_chunks(chunks: DataFrame) -> DataFrame:
+    """Stage 7 — context-bin manifest: contiguous fill per
+    (split, source) in (doc_id, chunk_id) order (the sequence_packing
+    query's rule over chunks instead of whole docs)."""
+    from yahoofinancedatalake_spark.queries.pack import _PACK_BUDGET  # noqa: PLC0415
+
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = chunks.withColumn("cum", F.sum("n_chunk_tokens").over(w))
+    return (
+        c.withColumn(
+            "bin",
+            F.floor(
+                (F.col("cum") - F.col("n_chunk_tokens")) / F.lit(_PACK_BUDGET)
+            ).cast("bigint"),
+        )
+        .groupBy("split", "source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def run_prep(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    eval_docs: DataFrame | None = None,
+) -> dict[str, int]:
+    """Run the whole prep DAG and land each stage under ``root``.
+
+    ``eval_docs`` defaults to the corpus rows with ``doc_id % 37 = 0``
+    (the contamination_ngrams query's stand-in benchmark); pass a real
+    benchmark table in production. Returns per-stage row counts.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    eval_set = (
+        eval_docs
+        if eval_docs is not None
+        else docs.filter(F.col("doc_id") % 37 == 0)
+    )
+
+    counts: dict[str, int] = {"input": docs.count()}
+
+    gated = quality_gate(docs)
+    counts["quality_pass"] = gated.count()
+
+    deduped = drop_near_dups(gated)
+    counts["after_dedup"] = deduped.count()
+
+    clean = decontaminate(deduped, eval_set)
+    counts["after_decontam"] = clean.count()
+
+    split = assign_splits(clean)
+    split.write.mode("overwrite").partitionBy("split").parquet(
+        f"{root}/clean_docs"
+    )
+
+    chunks = chunk_docs(split)
+    chunks.write.mode("overwrite").partitionBy("split").parquet(
+        f"{root}/chunks"
+    )
+    counts["chunks"] = spark.read.parquet(f"{root}/chunks").count()
+
+    manifest = pack_chunks(spark.read.parquet(f"{root}/chunks"))
+    manifest.write.mode("overwrite").parquet(f"{root}/pack_manifest")
+    counts["bins"] = spark.read.parquet(f"{root}/pack_manifest").count()
+    return counts

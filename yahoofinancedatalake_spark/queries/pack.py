@@ -3422,8 +3422,14 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_attribution,
     )
 
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    # Land only the two event types the join consumes: both streams
+    # re-read this file, so halving it halves both scans (and mirrors
+    # the production shape, where each stream IS its own topic/table
+    # rather than a filter over the firehose).
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .filter(F.col("event_type").isin("purchase", "view"))
     )
     work = tempfile.mkdtemp(prefix="stream_attr_eq_")
     src = f"{work}/events"
