@@ -257,10 +257,16 @@ def test_running_last_state_accumulates_across_restarts(spark, tmp_path):
             got[r.user_id] = (r.last_value, r.n_events)
 
     def run_once():
-        # memory sink can't recover a checkpoint; foreachBatch can
+        # memory sink can't recover a checkpoint; foreachBatch can.
+        # evict_idle=False: restart semantics are identical (state
+        # lives in the checkpoint either way), and an armed
+        # processing-time timer makes the availableNow run spin empty
+        # batches until awaitTermination expires (~120 s per run);
+        # the timeout-eviction branch is unit-tested directly in
+        # test_timed_out_state_is_removed.
         stream = spark.readStream.schema(schema).parquet(str(src))
         q = (
-            running_last_state(stream)
+            running_last_state(stream, evict_idle=False)
             .writeStream.foreachBatch(sink)
             .outputMode("update")
             .option("checkpointLocation", ck)
@@ -283,3 +289,27 @@ def test_running_last_state_accumulates_across_restarts(spark, tmp_path):
         assert got == {1: (9.0, 2), 2: (7.0, 2)}  # checkpointed state reused
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_timed_out_state_is_removed():
+    """The ProcessingTimeTimeout branch of _running_last_fn: a timed-out
+    key removes its state and emits nothing (driver-side unit test —
+    arming a real 24 h timer in an integration test would spin the
+    availableNow run forever)."""
+    from yahoofinancedatalake_spark.streaming.ops import _running_last_fn
+
+    class FakeState:
+        hasTimedOut = True
+        exists = False
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):  # pragma: no cover - must not be called
+            raise AssertionError("timed-out key must not update state")
+
+    st = FakeState()
+    out = list(_running_last_fn((1,), iter([]), st))
+    assert out == []
+    assert st.removed
