@@ -3537,6 +3537,101 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Extensions — scale primitives under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "salted_join_eq",
+    """
+    SELECT l.l_orderkey,
+           l.l_linenumber,
+           l.l_partkey AS partkey,
+           p.p_name
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="Skew-salted join under the ORACLE gate: salted_join splits "
+    "each (potentially hot) part key over 8 deterministic salt "
+    "buckets (xxhash64 of the row's unique (orderkey, linenumber) "
+    "discriminator — no rand(), task retries re-execute "
+    "identically) and replicates the part side 8x, and the result "
+    "must hash-equal the plain SQL equi-join — salting is a "
+    "physical-plan lever with ZERO semantic effect, now proven "
+    "per-row rather than asserted in unit tests. At 100 TB this is "
+    "the manual escape hatch when AQE's skew rule can't fire "
+    "(shuffle-hash joins, skewed agg side).",
+)
+def q_salted_join_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.skew import salted_join  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_partkey").alias("partkey")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_name"
+    )
+    return salted_join(
+        li,
+        part,
+        on=["partkey"],
+        n_salts=8,
+        how="inner",
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
+@_register(
+    "upsert_rows_eq",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           o_totalprice,
+           year(o_orderdate) AS yr
+    FROM orders
+    """,
+    doc="Row-level keyed upsert under the ORACLE gate (S10, the ES "
+    "_id = {symbol}_{date} analog, reference "
+    "to_elasticsearch.py:78): a serving table is seeded with "
+    "deliberately stale rows (o_totalprice = -1 for every 7th key), "
+    "the correct rows are upserted by key, and the final on-disk "
+    "table must hash-equal a plain SELECT of the source — proving "
+    "replace-by-key semantics AND survivor preservation through the "
+    "anti-join + touched-partition rewrite, at O(touched "
+    "partitions) write cost (untouched year partitions are never "
+    "read or rewritten).",
+)
+def q_upsert_rows_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.sources.parquet_io import (  # noqa: PLC0415
+        upsert_rows,
+        write_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    full = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("yr"),
+    )
+    stale = full.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(-1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    updates = full.filter(F.col("o_orderkey") % 7 == 0)
+    work = tempfile.mkdtemp(prefix="upsert_eq_")
+    path = f"{work}/orders_serving"
+    write_parquet(stale, path, partition_by=["yr"])
+    upsert_rows(spark, updates, path, ["o_orderkey"], "yr")
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.col("yr").cast("bigint").alias("yr")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -3560,6 +3655,8 @@ _FRESH_FIRST = [
     "stream_dedup_batch_eq",
     "stream_attribution_batch_eq",
     "stream_custom_state_batch_eq",
+    "salted_join_eq",
+    "upsert_rows_eq",
     "doc_chunking",
     "contamination_ngrams",
     "sequence_packing",
