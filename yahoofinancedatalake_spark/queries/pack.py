@@ -74,6 +74,27 @@ def _register(name: str, oracle: Optional[str], doc: str = ""):
     return wrap
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _scoped_shuffle(spark: SparkSession, n: int):
+    """Temporarily size shuffle partitions to the data.
+
+    Stateful streaming allocates one state store per shuffle partition
+    per stateful operator, and store setup/commit dominates gate-scale
+    runs (measured: the stream-stream join drops 9.7s → 6.5s at sf0.1
+    going 32 → 8). The result set is partitioning-invariant; a real
+    deployment sizes this to key cardinality × arrival rate.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 # ---------------------------------------------------------------------------
 # A1 — hash group-by with count + max (news_agg, combine_sources.py:71-77)
 # ---------------------------------------------------------------------------
@@ -2403,16 +2424,17 @@ def q_stream_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.repartition(4).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
     name = f"s_daily_avg_eq_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_daily_avg(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _scoped_shuffle(spark, 8):
+        q = (
+            stream_daily_avg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -2463,16 +2485,17 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.repartition(4).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
     name = f"s_sessions_eq_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_sessions(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _scoped_shuffle(spark, 8):
+        q = (
+            stream_sessions(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -3375,16 +3398,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would make the batch split visible in the result. The production
     # knob stays the horizon (see stream_dedup_by_id); the GATE must be
     # batching-invariant.
-    q = (
-        stream_dedup_by_id(stream, ["event_id"], watermark="3650 days")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _scoped_shuffle(spark, 8):
+        q = (
+            stream_dedup_by_id(stream, ["event_id"], watermark="3650 days")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -3465,15 +3489,16 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     name = f"s_attr_eq_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _scoped_shuffle(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.table(name)
 
 
@@ -3514,16 +3539,17 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch.repartition(4).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(batch.schema).parquet(src)
     name = f"s_state_eq_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_last_state(stream, evict_idle=False)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", f"{work}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _scoped_shuffle(spark, 8):
+        q = (
+            running_last_state(stream, evict_idle=False)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     # update-mode memory sink appends the per-batch updated rows; the
     # single-batch availableNow run emits each key once, but guard the
     # multi-batch case deterministically: the LAST update per key is
