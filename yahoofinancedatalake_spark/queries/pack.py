@@ -3563,6 +3563,122 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "unigram_logprob_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
+    ), words AS (
+      SELECT doc_id, unnest(tokens) AS w
+      FROM toks WHERE len(tokens) >= 1
+    ), freq AS (
+      SELECT w, count(*) AS c FROM words GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS n FROM freq
+    ), scored AS (
+      SELECT words.doc_id,
+             {sql_dround("ln(freq.c / tot.n)", 4)} AS lp
+      FROM words JOIN freq USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           {sql_dround("sum(lp)", 4)} / count(*) AS mean_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Training-data op: unigram language-model quality score — each "
+    "doc's mean log-probability under the corpus's own unigram "
+    "distribution (the CCNet/KenLM filtering recipe with the "
+    "simplest possible LM: boilerplate and in-distribution text "
+    "score high, gibberish and outlier docs score low and get "
+    "culled). Per-token log-probs are dround(4)-fixed BEFORE the "
+    "per-doc sum so both engines add identical doubles; the mean is "
+    "an exact IEEE quotient. Plan: one token agg builds the "
+    "frequency table (the 'LM'), a single-row total broadcasts, and "
+    "the token→freq equi-join feeds a per-doc agg — at 100 TB the "
+    "frequency table is vocabulary-sized (millions of rows, "
+    "broadcastable or bucketed), never corpus-sized.",
+)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    base = docs.select("doc_id", _word_toks().alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    words = base.select("doc_id", F.explode("toks").alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # fold the single-row total into the frequency table via a
+    # constant-key EQUI-join (BroadcastHashJoin): a bare crossJoin of a
+    # 1-row frame plans as BroadcastNestedLoopJoin, which the plan
+    # suite rightly treats as a scale killer. The key must be DERIVED
+    # FROM DATA (hash mod 1 == 0 on both sides) — a literal key on
+    # both sides constant-folds the join condition away and the plan
+    # degenerates right back to the nested loop.
+    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
+    tot = freq.agg(F.sum("c").alias("n")).withColumn("__k", k_of(F.col("n")))
+    freq_n = (
+        freq.withColumn("__k", k_of(F.col("w")))
+        .join(F.broadcast(tot), "__k")
+        .drop("__k")
+    )
+    scored = words.join(freq_n, "w").select(
+        "doc_id",
+        dround(F.log(F.col("c") / F.col("n")), 4).alias("lp"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (dround(F.sum("lp"), 4) / F.count(F.lit(1))).alias(
+                "mean_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "approx_quantile_gate",
+    "SELECT 'approx_median_rank_error' AS metric, TRUE AS passed",
+    doc="Approximate-quantile error gate (the A6 companion: distinct "
+    "count has exact/approx+bounds twins, quantiles get the same "
+    "treatment): percentile_approx(value, 0.5, accuracy=100) per "
+    "event_type must land within the Greenwald-Khanna rank "
+    "guarantee — |rank(approx) - N/2| <= eps*N with eps = "
+    "1/accuracy — checked fully distributed: rank of the approx "
+    "answer is ONE count aggregation against the data, never a "
+    "sort. At 100 TB the approx sketch is mergeable map-side "
+    "(that's why it exists); the exact median would need a global "
+    "sort or two passes.",
+)
+def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    acc = 100
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("apx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("apx"), 1).otherwise(0)
+            ).alias("rank_apx"),
+            F.max("n").alias("n"),
+        )
+    )
+    ok = (
+        F.abs(F.col("rank_apx") - F.col("n") / 2.0)
+        <= F.col("n") / F.lit(float(acc))
+    )
+    return ranks.agg(
+        F.lit("approx_median_rank_error").alias("metric"),
+        F.min(ok.cast("boolean")).alias("passed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — scale primitives under the oracle gate
 # ---------------------------------------------------------------------------
@@ -3683,6 +3799,8 @@ _FRESH_FIRST = [
     "stream_custom_state_batch_eq",
     "salted_join_eq",
     "upsert_rows_eq",
+    "unigram_logprob_quality",
+    "approx_quantile_gate",
     "doc_chunking",
     "contamination_ngrams",
     "sequence_packing",
