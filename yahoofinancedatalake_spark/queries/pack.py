@@ -3679,6 +3679,128 @@ def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "gap_fill_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS day,
+             {sql_dround("sum(value)", 2)} AS v
+      FROM events
+      WHERE day(ts) % 7 <> 3
+      GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(day) AS lo, max(day) AS hi
+      FROM daily GROUP BY event_type
+    ), cal AS (
+      SELECT event_type, unnest(generate_series(lo, hi,
+             INTERVAL 1 DAY)) AS day
+      FROM span
+    ), joined AS (
+      SELECT cal.event_type, cal.day, daily.v,
+             count(daily.v) OVER (
+               PARTITION BY cal.event_type ORDER BY cal.day
+               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM cal LEFT JOIN daily USING (event_type, day)
+    )
+    SELECT event_type, day,
+           coalesce(v, max(v) OVER (
+             PARTITION BY event_type, grp)) AS v_filled,
+           (v IS NULL) AS was_gap
+    FROM joined
+    ORDER BY event_type, day
+    """,
+    doc="Time-series regularization: reindex each event type's daily "
+    "series onto its full calendar span (sequence + explode builds "
+    "the calendar JVM-side) and forward-fill gaps with the last "
+    "observed value — last(ignoreNulls) over an unbounded-preceding "
+    "window, the standard Spark gap-fill idiom (the reference's "
+    "OHLCV series assume trading-day continuity; an engine must "
+    "MAKE a series regular before lag/rolling ops are meaningful). "
+    "Oracle replays the fill with the count-over-nulls grouping "
+    "trick. Plan: one agg, a per-type span agg (broadcast), calendar "
+    "explode is linear in days, and the fill window partitions by "
+    "type — at 100 TB partition by (type, year) like "
+    "percent_rank_yearly.",
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # the synthetic events cover every day, so a deterministic subset
+    # of days (day-of-month ≡ 3 mod 7) is dropped on BOTH sides to
+    # create real gaps — otherwise the fill path would go unexercised
+    daily = (
+        ev.filter(F.dayofmonth("ts") % 7 != 3)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dround(F.sum("value"), 2).alias("v"))
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    cal = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = cal.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.coalesce(
+            "v", F.last("v", ignorenulls=True).over(w)
+        ).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    ).orderBy("event_type", "day")
+
+
+@_register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+      FROM events
+    )
+    SELECT f.cohort,
+           datediff('day', f.cohort, a.w) // 7 AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort, week_offset
+    """,
+    doc="Cohort retention: users bucketed by first-seen month, counted "
+    "active per (cohort, weeks-since-cohort) — the standard "
+    "retention triangle behind every product dashboard (and the "
+    "engine form of Kibana's unique-count-over-time panels). Plan: "
+    "the firsts table is one keyed agg, activity is a distinct "
+    "projection, the join is a user_id equi-join and the final agg "
+    "keys on (cohort, offset) — three shuffles total, all on "
+    "high-cardinality or composite keys, no hot reducer. At 100 TB "
+    "firsts is users-sized; bucket both sides by user_id at write "
+    "time and the join goes exchange-free.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = F.date_trunc("week", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min(w).alias("cohort"))
+    activity = ev.select("user_id", w.alias("w")).distinct()
+    off = F.floor(F.datediff("w", "cohort") / 7).cast("bigint")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort", off.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — scale primitives under the oracle gate
 # ---------------------------------------------------------------------------
@@ -3801,6 +3923,8 @@ _FRESH_FIRST = [
     "upsert_rows_eq",
     "unigram_logprob_quality",
     "approx_quantile_gate",
+    "gap_fill_daily",
+    "cohort_retention",
     "doc_chunking",
     "contamination_ngrams",
     "sequence_packing",
