@@ -3801,6 +3801,101 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "funnel_stages",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+             AS stage_signup,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    THEN 1 ELSE 0 END) AS stage_view,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                         AND t_purchase > t_view
+                    THEN 1 ELSE 0 END) AS stage_purchase
+    FROM per_user
+    """,
+    doc="Funnel analysis: users progressing signup → view → purchase "
+    "in strict time order, counted per stage (the product-analytics "
+    "staple next to cohort_retention; Kibana models it as filter "
+    "ratios). Conditional-min aggregation — ONE pass computes each "
+    "user's first event per stage, one tiny agg derives the funnel; "
+    "no joins, no window, no per-stage scans. NULL semantics do the "
+    "ordering work: t_view > t_signup is NULL-false when either "
+    "stage is missing, identically in both engines. At 100 TB: a "
+    "single user-keyed shuffle, then a scalar aggregate.",
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str) -> Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_signup = F.col("t_signup").isNotNull()
+    reached_view = reached_signup & (F.col("t_view") > F.col("t_signup"))
+    reached_purchase = reached_view & (
+        F.col("t_purchase") > F.col("t_view")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(reached_signup.cast("long")).alias("stage_signup"),
+        F.sum(reached_view.cast("long")).alias("stage_view"),
+        F.sum(reached_purchase.cast("long")).alias("stage_purchase"),
+    )
+
+
+@_register(
+    "value_histogram",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value / 50.0) AS BIGINT) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket,
+           (bucket * 50.0)::DOUBLE AS bucket_lo,
+           count(*) AS n
+    FROM b
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    doc="Fixed-width histogram per event type (width_bucket semantics, "
+    "width 50): the Kibana-histogram-panel twin and the profiling "
+    "primitive behind skew detection and bin-packed sampling. "
+    "floor(value/width) is exact IEEE on both engines for these "
+    "magnitudes — no dround needed; one keyed agg on (type, bucket), "
+    "map-side combine makes the shuffle carry at most "
+    "types x buckets rows regardless of input size.",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0).cast("bigint")
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 50.0).alias("bucket_lo"),
+            "n",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — scale primitives under the oracle gate
 # ---------------------------------------------------------------------------
@@ -3925,6 +4020,8 @@ _FRESH_FIRST = [
     "approx_quantile_gate",
     "gap_fill_daily",
     "cohort_retention",
+    "funnel_stages",
+    "value_histogram",
     "doc_chunking",
     "contamination_ngrams",
     "sequence_packing",
