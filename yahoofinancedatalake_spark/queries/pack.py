@@ -3896,6 +3896,110 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "label_centroids",
+    f"""
+    WITH comp AS (
+      SELECT label, pos,
+             {sql_dround("embedding[pos]", 4)} AS x
+      FROM (
+        SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+      )
+    )
+    SELECT label, pos,
+           count(*) AS n,
+           {sql_dround("sum(x)", 2)} / count(*) AS centroid
+    FROM comp
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+    doc="Embedding-space monitoring: per-label centroid, one row per "
+    "(label, dimension) — the drift/quality signal a training "
+    "pipeline tracks per class (centroid shift between snapshots = "
+    "distribution drift; it is also the k-means update step the IVF "
+    "trainer runs driver-side on a bounded sample, here executed "
+    "fully distributed). posexplode flattens vectors to (label, pos, "
+    "component); components are dround(4)-fixed BEFORE the sum "
+    "(the engine's fixed-point-before-sum determinism rule), the "
+    "mean is an exact IEEE quotient. One shuffle on the composite "
+    "(label, pos) key — dims x labels reducers, no hot key, and the "
+    "map-side combine means the exchange carries partial sums, not "
+    "components.",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "x0"
+        ),
+    ).select(
+        "label",
+        # 1-based to match DuckDB list subscripts
+        (F.col("pos0") + 1).alias("pos"),
+        dround(F.col("x0"), 4).alias("x"),
+    )
+    return (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (dround(F.sum("x"), 2) / F.count(F.lit(1))).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@_register(
+    "key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT sum(n) AS total, max(n) AS mx FROM counts
+    )
+    SELECT c.user_id,
+           c.n,
+           c.n / t.total AS share,
+           c.n / t.mx AS rel_to_heaviest
+    FROM counts c, tot t
+    ORDER BY c.n DESC, c.user_id ASC
+    LIMIT 10
+    """,
+    doc="Skew diagnostics: the top-10 heaviest join/agg keys with "
+    "their share of total rows and size relative to the heaviest — "
+    "the measurement you run BEFORE reaching for salted_join or AQE "
+    "skew hints (a key with share >> 1/parallelism is the hot "
+    "reducer). Key counts combine map-side; the single-row totals "
+    "fold back in via the data-derived constant-key broadcast hash "
+    "join (same trick as unigram_logprob_quality — a literal key "
+    "constant-folds into a nested loop); top-10 is a TakeOrdered. "
+    "share is an exact IEEE quotient of two longs on both engines.",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.max("n").alias("mx")
+    ).withColumn("__k", k_of(F.col("total")))
+    joined = counts.withColumn("__k", k_of(F.col("user_id"))).join(
+        F.broadcast(tot), "__k"
+    )
+    return (
+        joined.select(
+            "user_id",
+            "n",
+            (F.col("n") / F.col("total")).alias("share"),
+            (F.col("n") / F.col("mx")).alias("rel_to_heaviest"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — scale primitives under the oracle gate
 # ---------------------------------------------------------------------------
@@ -4022,6 +4126,8 @@ _FRESH_FIRST = [
     "cohort_retention",
     "funnel_stages",
     "value_histogram",
+    "label_centroids",
+    "key_skew_profile",
     "doc_chunking",
     "contamination_ngrams",
     "sequence_packing",
