@@ -81,6 +81,11 @@ def test_anti_join_plans_as_left_anti(spark):
 EXPAND_ALLOWED = {
     "unpivot_measures",
     "rollup_order_totals",
+    # N distinct aggregates fused into one pass compile to a
+    # grouping-set Expand (xN+1 row multiplication) by construction —
+    # that IS Spark's single-pass multi-distinct plan, and the
+    # alternative is N separate scans
+    "column_profile",
 }
 
 

@@ -4000,6 +4000,119 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Columns profiled by column_profile (orders table).
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+@_register(
+    "column_profile",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col,
+           count(*) AS n,
+           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           count(DISTINCT {c}) AS n_distinct
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY col",
+    doc="Data profiling: per-column row/null/distinct counts for the "
+    "orders table, computed in ONE aggregation pass (a struct per "
+    "column inside a single agg, unpivoted to rows afterwards) — "
+    "the engine form of DESCRIBE/profile jobs that otherwise scan "
+    "once per column. The oracle is the naive per-column UNION ALL; "
+    "matching it proves the fused single-pass form. At 100 TB one "
+    "pass vs N passes is the whole point; exact distinct counts "
+    "shuffle per column — swap approx_count_distinct in where the "
+    "±2% HLL bound is acceptable (see approx_distinct_per_day).",
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.col(f"__n_{c}").alias("n"),
+                    F.col(f"__null_{c}").alias("n_null"),
+                    F.col(f"__dist_{c}").alias("n_distinct"),
+                )
+                for c in _PROFILE_COLS
+            ]
+        )
+    ).alias("r")
+    return one.select(rows).select(
+        "r.col", "r.n", "r.n_null", "r.n_distinct"
+    ).orderBy("col")
+
+
+@_register(
+    "snapshot_diff",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ), b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT CASE
+             WHEN b.o_orderkey IS NULL THEN 'removed'
+             WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+             ELSE 'unchanged'
+           END AS status,
+           count(*) AS n
+    FROM a LEFT JOIN b USING (o_orderkey)
+    GROUP BY status
+    ORDER BY status
+    """,
+    doc="Snapshot diff (CDC-style validation): compare two keyed table "
+    "snapshots and count unchanged/changed/removed rows — the check "
+    "run after every migration, backfill, or upsert batch (the "
+    "reference's daily full re-index has no such guard; an engine "
+    "needs one). Snapshot B is derived deterministically from A on "
+    "both engines (every 11th key deleted, every 7th price bumped). "
+    "Plan: one equi-join on the key + one tiny agg; at 100 TB both "
+    "snapshots bucket by key at write time and the join goes "
+    "exchange-free — diffing cost is a co-partitioned scan, not a "
+    "shuffle of history.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_orderkey", "o_totalprice")
+    b = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("b_totalprice"),
+    )
+    joined = a.join(b, "o_orderkey", "left")
+    status = (
+        F.when(F.col("b_totalprice").isNull(), "removed")
+        .when(F.col("o_totalprice") != F.col("b_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — scale primitives under the oracle gate
 # ---------------------------------------------------------------------------
@@ -4128,6 +4241,8 @@ _FRESH_FIRST = [
     "value_histogram",
     "label_centroids",
     "key_skew_profile",
+    "column_profile",
+    "snapshot_diff",
     "doc_chunking",
     "contamination_ngrams",
     "sequence_packing",
