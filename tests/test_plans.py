@@ -86,6 +86,8 @@ EXPAND_ALLOWED = {
     # that IS Spark's single-pass multi-distinct plan, and the
     # alternative is N separate scans
     "column_profile",
+    # CUBE = grouping sets = Expand, same as ROLLUP
+    "cube_event_stats",
 }
 
 

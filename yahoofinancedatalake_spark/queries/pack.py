@@ -4113,6 +4113,39 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cube_event_stats",
+    f"""
+    SELECT event_type,
+           dayofweek(ts) + 1 AS dow,
+           count(*) AS n,
+           {sql_dround("sum(value)", 2)} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+    ORDER BY event_type, dow
+    """,
+    doc="Grouping-sets completeness: CUBE over (event_type, "
+    "day-of-week) — all four grouping sets (both, each alone, grand "
+    "total) in one pass, the companion to rollup_order_totals' "
+    "ROLLUP (the two cover everything GROUPING SETS can express). "
+    "Compiles to the same grouping-set Expand as ROLLUP (x4 here), "
+    "partial aggregation combines map-side, and sums are "
+    "dround-fixed. DOW convention differs across engines — Spark "
+    "dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6 — so the "
+    "oracle adds 1.",
+)
+def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extensions — scale primitives under the oracle gate
 # ---------------------------------------------------------------------------
@@ -4243,6 +4276,7 @@ _FRESH_FIRST = [
     "key_skew_profile",
     "column_profile",
     "snapshot_diff",
+    "cube_event_stats",
     "doc_chunking",
     "contamination_ngrams",
     "sequence_packing",
