@@ -36,6 +36,25 @@ def main() -> None:
 
     # Warm-up: JIT/codegen + parquet footer reads, excluded from timings.
     force(QUERIES["pricing_summary"].spark(spark, sf_dir))
+    # Spin up the Python UDF worker pool too (one worker per core,
+    # ~2s total) so the first pandas_udf query isn't charged session
+    # startup — worker processes are session infrastructure, reused
+    # across all queries.
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def _ident(s):
+        return s
+
+    # `from __future__ import annotations` stringifies hints; attach
+    # real annotation objects instead (same trick as operators/dedup.py)
+    _ident.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    warm = F.pandas_udf(_ident, "double")
+    force(
+        spark.range(0, 1 << 15, 1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select(warm(F.col("id").cast("double")).alias("v"))
+    )
 
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
