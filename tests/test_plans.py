@@ -27,6 +27,7 @@ CARTESIAN_ALLOWED = {
     "ngram_jaccard_pairs",
     "ann_recall",
     "ivf_recall",
+    "pq_recall",  # embeds the brute-force kernel as ground truth
 }
 
 
@@ -143,3 +144,23 @@ def test_no_scale_killers_in_any_query(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_segment_top_orders_plan(spark):
+    # TPC-H Q3 shape: the filtered BUILDING customer side must
+    # broadcast, and the revenue top-10 must be TakeOrderedAndProject
+    # (never a global sort of the aggregate)
+    plan = _plan(spark, "segment_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
+
+
+def test_region_nation_revenue_broadcasts_dims(spark):
+    # TPC-H Q5 shape: every dimension (region, nation, customer,
+    # supplier) rides a broadcast — at least 3 BroadcastHashJoins in
+    # the executed plan, and no shuffle for the 5-row final ORDER BY
+    # beyond the aggregation exchange
+    plan = _plan(spark, "region_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan

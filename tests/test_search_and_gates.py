@@ -63,7 +63,7 @@ def test_ann_and_ivf_recall_gates_pass(spark):
     # sf0.001 the corpus is so small that true top-5 neighbors sit at
     # much lower cosine, where LSH collision probability drops — the
     # 0.99/0.95 thresholds are calibrated for the gate scale.)
-    for name in ("ann_recall", "ivf_recall"):
+    for name in ("ann_recall", "ivf_recall", "pq_recall"):
         rows = QUERIES[name].spark(spark, "/root/testdata/sf0.01").collect()
         assert len(rows) == 1
         assert rows[0].passed is True, name

@@ -178,3 +178,63 @@ def test_brute_force_salted_topk_matches_single_window(spark):
     ra = sorted((r.query_id, r.neighbor_id, r.cosine) for r in a.collect())
     rb = sorted((r.query_id, r.neighbor_id, r.cosine) for r in b.collect())
     assert ra == rb
+
+
+def test_pq_codebooks_deterministic_and_shaped():
+    from yahoofinancedatalake_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    sample = rng.standard_normal((200, DIM)).tolist()
+    b1 = train_pq_codebooks(sample, m=4, ks=8, seed=5)
+    b2 = train_pq_codebooks(sample, m=4, ks=8, seed=5)
+    assert b1 == b2  # bit-deterministic
+    assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == DIM // 4
+    with pytest.raises(ValueError):
+        train_pq_codebooks(sample, m=5, ks=8)  # 16 % 5 != 0
+
+
+def test_pq_topk_recall_vs_brute_force(spark, corpus):
+    from yahoofinancedatalake_spark.operators.similarity import (
+        pq_cosine_topk,
+    )
+
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_cosine_topk(queries, corpus, k=3).collect()
+    }
+    # rerank covers the whole 60-vector corpus → exact re-rank makes
+    # PQ recall 1.0 by construction; this pins the plumbing
+    # (encode → ADC scan → candidate join → re-rank), not the tuning
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_cosine_topk(
+            queries, corpus, k=3, m=4, ks=8, rerank=60, seed=5
+        ).collect()
+    }
+    assert truth == approx
+
+
+def test_pq_topk_deterministic(spark, corpus):
+    from yahoofinancedatalake_spark.operators.similarity import (
+        pq_cosine_topk,
+    )
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    a = sorted(
+        map(tuple, pq_cosine_topk(
+            queries, corpus, k=4, m=4, ks=8, rerank=16, seed=5
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, pq_cosine_topk(
+            queries, corpus, k=4, m=4, ks=8, rerank=16, seed=5
+        ).collect())
+    )
+    assert a == b and len(a) == 12
