@@ -5303,6 +5303,293 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(truth, approx, "pq_recall_at_5", 0.95)
 
 
+# ---------------------------------------------------------------------------
+# Relational coverage widening — EXISTS semi-join between facts (Q4),
+# conditional market share (Q8), left-join distribution (Q13),
+# cumulative windows, per-year deciles, arg-max per group
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "late_shipment_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: orders with at least one line shipped more "
+    "than 60 days after order date, counted per priority — an EXISTS "
+    "between two FACT tables (unlike exists_filter's dim probe), "
+    "which must plan as a shuffled LEFT SEMI equi-join on orderkey: "
+    "each order counted once no matter how many late lines, no "
+    "row-multiplying inner join then distinct. At 100 TB both sides "
+    "bucket by orderkey and the semi-join is co-partitioned.",
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "nation_market_share",
+    f"""
+    SELECT year(o.o_orderdate) AS o_year,
+           {sql_dround("sum(CASE WHEN s.s_nationkey = 8 "
+                       "THEN l.l_extendedprice * (1 - l.l_discount) "
+                       "ELSE 0 END)", 4)} AS nation_rev,
+           {sql_dround("sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
+             AS total_rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (market share): for orders by ASIA-region "
+    "customers, the yearly revenue supplied by one nation "
+    "(s_nationkey=8) next to the total — conditional aggregation "
+    "(CASE inside sum) over a 6-way join, the numerator and "
+    "denominator computed in ONE pass instead of two query runs. "
+    "Share = nation_rev/total_rev is left to the consumer: a ratio "
+    "of two dround-ed sums is engine-exact, a rounded ratio of raw "
+    "sums is not. All dims broadcast; the only wide exchange is "
+    "lineitem⋈orders + the per-year agg.",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia), cust.c_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dround(
+                F.sum(F.when(F.col("s_nationkey") == 8, rev).otherwise(0.0)),
+                4,
+            ).alias("nation_rev"),
+            dround(F.sum(rev), 4).alias("total_rev"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "customer_order_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+    doc="TPC-H Q13 shape (customer distribution): LEFT OUTER join so "
+    "order-less customers survive as n_orders=0, then a second "
+    "aggregation histograms customers by order count. The two-level "
+    "agg is the canonical distribution query; count(o_orderkey) — "
+    "not count(*) — is what makes the null-extended rows count 0. "
+    "At 100 TB the first agg shuffles on custkey (or is free if "
+    "orders is bucketed by custkey), the second on the tiny "
+    "n_orders domain.",
+)
+def q_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+@_register(
+    "running_revenue_by_customer",
+    f"""
+    SELECT o_custkey, o_orderdate, o_orderkey,
+           {sql_dround(
+               "sum(o_totalprice) OVER ("
+               "PARTITION BY o_custkey "
+               "ORDER BY o_orderdate, o_orderkey "
+               "ROWS UNBOUNDED PRECEDING)", 2)} AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="Cumulative window: per-customer running revenue over order "
+    "history — the lifetime-value curve. ROWS UNBOUNDED PRECEDING "
+    "with a total ordering (date, orderkey) makes the prefix-sum "
+    "sequence identical on both engines, so dround(2) on each "
+    "cumulative value is bit-stable. Partitioned by customer → "
+    "bounded per-reducer state; the o_custkey < 100 filter is "
+    "pushed to the scan (the full-table form is the same plan).",
+)
+def q_running_revenue_by_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            dround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@_register(
+    "order_deciles_yearly",
+    f"""
+    SELECT o_year, decile,
+           count(*) AS n_orders,
+           {sql_dround("min(o_totalprice)", 2)} AS min_price,
+           {sql_dround("max(o_totalprice)", 2)} AS max_price
+    FROM (
+      SELECT year(o_orderdate) AS o_year, o_totalprice,
+             ntile(10) OVER (
+               PARTITION BY year(o_orderdate)
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+      FROM orders
+    )
+    GROUP BY o_year, decile
+    ORDER BY o_year, decile
+    """,
+    doc="NTILE deciles of order value per year — the rank-bucketing "
+    "window next to percent_rank. Partitioned by year so per-reducer "
+    "state is one year of one partition, never the global sort a "
+    "bare ntile() would need (the same bounded-state argument as "
+    "percent_rank_yearly); tie-broken by orderkey so both engines "
+    "assign identical bucket membership on equal prices. At true "
+    "100 TB scale exact global deciles give way to "
+    "percentile_approx cutoffs (approx_quantile_gate covers that "
+    "path); this is the exact form at bounded partition size.",
+)
+def q_order_deciles_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.year("o_orderdate")).orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("o_year"),
+            "o_totalprice",
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("o_year", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.min("o_totalprice"), 2).alias("min_price"),
+            dround(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_year", "decile")
+    )
+
+
+@_register(
+    "top_lineitem_per_order",
+    """
+    SELECT l_orderkey,
+           arg_max(l_partkey, l_extendedprice * 1000 + l_linenumber)
+             AS top_partkey,
+           arg_max(l_linenumber, l_extendedprice * 1000 + l_linenumber)
+             AS top_linenumber
+    FROM lineitem
+    WHERE l_orderkey < 4000
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    doc="Arg-max per group via max_by — the single-pass alternative "
+    "to last_value_per_group's window+filter (one hash aggregate, "
+    "no sort, no row_number): the highest-value line of each order "
+    "with its part. The ordering key embeds the tie-break "
+    "numerically (price·1000 + linenumber: prices step by ≥0.01 → "
+    "key gaps ≥10 dominate the ≤7 linenumber term, and both engines "
+    "compute the identical IEEE double), because neither engine's "
+    "arg_max/max_by accepts a composite sort value portably. "
+    "Map-side partial max_by makes this the cheapest "
+    "greatest-per-group shape at 100 TB.",
+)
+def q_top_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 4000
+    )
+    key = F.col("l_extendedprice") * 1000 + F.col("l_linenumber")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max_by("l_partkey", key).alias("top_partkey"),
+            F.max_by("l_linenumber", key).alias("top_linenumber"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -5320,6 +5607,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window, while long-green mature queries run last.
 _FRESH_FIRST = [
     # round 6 additions — multi-way joins, corpus rebalancing, PQ ANN
+    "late_shipment_priority",
+    "nation_market_share",
+    "customer_order_distribution",
+    "running_revenue_by_customer",
+    "order_deciles_yearly",
+    "top_lineitem_per_order",
     "segment_top_orders",
     "region_nation_revenue",
     "temperature_sampling",
