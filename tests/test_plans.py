@@ -28,6 +28,7 @@ CARTESIAN_ALLOWED = {
     "ann_recall",
     "ivf_recall",
     "pq_recall",  # embeds the brute-force kernel as ground truth
+    "ivfpq_recall",  # same
 }
 
 

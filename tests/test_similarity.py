@@ -238,3 +238,28 @@ def test_pq_topk_deterministic(spark, corpus):
         ).collect())
     )
     assert a == b and len(a) == 12
+
+
+def test_ivfpq_topk_with_full_coverage_matches_exact(spark, corpus):
+    from yahoofinancedatalake_spark.operators.similarity import (
+        ivfpq_cosine_topk,
+    )
+
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_cosine_topk(queries, corpus, k=3).collect()
+    }
+    # probe every centroid + whole-corpus rerank → exact by
+    # construction; pins the composed plumbing (coarse assign +
+    # encode + ADC join + shortlist + re-rank), not the tuning
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_cosine_topk(
+            queries, corpus, k=3, n_centroids=4, n_probe=4,
+            n_assign=1, m=4, ks=8, rerank=60, seed=5,
+        ).collect()
+    }
+    assert truth == approx

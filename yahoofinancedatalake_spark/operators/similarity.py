@@ -717,3 +717,160 @@ def pq_cosine_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivfpq_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 8,
+    n_probe: int = 5,
+    n_assign: int = 2,
+    m: int = 16,
+    ks: int = 32,
+    rerank: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    sample_mod: int = 3,
+    seed: int = 11,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """IVF+PQ composed index — the FAISS ``IndexIVFPQ`` shape (here
+    with ``by_residual=false``: codes encode raw vectors, not
+    centroid residuals, trading a little quantization accuracy for
+    one shared codebook across clusters — the exact re-rank stage
+    absorbs the difference).
+
+    IVF contributes the PRUNING axis (only ``n_probe/n_centroids`` of
+    the corpus is scanned per query), PQ the COMPRESSION axis (what
+    does flow through the candidate equi-join is the ``m``-byte code
+    array + cluster id, never the raw vector — where plain
+    :func:`ivf_cosine_topk` ships the full ``__cv`` double array
+    through its join). Pipeline: one shared size-capped training
+    sample → coarse centroids + sub-codebooks; corpus encoded
+    map-side to (cluster, codes); query probes exploded and
+    broadcast; ADC scoring on the joined candidates via a per-query
+    lookup table; top-``rerank`` per query; exact cosine re-rank of
+    those ids only. At 100 TB the corpus index is bucketed by
+    cluster, codes are ~25× smaller than vectors, and the only raw
+    vectors read are the ≤ Q·rerank re-rank rows.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    train_cap = max(10_000, 39 * max(ks, n_centroids))
+    sample_rows = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(train_cap)
+        .collect()
+    )
+    sample = [r.v for r in sample_rows]
+    cent = kmeans_centroids(sample, n_centroids, seed=seed)
+    books = train_pq_codebooks(sample, m, ks, seed=seed)
+
+    # n_assign-way corpus replication (FAISS-style spilled assignment,
+    # same as ivf_cosine_topk): a true neighbor is found if ANY of its
+    # clusters is probed — lifts recall steeply on weakly-clustered
+    # data for an n_assign× larger (but still code-compressed) index
+    corpus_enc = corpus.select(
+        F.col(id_col),
+        F.explode(
+            _ivf_assign_udf(cent, n_assign)(F.col(vec_col))
+        ).alias("cluster"),
+        _pq_encode_udf(books)(F.col(vec_col)).alias("codes"),
+    )
+    query_probes = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            _ivf_assign_udf(cent, n_probe)(F.col(query_vec_col))
+        ).alias("cluster"),
+    )
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    q_mat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    dsub = books_np[0].shape[1]
+    lut_by_qid = {}
+    for i, r in enumerate(qrows):
+        lut_by_qid[r[0]] = np.stack(
+            [
+                q_mat[i, s * dsub : (s + 1) * dsub] @ books_np[s].T
+                for s in range(m)
+            ],
+            axis=0,
+        )  # (m, ks)
+    norm_lut = np.stack([(b**2).sum(1) for b in books_np], axis=0)
+    qnorm_by_qid = {
+        r[0]: float(np.linalg.norm(q_mat[i]))
+        for i, r in enumerate(qrows)
+    }
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def adc(codes, qid):
+        c = np.asarray(codes.tolist(), dtype=np.int64)
+        q = qid.to_numpy()
+        out = np.full(len(c), -np.inf)
+        idx_all = np.arange(m)
+        approx_sq = norm_lut[idx_all[None, :], c].sum(1)  # (n,)
+        approx_n = np.sqrt(approx_sq)
+        for u in np.unique(q):
+            lut = lut_by_qid.get(u)
+            if lut is None:
+                continue
+            mask = q == u
+            dots = lut[idx_all[None, :], c[mask]].sum(1)
+            denom = qnorm_by_qid[u] * approx_n[mask]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[mask] = np.where(denom > 0, dots / denom, -np.inf)
+        return pd.Series(out)
+
+    adc.__annotations__ = {
+        "codes": pd.Series, "qid": pd.Series, "return": pd.Series
+    }
+    adc_udf = pandas_udf(adc, "double")
+
+    cand = (
+        corpus_enc.join(F.broadcast(query_probes), "cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            adc_udf(F.col("codes"), F.col(query_id_col)).alias("adc"),
+        )
+        # multi-assign can surface the same (query, neighbor) through
+        # several shared clusters — identical ADC score, dedup before
+        # ranking so a duplicate never occupies two shortlist slots
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= rerank)
+        .select(query_id_col, "neighbor_id")
+    )
+    withvecs = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(
+            F.broadcast(queries.select(query_id_col, query_vec_col)),
+            query_id_col,
+        )
+    )
+    sim = pair_cosine(F.col(query_vec_col), F.col(vec_col), round_to)
+    pairs = withvecs.select(
+        query_id_col, "neighbor_id", sim.alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -5590,6 +5590,58 @@ def q_top_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ivfpq_topk",
+    None,  # k-means coarse quantizer + PQ codebooks → not SQL-expressible
+    doc="IVF+PQ composed ANN (FAISS IndexIVFPQ, by_residual=false): "
+    "IVF prunes the scan to n_probe/n_centroids of the corpus, PQ "
+    "compresses what flows through the candidate equi-join to the "
+    "m-byte code array (plain ivf_topk ships raw vectors through "
+    "its join), ADC lookup-table scoring on the joined candidates, "
+    "exact cosine re-rank of the top-256. The production-shape "
+    "composition of the two index families; quality gated by "
+    "ivfpq_recall.",
+    parts=8,
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import (
+        ivfpq_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivfpq_cosine_topk(queries, emb, k=5, seed=11)
+
+
+@_register(
+    "ivfpq_recall",
+    "SELECT 'ivfpq_recall_at_5' AS metric, TRUE AS passed",
+    doc="ANN quality gate for the composed IVF+PQ index (ivfpq_topk's "
+    "exact configuration: 8 centroids, n_probe=5, n_assign=2, m=16, "
+    "ks=32, rerank=256): recall@5 vs brute-force cosine ≥ 0.95 over "
+    "20 queries. Measured 1.00 at sf0.01, 0.99 at sf0.1 — the "
+    "2-way spilled assignment recovers what single-cluster pruning "
+    "loses on weakly-clustered data (0.86 without it), and the "
+    "exact re-rank absorbs PQ quantization error.",
+    parts=8,
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import (
+        brute_force_cosine_topk,
+        ivfpq_cosine_topk,
+    )
+
+    emb, queries = _ann_queries(spark, sf_dir)
+    truth = brute_force_cosine_topk(
+        queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
+    )
+    approx = ivfpq_cosine_topk(queries, emb, k=5, seed=11)
+    return _recall_gate(truth, approx, "ivfpq_recall_at_5", 0.95)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -5607,6 +5659,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window, while long-green mature queries run last.
 _FRESH_FIRST = [
     # round 6 additions — multi-way joins, corpus rebalancing, PQ ANN
+    "ivfpq_recall",
+    "ivfpq_topk",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
