@@ -176,3 +176,45 @@ def test_upsert_rows_write_amplification_is_touched_partitions(spark, tmp_path):
         for f in os.listdir(msft_dir)
     }
     assert before == after  # byte-identical file set, never rewritten
+
+
+def test_write_clustered_produces_disjoint_selective_row_groups(
+    spark, tmp_path
+):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.sources.parquet_io import (
+        write_clustered,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+    # write in shuffled order so clustering has real work to do
+    ).orderBy(F.md5(F.col("k").cast("string")))
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, ["k"], n_files=4)
+
+    files = sorted((tmp_path / "clustered").glob("*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        col0 = md.row_group(0).column(0)
+        assert col0.path_in_schema == "k"
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    # files hold disjoint ranges (range partitioning) — a point/range
+    # filter on k prunes whole files via footer stats
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # and the union covers everything
+    assert ranges[0][0] == 0 and ranges[-1][1] == 9_999
+    # round-trips intact
+    assert spark.read.parquet(out).count() == 10_000

@@ -5642,6 +5642,71 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(truth, approx, "ivfpq_recall_at_5", 0.95)
 
 
+@_register(
+    "stream_enrich_batch_eq",
+    f"""
+    SELECT n.n_name,
+           count(*) AS n_events,
+           {sql_dround("sum(e.value)", 2)} / count(*) AS avg_value
+    FROM events e
+    JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Sixth streaming rung under the ORACLE gate — stream-static "
+    "broadcast enrichment (the last ladder rung that was "
+    "pytest-only): events re-landed as micro-batchable parquet, "
+    "read with readStream, joined per micro-batch against the "
+    "static nation dimension (streaming/ops.py stream_enrich — the "
+    "dim is re-read each batch, so slowly-changing dimensions pick "
+    "up updates without a restart), aggregated per nation with the "
+    "dround(sum)/count determinism trick, availableNow to a memory "
+    "sink, hash-compared against the plain batch join+agg SQL. "
+    "The join key (user_id %% 25) stands in for the usual "
+    "fact-to-dim foreign key.",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.functions.scalars import (  # noqa: PLC0415
+        dround as _dr,
+    )
+    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
+        stream_enrich,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    dim = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    work = tempfile.mkdtemp(prefix="stream_enrich_eq_")
+    src = f"{work}/events"
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    keyed = stream.withColumn(
+        "n_nationkey", F.pmod(F.col("user_id"), F.lit(25))
+    )
+    enriched = stream_enrich(keyed, dim, ["n_nationkey"], how="inner")
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (_dr(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
+    ).select("n_name", "n_events", "avg_value")
+    name = f"s_enrich_eq_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -5661,6 +5726,7 @@ _FRESH_FIRST = [
     # round 6 additions — multi-way joins, corpus rebalancing, PQ ANN
     "ivfpq_recall",
     "ivfpq_topk",
+    "stream_enrich_batch_eq",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
