@@ -79,3 +79,106 @@ def test_resize_metadata_never_touches_payload(media_df):
     assert (rows[2].resized_width, rows[2].resized_height) == (32, 48)
     # planning half is pure column math on metadata columns
     assert "pythonUDF" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# Built-in stdlib codecs: real WAV/BMP bytes through the real pipeline
+# ---------------------------------------------------------------------------
+
+
+def _make_wav(freq_hz: float, rate: int = 8000, secs: float = 0.25) -> bytes:
+    import struct
+
+    import numpy as np
+
+    n = int(rate * secs)
+    sig = (0.5 * np.sin(2 * np.pi * freq_hz * np.arange(n) / rate))
+    pcm = (sig * 32767).astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def _make_bmp(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    import struct
+
+    import numpy as np
+
+    row_bytes = (w * 3 + 3) & ~3
+    px = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = np.array(rgb[::-1], dtype=np.uint8)
+    px[:, : w * 3] = np.tile(bgr, w)
+    data = px.tobytes()
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    )
+    return hdr + data
+
+
+def test_wav_pcm_decode_roundtrip():
+    import numpy as np
+
+    from yahoofinancedatalake_spark.operators.multimodal import (
+        wav_pcm_decode,
+    )
+
+    sig, rate = wav_pcm_decode(_make_wav(440.0))
+    assert rate == 8000 and len(sig) == 2000
+    assert abs(float(np.abs(sig).max()) - 0.5) < 0.01
+
+
+def test_wav_feature_decoder_separates_frequencies():
+    from yahoofinancedatalake_spark.operators.multimodal import (
+        wav_feature_decoder,
+    )
+
+    lo = wav_feature_decoder(_make_wav(100.0), "wav")
+    hi = wav_feature_decoder(_make_wav(3500.0), "wav")
+    assert lo[1] == 8000.0 and abs(lo[2] - 0.25) < 1e-9
+    # zero-crossing rate tracks frequency; band energy moves up-spectrum
+    assert hi[4] > lo[4]
+    assert lo[6] > 0.9          # 100 Hz → lowest band
+    assert hi[6 + 5] > 0.9      # 3500 Hz → top band (Nyquist 4 kHz)
+
+
+def test_bmp_decode_and_features():
+    from yahoofinancedatalake_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_feature_decoder,
+    )
+
+    px = bmp_decode(_make_bmp(5, 3, (200, 100, 50)))
+    assert px.shape == (3, 5, 3)
+    assert (px[0, 0] == [200, 100, 50]).all()
+    feats = bmp_feature_decoder(_make_bmp(5, 3, (200, 100, 50)), "bmp")
+    assert feats[0] == 5.0 and feats[1] == 3.0
+    assert feats[2] == 200.0 and feats[3] == 100.0 and feats[4] == 50.0
+    assert feats[7] == 0.0  # uniform image → no edges
+
+
+def test_real_codecs_through_mapinpandas_pipeline(spark):
+    from yahoofinancedatalake_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "audio", bytearray(_make_wav(440.0)), "wav",
+         None, None, None, 8000),
+        (2, "image", bytearray(_make_bmp(8, 4, (10, 20, 30))), "bmp",
+         8, 4, None, None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    old = dict(mm._DECODERS)
+    try:
+        mm.register_decoder("audio", mm.wav_feature_decoder)
+        mm.register_decoder("image", mm.bmp_feature_decoder)
+        out = {r.media_id: r for r in mm.extract_features(df).collect()}
+    finally:
+        mm._DECODERS.clear()
+        mm._DECODERS.update(old)
+    assert len(out[1].feature) == 12 and out[1].feature[1] == 8000.0
+    assert len(out[2].feature) == 8 and out[2].feature[0] == 8.0
+    assert out[2].feature[2] == 10.0

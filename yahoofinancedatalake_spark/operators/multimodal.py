@@ -4,10 +4,14 @@ Beyond-parity extension: a 100 TB training-data pipeline carries media
 as opaque ``binary`` columns plus typed metadata, and runs decode /
 feature-extract / resize / frame-sample as Arrow-batched Python
 stages. The Spark-side plumbing here — schemas, ``mapInPandas``
-pipelines, batch shapes, partition sizing — is real and tested; the
-actual codec call is stubbed behind :func:`register_decoder` because
-this container ships no image/audio libraries (a deterministic fake
-decoder backs the tests).
+pipelines, batch shapes, partition sizing — is real and tested. The
+codec registry (:func:`register_decoder`) raises loudly for formats
+needing external libraries (the container ships no Pillow/soundfile/
+pyav), but two stdlib-only codecs decode for REAL — PCM WAV
+(:func:`wav_feature_decoder`) and uncompressed 24-bit BMP
+(:func:`bmp_feature_decoder`) — so the pipeline is exercised
+end-to-end on genuine media bytes; a deterministic fake decoder backs
+the batch-shape tests besides.
 
 Design rules for the hot path:
 
@@ -186,4 +190,123 @@ def resize_metadata(df: DataFrame, max_side: int) -> DataFrame:
             "resized_width": F.floor(w * scale).cast("int"),
             "resized_height": F.floor(h * scale).cast("int"),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Built-in stdlib codecs — real decode paths with zero external deps
+# ---------------------------------------------------------------------------
+#
+# The registry default still raises for unknown formats, but two
+# container-friendly formats decode for real: PCM WAV (RIFF parse +
+# int16 → float) and uncompressed 24-bit BMP (header parse + pixel
+# grid). They prove the mapInPandas plumbing end-to-end on genuine
+# media bytes; production registers Pillow/soundfile/pyav for the
+# compressed formats these two stand in for.
+
+
+def wav_pcm_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a PCM RIFF/WAVE payload → (mono float signal in [-1, 1],
+    sample_rate). Stdlib struct only; 16-bit and 8-bit PCM, any
+    channel count (averaged to mono)."""
+    import struct  # noqa: PLC0415
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = struct.unpack(
+        "<HHIIHH", fmt_chunk[:16]
+    )
+    if audio_fmt != 1:
+        raise ValueError(f"not PCM (audio_fmt={audio_fmt})")
+    if bits == 16:
+        sig = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        sig = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+               - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    if n_ch > 1:
+        sig = sig[: len(sig) - len(sig) % n_ch].reshape(-1, n_ch).mean(1)
+    return sig, rate
+
+
+def wav_feature_decoder(payload: bytes, fmt: str) -> np.ndarray:
+    """Audio Decoder: PCM WAV → 12-dim feature vector
+    [n_samples, sample_rate, duration_s, rms, zero_cross_rate, peak,
+    6 × octave-ish band energy fractions (rfft)]."""
+    if fmt != "wav":
+        raise NotImplementedError(
+            f"audio format {fmt!r}: register a soundfile/pyav decoder"
+        )
+    sig, rate = wav_pcm_decode(payload)
+    n = len(sig)
+    if n == 0:
+        return np.zeros(12)
+    rms = float(np.sqrt((sig**2).mean()))
+    zcr = float((np.signbit(sig[1:]) != np.signbit(sig[:-1])).mean())
+    peak = float(np.abs(sig).max())
+    spec = np.abs(np.fft.rfft(sig)) ** 2
+    edges = np.linspace(0, len(spec), 7, dtype=int)
+    total = spec.sum() or 1.0
+    bands = [float(spec[a:b].sum() / total) for a, b in
+             zip(edges[:-1], edges[1:])]
+    return np.array(
+        [float(n), float(rate), n / rate, rms, zcr, peak, *bands]
+    )
+
+
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit BMP → (h, w, 3) uint8 RGB grid.
+    Stdlib struct only; handles bottom-up row order and 4-byte row
+    padding."""
+    import struct  # noqa: PLC0415
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        px = px[::-1]
+    return px[..., ::-1].copy()  # BGR → RGB
+
+
+def bmp_feature_decoder(payload: bytes, fmt: str) -> np.ndarray:
+    """Image Decoder: 24-bit BMP → 8-dim feature vector
+    [width, height, mean_r, mean_g, mean_b, luma_mean, luma_std,
+    edge_energy (mean abs horizontal gradient of luma)]."""
+    if fmt != "bmp":
+        raise NotImplementedError(
+            f"image format {fmt!r}: register a Pillow decoder"
+        )
+    px = bmp_decode(payload).astype(np.float64)
+    h, w = px.shape[:2]
+    luma = 0.2126 * px[..., 0] + 0.7152 * px[..., 1] + 0.0722 * px[..., 2]
+    edge = float(np.abs(np.diff(luma, axis=1)).mean()) if w > 1 else 0.0
+    return np.array(
+        [float(w), float(h), float(px[..., 0].mean()),
+         float(px[..., 1].mean()), float(px[..., 2].mean()),
+         float(luma.mean()), float(luma.std()), edge]
     )
