@@ -5707,6 +5707,64 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_register(
+    "training_order_shard",
+    """
+    SELECT shard, count(*) AS n_docs, min(pos) AS first_pos,
+           max(pos) AS last_pos, sum(n_chars) AS sum_chars
+    FROM (
+      SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+               AS shard,
+             row_number() OVER (
+               PARTITION BY
+                 (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+               ORDER BY h, doc_id) - 1 AS pos,
+             n_chars
+      FROM (
+        SELECT doc_id, n_chars,
+               md5(doc_id::VARCHAR || ':order') AS h
+        FROM documents
+      )
+    )
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="Training-data op: deterministic global shuffle into ordered "
+    "shards — the write-training-shards step after packing. Every "
+    "doc gets an md5 position (salted with ':order' so the "
+    "permutation is independent of the split/sampling hashes), the "
+    "first hex digit mod 8 picks the shard, and row_number within "
+    "the shard gives the read order: a uniform pseudo-random "
+    "permutation that every rerun, engine, and partitioning "
+    "reproduces bit-identically (no rand(), no seed state, no "
+    "global sort — the only shuffle is the 8-way shard exchange, "
+    "and within-shard order is a per-reducer local sort). The "
+    "oracle checks the shard histogram + position bounds; the md5 "
+    "digit is uniform so shards balance to ~n/8.",
+    parts=8,
+)
+def q_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":order")))
+    shard = F.conv(F.substring(h, 1, 1), 16, 10).cast("int") % 8
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    positioned = (
+        docs.select("doc_id", "n_chars", h.alias("h"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - 1)
+    )
+    return (
+        positioned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -5727,6 +5785,7 @@ _FRESH_FIRST = [
     "ivfpq_recall",
     "ivfpq_topk",
     "stream_enrich_batch_eq",
+    "training_order_shard",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
