@@ -8,3 +8,6 @@ from yahoofinancedatalake_spark.streaming.ops import (  # noqa: F401
     stream_sessions,
     stream_stream_attribution,
 )
+from yahoofinancedatalake_spark.streaming.sinks import (  # noqa: F401
+    foreach_batch_upsert,
+)
