@@ -21,9 +21,12 @@ def prep_out(spark, tmp_path_factory):
 
 def test_stage_counts_monotone(prep_out):
     _, c = prep_out
-    assert c["input"] >= c["quality_pass"] >= c["after_dedup"] >= c["after_decontam"]
-    assert c["after_decontam"] > 0
-    assert c["chunks"] >= c["after_decontam"]  # every doc ≥ 1 chunk
+    assert (
+        c["input"] >= c["quality_pass"] >= c["after_dedup"]
+        >= c["after_decontam"] >= c["after_rebalance"]
+    )
+    assert c["after_rebalance"] > 0
+    assert c["chunks"] >= c["after_rebalance"]  # every doc ≥ 1 chunk
     assert 0 < c["bins"] <= c["chunks"]
 
 
@@ -37,7 +40,37 @@ def test_no_contaminated_survivors(spark, prep_out):
     eval_set = load_table(spark, SF, "documents").filter(
         F.col("doc_id") % 37 == 0
     )
-    assert decontaminate(clean, eval_set).count() == c["after_decontam"]
+    assert decontaminate(clean, eval_set).count() == clean.count()
+
+
+def test_rebalance_flattens_language_mix(spark, prep_out):
+    """The head language's keep-rate must be strictly below the rare
+    languages' (which approach 1.0), and the stage is deterministic."""
+    from yahoofinancedatalake_spark.prep import (
+        decontaminate,
+        drop_near_dups,
+        quality_gate,
+        rebalance_languages,
+    )
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+
+    docs = fan_out(load_table(spark, SF, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+    clean = decontaminate(drop_near_dups(quality_gate(docs)), eval_set)
+    before = {r.lang: r.n for r in clean.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = rebalance_languages(clean)
+    after = {r.lang: r.n for r in kept.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    rates = {k: after.get(k, 0) / before[k] for k in before}
+    head = max(before, key=before.get)
+    rare = min(before, key=before.get)
+    assert rates[head] < rates[rare]
+    assert rates[rare] > 0.8  # rarest language keeps ~everything
+    # deterministic: identical row set on a second run
+    again = sorted(r.doc_id for r in rebalance_languages(clean)
+                   .select("doc_id").collect())
+    assert again == sorted(r.doc_id for r in kept.select("doc_id").collect())
 
 
 def test_chunks_shape(spark, prep_out):

@@ -13,6 +13,8 @@ training-data operators into one deterministic Spark job:
                              min-id doc per cluster)
       → decontamination     (drop docs sharing an n-gram with the
                              benchmark/eval set — md5 equi-join)
+      → language rebalance  (temperature sampling: per-language keep
+                             rate (n_min/n_l)^0.7 via the md5 gate)
       → split assignment    (deterministic md5 hash → train/val/test)
       → chunking            (overlapping token windows, map-side)
       → sequence packing    (context-bin manifest per (split, source))
@@ -136,6 +138,50 @@ def decontaminate(
     return docs.join(contaminated, "doc_id", "left_anti")
 
 
+def rebalance_languages(
+    docs: DataFrame, exponent: float = 0.7, lang_col: str = "lang"
+) -> DataFrame:
+    """Stage 4b — temperature-based language rebalancing (the
+    temperature_sampling query's rule): per-language keep rate
+    ``(n_min/n_lang)^exponent``, so the rarest language keeps
+    everything and the head is downsampled toward balance
+    (exponent = 1 - alpha; 0.7 ≈ the multilingual alpha=0.3 recipe).
+    Membership is the deterministic md5 gate with the data-derived
+    rate turned into a 4-hex-digit cutoff string — identical row set
+    on every run, engine, and partitioning. One count-shuffle; the
+    5-row rate table broadcasts; the gate itself is map-side."""
+    counts = docs.groupBy(lang_col).agg(F.count(F.lit(1)).alias("n_total"))
+    w_all = Window.partitionBy()
+    rates = counts.select(
+        lang_col,
+        F.pow(
+            F.min("n_total").over(w_all).cast("double") / F.col("n_total"),
+            F.lit(exponent),
+        ).alias("rate"),
+    ).withColumn(
+        "rate_u16", F.floor(F.col("rate") * 65536).cast("bigint")
+    )
+    # rate ≥ 1 → cutoff 'g': every 4-hex-digit prefix sorts below it,
+    # so the rarest language really keeps everything. (floor(1.0·65536)
+    # = 65536 = '10000' would be TRUNCATED by lpad(4) to '1000' and
+    # silently keep only 1/16 of the stratum — both engines agreed on
+    # the truncation, so only the semantic test caught it.)
+    cutoff = F.when(F.col("rate_u16") >= 65536, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(F.col("rate_u16")), 4, "0"))
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                     F.col(lang_col))
+        ), 1, 4,
+    )
+    return (
+        docs.join(F.broadcast(rates), lang_col)
+        .filter(h < cutoff)
+        .drop("rate", "rate_u16")
+    )
+
+
 def assign_splits(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Stage 5 — deterministic content-free split: first hex byte of
     md5(id) against the 80/10/10 boundaries (the train_split_assign
@@ -244,7 +290,10 @@ def run_prep(
     clean = decontaminate(deduped, eval_set)
     counts["after_decontam"] = clean.count()
 
-    split = assign_splits(clean)
+    rebalanced = rebalance_languages(clean)
+    counts["after_rebalance"] = rebalanced.count()
+
+    split = assign_splits(rebalanced)
     split.write.mode("overwrite").partitionBy("split").parquet(
         f"{root}/clean_docs"
     )

@@ -5143,8 +5143,10 @@ def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), gated AS (
       SELECT d.lang, r.n_total, r.rate,
              CASE WHEN substr(md5(d.doc_id::VARCHAR || ':' || d.lang), 1, 4)
-                    < lower(lpad(hex(CAST(floor(r.rate * 65536) AS BIGINT)),
-                                 4, '0'))
+                    < CASE WHEN floor(r.rate * 65536) >= 65536 THEN 'g'
+                           ELSE lower(lpad(hex(CAST(floor(r.rate * 65536)
+                                                    AS BIGINT)), 4, '0'))
+                      END
                   THEN 1 ELSE 0 END AS kept
       FROM documents d JOIN rates r USING (lang)
     )
@@ -5183,7 +5185,12 @@ def q_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "rate_u16", F.floor(F.col("rate") * 65536).cast("bigint")
     )
-    cutoff = F.lower(F.lpad(F.hex(F.col("rate_u16")), 4, "0"))
+    # rate ≥ 1 → cutoff 'g' (sorts above every hex prefix): without
+    # this, floor(1.0·65536) = '10000' gets TRUNCATED by lpad(4) to
+    # '1000' and the rarest language silently keeps 1/16 of its rows
+    cutoff = F.when(F.col("rate_u16") >= 65536, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(F.col("rate_u16")), 4, "0"))
+    )
     h = F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
                        F.col("lang"))), 1, 4
