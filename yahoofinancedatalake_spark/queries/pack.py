@@ -5772,6 +5772,102 @@ def q_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "doc_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
+               x -> x <> '') AS tokens
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(tokens) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), idf AS (
+      SELECT term,
+             CAST(floor(
+               (ln((n_docs + 1) / (count(DISTINCT doc_id) + 1)) + 1)
+               * 1000000 + 0.5) AS BIGINT) AS idf_fix
+      FROM tf, n
+      GROUP BY term, n_docs
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term,
+             (tf.tf * idf.idf_fix)::DOUBLE / 1000000.0 AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * idf.idf_fix DESC, tf.term ASC) AS rank
+      FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, rank, term, score
+    FROM ranked WHERE rank <= 3 AND doc_id < 100
+    ORDER BY doc_id, rank
+    """,
+    doc="Keyword extraction: top-3 tf·idf terms PER DOCUMENT — the "
+    "doc-centric complement of text_search_rank's query-centric "
+    "ranking (tagging/labeling for corpus browsing, the engine twin "
+    "of ES significant-terms). Full-vocabulary idf: (term, df) is a "
+    "vocabulary-sized aggregate that broadcasts into the tf join; "
+    "scores are exact integer products of fixed-point idf (order-"
+    "proof), per-doc rank tie-broken by term. At 100 TB the "
+    "(doc,term) tf aggregate is the only corpus-sized exchange and "
+    "the per-doc window state is bounded by a doc's distinct terms. "
+    "doc_id < 100 bounds the driver-checked output, not the compute.",
+    parts=8,
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9']+"),
+        lambda t: t != "",
+    )
+    ex = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # fold the 1-row corpus count into the vocab table via the
+    # data-derived constant-key equi-join (see unigram_logprob_quality:
+    # a bare 1-row crossJoin plans as BroadcastNestedLoopJoin)
+    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "__k", k_of(F.col("n_docs"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("__k", k_of(F.col("term")))
+        .join(F.broadcast(n_docs), "__k")
+        .drop("__k")
+        .select(
+            "term",
+            F.floor(
+                (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)
+                * 1000000
+                + 0.5
+            ).cast("long").alias("idf_fix"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("idf_fix")).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 100))
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            (
+                (F.col("tf") * F.col("idf_fix")).cast("double") / 1000000.0
+            ).alias("score"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -5793,6 +5889,7 @@ _FRESH_FIRST = [
     "ivfpq_topk",
     "stream_enrich_batch_eq",
     "training_order_shard",
+    "doc_keywords",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
