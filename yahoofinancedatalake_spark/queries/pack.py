@@ -5868,6 +5868,154 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "period_reconcile_full_outer",
+    """
+    WITH p1 AS (
+      SELECT user_id, count(*) AS n1 FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id
+    ), p2 AS (
+      SELECT user_id, count(*) AS n2 FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT coalesce(p1.user_id, p2.user_id) AS user_id,
+           coalesce(n1, 0) AS n_before,
+           coalesce(n2, 0) AS n_after,
+           CASE WHEN n1 IS NULL THEN 'new'
+                WHEN n2 IS NULL THEN 'churned'
+                ELSE 'retained' END AS status
+    FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id
+    ORDER BY user_id
+    """,
+    doc="FULL OUTER join — the one join type the pack lacked: "
+    "reconcile per-user activity across two periods, classifying "
+    "users as new/churned/retained with coalesced counts. The "
+    "canonical two-snapshot reconciliation (same family as "
+    "snapshot_diff, which compares VALUES on matched keys; this "
+    "compares KEY MEMBERSHIP). Full outer cannot broadcast either "
+    "side by definition — it plans as a shuffled sort-merge join on "
+    "user_id, which is the correct 100 TB shape; both inputs are "
+    "pre-aggregated so the join moves one row per (user, period), "
+    "not raw events.",
+)
+def q_period_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    p1 = (
+        events.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    p2 = (
+        events.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    joined = p1.join(p2, "user_id", "full_outer")
+    status = (
+        F.when(F.col("n1").isNull(), "new")
+        .when(F.col("n2").isNull(), "churned")
+        .otherwise("retained")
+    )
+    return joined.select(
+        "user_id",
+        F.coalesce("n1", F.lit(0)).alias("n_before"),
+        F.coalesce("n2", F.lit(0)).alias("n_after"),
+        status.alias("status"),
+    ).orderBy("user_id")
+
+
+@_register(
+    "rolling_correlation_14d",
+    f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             {sql_dround("sum(CASE WHEN event_type = 'view' "
+                         "THEN value ELSE 0 END)", 2)} AS x,
+             {sql_dround("sum(CASE WHEN event_type = 'purchase' "
+                         "THEN value ELSE 0 END)", 2)} AS y
+      FROM events
+      GROUP BY 1
+    ), win AS (
+      SELECT day,
+             count(*) OVER w AS n,
+             {sql_dround("sum(x) OVER w", 2)} AS sx,
+             {sql_dround("sum(y) OVER w", 2)} AS sy,
+             {sql_dround("sum(x * x) OVER w", 4)} AS sxx,
+             {sql_dround("sum(y * y) OVER w", 4)} AS syy,
+             {sql_dround("sum(x * y) OVER w", 4)} AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           n,
+           {sql_dround(
+               "(n * sxy - sx * sy) / "
+               "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)}
+             AS corr_14
+    FROM win
+    WHERE n = 14
+    ORDER BY day
+    """,
+    doc="Rolling 14-day Pearson correlation between the daily view "
+    "and purchase value series — the co-movement monitor "
+    "(pairwise_correlation gives one global number; this gives its "
+    "evolution). One aggregation to daily grain, then ALL six "
+    "sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) from a single "
+    "14-row window pass — never a self-join of the series against "
+    "itself. Determinism: the daily inputs are dround-ed first "
+    "(bit-identical on both engines), window sums re-dround at "
+    "their true scale, and the closed-form corr is a quotient of "
+    "identical doubles. The global-window state is 14 rows; at "
+    "100 TB this partitions by symbol/entity exactly like "
+    "rolling_mean_30.",
+    parts=8,
+)
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            dround(
+                F.sum(
+                    F.when(F.col("event_type") == "view", F.col("value"))
+                    .otherwise(0.0)
+                ), 2,
+            ).alias("x"),
+            dround(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ), 2,
+            ).alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        dround(F.sum("x").over(w), 2).alias("sx"),
+        dround(F.sum("y").over(w), 2).alias("sy"),
+        dround(F.sum(F.col("x") * F.col("x")).over(w), 4).alias("sxx"),
+        dround(F.sum(F.col("y") * F.col("y")).over(w), 4).alias("syy"),
+        dround(F.sum(F.col("x") * F.col("y")).over(w), 4).alias("sxy"),
+    )
+    corr = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        win.filter(F.col("n") == 14)
+        .select("day", "n", dround(corr, 6).alias("corr_14"))
+        .orderBy("day")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -5890,6 +6038,8 @@ _FRESH_FIRST = [
     "stream_enrich_batch_eq",
     "training_order_shard",
     "doc_keywords",
+    "period_reconcile_full_outer",
+    "rolling_correlation_14d",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
