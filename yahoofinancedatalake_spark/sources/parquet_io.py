@@ -263,3 +263,65 @@ def write_clustered(
         *( [n_files] if n_files else [] ), *cluster_cols
     ).sortWithinPartitions(*cluster_cols)
     out.write.mode(mode).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int | None = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered write: multi-column locality.
+
+    :func:`write_clustered` gives perfect pruning on ONE column and
+    none on the others; interleaving the bits of each column's
+    bin id makes files cover hyper-rectangles of the combined space,
+    so min/max footer stats prune on EVERY clustered column — the
+    Delta ``ZORDER BY`` / Iceberg sort-order idea on plain parquet.
+
+    Mechanics: each column is min/max-scaled into ``2^bits`` uniform
+    bins (one tiny 1-row agg to fetch the ranges — metadata, like a
+    table-stats pass; rank-based binning via approx quantiles is the
+    upgrade for heavily skewed columns), the bin ids' bits are
+    interleaved JVM-side into the Morton value, and the write range-
+    partitions + locally sorts by it. The z column is dropped from
+    the files.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    n_bins = (1 << bits) - 1
+    bin_cols = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"__mn_{i}"], stats[f"__mx_{i}"]
+        span = (mx - mn) or 1.0
+        bin_cols.append(
+            F.least(
+                F.lit(n_bins),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span) * F.lit(n_bins + 1)
+                ).cast("int"),
+            )
+        )
+    # Morton interleave: output bit (b * n_cols + j) takes bit b of
+    # column j's bin id — a pure JVM bitwise expression, no UDF
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, bc in enumerate(bin_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bc.cast("long"), b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + j,
+                )
+            )
+    tagged = df.withColumn("__z", z)
+    out = tagged.repartitionByRange(
+        *( [n_files] if n_files else [] ), "__z"
+    ).sortWithinPartitions("__z").drop("__z")
+    out.write.mode(mode).parquet(path)
