@@ -6016,6 +6016,71 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mad_anomalies",
+    f"""
+    WITH med AS (
+      SELECT event_type,
+             {sql_dround("quantile_cont(value, 0.5)", 4)} AS m
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type,
+             {sql_dround("abs(e.value - med.m)", 4)} AS adev
+      FROM events e JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type,
+             {sql_dround("quantile_cont(adev, 0.5)", 4)} AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           sum(CASE WHEN d.adev > 3 * 1.4826 * mad.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    doc="Robust anomaly counting via MAD (median absolute deviation): "
+    "per-type median, median of absolute deviations, then the "
+    "|x - m| > 3·1.4826·MAD outlier rule — the robust twin of "
+    "zscore_anomalies (one planted spike shifts a mean/stddev gate; "
+    "the median pair shrugs it off). Two exact-percentile passes "
+    "with the tiny per-type medians broadcast back into the scan "
+    "between them; both medians dround-ed before the comparison so "
+    "the outlier threshold is the identical double on both engines. "
+    "At 100 TB the exact percentile swaps for percentile_approx "
+    "(approx_quantile_gate bounds that error).",
+    parts=8,
+)
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    med = events.groupBy("event_type").agg(
+        dround(F.percentile("value", F.lit(0.5)), 4).alias("m")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        dround(F.abs(F.col("value") - F.col("m")), 4).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        dround(F.percentile("adev", F.lit(0.5)), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("adev") > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -6040,6 +6105,7 @@ _FRESH_FIRST = [
     "doc_keywords",
     "period_reconcile_full_outer",
     "rolling_correlation_14d",
+    "mad_anomalies",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
