@@ -6081,6 +6081,83 @@ def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cms_heavy_hitters",
+    """
+    WITH ex AS (
+      SELECT user_id, t.i,
+             ('0x' || substr(md5(user_id::VARCHAR || ':' || t.i), 1, 4)
+             )::INTEGER % 256 AS bucket
+      FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) t
+    ), counters AS (
+      SELECT i, bucket, count(*) AS c FROM ex GROUP BY i, bucket
+    ), truth AS (
+      SELECT user_id, count(*) AS n_true
+      FROM events GROUP BY user_id
+      ORDER BY n_true DESC, user_id ASC LIMIT 10
+    ), probes AS (
+      SELECT truth.user_id, truth.n_true, t.i,
+             ('0x' || substr(md5(truth.user_id::VARCHAR || ':' || t.i),
+                             1, 4))::INTEGER % 256 AS bucket
+      FROM truth, (SELECT unnest([0, 1, 2, 3]) AS i) t
+    )
+    SELECT p.user_id, p.n_true, min(c.c) AS n_est
+    FROM probes p JOIN counters c ON p.i = c.i AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.n_true
+    ORDER BY p.n_true DESC, p.user_id ASC
+    """,
+    doc="Count-Min sketch heavy hitters — the frequency-estimation "
+    "member of the mergeable-sketch family next to HLL "
+    "(hll_partial_rollup) and GK quantiles (approx_quantile_gate): "
+    "a d=4 × w=256 counter grid (md5-derived buckets, so BOTH "
+    "engines build the bit-identical sketch and the oracle checks "
+    "the ESTIMATES exactly, not just a pass flag), probed for the "
+    "exact top-10 users. CMS guarantees n_est ≥ n_true always and "
+    "n_est ≤ n_true + e·N/w w.h.p. — the sketch is 1024 counters "
+    "regardless of user cardinality, merges by cell-wise addition "
+    "(partial aggregation IS the merge), and at 100 TB replaces a "
+    "full (user, count) table wherever only heavy hitters matter.",
+    parts=8,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    d_rows = F.array(*[F.lit(i) for i in range(4)])
+
+    def bucket(uid_col, i_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            uid_col.cast("string"), F.lit(":"),
+                            i_col.cast("string"),
+                        )
+                    ), 1, 4,
+                ), 16, 10,
+            ).cast("int") % 256
+        )
+
+    ex = events.select(
+        "user_id", F.explode(d_rows).alias("i")
+    ).select("i", bucket(F.col("user_id"), F.col("i")).alias("bucket"))
+    counters = ex.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    truth = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.col("n_true").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    probes = truth.select(
+        "user_id", "n_true", F.explode(d_rows).alias("i")
+    ).withColumn("bucket", bucket(F.col("user_id"), F.col("i")))
+    return (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id", "n_true")
+        .agg(F.min("c").alias("n_est"))
+        .orderBy(F.col("n_true").desc(), F.col("user_id").asc())
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -6106,6 +6183,7 @@ _FRESH_FIRST = [
     "period_reconcile_full_outer",
     "rolling_correlation_14d",
     "mad_anomalies",
+    "cms_heavy_hitters",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
