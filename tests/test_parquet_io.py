@@ -265,3 +265,41 @@ def test_zorder_narrows_footer_stats_on_both_columns(spark, tmp_path):
     assert sum(zo_y) / len(zo_y) < 0.6 * full
     # layout-only: the rows themselves round-trip intact
     assert spark.read.parquet(str(zo)).count() == n
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.sources.parquet_io import (
+        read_parquet_evolving,
+    )
+
+    p = str(tmp_path / "bronze")
+    spark.range(0, 3).select(F.col("id").alias("k")).write.mode(
+        "append"
+    ).parquet(p)
+    # later batch gains a column
+    spark.range(3, 5).select(
+        F.col("id").alias("k"), F.lit("x").alias("extra")
+    ).write.mode("append").parquet(p)
+    df = read_parquet_evolving(spark, p)
+    assert set(df.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in df.collect()}
+    assert rows[0] is None and rows[4] == "x" and len(rows) == 5
+
+
+def test_hive_partition_pruning_reaches_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "part")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("ingest_date"),
+    ).write.partitionBy("ingest_date").mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("ingest_date") == "2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the filter must land in PartitionFilters (pruned at planning),
+    # NOT as a post-scan Filter over all partitions
+    assert "PartitionFilters: [" in plan
+    assert "ingest_date" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert df.count() == 250

@@ -325,3 +325,21 @@ def write_zordered(
         *( [n_files] if n_files else [] ), "__z"
     ).sortWithinPartitions("__z").drop("__z")
     out.write.mode(mode).parquet(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file under
+    ``path`` (``mergeSchema``) so old files simply carry nulls for
+    columns added later — the bronze-layer contract for additive
+    drift (new REST fields, new vendor columns).
+
+    Trade documented: mergeSchema reads every footer up front
+    (expensive at 100k files — that's what a real metastore/table
+    format amortizes), so the engine default stays single-schema
+    reads; this is the explicit opt-in for evolving bronze dirs.
+    Renames/retypes are NOT handled — those are breaking changes that
+    belong in a silver migration, not a read option.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
