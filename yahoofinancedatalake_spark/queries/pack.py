@@ -6158,6 +6158,56 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sentiment_distribution",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(
+               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
+               x -> x <> '') AS tokens
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+             {sql_dround(
+                 "greatest(-1.0, least(1.0, "
+                 "(len(list_filter(tokens, "
+                 f"x -> x IN ({_sql_wordlist(POSITIVE_WORDS)}))) - "
+                 "len(list_filter(tokens, "
+                 f"x -> x IN ({_sql_wordlist(NEGATIVE_WORDS)}))))::DOUBLE "
+                 f"/ greatest(len(tokens), 1) * {SCALE}))", 4)} AS score
+      FROM toks
+    )
+    SELECT CASE WHEN score >= 0.05 THEN 'positive'
+                WHEN score <= -0.05 THEN 'negative'
+                ELSE 'neutral' END AS sentiment_label,
+           lang,
+           count(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY sentiment_label, lang
+    """,
+    doc="The 'Distribution des sentiments' Lens panel (reference "
+    "kibana_saved_objects.ndjson): corpus sentiment histogram, here "
+    "split per language — label × lang counts in one aggregation "
+    "over the same JVM-side lexicon expression sentiment_docs "
+    "verifies per-doc. Map-side partial agg over a 15-cell output "
+    "domain; at 100 TB this is a free second aggregation on the "
+    "already-scored stream.",
+    parts=8,
+)
+def q_sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    score = sentiment_score_expr("text")
+    return (
+        docs.select(sentiment_label(score).alias("sentiment_label"), "lang")
+        .groupBy("sentiment_label", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("sentiment_label", "lang")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -6184,6 +6234,7 @@ _FRESH_FIRST = [
     "rolling_correlation_14d",
     "mad_anomalies",
     "cms_heavy_hitters",
+    "sentiment_distribution",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
