@@ -6208,6 +6208,72 @@ def q_sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "array_hof_kit",
+    f"""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           {sql_dround("list_aggregate(embedding, 'min')::DOUBLE", 4)}
+             AS vmin,
+           {sql_dround("list_aggregate(embedding, 'max')::DOUBLE", 4)}
+             AS vmax,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           {sql_dround(
+               "sqrt(list_aggregate(list_transform(embedding, "
+               "x -> x::DOUBLE * x::DOUBLE), 'sum'))", 4)} AS l2,
+           {sql_dround(
+               "list_aggregate(list_transform("
+               "list_zip(embedding, list_reverse(embedding)), "
+               "p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')", 4)}
+             AS self_rev_dot
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    doc="Array higher-order-function kit, exercised explicitly as a "
+    "checked surface (the HOFs the similarity/dedup operators use "
+    "internally): size, aggregate-min/max, lambda filter-count, "
+    "transform+aggregate (L2 norm), and zip_with against the "
+    "reversed self (Spark zip_with == DuckDB list_zip + transform). "
+    "All JVM-side expressions — HOFs evaluate interpreted (no "
+    "codegen), which is why the BULK vector math lives in "
+    "Arrow-batched numpy kernels; this kit covers the API surface "
+    "where per-row HOF cost is fine. Map-side only, zero shuffles "
+    "beyond the pushed vec_id filter.",
+    parts=8,
+)
+def q_array_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 50
+    )
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        dround(F.array_min(vd), 4).alias("vmin"),
+        dround(F.array_max(vd), 4).alias("vmax"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias(
+            "n_pos"
+        ),
+        dround(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(vd, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ), 4,
+        ).alias("l2"),
+        dround(
+            F.aggregate(
+                F.zip_with(vd, F.reverse(vd), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ), 4,
+        ).alias("self_rev_dot"),
+    ).orderBy("vec_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -6235,6 +6301,7 @@ _FRESH_FIRST = [
     "mad_anomalies",
     "cms_heavy_hitters",
     "sentiment_distribution",
+    "array_hof_kit",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
