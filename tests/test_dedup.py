@@ -207,3 +207,42 @@ def test_ngram_jaccard_exact_values(spark, docs):
            for r in ngram_jaccard(pairs, docs, "id", "text").collect()}
     assert out[(1, 3)] > 0.7  # one-word change in a 23-word doc
     assert out[(1, 4)] == 0.0
+
+
+def test_incremental_minhash_matches_full_recompute(spark):
+    """Split the corpus into history + increment: (full pairs over
+    everything) == (pairs over history) ∪ (incremental pairs), and
+    the incremental path reads history only through its landed band
+    table."""
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+    from yahoofinancedatalake_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = fan_out(load_table(spark, "/root/testdata/sf0.01", "documents"))
+    hist = docs.filter(F.col("doc_id") < 400)
+    inc = docs.filter(F.col("doc_id") >= 400)
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    hist_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(hist, "text", "doc_id").collect()
+    }
+    index = minhash_band_table(hist, "text", "doc_id")
+    inc_pairs = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_pairs(
+            inc, index, "text", "doc_id"
+        ).collect()
+    }
+    assert hist_pairs | inc_pairs == full
+    # the increment's own pairs never touch history-only pairs
+    assert all(a >= 400 or b >= 400 for a, b in inc_pairs)
+    # and the split actually exercised both sides
+    assert inc_pairs and hist_pairs

@@ -303,6 +303,54 @@ def ref_simhash(text: str, shingle_n: int = 2) -> int | None:
 # ---------------------------------------------------------------------------
 
 
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable LSH index: one (id, band, bucket) row per band
+    per doc. Land this table (bucketed by ``bucket``) and incremental
+    dedup never re-shingles history — see
+    :func:`incremental_minhash_pairs`. Null signatures (empty docs)
+    are dropped here, once, for every consumer."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature(F.col(text_col), n_hashes, seed, shingle_n)
+    signed = df.select(F.col(id_col), sig.alias("__sig")).filter(
+        F.col("__sig").isNotNull()
+    )
+    return signed.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.slice(
+                                    "__sig",
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -324,32 +372,9 @@ def minhash_lsh_pairs(
     before banding: they would all share one bucket and generate
     O(m²) candidate pairs that the Jaccard verify then discards.
     """
-    rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(F.col(text_col), n_hashes, seed, shingle_n)
-    signed = df.select(F.col(id_col), sig.alias("__sig")).filter(
-        F.col("__sig").isNotNull()
+    banded = minhash_band_table(
+        df, text_col, id_col, n_hashes, n_bands, shingle_n, seed
     )
-    banded = signed.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.slice(
-                                    "__sig", b * rows_per_band + 1, rows_per_band
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # group-by-bucket pair generation (not a self-join): the signature
     # is computed ONCE, and the only exchanges are the bucket-key
     # shuffle + the pair dedup — a self-join would re-evaluate the
@@ -374,6 +399,71 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs for an INCREMENT against a persisted
+    LSH index — the daily-ingest shape: only the new batch is
+    shingled/hashed; history participates through its landed
+    (id, band, bucket) rows (:func:`minhash_band_table`), never its
+    text.
+
+    Emits new×new pairs (within-bucket, the same group-by-bucket
+    trick as the batch operator) plus new×old pairs (equi-join on
+    the (band, bucket) key — with the index table bucketed by
+    ``bucket`` at write time this join is exchange-free on the
+    history side). At 100 TB this turns daily dedup from
+    O(corpus) re-hash into O(batch) hash + one indexed join; the
+    caller appends the new batch's band rows to the index afterward.
+    Pair set == what a full :func:`minhash_lsh_pairs` over
+    (history ∪ batch) emits, minus old×old pairs (already known) —
+    asserted in tests.
+    """
+    new_bands = minhash_band_table(
+        new_docs, text_col, id_col, n_hashes, n_bands, shingle_n, seed
+    )
+    # new × new: group-by-bucket within the increment
+    buckets = (
+        new_bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    new_new = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    # new × old: bucket equi-join against the landed index
+    old = index.select(
+        F.col(id_col).alias("__old_id"), "band", "bucket"
+    )
+    new_old = (
+        new_bands.join(old, ["band", "bucket"])
+        .filter(F.col(id_col) != F.col("__old_id"))
+        .select(
+            F.least(F.col(id_col), F.col("__old_id")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("__old_id")).alias("id_b"),
+        )
+    )
+    return new_new.unionByName(new_old).dropDuplicates(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------
