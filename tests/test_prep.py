@@ -119,3 +119,55 @@ def test_prep_is_deterministic(spark, prep_out, tmp_path):
     a = spark.read.parquet(f"{root1}/pack_manifest")
     b = spark.read.parquet(f"{tmp_path}/again/pack_manifest")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_incremental_prep_matches_full_run(spark, tmp_path_factory):
+    """Base run on history + incremental batch == full run over
+    everything, through the dedup/decontam stages (the expensive
+    history-touching ones) — provided the split has no cluster
+    bridging two history docs through a batch doc (asserted first;
+    bridge merges are documented as accepted incremental drift)."""
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+    from yahoofinancedatalake_spark.prep import (
+        decontaminate,
+        drop_near_dups,
+        quality_gate,
+        run_prep,
+        run_prep_incremental,
+    )
+
+    docs = fan_out(load_table(spark, SF, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+    hist = docs.filter(F.col("doc_id") < 40)
+    batch = docs.filter(F.col("doc_id") >= 40)
+
+    # ground truth: the full-run survivor set over everything
+    full_clean = decontaminate(
+        drop_near_dups(quality_gate(docs)), eval_set
+    )
+    full_ids = {r.doc_id for r in full_clean.select("doc_id").collect()}
+
+    root = str(tmp_path_factory.mktemp("prep_incr"))
+    base_counts = run_prep(
+        spark, SF, root, eval_docs=eval_set, docs=hist
+    )
+    inc_counts = run_prep_incremental(spark, root, batch, eval_set)
+
+    base_clean = decontaminate(
+        drop_near_dups(quality_gate(hist)), eval_set
+    )
+    base_ids = {r.doc_id for r in base_clean.select("doc_id").collect()}
+    inc_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{root}/clean_increments")
+        .select("doc_id")
+        .collect()
+    }
+    assert base_ids | inc_ids == full_ids
+    assert base_ids.isdisjoint(inc_ids)
+    assert inc_counts["after_decontam"] == len(inc_ids)
+    # state tables extended: next batch would see this one as history
+    n_surv = spark.read.parquet(f"{root}/dedup_survivors").count()
+    assert n_surv == base_counts["after_dedup"] + inc_counts["after_dedup"]

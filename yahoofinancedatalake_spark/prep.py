@@ -260,19 +260,47 @@ def pack_chunks(chunks: DataFrame) -> DataFrame:
     )
 
 
+def _land_dedup_state(spark: SparkSession, root: str, deduped: DataFrame):
+    """Persist the incremental-dedup state next to the outputs: the
+    post-dedup survivor docs (text included — the near-dup verify side
+    for future increments), their fingerprints, and their LSH band
+    index. These three tables are what lets the NEXT batch dedup
+    against history in O(batch) instead of re-shingling the corpus."""
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_band_table,
+        normalized_text,
+    )
+
+    deduped.write.mode("overwrite").parquet(f"{root}/dedup_survivors")
+    survivors = spark.read.parquet(f"{root}/dedup_survivors")
+    survivors.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+    ).write.mode("overwrite").parquet(f"{root}/fingerprints")
+    minhash_band_table(
+        survivors, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
+    ).write.mode("overwrite").parquet(f"{root}/band_index")
+
+
 def run_prep(
     spark: SparkSession,
     sf_dir: str,
     root: str,
     eval_docs: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> dict[str, int]:
     """Run the whole prep DAG and land each stage under ``root``.
 
     ``eval_docs`` defaults to the corpus rows with ``doc_id % 37 = 0``
     (the contamination_ngrams query's stand-in benchmark); pass a real
-    benchmark table in production. Returns per-stage row counts.
+    benchmark table in production. ``docs`` overrides the input frame
+    (defaults to the full documents table). Returns per-stage row
+    counts. Alongside the outputs, the incremental-dedup state
+    (survivors + fingerprints + LSH band index) is landed so
+    :func:`run_prep_incremental` can process future batches against
+    this run's history.
     """
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    if docs is None:
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
     eval_set = (
         eval_docs
         if eval_docs is not None
@@ -286,6 +314,7 @@ def run_prep(
 
     deduped = drop_near_dups(gated)
     counts["after_dedup"] = deduped.count()
+    _land_dedup_state(spark, root, deduped)
 
     clean = decontaminate(deduped, eval_set)
     counts["after_decontam"] = clean.count()
@@ -307,4 +336,121 @@ def run_prep(
     manifest = pack_chunks(spark.read.parquet(f"{root}/chunks"))
     manifest.write.mode("overwrite").parquet(f"{root}/pack_manifest")
     counts["bins"] = spark.read.parquet(f"{root}/pack_manifest").count()
+    return counts
+
+
+def run_prep_incremental(
+    spark: SparkSession,
+    root: str,
+    new_docs: DataFrame,
+    eval_docs: DataFrame,
+) -> dict[str, int]:
+    """Process an ingest batch against the landed prep state — the
+    daily-increment shape: history participates ONLY through its
+    landed tables (fingerprints for exact dedup, band index + survivor
+    texts for near-dup), never through a corpus re-scan.
+
+    Policy (matches the full run's min-id keeper, given history ids
+    precede batch ids): a new doc is dropped if its exact fingerprint
+    exists in history; near-dup components are computed over the
+    incremental candidate pairs, and a new doc survives only if its
+    component contains no history doc and it is the component's min
+    id. Known incremental-dedup drift: a new doc that BRIDGES two
+    history clusters cannot retro-drop history (history is immutable
+    here); a full recompute would keep one fewer doc. Stages after
+    dedup (decontaminate) are per-doc and land appended; the state
+    tables are extended so the next batch sees this one as history.
+    Rebalance/split/chunk/pack stay full-run stages — sampling rates
+    are corpus-distribution-derived and belong to a periodic rebuild,
+    not a per-batch decision.
+    """
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+        exact_dedup,
+        hashed_ngram_jaccard,
+        incremental_minhash_pairs,
+        minhash_band_table,
+        normalized_text,
+    )
+
+    counts: dict[str, int] = {"batch_input": new_docs.count()}
+
+    gated = quality_gate(new_docs)
+    counts["quality_pass"] = gated.count()
+
+    # exact dedup: within batch, then against history fingerprints
+    batch_exact = exact_dedup(gated, "text", "doc_id")
+    hist_fp = spark.read.parquet(f"{root}/fingerprints")
+    batch_exact = (
+        batch_exact.withColumn(
+            "fingerprint", F.md5(normalized_text(F.col("text")))
+        )
+        .join(F.broadcast(hist_fp.select("fingerprint")), "fingerprint",
+              "left_anti")
+        .drop("fingerprint")
+    )
+    counts["after_exact"] = batch_exact.count()
+
+    # near-dup: candidates vs history index + within batch, verify,
+    # components over the (small) incremental pair set
+    index = spark.read.parquet(f"{root}/band_index")
+    cand = incremental_minhash_pairs(
+        batch_exact, index, "text", "doc_id",
+        n_hashes=32, n_bands=8, shingle_n=3,
+    ).persist()
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).dropDuplicates(["doc_id"])
+    hist_survivors = spark.read.parquet(f"{root}/dedup_survivors")
+    verify_docs = (
+        hist_survivors.select("doc_id", "text")
+        .unionByName(batch_exact.select("doc_id", "text"))
+        .join(F.broadcast(cand_ids), "doc_id")
+    )
+    verified = hashed_ngram_jaccard(
+        cand, verify_docs, "doc_id", "text", shingle_n=3
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    comps = connected_components(verified.select("id_a", "id_b"))
+    old_ids = hist_survivors.select(
+        F.col("doc_id").alias("node"), F.lit(1).alias("__old")
+    )
+    tainted = (
+        comps.join(F.broadcast(old_ids), "node", "left")
+        .groupBy("component")
+        .agg(
+            F.max(F.coalesce("__old", F.lit(0))).alias("has_old"),
+            F.min("node").alias("min_node"),
+        )
+    )
+    # losers: any member of an old-containing component, or a non-min
+    # member of a pure-new component
+    losers = (
+        comps.join(F.broadcast(tainted), "component")
+        .filter(
+            (F.col("has_old") == 1) | (F.col("node") != F.col("min_node"))
+        )
+        .select(F.col("node").alias("doc_id"))
+    )
+    # materialize + truncate lineage BEFORE any state-table write:
+    # the lazy plan reads root/dedup_survivors, and the appends below
+    # extend that very table — re-executing the lineage after the
+    # first append would see the batch as its own history and drop
+    # everything (the classic read-then-append self-reference)
+    batch_deduped = batch_exact.join(
+        losers, "doc_id", "left_anti"
+    ).localCheckpoint()
+    counts["after_dedup"] = batch_deduped.count()
+
+    clean = decontaminate(batch_deduped, eval_docs).localCheckpoint()
+    counts["after_decontam"] = clean.count()
+
+    # extend the landed state: this batch becomes history for the next
+    batch_deduped.write.mode("append").parquet(f"{root}/dedup_survivors")
+    batch_deduped.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+    ).write.mode("append").parquet(f"{root}/fingerprints")
+    minhash_band_table(
+        batch_deduped, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
+    ).write.mode("append").parquet(f"{root}/band_index")
+    clean.write.mode("append").parquet(f"{root}/clean_increments")
     return counts
