@@ -273,12 +273,33 @@ def main(argv: list[str] | None = None) -> None:
         default="/root/testdata/sf0.01",
         help="input directory holding documents.parquet",
     )
+    prep.add_argument(
+        "--incremental-batch",
+        default=None,
+        metavar="PARQUET_DIR",
+        help="process only this batch of new documents against the "
+        "dedup state a previous full run landed under --root "
+        "(fingerprints + band index; O(batch), no corpus re-scan)",
+    )
     args = ap.parse_args(argv)
     spark = get_spark("pipeline")
     if args.cmd == "prep":
-        from yahoofinancedatalake_spark.prep import run_prep  # noqa: PLC0415
+        from yahoofinancedatalake_spark.catalog import load_table  # noqa: PLC0415
+        from yahoofinancedatalake_spark.prep import (  # noqa: PLC0415
+            run_prep,
+            run_prep_incremental,
+        )
 
-        counts = run_prep(spark, args.sf_dir, args.root)
+        if args.incremental_batch:
+            batch = spark.read.parquet(args.incremental_batch)
+            eval_set = load_table(
+                spark, args.sf_dir, "documents"
+            ).filter(F.col("doc_id") % 37 == 0)
+            counts = run_prep_incremental(
+                spark, args.root, batch, eval_set
+            )
+        else:
+            counts = run_prep(spark, args.sf_dir, args.root)
     else:
         counts = Pipeline(spark, args.root, args.fixtures).run(args.date)
     for k, v in counts.items():
