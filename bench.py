@@ -86,37 +86,53 @@ def main() -> None:
     )
     wq.awaitTermination(120)
 
+    # Fail-soft per query: one crash must never wipe the whole bench
+    # artifact (a single TIMESTAMP_NTZ bug once cost an entire round's
+    # numbers). Errors are recorded, every other query still gets
+    # timed, and the process exits nonzero so the failure is visible.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in QUERIES.items():
         t0 = time.perf_counter()
-        force(q.spark(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            force(q.spark(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     # Approximation-quality tracking: recall@5 of the LSH ANN vs the
     # exact brute-force top-k over the same queries. Both results are
     # tiny (k rows per query) — the collect is on the final top-k only.
-    truth = {
-        (r.query_id, r.neighbor_id)
-        for r in QUERIES["cosine_topk"].spark(spark, sf_dir).collect()
-    }
-    approx = {
-        (r.query_id, r.neighbor_id)
-        for r in QUERIES["ann_topk"].spark(spark, sf_dir).collect()
-    }
-    recall = round(len(truth & approx) / len(truth), 4) if truth else None
-
-    print(
-        json.dumps(
-            {
-                "metric": "query_pack_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ann_recall_at_5": recall,
-            }
+    try:
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in QUERIES["cosine_topk"].spark(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in QUERIES["ann_topk"].spark(spark, sf_dir).collect()
+        }
+        recall = (
+            round(len(truth & approx) / len(truth), 4) if truth else None
         )
-    )
+    except Exception as e:  # noqa: BLE001
+        errors["__ann_recall"] = f"{type(e).__name__}: {e}"[:300]
+        recall = None
+
+    out = {
+        "metric": "query_pack_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ann_recall_at_5": recall,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
