@@ -6279,6 +6279,52 @@ def q_array_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@_register(
+    "variant_shred_agg",
+    """
+    SELECT event_type,
+           count(k) AS n_with_k,
+           sum(k) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Schemaless JSON via Spark 4's VARIANT type: parse_json into "
+    "a variant column, try_variant_get the field, aggregate — the "
+    "no-schema-declared complement of json_extract_agg's "
+    "from_json(schema) path. VARIANT stores shredded binary JSON "
+    "(field access without re-parsing text per extraction, the "
+    "Snowflake/Delta variant design Spark 4 adopted), and "
+    "try_variant_get degrades missing/mistyped fields to null "
+    "(count(k) skips them) instead of failing the batch. At 100 TB "
+    "parse once → extract many is the difference between one "
+    "tokenizer pass and one per field.",
+)
+def q_variant_shred_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        events.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -6307,6 +6353,7 @@ _FRESH_FIRST = [
     "cms_heavy_hitters",
     "sentiment_distribution",
     "array_hof_kit",
+    "variant_shred_agg",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
