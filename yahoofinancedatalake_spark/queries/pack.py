@@ -6325,6 +6325,62 @@ def q_variant_shred_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "simhash_accuracy",
+    "SELECT 'simhash_mean_hamming' AS metric, TRUE AS passed",
+    doc="SimHash estimator accuracy as a correctness gate — the last "
+    "approximation family without one (minhash_accuracy, "
+    "ann/ivf/pq/ivfpq_recall cover the others): on candidate pairs "
+    "whose exact hashed-shingle Jaccard is ≥ 0.9, the MEAN 64-bit "
+    "simhash Hamming distance must be ≤ 8, and at least one such "
+    "pair must exist. Measured mean ≈ 3 at sf0.01 AND sf0.1 "
+    "(worst single pair 11); independent random hashes average 32, "
+    "so a broken hash family or bit-packing regression fails "
+    "decisively — and a MEAN stays stable as the pair count grows "
+    "where a max-gate is an order statistic that eventually trips "
+    "(the minhash_accuracy lesson). Same candidate-only scan shape: "
+    "the full corpus is shingled once in the LSH pass, verify "
+    "hashes run on a broadcast semi-join of candidate docs.",
+    parts=8,
+)
+def q_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (
+        hamming64,
+        hashed_ngram_jaccard,
+        minhash_lsh_pairs,
+        simhash64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
+    ).persist()
+    cand_ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+    )
+    cdocs = docs.join(F.broadcast(cand_ids), "doc_id")
+    exact = hashed_ngram_jaccard(cand, cdocs, "doc_id", "text", shingle_n=3)
+    sh = cdocs.select(
+        "doc_id", simhash64(F.col("text"), 2).alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        exact.filter(F.col("jaccard") >= 0.9)
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(hamming64(F.col("sh_a"), F.col("sh_b")).alias("d"))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.avg("d").alias("mean_d")
+    ).select(
+        F.lit("simhash_mean_hamming").alias("metric"),
+        ((F.col("n_pairs") >= 1) & (F.col("mean_d") <= 8.0)).alias("passed"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -6354,6 +6410,7 @@ _FRESH_FIRST = [
     "sentiment_distribution",
     "array_hof_kit",
     "variant_shred_agg",
+    "simhash_accuracy",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
