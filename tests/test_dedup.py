@@ -246,3 +246,93 @@ def test_incremental_minhash_matches_full_recompute(spark):
     assert all(a >= 400 or b >= 400 for a, b in inc_pairs)
     # and the split actually exercised both sides
     assert inc_pairs and hist_pairs
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node id
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+def test_star_components_match_union_find_random(spark):
+    import random
+
+    from yahoofinancedatalake_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(5)
+    nodes = list(range(200))
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(180)
+        }
+    )
+    expected = _uf_components(edges, {n for e in edges for n in e})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(df).collect()
+    }
+    assert got == expected
+
+
+def test_star_components_handle_long_chain(spark):
+    """A 300-link chain: O(diameter) min-label propagation would need
+    300 rounds (far past its max_iter guard); star contraction
+    converges in ~log rounds and labels every node 0."""
+    from yahoofinancedatalake_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(df).collect()
+    }
+    assert set(got) == set(range(301))
+    assert set(got.values()) == {0}
+
+
+def test_star_components_match_propagation_on_lsh_graph(spark):
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+    from yahoofinancedatalake_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        hashed_ngram_jaccard,
+        minhash_lsh_pairs,
+    )
+
+    docs = fan_out(load_table(spark, "/root/testdata/sf0.01", "documents"))
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id")
+    verified = hashed_ngram_jaccard(pairs, docs, "doc_id", "text").filter(
+        F.col("jaccard") >= 0.9
+    ).select("id_a", "id_b")
+    a = {
+        (r.node, r.component)
+        for r in connected_components(verified).collect()
+    }
+    b = {
+        (r.node, r.component)
+        for r in connected_components_star(verified).collect()
+    }
+    assert a == b

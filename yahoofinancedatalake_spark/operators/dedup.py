@@ -741,3 +741,106 @@ def _jaccard_join(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
             (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
         )
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — the O(log n)-round algorithm for graphs whose
+    diameter makes min-label propagation (:func:`connected_components`,
+    O(diameter) rounds) impractical: a 1000-link chain converges in
+    ~10 alternations here vs 999 propagation rounds.
+
+    The star operations (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"):
+
+    - large-star: per node u with neighborhood Γ(u), connect every
+      neighbor LARGER than u to m = min(Γ(u) ∪ {u});
+    - small-star: connect u and every neighbor ≤ u to that same m.
+
+    Both are one groupBy + one explode; each alternation at least
+    halves the height of every tree, and the fixpoint is a forest of
+    stars whose centers are the component minima. Convergence is
+    detected from a per-round (count, hash-sum) signature of the
+    canonical edge set — two longs to the driver per round, no edge
+    data. Output matches :func:`connected_components`:
+    (node, component = min node id in the component).
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: int64 hash sums overflow under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # undirected neighborhood, grouped once per node
+        nbrs = (
+            e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+            .unionByName(
+                e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+            )
+            .groupBy("node")
+            .agg(F.collect_set("nbr").alias("ns"))
+            .withColumn(
+                "m",
+                F.least(F.col("node"), F.array_min("ns")),
+            )
+        )
+        if large:
+            targets = F.filter(F.col("ns"), lambda x: x > F.col("node"))
+        else:
+            targets = F.array_union(
+                F.filter(F.col("ns"), lambda x: x <= F.col("node")),
+                F.array(F.col("node")),
+            )
+        out = (
+            nbrs.select(
+                F.col("m"), F.explode(targets).alias("t")
+            )
+            .filter(F.col("t") != F.col("m"))
+            .select(
+                F.least("m", "t").alias("u"),
+                F.greatest("m", "t").alias("v"),
+            )
+            .dropDuplicates(["u", "v"])
+        )
+        return out.localCheckpoint()
+
+    sig = signature(edges)
+    for _ in range(max_iter):
+        edges = star(edges, large=True)
+        edges = star(edges, large=False)
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: stars centered at component minima → label = min
+    # neighbor (or self for centers, which appear only as u)
+    labels = (
+        edges.select(F.col("v").alias("node"), F.col("u").alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    centers = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return labels.unionByName(centers)
