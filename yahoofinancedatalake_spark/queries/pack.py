@@ -6460,6 +6460,41 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@_register(
+    "dedup_clusters_star",
+    QUERIES["dedup_clusters"].oracle,  # same recursive-CTE ground truth
+    doc="Dedup clusters via alternating large-star/small-star "
+    "contraction (operators/dedup.connected_components_star) — the "
+    "O(log n)-round algorithm, driver-verified against the SAME "
+    "recursive-CTE oracle as the O(diameter) min-label propagation "
+    "in dedup_clusters. Same pair graph, same min-id component "
+    "labels, different round complexity: on a long-chain graph "
+    "propagation needs diameter rounds (capped at max_iter) while "
+    "star contraction halves every tree height per alternation — "
+    "the 100 TB choice when cluster topology is unknown.",
+    parts=8,
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (
+        connected_components_star,
+        hashed_ngram_jaccard,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
+    )
+    pairs = hashed_ngram_jaccard(cand, docs, "doc_id", "text", 3).filter(
+        F.col("jaccard") >= 0.9
+    )
+    cc = connected_components_star(pairs.select("id_a", "id_b"))
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -6491,6 +6526,7 @@ _FRESH_FIRST = [
     "variant_shred_agg",
     "simhash_accuracy",
     "media_audio_features",
+    "dedup_clusters_star",
     "late_shipment_priority",
     "nation_market_share",
     "customer_order_distribution",
