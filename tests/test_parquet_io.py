@@ -303,3 +303,34 @@ def test_hive_partition_pruning_reaches_scan(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "ingest_date" in plan.split("PartitionFilters:")[1].split("]")[0]
     assert df.count() == 250
+
+
+def test_file_report_and_compaction_trigger(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.sources.maintenance import (
+        compaction_needed,
+        file_report,
+    )
+    from yahoofinancedatalake_spark.sources.parquet_io import (
+        compact_parquet,
+    )
+
+    p = str(tmp_path / "sprawl")
+    # 16 tiny files — the micro-batch sprawl shape
+    spark.range(0, 1600).repartition(16).write.mode(
+        "overwrite"
+    ).parquet(p)
+    rep = file_report(spark, p, target_bytes=1024 * 1024)
+    n = rep.count()
+    assert n == 16
+    assert rep.filter(F.col("is_small")).count() == 16
+    assert compaction_needed(
+        spark, p, target_bytes=1024 * 1024, min_files=8
+    )
+    # after compaction the trigger clears (file count below min_files)
+    compact_parquet(spark, p, target_file_bytes=1024 * 1024)
+    assert not compaction_needed(
+        spark, p, target_bytes=1024 * 1024, min_files=8
+    )
+    assert spark.read.parquet(p).count() == 1600
