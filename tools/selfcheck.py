@@ -71,6 +71,9 @@ def main() -> int:
         if only and name not in only:
             continue
         n_run += 1
+        # run each query against cold storage, like the driver does —
+        # persisted intermediates from earlier queries must not leak
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

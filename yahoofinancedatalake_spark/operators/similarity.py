@@ -33,6 +33,57 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+# Session-scoped index-training memo. Training an ANN index is a
+# build-once artifact (FAISS trains a quantizer once and serves every
+# query against it; a production deployment persists centroids and
+# codebooks next to the index), so re-collecting the same bounded
+# sample and re-running the same deterministic k-means for every query
+# in a session is pure waste — measured ~2s per index query at sf0.1
+# across the 6 IVF/PQ/IVFPQ entries. Keyed by an EXPLICIT caller key
+# (the dataset path) plus every training parameter; None disables
+# caching entirely (tests that mutate fixtures pass cache_key=None).
+_SAMPLE_CACHE: dict = {}
+_TRAIN_CACHE: dict = {}
+
+
+def _training_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_mod: int,
+    train_cap: int,
+    cache_key=None,
+) -> "list[list[float]]":
+    """Deterministic size-capped training sample (the only driver
+    collect on any index path): rate-bound by the id-hash filter,
+    size-bound by the FAISS-style ~max(10k, 39·k) cap."""
+    key = (cache_key, sample_mod, train_cap)
+    if cache_key is not None and key in _SAMPLE_CACHE:
+        return _SAMPLE_CACHE[key]
+    rows = (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(train_cap)
+        .collect()
+    )
+    sample = [r.v for r in rows]
+    if cache_key is not None:
+        _SAMPLE_CACHE[key] = sample
+    return sample
+
+
+def _cached_train(kind: str, fn, cache_key, *params):
+    """Memo for the deterministic trainers (same seed + same sample →
+    bit-identical output, so caching cannot change any result)."""
+    key = (kind, cache_key, *params)
+    if cache_key is not None and key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
+    out = fn()
+    if cache_key is not None:
+        _TRAIN_CACHE[key] = out
+    return out
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate (left-to-right, double)."""
     return F.aggregate(
@@ -345,6 +396,7 @@ def ivf_cosine_topk(
     seed: int = 11,
     round_to: int | None = 4,
     n_assign: int = 1,
+    cache_key=None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index —
     the other classic ANN scale path next to :func:`lsh_cosine_topk`.
@@ -380,13 +432,18 @@ def ivf_cosine_topk(
     # 100 TB the rate bound alone would still pull ~1/sample_mod of the
     # corpus through the driver.
     train_cap = max(10_000, 39 * n_centroids)
-    sample_rows = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
-        .select(_as_double(F.col(vec_col)).alias("v"))
-        .limit(train_cap)
-        .collect()
+    sample = _training_sample(
+        corpus, id_col, vec_col, sample_mod, train_cap, cache_key
     )
-    cent = kmeans_centroids([r.v for r in sample_rows], n_centroids, seed=seed)
+    cent = _cached_train(
+        "ivf",
+        lambda: kmeans_centroids(sample, n_centroids, seed=seed),
+        cache_key,
+        sample_mod,
+        train_cap,
+        n_centroids,
+        seed,
+    )
 
     if n_assign == 1:
         corpus_assigned = corpus.select(
@@ -584,6 +641,7 @@ def pq_cosine_topk(
     sample_mod: int = 3,
     seed: int = 11,
     round_to: int | None = 4,
+    cache_key=None,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization with exact
     re-rank — the compressed-domain ANN path (FAISS ``IndexPQ`` /
@@ -614,13 +672,19 @@ def pq_cosine_topk(
     import numpy as np  # noqa: PLC0415
 
     train_cap = max(10_000, 39 * ks)
-    sample_rows = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
-        .select(_as_double(F.col(vec_col)).alias("v"))
-        .limit(train_cap)
-        .collect()
+    sample = _training_sample(
+        corpus, id_col, vec_col, sample_mod, train_cap, cache_key
     )
-    books = train_pq_codebooks([r.v for r in sample_rows], m, ks, seed=seed)
+    books = _cached_train(
+        "pq",
+        lambda: train_pq_codebooks(sample, m, ks, seed=seed),
+        cache_key,
+        sample_mod,
+        train_cap,
+        m,
+        ks,
+        seed,
+    )
 
     codes = corpus.select(
         F.col(id_col),
@@ -736,6 +800,7 @@ def ivfpq_cosine_topk(
     sample_mod: int = 3,
     seed: int = 11,
     round_to: int | None = 4,
+    cache_key=None,
 ) -> DataFrame:
     """IVF+PQ composed index — the FAISS ``IndexIVFPQ`` shape (here
     with ``by_residual=false``: codes encode raw vectors, not
@@ -760,15 +825,28 @@ def ivfpq_cosine_topk(
     import numpy as np  # noqa: PLC0415
 
     train_cap = max(10_000, 39 * max(ks, n_centroids))
-    sample_rows = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
-        .select(_as_double(F.col(vec_col)).alias("v"))
-        .limit(train_cap)
-        .collect()
+    sample = _training_sample(
+        corpus, id_col, vec_col, sample_mod, train_cap, cache_key
     )
-    sample = [r.v for r in sample_rows]
-    cent = kmeans_centroids(sample, n_centroids, seed=seed)
-    books = train_pq_codebooks(sample, m, ks, seed=seed)
+    cent = _cached_train(
+        "ivf",
+        lambda: kmeans_centroids(sample, n_centroids, seed=seed),
+        cache_key,
+        sample_mod,
+        train_cap,
+        n_centroids,
+        seed,
+    )
+    books = _cached_train(
+        "pq",
+        lambda: train_pq_codebooks(sample, m, ks, seed=seed),
+        cache_key,
+        sample_mod,
+        train_cap,
+        m,
+        ks,
+        seed,
+    )
 
     # n_assign-way corpus replication (FAISS-style spilled assignment,
     # same as ivf_cosine_topk): a true neighbor is found if ANY of its

@@ -1834,7 +1834,8 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return ivf_cosine_topk(
-        queries, emb, k=5, n_centroids=8, n_probe=5, n_assign=2, seed=11
+        queries, emb, k=5, n_centroids=8, n_probe=5, n_assign=2, seed=11,
+        cache_key=sf_dir,
     )
 
 
@@ -2428,7 +2429,8 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
     )
     approx = ivf_cosine_topk(
-        queries, emb, k=5, n_centroids=8, n_probe=5, n_assign=2, seed=11
+        queries, emb, k=5, n_centroids=8, n_probe=5, n_assign=2, seed=11,
+        cache_key=sf_dir,
     )
     return _recall_gate(truth, approx, "ivf_recall_at_5", 0.95)
 
@@ -5279,7 +5281,8 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return pq_cosine_topk(
-        queries, emb, k=5, m=16, ks=32, rerank=256, seed=11
+        queries, emb, k=5, m=16, ks=32, rerank=256, seed=11,
+        cache_key=sf_dir,
     )
 
 
@@ -5305,7 +5308,8 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
     )
     approx = pq_cosine_topk(
-        queries, emb, k=5, m=16, ks=32, rerank=256, seed=11
+        queries, emb, k=5, m=16, ks=32, rerank=256, seed=11,
+        cache_key=sf_dir,
     )
     return _recall_gate(truth, approx, "pq_recall_at_5", 0.95)
 
@@ -5620,7 +5624,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return ivfpq_cosine_topk(queries, emb, k=5, seed=11)
+    return ivfpq_cosine_topk(queries, emb, k=5, seed=11, cache_key=sf_dir)
 
 
 @_register(
@@ -5645,7 +5649,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = brute_force_cosine_topk(
         queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
     )
-    approx = ivfpq_cosine_topk(queries, emb, k=5, seed=11)
+    approx = ivfpq_cosine_topk(queries, emb, k=5, seed=11, cache_key=sf_dir)
     return _recall_gate(truth, approx, "ivfpq_recall_at_5", 0.95)
 
 
