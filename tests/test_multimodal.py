@@ -182,3 +182,60 @@ def test_real_codecs_through_mapinpandas_pipeline(spark):
     assert len(out[1].feature) == 12 and out[1].feature[1] == 8000.0
     assert len(out[2].feature) == 8 and out[2].feature[0] == 8.0
     assert out[2].feature[2] == 10.0
+
+
+def test_resize_nearest_exact_index_sampling():
+    import numpy as np
+
+    from yahoofinancedatalake_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(9, 12, 3), dtype=np.uint8)
+    small = resize_nearest(px, 6)
+    # aspect-preserving: 12x9 → 6x4 (floor(9 * 6/12) = 4)
+    assert small.shape == (4, 6, 3)
+    # every output pixel is an exact copy of px[i*h//nh, j*w//nw]
+    for i in range(4):
+        for j in range(6):
+            assert (small[i, j] == px[i * 9 // 4, j * 12 // 6]).all()
+
+
+def test_resize_nearest_noop_and_constant_invariance():
+    import numpy as np
+
+    from yahoofinancedatalake_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    px = np.full((4, 4, 3), 77, dtype=np.uint8)
+    assert resize_nearest(px, 8) is px  # already fits → untouched
+    big = np.full((32, 16, 3), 123, dtype=np.uint8)
+    small = resize_nearest(big, 8)
+    assert small.shape == (8, 4, 3)
+    assert (small == 123).all()  # constant image survives exactly
+
+
+def test_resize_nearest_agrees_with_resize_metadata(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.operators.multimodal import (
+        resize_metadata,
+        resize_nearest,
+    )
+
+    dims = [(12, 9), (100, 30), (7, 7), (5, 40)]
+    df = spark.createDataFrame(dims, "width int, height int").withColumn(
+        "media_id", F.monotonically_increasing_id()
+    )
+    planned = {
+        (r.width, r.height): (r.resized_width, r.resized_height)
+        for r in resize_metadata(df, 8).collect()
+    }
+    for w, h in dims:
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        out = resize_nearest(px, 8)
+        assert (out.shape[1], out.shape[0]) == planned[(w, h)], (w, h)

@@ -293,6 +293,27 @@ def bmp_decode(payload: bytes) -> np.ndarray:
     return px[..., ::-1].copy()  # BGR → RGB
 
 
+def resize_nearest(px: np.ndarray, max_side: int) -> np.ndarray:
+    """Aspect-preserving nearest-neighbor downscale of an ``(h, w, c)``
+    pixel grid to fit within ``max_side`` — the byte-level half of
+    :func:`resize_metadata` (which computes the target dims JVM-side
+    without touching the payload; the two agree on
+    ``floor(dim * scale)``). Pure integer source-index sampling
+    (``src = floor(i * src_dim / dst_dim)``), so the output is
+    bit-deterministic and every output pixel is an exact copy of one
+    input pixel — the cheap, exact choice for thumbnail/feature
+    pipelines where interpolation artifacts would pollute hashes."""
+    h, w = px.shape[:2]
+    side = max(h, w)
+    if side <= max_side:
+        return px
+    scale = max_side / side
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    rows = (np.arange(nh) * h // nh).astype(np.int64)
+    cols = (np.arange(nw) * w // nw).astype(np.int64)
+    return px[rows][:, cols]
+
+
 def bmp_feature_decoder(payload: bytes, fmt: str) -> np.ndarray:
     """Image Decoder: 24-bit BMP → 8-dim feature vector
     [width, height, mean_r, mean_g, mean_b, luma_mean, luma_std,

@@ -6499,6 +6499,723 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 fourth wave — the remaining classic TPC-H plan shapes
+# (agg-derived semi-join, disjunctive pushdown, semi+anti chain,
+# scalar-subquery threshold), the Python UDTF / grouped-agg
+# pandas-UDF API surfaces, seasonal decomposition, a bigram LM, and
+# distributed image resize.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "large_order_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_orderkey,
+           {sql_dround('o.o_totalprice', 2)} AS total_price,
+           {sql_dround('big.qty', 2)} AS total_qty
+    FROM orders o
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): orders whose line "
+    "quantities sum past a threshold, joined back to customers, "
+    "top-20 by price. The classic agg-derived semi-join — the "
+    "HAVING aggregate IS the filter set, computed once and joined, "
+    "never an IN-subquery that re-aggregates. At 100 TB the "
+    "lineitem agg shuffles on orderkey (free if bucketed), the "
+    "surviving set is tiny so AQE converts the orders join to a "
+    "broadcast at runtime, and the top-20 is a "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            dround(F.col("o_totalprice"), 2).alias("total_price"),
+            dround(F.col("qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "disjunctive_parts_revenue",
+    """
+    SELECT count(*) AS n_lines,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                          * 100 + 0.5) AS BIGINT)) AS revenue_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_size BETWEEN 11 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_size BETWEEN 26 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive predicates): revenue over an "
+    "OR-of-ANDs condition spanning BOTH join sides. The per-side "
+    "halves of each disjunct are still pushdown-able — Catalyst "
+    "derives l_quantity BETWEEN 1 AND 30 and p_size BETWEEN 1 AND "
+    "50 as scan-level filters from the OR, so neither table is read "
+    "in full — while the cross-side conjunctions evaluate after the "
+    "broadcast join. Revenue is summed as exact integer cents "
+    "(floor(x·100+0.5) per line before the sum) so the single-row "
+    "answer is bit-identical regardless of partition sum order.",
+)
+def q_disjunctive_parts_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    ps, lq = F.col("p_size"), F.col("l_quantity")
+    cond = (
+        (ps.between(1, 10) & lq.between(1, 11))
+        | (ps.between(11, 25) & lq.between(10, 20))
+        | (ps.between(26, 50) & lq.between(20, 30))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+@_register(
+    "solo_late_supplier",
+    """
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+    ), cand AS (
+      SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey)
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM cand JOIN supplier s ON s.s_suppkey = cand.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): in "
+    "finalized multi-supplier orders, the suppliers who were the "
+    "ONLY late one — a semi-join (another supplier participated) "
+    "chained with an anti-join (no OTHER supplier was late) on the "
+    "same equi-key with a suppkey inequality as residual. This is "
+    "the hardest classic join chain: both subqueries plan as "
+    "LeftSemi/LeftAnti on orderkey, never a count-then-filter "
+    "re-aggregation. At 100 TB everything co-partitions on "
+    "orderkey (one bucketed layout serves all three legs) and the "
+    "supplier dim broadcasts into the final count.",
+)
+def q_solo_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+            )
+        )
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+    )
+    a = late.alias("a")
+    other = li.select("l_orderkey", "l_suppkey").alias("b")
+    has_other = a.join(
+        other,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    ).alias("a")
+    no_other_late = has_other.join(
+        late.alias("c"),
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        no_other_late.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@_register(
+    "idle_customer_balance",
+    """
+    WITH thresh AS (
+      SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+             / (100.0 * count(*)) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    ), cutoff AS (
+      SELECT max(o_orderdate) - INTERVAL 180 DAY AS cut FROM orders
+    )
+    SELECT c.c_nationkey, count(*) AS n_custs,
+           sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+             AS total_bal_cents
+    FROM customer c CROSS JOIN thresh
+    WHERE c.c_acctbal > thresh.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o CROSS JOIN cutoff
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= cutoff.cut)
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (idle high-balance customers): customers "
+    "above the average positive balance with NO order in the last "
+    "180 days of history, grouped by nation. Two data-derived "
+    "scalars — the balance threshold and the recency cutoff — fold "
+    "in via the constant-key broadcast equi-join (a bare 1-row "
+    "crossJoin would plan BroadcastNestedLoopJoin), and the "
+    "recency check is an anti-join against the pre-filtered recent "
+    "orders. The threshold is an exact integer-cents quotient and "
+    "balances aggregate as exact cents, so membership at the "
+    "boundary can never differ between engines. At 100 TB the "
+    "anti-join shuffles on custkey; everything else is map-side.",
+)
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
+    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(cents(F.col("c_acctbal")))
+                / (100.0 * F.count(F.lit(1)))
+            ).alias("ab")
+        )
+        .withColumn("__k", k_of(F.col("ab")))
+    )
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 180 DAYS")).alias("cut")
+    ).withColumn("__k", k_of(F.col("cut")))
+    recent = (
+        orders.withColumn("__k", k_of(F.col("o_custkey")))
+        .join(F.broadcast(cutoff), "__k")
+        .filter(F.col("o_orderdate") >= F.col("cut"))
+        .select("o_custkey")
+    )
+    rich = (
+        cust.withColumn("__k", k_of(F.col("c_custkey")))
+        .join(F.broadcast(thresh), "__k")
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    idle = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(cents(F.col("c_acctbal"))).alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@_register(
+    "udtf_word_index",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS t FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(t) AS word,
+             unnest(generate_series(0, len(t) - 1)) AS pos
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, word, min(pos) AS first_pos, count(*) AS n_occ
+    FROM ex
+    WHERE doc_id < 100
+    GROUP BY doc_id, word
+    ORDER BY doc_id, word
+    """,
+    doc="Python UDTF surface (§2.9 completed: UDF + UDAF + UDTF): a "
+    "user-defined TABLE function builds a per-document mini inverted "
+    "index — one input row expands to one row per distinct word with "
+    "its first position and occurrence count — consumed via SQL "
+    "LATERAL. UDTFs are the extension point for row-expanding logic "
+    "a built-in generator can't express (stateful parse, per-row "
+    "emission decisions); this one is deliberately SQL-replayable so "
+    "the driver's oracle can hash-check the full output. The UDTF "
+    "evaluates per-partition in one Python worker pass — no shuffle "
+    "is introduced by the expansion itself; the doc_id < 100 filter "
+    "bounds driver output, not the compute.",
+    parts=8,
+)
+def q_udtf_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re  # noqa: PLC0415
+
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="word string, first_pos int, n_occ long")
+    class WordIndex:
+        """Per-doc inverted-index rows from one text value.
+
+        Tokenization mirrors ``_word_toks`` exactly (lowercase, strip,
+        split on runs of non-[a-z0-9']) so the DuckDB oracle can
+        replay it with ``regexp_split_to_array``.
+        """
+
+        def eval(self, text: str):  # noqa: D102
+            toks = [
+                t
+                for t in re.split(r"[^a-z0-9']+", (text or "").strip().lower())
+                if t
+            ]
+            seen: dict = {}
+            for i, t in enumerate(toks):
+                if t in seen:
+                    seen[t][1] += 1
+                else:
+                    seen[t] = [i, 1]
+            for word, (first, n) in seen.items():
+                yield word, first, n
+
+    spark.udtf.register("word_index", WordIndex)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.word, w.first_pos, w.n_occ
+        FROM __udtf_docs d, LATERAL word_index(d.text) w
+        ORDER BY d.doc_id, w.word
+        """
+    )
+
+
+@_register(
+    "trimmed_mean_udaf",
+    """
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             percent_rank() OVER (
+               PARTITION BY event_type
+               ORDER BY value, event_id) AS pr
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_kept,
+           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+             / (10000.0 * count(*)) AS trimmed_mean
+    FROM ranked
+    WHERE pr >= 0.1 AND pr <= 0.9
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Grouped-aggregate pandas UDF (the UDAF leg of §2.9 — "
+    "applyInPandas covers grouped-MAP, this covers grouped-AGG): a "
+    "10%-trimmed mean of event values per type, the robust-mean "
+    "recipe a built-in can't express in one aggregate. The whole "
+    "group arrives as Arrow series; ranking ties break on event_id "
+    "so the kept set is deterministic, and the mean is an exact "
+    "integer fixed-point quotient — bit-identical to the SQL "
+    "window+filter replay. Grouped-agg UDFs need the full group in "
+    "one worker (no partial aggregation) — fine for bounded group "
+    "counts like event types; unbounded-cardinality keys should "
+    "pre-aggregate instead.",
+    parts=8,
+)
+def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def kept_mask(v, eid):
+        order = np.lexsort((eid.to_numpy(), v.to_numpy()))
+        n = len(order)
+        if n <= 1:
+            return np.ones(n, dtype=bool), order
+        pr = np.arange(n) / (n - 1)
+        keep = (pr >= 0.1) & (pr <= 0.9)
+        return keep, order
+
+    def trimmed_mean(v, eid):
+        keep, order = kept_mask(v, eid)
+        vv = v.to_numpy()[order][keep]
+        cents = np.floor(vv * 10000 + 0.5).astype("int64").sum()
+        return float(cents) / (10000.0 * len(vv))
+
+    def trimmed_count(v, eid):
+        keep, _ = kept_mask(v, eid)
+        return int(keep.sum())
+
+    trimmed_mean.__annotations__ = {
+        "v": pd.Series, "eid": pd.Series, "return": float
+    }
+    trimmed_count.__annotations__ = {
+        "v": pd.Series, "eid": pd.Series, "return": int
+    }
+    mean_udaf = pandas_udf(trimmed_mean, "double")
+    count_udaf = pandas_udf(trimmed_count, "long")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            count_udaf(F.col("value"), F.col("event_id")).alias("n_kept"),
+            mean_udaf(F.col("value"), F.col("event_id")).alias(
+                "trimmed_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "seasonal_decompose",
+    f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+               / (10000.0 * count(*)) AS v
+      FROM events GROUP BY 1, 2
+    ), tr AS (
+      SELECT *,
+             avg(CAST(floor(v * 10000 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               / 10000.0 AS trend
+      FROM daily
+    ), se AS (
+      SELECT *,
+             avg(CAST(floor((v - trend) * 1000000 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY event_type, dayofweek(day))
+               / 1000000.0 AS seasonal
+      FROM tr
+    )
+    SELECT event_type, day,
+           {sql_dround('v', 4)} AS daily,
+           {sql_dround('trend', 4)} AS trend,
+           {sql_dround('seasonal', 4)} AS seasonal,
+           {sql_dround('v - trend - seasonal', 4)} AS resid
+    FROM se
+    ORDER BY event_type, day
+    """,
+    doc="Classical additive seasonal decomposition (the moving-average "
+    "half of STL) per series: trend = centered 7-day rolling mean of "
+    "the daily aggregate, seasonal = day-of-week mean of the "
+    "detrended values, residual = remainder — the anomaly-detection "
+    "preprocessor for any daily KPI. Three aggregation levels, each "
+    "fixed-pointed before its sum (daily cents, trend and seasonal "
+    "as integer-lattice averages) so every engine adds exact "
+    "integers and divides identical doubles. Day-of-week is only a "
+    "PARTITION key, so Spark's 1=Sunday vs DuckDB's 0=Sunday origin "
+    "difference is immaterial (same equivalence classes). At 100 TB "
+    "the daily agg is the only corpus-sized shuffle; the windows "
+    "run over per-type day counts (bounded state).",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    fix = lambda c, s: F.floor(c * s + 0.5).cast("long")  # noqa: E731
+    daily = ev.groupBy("event_type", "day").agg(
+        (
+            F.sum(fix(F.col("value"), 10000))
+            / (10000.0 * F.count(F.lit(1)))
+        ).alias("v")
+    )
+    w_tr = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.withColumn(
+        "trend", F.avg(fix(F.col("v"), 10000)).over(w_tr) / 10000.0
+    )
+    w_se = Window.partitionBy("event_type", F.dayofweek("day"))
+    se = tr.withColumn(
+        "seasonal",
+        F.avg(fix(F.col("v") - F.col("trend"), 1000000)).over(w_se)
+        / 1000000.0,
+    )
+    return se.select(
+        "event_type",
+        "day",
+        dround(F.col("v"), 4).alias("daily"),
+        dround(F.col("trend"), 4).alias("trend"),
+        dround(F.col("seasonal"), 4).alias("seasonal"),
+        dround(
+            F.col("v") - F.col("trend") - F.col("seasonal"), 4
+        ).alias("resid"),
+    ).orderBy("event_type", "day")
+
+
+@_register(
+    "bigram_logprob_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, t FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM base
+    ), bc AS (
+      SELECT b, count(*) AS bc FROM bg GROUP BY b
+    ), uc AS (
+      SELECT w1, count(*) AS uc FROM bg GROUP BY w1
+    ), vocab AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM toks)
+    ), scored AS (
+      SELECT bg.doc_id,
+             {sql_dround('ln((bc.bc + 1.0) / (uc.uc + vocab.v))', 6)} AS lp
+      FROM bg JOIN bc USING (b) JOIN uc USING (w1) CROSS JOIN vocab
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           {sql_dround('sum(lp)', 6)} / count(*) AS mean_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Bigram language-model quality score with add-one smoothing — "
+    "the conditional-probability upgrade of unigram_logprob_quality "
+    "(one rung up the CCNet/KenLM ladder): each doc's mean "
+    "ln P(w_i | w_{{i-1}}) under the corpus's own bigram counts. "
+    "Bigrams build JVM-side (zip_with over sliced token arrays, no "
+    "Python), context counts come from the same bigram rows, and "
+    "the vocabulary size folds in via the data-derived constant-key "
+    "broadcast. Per-position log-probs are dround(6)-fixed BEFORE "
+    "the per-doc sum. At 100 TB both count tables are "
+    "vocabulary-bounded (distinct bigrams ≪ corpus positions) — "
+    "broadcastable or bucketed — and the only corpus-sized "
+    "exchanges are the two count aggregations.",
+    parts=8,
+)
+def q_bigram_logprob_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    base = docs.select("doc_id", _word_toks().alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bgrows = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(
+                    a.alias("w1"),
+                    F.concat(a, F.lit(" "), b).alias("b"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.w1").alias("w1"), F.col("x.b").alias("b"))
+    bc = bgrows.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
+    uc = bgrows.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
+    vocab = (
+        docs.select("doc_id", _word_toks().alias("t"))
+        .select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .withColumn("__k", k_of(F.col("v")))
+    )
+    uc_v = (
+        uc.withColumn("__k", k_of(F.col("w1")))
+        .join(F.broadcast(vocab), "__k")
+        .drop("__k")
+    )
+    scored = (
+        bgrows.join(uc_v, "w1")
+        .join(bc, "b")
+        .select(
+            "doc_id",
+            dround(
+                F.log((F.col("bc") + 1.0) / (F.col("uc") + F.col("v"))), 6
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (dround(F.sum("lp"), 6) / F.count(F.lit(1))).alias(
+                "mean_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "media_image_resize",
+    None,  # byte-level pixel resample → not ANSI-SQL-expressible
+    doc="Distributed image resize under the driver gate — the "
+    "byte-touching half of the multimodal resize path "
+    "(resize_metadata plans target dims JVM-side; this executes "
+    "the resample): 48 genuine 24-bit BMP payloads are synthesized "
+    "from the events table (gradient + stripe pattern keyed by "
+    "event value), decoded with the stdlib BMP codec, downscaled "
+    "by exact nearest-neighbor sampling (multimodal.resize_nearest) "
+    "inside one mapInPandas pass, and reduced to per-asset "
+    "dimensions + mean-luma stats. Payloads never leave the "
+    "executor: the map emits only small numeric rows, the shape a "
+    "100 TB thumbnail/feature job must have. Deterministic end to "
+    "end (integer source-index sampling), so row values are stable "
+    "across runs; correctness of the kernel itself is pinned "
+    "against a pure-numpy reference in tests/test_multimodal.py.",
+    parts=8,
+)
+def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.operators import (  # noqa: PLC0415
+        multimodal as mm,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 48)
+        .select("event_id", "value")
+    )
+
+    def synth_bmp(w, h, seed_val):
+        # deterministic gradient + vertical stripe keyed by the value
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = np.where(
+            (xx + int(abs(seed_val)) % w) % 4 < 2, 255, 0
+        ).astype(np.uint8)
+        px = np.stack([r, g, b], axis=-1)  # RGB
+        row_bytes = (w * 3 + 3) & ~3
+        pad = row_bytes - w * 3
+        body = b"".join(
+            px[y, :, ::-1].tobytes() + b"\x00" * pad  # BGR rows
+            for y in range(h - 1, -1, -1)  # bottom-up
+        )
+        hdr = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(body), 2835, 2835, 0, 0)
+        )
+        return hdr + body
+
+    def pipeline(batches):
+        for pdf in batches:
+            out = []
+            for mid, val in zip(pdf["event_id"], pdf["value"]):
+                payload = synth_bmp(12, 9, float(val))
+                px = mm.bmp_decode(payload)
+                small = mm.resize_nearest(px, 6)
+                luma = (
+                    0.2126 * px[..., 0].astype(np.float64)
+                    + 0.7152 * px[..., 1]
+                    + 0.0722 * px[..., 2]
+                )
+                sl = (
+                    0.2126 * small[..., 0].astype(np.float64)
+                    + 0.7152 * small[..., 1]
+                    + 0.0722 * small[..., 2]
+                )
+                out.append(
+                    (
+                        int(mid),
+                        px.shape[1],
+                        px.shape[0],
+                        small.shape[1],
+                        small.shape[0],
+                        float(np.floor(luma.mean() * 100 + 0.5) / 100),
+                        float(np.floor(sl.mean() * 100 + 0.5) / 100),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height",
+                    "resized_width", "resized_height",
+                    "luma_full", "luma_resized",
+                ],
+            )
+
+    return events.mapInPandas(
+        pipeline,
+        schema=(
+            "media_id long, width int, height int, resized_width int, "
+            "resized_height int, luma_full double, luma_resized double"
+        ),
+    ).orderBy("media_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -6515,6 +7232,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the FRONT of the dict so fresh code is always inside the driver's
 # correctness window, while long-green mature queries run last.
 _FRESH_FIRST = [
+    # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
+    # API surfaces, seasonal decomposition, bigram LM, image resize
+    "large_order_customers",
+    "disjunctive_parts_revenue",
+    "solo_late_supplier",
+    "idle_customer_balance",
+    "udtf_word_index",
+    "trimmed_mean_udaf",
+    "seasonal_decompose",
+    "bigram_logprob_quality",
+    "media_image_resize",
     # round 6 additions — multi-way joins, corpus rebalancing, PQ ANN
     "ivfpq_recall",
     "ivfpq_topk",
