@@ -1,0 +1,177 @@
+"""Python DataSource API ingestion (§2.1 S6-S8 as first-class formats).
+
+The replayable REST sources in :mod:`.replay` are driver-side
+callables; this module lifts them into Spark 4's Python DataSource
+API so ingestion becomes a real ``spark.read.format(...)`` /
+``spark.readStream.format(...)`` — planned, partitioned, and executed
+by the engine like any other scan:
+
+- :class:`StockHistoryDataSource` (``format("stock_history")``) —
+  batch OHLCV ingestion with ONE INPUT PARTITION PER SYMBOL: the
+  per-ticker fetch loop of the reference
+  (scripts/ingestion/yahoo_stocks.py:18-44) becomes partition-parallel
+  executor work instead of a serial driver loop. At real scale each
+  partition is an independent rate-limit domain (one ticker's API
+  budget), so symbol-partitioning is the natural unit of parallel
+  ingestion, and a 5000-ticker universe fans out across the cluster.
+- :class:`NewsWindowsDataSource` (``format("news_windows")``) — the
+  month-paged Finnhub fetch (finnhub_news.py:139-188) as a STREAMING
+  source: the pagination cursor IS the stream offset ({"window": i}
+  walking backward from ``now``), so every micro-batch ingests one
+  month window for every symbol, checkpoint/restart resumes from the
+  last committed window, and the provider's duplicate-article quirk
+  is handled downstream with ``dropDuplicates(["id"])`` — the A8
+  cross-window dedup as engine semantics instead of a driver-side
+  ``seen`` set.
+
+Both read local JSONL fixtures (network fetches are
+non-deterministic at source — SURVEY.md §7 hard part 3); a real REST
+deployment swaps the fixture read in ``read()`` for the HTTP call
+and keeps the partitioning/offset plan unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+STOCK_SCHEMA = (
+    "symbol string, date string, open double, high double, low double, "
+    "close double, volume long, fetched_at string"
+)
+
+NEWS_SCHEMA = (
+    "id string, symbol string, title string, summary string, "
+    "pub_date string, provider string, window_from string, "
+    "window_to string"
+)
+
+
+def _load_jsonl(path: str) -> list[dict]:
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+class _SymbolPartition(InputPartition):
+    def __init__(self, symbol: str):
+        self.symbol = symbol
+
+
+class _StockHistoryReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.symbols = options.get("symbols")
+
+    def partitions(self):
+        if self.symbols:
+            syms = [s for s in self.symbols.split(",") if s]
+        else:
+            # planning-time metadata listing (the analog of file
+            # listing for a file source): discover the symbol universe
+            # driver-side, ship one partition per symbol
+            syms = sorted({r["symbol"] for r in _load_jsonl(self.path)})
+        return [_SymbolPartition(s) for s in syms]
+
+    def read(self, partition: _SymbolPartition) -> Iterator[tuple]:
+        # executor-side: one symbol's full history (the per-ticker
+        # REST call in a real deployment)
+        for r in _load_jsonl(self.path):
+            if r["symbol"] == partition.symbol:
+                yield (
+                    r["symbol"], r["date"], float(r["open"]),
+                    float(r["high"]), float(r["low"]), float(r["close"]),
+                    int(r["volume"]), r["fetched_at"],
+                )
+
+
+class StockHistoryDataSource(DataSource):
+    """``spark.read.format("stock_history").option("path", f).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "stock_history"
+
+    def schema(self) -> str:
+        return STOCK_SCHEMA
+
+    def reader(self, schema) -> _StockHistoryReader:
+        return _StockHistoryReader(self.options)
+
+
+class _NewsWindowsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        from yahoofinancedatalake_spark.sources.replay import (  # noqa: PLC0415
+            month_ranges,
+        )
+
+        self.path = options["path"]
+        self.now = options["now"]
+        self.months_back = int(options.get("months_back", "12"))
+        self.windows = month_ranges(self.now, self.months_back)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"window": 0}
+
+    def _window_rows(self, i: int) -> list[tuple]:
+        frm, to = self.windows[i]
+        rows = _load_jsonl(self.path)
+        hits = [r for r in rows if frm <= r["pub_date"][:10] <= to]
+        if i == 0:
+            # provider quirk replay (finnhub_news.py / replay.py):
+            # stale epoch-zero timestamps are served in the newest
+            # window; the silver >=2020 filter culls them downstream
+            hits = hits + [
+                r for r in rows if r["pub_date"][:10] < "2020-01-01"
+            ]
+        return [
+            (
+                str(r["id"]), r["symbol"], r["title"], r["summary"],
+                r["pub_date"], r.get("provider"), frm, to,
+            )
+            for r in hits
+        ]
+
+    def read(self, start: dict) -> tuple:
+        i = start["window"]
+        if i >= len(self.windows):
+            return iter([]), start  # pagination exhausted
+        return iter(self._window_rows(i)), {"window": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        # deterministic replay for recovery: re-serve the committed
+        # window range from the fixture
+        out: list[tuple] = []
+        for i in range(start["window"], end["window"]):
+            out.extend(self._window_rows(i))
+        return iter(out)
+
+    def commit(self, end: dict) -> None:
+        pass  # fixture replay has nothing to clean up
+
+
+class NewsWindowsDataSource(DataSource):
+    """``spark.readStream.format("news_windows")`` — one micro-batch
+    per pagination window."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "news_windows"
+
+    def schema(self) -> str:
+        return NEWS_SCHEMA
+
+    def simpleStreamReader(self, schema) -> _NewsWindowsStreamReader:  # noqa: N802
+        return _NewsWindowsStreamReader(self.options)
+
+
+def register_python_sources(spark) -> None:
+    """Register both formats on a session (idempotent)."""
+    spark.dataSource.register(StockHistoryDataSource)
+    spark.dataSource.register(NewsWindowsDataSource)
