@@ -141,3 +141,47 @@ def test_incremental_format_reads_only_new_partition_and_matches_full(
         ra = sorted(map(tuple, da.select(*cols).collect()))
         rb = sorted(map(tuple, db.select(*cols).collect()))
         assert ra == rb
+
+
+def test_observe_contract_metrics_ride_the_write_action(spark, tmp_path):
+    """Stage telemetry: metrics computed on the sink write's own pass
+    must equal independently-counted truth, and the contract gate
+    must trip on planted violations."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.telemetry import (
+        assert_contract,
+        observe_contract,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("key"),
+    )
+    observed, obs = observe_contract(df, ["key"], "t1")
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    m = dict(obs.get)
+    assert m["rows"] == 100
+    assert m["nulls_key"] == 10
+    with _pytest.raises(ValueError, match="null key columns"):
+        assert_contract(m, "stage_x")
+    assert_contract({"rows": 5, "nulls_key": 0}, "ok_stage")
+    with _pytest.raises(ValueError, match="0 rows"):
+        assert_contract({"rows": 0}, "empty_stage")
+
+
+def test_pipeline_combine_records_stage_metrics(spark, tmp_path):
+    from yahoofinancedatalake_spark.pipeline import Pipeline
+
+    p = Pipeline(spark, str(tmp_path / "lake"))
+    p.run()
+    m = p.stage_metrics["combine"]
+    truth = spark.read.parquet(
+        p.cat.path("gold", "enriched_stocks")
+    ).count()
+    assert m["rows"] == truth > 0
+    assert m["nulls_symbol"] == 0 and m["nulls_date"] == 0

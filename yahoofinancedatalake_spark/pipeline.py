@@ -78,6 +78,8 @@ class Pipeline:
         self.cat = LakeCatalog(root)
         self.fixtures = fixtures
         self.symbols = symbols or SYMBOLS
+        #: per-stage observe() metrics from the latest run
+        self.stage_metrics: dict[str, dict] = {}
 
     # -- ingest (DAG: ingest_stocks ∥ ingest_news) ----------------------
 
@@ -190,13 +192,31 @@ class Pipeline:
     # -- combine (DAG: combine_data, combine_sources.py) ----------------
 
     def combine(self) -> None:
-        """Silver → gold 16-column enriched table (A1+J1/J2+P6/P7)."""
+        """Silver → gold 16-column enriched table (A1+J1/J2+P6/P7).
+
+        The gold write carries an ``observe`` contract: row count and
+        key-column null counts are computed on the write's own pass
+        (no extra scan — at 100 TB a separate validation count is
+        another full read of gold) and gate the stage via
+        :func:`telemetry.assert_contract`. Metrics are kept on
+        ``self.stage_metrics`` for the caller's metrics sink.
+        """
+        from yahoofinancedatalake_spark.telemetry import (  # noqa: PLC0415
+            assert_contract,
+            observe_contract,
+        )
+
         spark = self.spark
         stocks = spark.read.parquet(self.cat.path("silver", "stocks"))
         company = spark.read.parquet(self.cat.path("silver", "company_info"))
         news = spark.read.parquet(self.cat.path("silver", "news"))
         gold = combine(stocks, company, aggregate_news(news))
-        write_parquet(gold, self.cat.path("gold", "enriched_stocks"))
+        observed, obs = observe_contract(
+            gold, ["symbol", "date"], "gold_contract"
+        )
+        write_parquet(observed, self.cat.path("gold", "enriched_stocks"))
+        self.stage_metrics["combine"] = dict(obs.get)
+        assert_contract(self.stage_metrics["combine"], "combine")
 
     # -- predict (DAG: predict_arima, arima_forecast.py) ----------------
 

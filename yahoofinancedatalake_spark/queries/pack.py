@@ -7216,6 +7216,160 @@ def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@_register(
+    "sliding_distinct_users_7d",
+    """
+    WITH days AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS day
+      FROM events
+    ), tri AS (
+      SELECT DISTINCT event_type, user_id,
+             date_trunc('day', ts) AS day
+      FROM events
+    ), contrib AS (
+      SELECT DISTINCT t.event_type, t.user_id, d.day AS window_end
+      FROM tri t JOIN days d
+        ON d.event_type = t.event_type
+       AND d.day BETWEEN t.day AND t.day + INTERVAL 6 DAY
+    )
+    SELECT event_type, window_end, count(DISTINCT user_id) AS n_users
+    FROM contrib
+    GROUP BY event_type, window_end
+    ORDER BY event_type, window_end
+    """,
+    doc="Trailing-7-day distinct active users per type per day — the "
+    "sliding-window COUNT DISTINCT that window functions cannot "
+    "express (DISTINCT isn't frame-mergeable). The scale-correct "
+    "plan: dedup events to (type, user, day) triples FIRST (the "
+    "corpus-sized shuffle happens on the small deduped key set), "
+    "then each triple explodes to the ≤7 window-ends it feeds — a "
+    "bounded 7× fan-out of the TRIPLES, not the events — and a "
+    "semi-join against observed days prunes phantom window ends. "
+    "Contrast with hll_partial_rollup, which answers the same "
+    "question approximately with mergeable sketches and no fan-out; "
+    "this is the exact twin. The DuckDB oracle states the semantics "
+    "as a range join; the engine form is the explode (equi-joins "
+    "only — a range join would re-scan per window).",
+)
+def q_sliding_distinct_users_7d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    tri = ev.dropDuplicates(["event_type", "user_id", "day"])
+    days = ev.select("event_type", "day").dropDuplicates()
+    contrib = tri.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_end"),
+    ).join(
+        days.withColumnRenamed("day", "window_end"),
+        ["event_type", "window_end"],
+        "left_semi",
+    )
+    return (
+        contrib.groupBy("event_type", "window_end")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type", "window_end")
+    )
+
+
+@_register(
+    "chunk_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
+    ), base AS (
+      SELECT doc_id, tokens, len(tokens) AS n
+      FROM toks WHERE len(tokens) >= 1
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0, n - 1, {_CHUNK_S})) AS st,
+             tokens, n
+      FROM base
+    ), hashed AS (
+      SELECT doc_id, st,
+             md5(array_to_string(
+               tokens[st + 1 : st + {_CHUNK_W}], ' ')) AS h
+      FROM chunks
+    ), ranked AS (
+      SELECT doc_id, st, h,
+             row_number() OVER (
+               PARTITION BY h ORDER BY doc_id, st) AS rn
+      FROM hashed
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           {sql_dround(
+               "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)"
+               " * 1.0 / count(*)", 4)} AS kept_frac
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Chunk-level exact dedup across documents — the "
+    "paragraph-dedup recipe (RefinedWeb/CCNet drop repeated "
+    "paragraphs CORPUS-wide, not just whole-doc dups) applied to "
+    "the engine's token-window chunks: hash every chunk, keep the "
+    "first occurrence per hash (deterministic (doc_id, offset) "
+    "order), report each doc's surviving fraction — the signal that "
+    "flags boilerplate-heavy sources before training. Plan: chunks "
+    "build map-side (same zero-shuffle shape as doc_chunking), the "
+    "only corpus-sized exchange is the hash window, whose per-key "
+    "state is the duplicate multiplicity. At 100 TB the md5 (16 "
+    "bytes) replaces chunk text through the shuffle.",
+    parts=8,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    base = (
+        docs.select("doc_id", _word_toks().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    hashed = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
+        ).alias("st"),
+        "toks",
+    ).select(
+        "doc_id",
+        "st",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("st") + 1, F.lit(_CHUNK_W)),
+                " ",
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "st")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            kept.alias("n_kept"),
+            dround(
+                kept * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("kept_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -7232,6 +7386,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the FRONT of the dict so fresh code is always inside the driver's
 # correctness window, while long-green mature queries run last.
 _FRESH_FIRST = [
+    # round-4 fifth wave — sliding distinct, chunk-level dedup
+    "sliding_distinct_users_7d",
+    "chunk_dedup",
     # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
     # API surfaces, seasonal decomposition, bigram LM, image resize
     "large_order_customers",
