@@ -1,0 +1,86 @@
+"""File-level manifest skipping (sources/manifest.py).
+
+Contract: pruning only removes files that CANNOT match, so a pruned
+read + filter is always row-identical to a full read + filter; on a
+clustered layout it must actually skip files, on a random layout it
+must keep everything (conservative, never wrong).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.sources.manifest import (
+    pruned_files,
+    read_pruned,
+    write_manifest,
+)
+from yahoofinancedatalake_spark.sources.parquet_io import write_clustered
+
+
+def _key_range_table(spark):
+    return spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_clustered_layout_skips_files_and_stays_exact(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    write_clustered(_key_range_table(spark), path, ["k"], n_files=8)
+    write_manifest(path, ["k"])
+    kept, total = pruned_files(path, "k", lo=2000, hi=2500)
+    assert total == 8
+    assert len(kept) < total  # clustering → real skipping
+    got = (
+        read_pruned(spark, path, "k", lo=2000, hi=2500)
+        .filter(F.col("k").between(2000, 2500))
+        .count()
+    )
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("k").between(2000, 2500))
+        .count()
+    )
+    assert got == want == 501
+
+
+def test_unclustered_layout_prunes_nothing_but_stays_exact(
+    spark, tmp_path
+):
+    path = str(tmp_path / "random")
+    # hash-repartitioned → every file spans ~the full key range
+    _key_range_table(spark).repartition(6, "v").write.parquet(path)
+    write_manifest(path, ["k"])
+    kept, total = pruned_files(path, "k", lo=100, hi=200)
+    assert len(kept) == total  # conservative: nothing skippable
+    got = (
+        read_pruned(spark, path, "k", lo=100, hi=200)
+        .filter(F.col("k").between(100, 200))
+        .count()
+    )
+    assert got == 101
+
+
+def test_open_bounds_and_empty_survivor_set(spark, tmp_path):
+    path = str(tmp_path / "c2")
+    write_clustered(_key_range_table(spark), path, ["k"], n_files=4)
+    write_manifest(path, ["k"])
+    # one-sided bound
+    kept_hi, total = pruned_files(path, "k", hi=10)
+    assert 1 <= len(kept_hi) < total
+    # disjoint range → zero files, empty frame with intact schema
+    df = read_pruned(spark, path, "k", lo=1_000_000)
+    assert df.count() == 0
+    assert set(df.columns) == {"k", "v"}
+
+
+def test_manifest_is_invisible_to_spark_listing(spark, tmp_path):
+    path = str(tmp_path / "c3")
+    write_clustered(_key_range_table(spark), path, ["k"], n_files=2)
+    write_manifest(path, ["k"])
+    assert os.path.exists(os.path.join(path, "_manifest.json"))
+    # the underscore file must not break a plain read
+    assert spark.read.parquet(path).count() == 10_000

@@ -1,0 +1,121 @@
+"""File-level data skipping for plain parquet — a minimal manifest.
+
+Spark's parquet reader already prunes ROW GROUPS from footer stats,
+but it must still OPEN every file to read its footer: at 100 TB with
+~100k files, that is ~100k small reads before the first data byte —
+the exact problem Delta/Iceberg solve by keeping per-file column
+stats in a manifest consulted at planning time. This module is that
+idea for plain parquet directories, sized to the engine's
+``write_clustered`` / ``write_zordered`` layouts (clustering is what
+makes per-file ranges narrow enough to skip):
+
+- :func:`write_manifest` — after a write, collect per-file min/max
+  for the requested columns from the parquet FOOTERS (driver-side
+  pyarrow metadata reads: O(files) footer fetches done ONCE at write
+  time, amortized over every future query) into
+  ``_manifest.json`` next to the data (underscore prefix → invisible
+  to Spark's file listing, same convention as ``_SUCCESS``).
+- :func:`pruned_files` / :func:`read_pruned` — at query time, drop
+  every file whose [min, max] cannot intersect the predicate and
+  hand Spark only the survivors. Planning cost is one tiny JSON
+  read; the cluster never schedules a task for a skipped file.
+
+Correctness contract: pruning only ever REMOVES files that cannot
+contain matches (interval disjointness), so
+``read_pruned(...).filter(pred)`` ≡ ``read(path).filter(pred)`` —
+asserted in tests against both clustered and unclustered layouts
+(an unclustered layout simply skips nothing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def write_manifest(path: str, columns: list[str]) -> dict:
+    """Collect per-file min/max for ``columns`` from parquet footers
+    under ``path`` (non-recursive: one directory = one table or one
+    partition) and land them as ``_manifest.json``. Returns the
+    manifest dict. Cheap: footer metadata only, no data pages."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    files = {}
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict = {}
+        for col in columns:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[col]).statistics
+                if s is None or not s.has_min_max:
+                    ok = False  # a stats-less row group poisons the file
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if ok and lo is not None:
+                stats[col] = [_plain(lo), _plain(hi)]
+        files[name] = stats
+    manifest = {"columns": columns, "files": files}
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, default=str)
+    return manifest
+
+
+def _plain(v):
+    # JSON-safe scalar: bytes → utf-8 best effort, dates/timestamps →
+    # ISO strings (compared lexicographically, which is order-correct
+    # for ISO-8601)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def pruned_files(
+    path: str, col: str, lo=None, hi=None
+) -> tuple[list[str], int]:
+    """Files under ``path`` that may contain rows with
+    ``lo <= col <= hi`` (either bound optional), per the manifest.
+    Files without stats for ``col`` are always kept (skipping must
+    be conservative). Returns (kept file paths, total file count)."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    kept = []
+    total = 0
+    for name, stats in manifest["files"].items():
+        total += 1
+        s = stats.get(col)
+        if s is None:
+            kept.append(os.path.join(path, name))
+            continue
+        fmin, fmax = s
+        if lo is not None and fmax < lo:
+            continue  # entire file below the range
+        if hi is not None and fmin > hi:
+            continue  # entire file above the range
+        kept.append(os.path.join(path, name))
+    return kept, total
+
+
+def read_pruned(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None
+) -> DataFrame:
+    """``spark.read.parquet`` over only the files that can match
+    ``lo <= col <= hi``. The predicate itself is NOT applied — callers
+    keep their own ``.filter`` (row groups inside kept files still
+    prune via footer stats as usual). An empty survivor set returns
+    an empty frame with the table's schema."""
+    files, _ = pruned_files(path, col, lo, hi)
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*files)
