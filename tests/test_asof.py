@@ -169,3 +169,79 @@ def test_asof_join_ignores_null_ts_right_rows(spark):
     )
     row = asof_join(left, right, ["user_id"], "ts", ["value"]).collect()[0]
     assert row.matched_ts is None and row.value is None
+
+
+def test_asof_join_forward_and_nearest_match_pandas(spark):
+    """Cross-check the forward and nearest directions against
+    pandas.merge_asof on random keyed series (same harness as the
+    backward cross-check)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(23)
+    base = _t("2024-01-01 00:00:00")
+    lrows = sorted(
+        (base + dt.timedelta(seconds=rng.randrange(0, 500000)),
+         rng.randrange(4))
+        for _ in range(200)
+    )
+    rrows = sorted(
+        (base + dt.timedelta(seconds=rng.randrange(0, 500000)),
+         rng.randrange(4), rng.random())
+        for _ in range(80)
+    )
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (ts, k) in enumerate(lrows)],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for ts, k, v in rrows],
+        "k long, ts timestamp, v double",
+    )
+    lp = (
+        pd.DataFrame(lrows, columns=["ts", "k"])
+        .assign(id=range(len(lrows)))
+        .sort_values("ts")
+    )
+    rp = pd.DataFrame(rrows, columns=["ts", "k", "v"]).sort_values("ts")
+    for direction in ("forward", "nearest"):
+        got = {
+            r.id: r.v
+            for r in asof_join(
+                left, right, ["k"], "ts", ["v"], direction=direction
+            ).collect()
+        }
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction
+        )
+        for _, row in merged.iterrows():
+            if pd.isna(row["v"]):
+                assert got[row["id"]] is None, (direction, row["id"])
+            else:
+                assert got[row["id"]] == row["v"], (direction, row["id"])
+
+
+def test_asof_join_nearest_tolerance_cuts_both_sides(spark):
+    left = spark.createDataFrame(
+        [(1, _t("2024-01-10 00:00:00"))], "id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(_t("2024-01-01 00:00:00"), 1.0),
+         (_t("2024-01-25 00:00:00"), 2.0)],
+        "ts timestamp, v double",
+    )
+    import pyspark.sql.functions as F
+
+    # nearest without tolerance: backward row is 9 days away, forward
+    # 15 → backward wins
+    got = asof_join(
+        left, right, [], "ts", ["v"], direction="nearest"
+    ).collect()[0]
+    assert got.v == 1.0
+    # 7-day tolerance nulls BOTH candidates
+    got = asof_join(
+        left, right, [], "ts", ["v"], direction="nearest",
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    ).collect()[0]
+    assert got.v is None

@@ -37,22 +37,35 @@ def asof_join(
     value_cols: list[str],
     matched_ts_col: str = "matched_ts",
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` within the same ``on`` key (backward
-    as-of, inclusive — pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
-    semantics). Unmatched left rows keep nulls (left-join semantics).
+    """For each left row, attach the as-of matching right row within
+    the same ``on`` key. ``direction`` selects the pandas
+    ``merge_asof`` family member (all inclusive at equal ts;
+    unmatched left rows keep nulls — left-join semantics):
 
-    ``tolerance``: optional max age as an interval Column (e.g.
-    ``F.expr("INTERVAL 7 DAYS")``) — older matches are nulled out,
-    like ``merge_asof(tolerance=...)``.
+    - ``"backward"`` (default): latest right with ``rts <= lts`` —
+      DuckDB ``ASOF JOIN`` / kdb ``aj`` semantics.
+    - ``"forward"``: earliest right with ``rts >= lts`` (the
+      next-event attribution shape).
+    - ``"nearest"``: whichever of the two is closer in time; exact
+      ties resolve backward, matching pandas.
 
-    Plan: tag + union both inputs, one window
-    ``last(right_payload, ignorenulls)`` ordered by (ts, side) per
-    key — right rows sort before left rows at equal ts, which makes
-    the match inclusive. One exchange on ``on``; no pair blowup, no
-    nested-loop join.
+    ``tolerance``: optional max distance as an interval Column (e.g.
+    ``F.expr("INTERVAL 7 DAYS")``) — farther matches are nulled out,
+    like ``merge_asof(tolerance=...)``; applies on both sides of
+    ``nearest``.
+
+    Plan: tag + union both inputs, one running
+    ``last/first(right_payload, ignorenulls)`` window per key over
+    the time-sorted union (``nearest`` evaluates both frames on the
+    SAME sort — still one exchange, one sort). Right rows order
+    toward the left row at equal ts so matches are inclusive. No
+    pair blowup, no nested-loop join — the same plan pandas'
+    merge_asof runs per group, distributed.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     rstruct = F.struct(
         F.col(ts_col).alias("__rts"), *[F.col(c) for c in value_cols]
     )
@@ -77,18 +90,55 @@ def asof_join(
     )
     r = r.withColumn("__l", F.lit(None).cast(l.schema["__l"].dataType))
     unioned = l.unionByName(r)
-    w = (
+    # backward: right (side 0) sorts BEFORE left at equal ts under
+    # (ts, side) asc → inclusive in the trailing frame. forward: the
+    # trailing sort keeps right before left, so the LEADING frame must
+    # start one row early to re-include an equal-ts right row — order
+    # (ts, side desc) instead: left first, right after, frame
+    # [current, +inf) sees it.
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(w)
-    ).filter(F.col("__side") == 1)
-    match = F.col("__m")
-    if tolerance is not None:
-        match = F.when(
-            F.col("__m.__rts") >= F.col("__ts") - tolerance, F.col("__m")
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cols = {}
+    if direction in ("backward", "nearest"):
+        cols["__mb"] = F.last("__r", ignorenulls=True).over(w_back)
+    if direction in ("forward", "nearest"):
+        cols["__mf"] = F.first("__r", ignorenulls=True).over(w_fwd)
+    filled = unioned.withColumns(cols).filter(F.col("__side") == 1)
+
+    def in_tol(m: Column) -> Column:
+        if tolerance is None:
+            return m
+        dist_ok = (m["__rts"] >= F.col("__ts") - tolerance) & (
+            m["__rts"] <= F.col("__ts") + tolerance
+        )
+        return F.when(dist_ok, m)
+
+    if direction == "backward":
+        match = in_tol(F.col("__mb"))
+    elif direction == "forward":
+        match = in_tol(F.col("__mf"))
+    else:
+        mb, mf = in_tol(F.col("__mb")), in_tol(F.col("__mf"))
+        # nearest: closer wins; exact tie → backward (pandas rule)
+        back_dist = F.col("__ts").cast("double") - mb["__rts"].cast(
+            "double"
+        )
+        fwd_dist = mf["__rts"].cast("double") - F.col("__ts").cast(
+            "double"
+        )
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(fwd_dist < back_dist, mf)
+            .otherwise(mb)
         )
     return filled.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],

@@ -7370,6 +7370,105 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "asof_forward_attribution",
+    """
+    SELECT a.event_id, a.user_id, a.ts,
+           b.ts AS matched_ts, b.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND b.ts >= a.ts
+    """,
+    doc="Forward as-of join: every view gets the user's NEXT purchase "
+    "(value + timestamp) — the attribution question asked "
+    "forward in time, completing the merge_asof direction family "
+    "(asof_purchase_value covers backward; nearest is "
+    "pandas-cross-checked in tests/test_asof.py). Same one-exchange "
+    "union + running-window plan, with the frame flipped to "
+    "[current, +inf) and the tie order inverted so an equal-ts "
+    "purchase still matches (inclusive). Oracle: DuckDB ASOF LEFT "
+    "JOIN with the >= inequality, which selects the nearest "
+    "FOLLOWING right row.",
+)
+def q_asof_forward_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["value"],
+        direction="forward",
+    ).withColumnRenamed("value", "next_purchase_value")
+
+
+@_register(
+    "char_entropy_quality",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, k,
+             sum(k) OVER (PARTITION BY doc_id) AS n
+      FROM cnt
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_chars_counted,
+           {sql_dround(
+               "sum(" + sql_dround(
+                   "-(k * 1.0 / n) * ln(k * 1.0 / n)", 6) + ")", 4)}
+             AS entropy
+    FROM tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Character-level Shannon entropy per document — the "
+    "third independent quality axis next to the LM scores "
+    "(distributional fit) and repetition fractions (local "
+    "structure): encrypted/binary-ish junk scores near the uniform "
+    "maximum, single-character spam near zero, natural text in a "
+    "narrow band — a cheap screen both tails fail. Per-class "
+    "-p·ln p terms are dround(6)-fixed before the per-doc sum "
+    "(p = k/n is an exact integer quotient in both engines). Plan: "
+    "one (doc, char) count — alphabet-bounded per doc — and a "
+    "doc-partitioned window; a single exchange on doc_id at any "
+    "scale.",
+    parts=8,
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    ch = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).filter(F.col("c") != "")
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.partitionBy("doc_id")
+    tot = cnt.withColumn("n", F.sum("k").over(w))
+    p = F.col("k") * 1.0 / F.col("n")
+    term = dround(-p * F.log(p), 6)
+    return (
+        tot.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars_counted"),
+            dround(F.sum(term), 4).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -7386,9 +7485,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the FRONT of the dict so fresh code is always inside the driver's
 # correctness window, while long-green mature queries run last.
 _FRESH_FIRST = [
-    # round-4 fifth wave — sliding distinct, chunk-level dedup
+    # round-4 fifth wave — sliding distinct, chunk-level dedup,
+    # forward as-of, char entropy
     "sliding_distinct_users_7d",
     "chunk_dedup",
+    "asof_forward_attribution",
+    "char_entropy_quality",
     # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
     # API surfaces, seasonal decomposition, bigram LM, image resize
     "large_order_customers",
