@@ -7469,6 +7469,124 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "top_revenue_suppliers",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 100 + 0.5) AS BIGINT)) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ), mx AS (
+      SELECT max(total_cents) AS m FROM rev
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_cents
+    FROM rev CROSS JOIN mx
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_cents = mx.m
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarterly revenue per "
+    "supplier, then ONLY the supplier(s) achieving the maximum — "
+    "the aggregate-of-aggregate pattern where the inner result is "
+    "consumed twice (once to find the max, once to filter). The "
+    "1-row max folds back via the data-derived constant-key "
+    "broadcast; revenue accumulates as exact integer cents so "
+    "'equal to the max' is a well-defined predicate (a float "
+    "revenue tie is engine-dependent at the last ulp — the "
+    "original Q15's VIEW formulation has exactly this trap). At "
+    "100 TB the per-supplier agg is the only corpus-sized "
+    "exchange; rev is supplier-cardinality and re-used, not "
+    "recomputed, in both consumers.",
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("total_cents"))
+    )
+    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
+    mx = rev.agg(F.max("total_cents").alias("m")).withColumn(
+        "__k", k_of(F.col("m"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.withColumn("__k", k_of(F.col("l_suppkey")))
+        .join(F.broadcast(mx), "__k")
+        .filter(F.col("total_cents") == F.col("m"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "small_quantity_revenue",
+    """
+    WITH pavg AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_lines,
+           sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS price_cents
+    FROM lineitem l
+    JOIN pavg ON pavg.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < pavg.threshold
+    """,
+    doc="TPC-H Q17 shape (small-quantity orders): lines of one brand "
+    "below 20% of their part's average quantity — the correlated "
+    "scalar aggregate (per-part avg) decorrelated into a group-by "
+    "plus self-join, the rewrite Catalyst itself applies to "
+    "correlated subqueries. The avg-based threshold is "
+    "engine-exact without any fixing: quantities are integers, so "
+    "the per-part sum is an exact integer in IEEE double REGARDLESS "
+    "of partition sum order (every intermediate < 2^53), and "
+    "0.2 · (exact/n) is the same double on both engines. At 100 TB "
+    "both lineitem passes bucket by partkey (one co-partitioned "
+    "layout serves the agg and the join); the brand filter "
+    "broadcasts.",
+)
+def q_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pavg = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("threshold")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    return (
+        li.join(pavg, "l_partkey")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents).alias("price_cents"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -7491,6 +7609,8 @@ _FRESH_FIRST = [
     "chunk_dedup",
     "asof_forward_attribution",
     "char_entropy_quality",
+    "top_revenue_suppliers",
+    "small_quantity_revenue",
     # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
     # API surfaces, seasonal decomposition, bigram LM, image resize
     "large_order_customers",
