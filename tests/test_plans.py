@@ -90,6 +90,8 @@ EXPAND_ALLOWED = {
     "column_profile",
     # CUBE = grouping sets = Expand, same as ROLLUP
     "cube_event_stats",
+    # explicit GROUPING SETS = Expand by definition
+    "grouping_sets_custom",
 }
 
 

@@ -7587,6 +7587,105 @@ def q_small_quantity_revenue(
     )
 
 
+@_register(
+    "grouping_sets_custom",
+    """
+    SELECT grouping(event_type) * 2 + grouping(first_half) AS gid,
+           event_type, first_half,
+           count(*) AS n,
+           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS v_fix
+    FROM (
+      SELECT event_type, day(ts) <= 15 AS first_half, value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type), (first_half), ())
+    ORDER BY gid, event_type, first_half
+    """,
+    doc="Explicit GROUPING SETS — the third member of the family next "
+    "to ROLLUP (rollup_order_totals) and CUBE (cube_event_stats): an "
+    "arbitrary, non-hierarchical set list ((type), (half-month), "
+    "()) that neither shorthand generates, labeled with GROUPING() "
+    "so consumers can tell a grouped-out NULL from a data NULL — "
+    "the detail the raw NULL-filled output loses. One pass, one "
+    "Expand (allowlisted: the Expand IS the operator), identical "
+    "set semantics in both engines. The grand-total row makes the "
+    "single-pass property visible: three aggregation granularities, "
+    "one scan.",
+)
+def q_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofmonth("ts") <= 15).alias("first_half"),
+        "value",
+    )
+    ev.createOrReplaceTempView("__gs_events")
+    # DataFrame API has rollup/cube but no arbitrary grouping sets —
+    # SQL is the surface for the general form
+    return spark.sql(
+        """
+        SELECT grouping(event_type) * 2 + grouping(first_half) AS gid,
+               event_type, first_half,
+               count(*) AS n,
+               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS v_fix
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (first_half), ())
+        ORDER BY gid, event_type, first_half
+        """
+    )
+
+
+@_register(
+    "map_hof_kit",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           sum(CASE WHEN cnt >= 66 THEN 1 ELSE 0 END) AS n_busy_days,
+           sum(cnt) * 2 AS doubled_total
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Map higher-order-function kit (completing the HOF surface "
+    "next to array_hof_kit): per type, daily counts are packed into "
+    "a day→count MAP column (map_from_entries over collect_list), "
+    "then interrogated with map_filter (busy days), transform_values "
+    "(doubling), map_values + aggregate (total) — the Spark ops a "
+    "feature-store 'latest map per key' column needs. The DuckDB "
+    "oracle states the same scalars straight off the daily table: "
+    "the map is REPRESENTATION, not semantics, and the hash gate "
+    "proves the round-trip through the map ops loses nothing. "
+    "Map columns stay executor-side; only small scalars leave.",
+    parts=8,
+)
+def q_map_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    packed = daily.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("day", "cnt")))
+        ).alias("m")
+    )
+    busy = F.map_filter(F.col("m"), lambda k, v: v >= 66)
+    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
+    return packed.select(
+        "event_type",
+        F.size("m").alias("n_days"),
+        F.size(busy).alias("n_busy_days"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("doubled_total"),
+    ).orderBy("event_type")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -7611,6 +7710,8 @@ _FRESH_FIRST = [
     "char_entropy_quality",
     "top_revenue_suppliers",
     "small_quantity_revenue",
+    "grouping_sets_custom",
+    "map_hof_kit",
     # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
     # API surfaces, seasonal decomposition, bigram LM, image resize
     "large_order_customers",
