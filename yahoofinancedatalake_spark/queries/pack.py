@@ -7686,6 +7686,69 @@ def q_map_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@_register(
+    "media_frame_sample",
+    f"""
+    WITH base AS (
+      SELECT event_id AS media_id,
+             32 + (event_id % 5) * 16 AS n_frames
+      FROM events WHERE event_id < 40
+    ), frames AS (
+      SELECT media_id, n_frames,
+             unnest(generate_series(0, n_frames - 1, 10)) AS frame_index
+      FROM base
+    )
+    SELECT media_id, frame_index,
+           least(16, 64 - (frame_index % 64)) AS n_frame_bytes
+    FROM frames
+    ORDER BY media_id, frame_index
+    """,
+    doc="Video frame-sampling plumbing under the driver gate "
+    "(previously pytest-only): every-Nth-frame selection of video "
+    "assets via the mapInPandas path (multimodal.sample_frames) — "
+    "the row explosion happens INSIDE the Arrow batch, so full "
+    "frames never ship through a JVM explode; emitted rows carry "
+    "only (media_id, frame_index, frame_bytes). The frame decode "
+    "itself is the documented stub (deterministic byte slice — "
+    "pyav territory); what the oracle CAN check exactly is the "
+    "sampling contract: which frame indices surface per asset and "
+    "the sampled-frame byte length, replayed by a SQL "
+    "generate_series. Payload synthesized from events metadata "
+    "(n_frames keyed by event_id), 40 assets.",
+    parts=8,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators import (  # noqa: PLC0415
+        multimodal as mm,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 40)
+        .select(
+            F.col("event_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            # deterministic fake payload bytes; the decode step is the
+            # documented stub, the SAMPLING contract is what's gated
+            F.encode(
+                F.rpad(
+                    F.concat(F.lit("payload_"), F.col("event_id")), 64, "x"
+                ),
+                "utf-8",
+            ).alias("content"),
+            (32 + (F.col("event_id") % 5) * 16)
+            .cast("int")
+            .alias("n_frames"),
+        )
+    )
+    sampled = mm.sample_frames(events, every_nth=10)
+    return sampled.select(
+        "media_id",
+        "frame_index",
+        F.length("frame_bytes").cast("int").alias("n_frame_bytes"),
+    ).orderBy("media_id", "frame_index")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -7712,6 +7775,7 @@ _FRESH_FIRST = [
     "small_quantity_revenue",
     "grouping_sets_custom",
     "map_hof_kit",
+    "media_frame_sample",
     # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
     # API surfaces, seasonal decomposition, bigram LM, image resize
     "large_order_customers",
