@@ -129,3 +129,25 @@ def test_news_windows_stream_resumes_from_checkpoint(spark, tmp_path):
     run_once()
     second = spark.read.parquet(out).count()
     assert first > 0 and second == first
+
+
+def test_stock_history_filter_pushdown_prunes_partitions(spark):
+    """symbol equality/IN predicates must reach pushFilters and prune
+    input partitions at planning time — the REST analog of calling
+    the API for one ticker instead of the universe."""
+    register_python_sources(spark)
+    path = os.path.join(FIX, "stocks.jsonl")
+    base = spark.read.format("stock_history").option("path", path).load()
+    n_all = base.rdd.getNumPartitions()
+    one = base.filter(F.col("symbol") == "AAPL")
+    # partition count of the filtered plan reflects the pruning
+    assert one.rdd.getNumPartitions() == 1 < n_all
+    assert one.count() > 0
+    assert {r.symbol for r in one.select("symbol").distinct().collect()} \
+        == {"AAPL"}
+    two = base.filter(F.col("symbol").isin("AAPL", "GOOGL"))
+    assert two.rdd.getNumPartitions() == 2
+    # correctness unchanged: Spark re-applies the filter on top
+    assert two.count() == base.filter(
+        F.col("symbol").isin("AAPL", "GOOGL")
+    ).count()

@@ -68,6 +68,29 @@ class _StockHistoryReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.symbols = options.get("symbols")
+        self._pushed_symbols: "set[str] | None" = None
+
+    def pushFilters(self, filters):  # noqa: N802
+        """Planning-time filter pushdown (Spark 4.1 Python DataSource
+        API): ``symbol = 'X'`` / ``symbol IN (...)`` predicates prune
+        INPUT PARTITIONS before any executor starts — for a REST
+        deployment that is the difference between calling the API for
+        one ticker and calling it for the whole universe. Every
+        filter is also returned for Spark to re-apply (pruning here
+        is partition-level, and double-filtering is free)."""
+        from pyspark.sql.datasource import EqualTo, In  # noqa: PLC0415
+
+        pushed: set[str] = set()
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("symbol",):
+                pushed.add(f.value)
+            elif isinstance(f, In) and f.attribute == ("symbol",):
+                pushed.update(f.value)
+            else:
+                continue
+        if pushed:
+            self._pushed_symbols = pushed
+        return filters  # conservative: Spark re-checks everything
 
     def partitions(self):
         if self.symbols:
@@ -77,6 +100,8 @@ class _StockHistoryReader(DataSourceReader):
             # listing for a file source): discover the symbol universe
             # driver-side, ship one partition per symbol
             syms = sorted({r["symbol"] for r in _load_jsonl(self.path)})
+        if self._pushed_symbols is not None:
+            syms = [s for s in syms if s in self._pushed_symbols]
         return [_SymbolPartition(s) for s in syms]
 
     def read(self, partition: _SymbolPartition) -> Iterator[tuple]:
@@ -172,6 +197,10 @@ class NewsWindowsDataSource(DataSource):
 
 
 def register_python_sources(spark) -> None:
-    """Register both formats on a session (idempotent)."""
+    """Register both formats on a session (idempotent). Also enables
+    Python-source filter pushdown (off by default in Spark 4.1;
+    without it a reader that implements ``pushFilters`` fails at
+    planning rather than silently skipping pruning)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(StockHistoryDataSource)
     spark.dataSource.register(NewsWindowsDataSource)
