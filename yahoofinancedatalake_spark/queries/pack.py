@@ -7749,6 +7749,97 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_index")
 
 
+@_register(
+    "important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS value_cents
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT sum(value_cents) AS t, count(*) AS n FROM pv
+    )
+    SELECT pv.l_partkey, pv.value_cents
+    FROM pv CROSS JOIN tot
+    WHERE pv.value_cents * tot.n * 2 > 3 * tot.t
+    ORDER BY pv.value_cents DESC, pv.l_partkey
+    """,
+    doc="TPC-H Q11 shape (important stock): parts whose total line "
+    "value exceeds 1.5x the mean per-part value — HAVING against "
+    "scalar aggregates of the same aggregation, the "
+    "fraction-of-total filter every concentration report needs "
+    "(stated relative to the mean so the selectivity is "
+    "scale-free: a fixed global fraction returns nothing once the "
+    "part count outgrows it). "
+    "The per-part aggregate is computed ONCE and consumed twice "
+    "(summed to the total, filtered against it); the 1-row total "
+    "folds back via the constant-key broadcast. The comparison is "
+    "integer cross-multiplication (2·value·n > 3·total) — no "
+    "floating division, so the threshold is exact at any scale. At "
+    "100 TB the partkey agg is the only corpus-sized exchange.",
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
+    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
+    tot = pv.agg(
+        F.sum("value_cents").alias("t"), F.count(F.lit(1)).alias("n")
+    ).withColumn("__k", k_of(F.col("t")))
+    return (
+        pv.withColumn("__k", k_of(F.col("l_partkey")))
+        .join(F.broadcast(tot), "__k")
+        .filter(F.col("value_cents") * F.col("n") * 2 > 3 * F.col("t"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), F.col("l_partkey"))
+    )
+
+
+@_register(
+    "supplier_variety",
+    """
+    SELECT p.p_type, p.p_size % 10 AS size_mod,
+           count(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE NOT EXISTS (
+      SELECT 1 FROM supplier s
+      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0
+    )
+    GROUP BY p.p_type, size_mod
+    ORDER BY p.p_type, size_mod
+    """,
+    doc="TPC-H Q16 shape (supplier variety): distinct suppliers per "
+    "(type, size-class) EXCLUDING a blacklist derived from another "
+    "table (negative-balance suppliers standing in for Q16's "
+    "complaint-pattern NOT IN). The exclusion is an anti-join "
+    "against the tiny filtered dim — never a NOT IN subquery per "
+    "row — and the distinct count shuffles on the composite group "
+    "key. At 100 TB the blacklist broadcasts, part broadcasts, and "
+    "the (group, suppkey) dedup is the only corpus-sized exchange.",
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", (F.col("p_size") % 10).alias("size_mod")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "size_mod")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy("p_type", "size_mod")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -7776,6 +7867,8 @@ _FRESH_FIRST = [
     "grouping_sets_custom",
     "map_hof_kit",
     "media_frame_sample",
+    "important_parts",
+    "supplier_variety",
     # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
     # API surfaces, seasonal decomposition, bigram LM, image resize
     "large_order_customers",
