@@ -84,3 +84,23 @@ def test_manifest_is_invisible_to_spark_listing(spark, tmp_path):
     assert os.path.exists(os.path.join(path, "_manifest.json"))
     # the underscore file must not break a plain read
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_files_added_after_manifest_are_still_read(spark, tmp_path):
+    """Staleness guard: a file appended after write_manifest has no
+    stats row and must be kept (conservative), preserving the
+    pruned-read == full-read contract."""
+    path = str(tmp_path / "stale")
+    write_clustered(_key_range_table(spark), path, ["k"], n_files=4)
+    write_manifest(path, ["k"])
+    # append out-of-band data the manifest has never seen
+    spark.range(100_000, 100_050).selectExpr(
+        "id as k", "cast(id as double) as v"
+    ).coalesce(1).write.mode("append").parquet(path)
+    kept, total = pruned_files(path, "k", lo=100_000)
+    got = (
+        read_pruned(spark, path, "k", lo=100_000)
+        .filter(F.col("k") >= 100_000)
+        .count()
+    )
+    assert got == 50  # appended rows are found despite pruning

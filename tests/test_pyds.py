@@ -151,3 +151,19 @@ def test_stock_history_filter_pushdown_prunes_partitions(spark):
     assert two.count() == base.filter(
         F.col("symbol").isin("AAPL", "GOOGL")
     ).count()
+
+
+def test_stock_history_filter_pruning_all_partitions_is_empty_not_crash(
+    spark,
+):
+    """A predicate matching no symbol prunes every partition; the read
+    must return an empty frame, not crash on a None partition."""
+    register_python_sources(spark)
+    path = os.path.join(FIX, "stocks.jsonl")
+    df = (
+        spark.read.format("stock_history")
+        .option("path", path)
+        .load()
+        .filter(F.col("symbol") == "NO_SUCH_TICKER")
+    )
+    assert df.count() == 0

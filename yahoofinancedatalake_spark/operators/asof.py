@@ -58,11 +58,12 @@ def asof_join(
 
     Plan: tag + union both inputs, one running
     ``last/first(right_payload, ignorenulls)`` window per key over
-    the time-sorted union (``nearest`` evaluates both frames on the
-    SAME sort — still one exchange, one sort). Right rows order
-    toward the left row at equal ts so matches are inclusive. No
-    pair blowup, no nested-loop join — the same plan pandas'
-    merge_asof runs per group, distributed.
+    the time-sorted union. Right rows order toward the left row at
+    equal ts so matches are inclusive. ``backward``/``forward`` cost
+    one exchange + one sort; ``nearest`` shares the exchange but its
+    two frames need OPPOSITE tie orders at equal ts, so the plan
+    sorts the union twice (same partitioning, local re-sort only —
+    still no pair blowup, no nested-loop join).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")

@@ -185,10 +185,18 @@ def resize_metadata(df: DataFrame, max_side: int) -> DataFrame:
         F.greatest(w, h) > max_side,
         max_side / F.greatest(w, h).cast("double"),
     ).otherwise(F.lit(1.0))
+    # clamp to ≥1: an extreme aspect ratio (e.g. 100×3 → max_side 8)
+    # floors the short side to 0, which is not an image — and the
+    # byte-level half (resize_nearest) clamps the same way, keeping
+    # the planned and executed dimensions in exact agreement
     return df.withColumns(
         {
-            "resized_width": F.floor(w * scale).cast("int"),
-            "resized_height": F.floor(h * scale).cast("int"),
+            "resized_width": F.greatest(
+                F.lit(1), F.floor(w * scale)
+            ).cast("int"),
+            "resized_height": F.greatest(
+                F.lit(1), F.floor(h * scale)
+            ).cast("int"),
         }
     )
 

@@ -57,7 +57,7 @@ def _training_sample(
     """Deterministic size-capped training sample (the only driver
     collect on any index path): rate-bound by the id-hash filter,
     size-bound by the FAISS-style ~max(10k, 39·k) cap."""
-    key = (cache_key, sample_mod, train_cap)
+    key = (cache_key, id_col, vec_col, sample_mod, train_cap)
     if cache_key is not None and key in _SAMPLE_CACHE:
         return _SAMPLE_CACHE[key]
     rows = (
@@ -439,6 +439,8 @@ def ivf_cosine_topk(
         "ivf",
         lambda: kmeans_centroids(sample, n_centroids, seed=seed),
         cache_key,
+        id_col,
+        vec_col,
         sample_mod,
         train_cap,
         n_centroids,
@@ -679,6 +681,8 @@ def pq_cosine_topk(
         "pq",
         lambda: train_pq_codebooks(sample, m, ks, seed=seed),
         cache_key,
+        id_col,
+        vec_col,
         sample_mod,
         train_cap,
         m,
@@ -832,6 +836,8 @@ def ivfpq_cosine_topk(
         "ivf",
         lambda: kmeans_centroids(sample, n_centroids, seed=seed),
         cache_key,
+        id_col,
+        vec_col,
         sample_mod,
         train_cap,
         n_centroids,
@@ -841,6 +847,8 @@ def ivfpq_cosine_topk(
         "pq",
         lambda: train_pq_codebooks(sample, m, ks, seed=seed),
         cache_key,
+        id_col,
+        vec_col,
         sample_mod,
         train_cap,
         m,

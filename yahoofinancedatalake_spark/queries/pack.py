@@ -66,6 +66,17 @@ class Query:
 QUERIES: dict[str, Query] = {}
 
 
+def _const_key(c) -> Column:
+    """The data-derived constant-key for folding a 1-row aggregate
+    into a big table via an EQUI-join (BroadcastHashJoin): evaluates
+    to 0 on every row, but because the key is DERIVED FROM DATA
+    Catalyst cannot constant-fold the join condition away (a literal
+    key on both sides degenerates straight back to the
+    BroadcastNestedLoopJoin the plan suite treats as a scale killer).
+    Shared by every scalar-subquery-shaped query in the pack."""
+    return F.pmod(F.xxhash64(c), F.lit(1)).cast("int")
+
+
 def _register(
     name: str,
     oracle: Optional[str],
@@ -3672,10 +3683,9 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FROM DATA (hash mod 1 == 0 on both sides) — a literal key on
     # both sides constant-folds the join condition away and the plan
     # degenerates right back to the nested loop.
-    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
-    tot = freq.agg(F.sum("c").alias("n")).withColumn("__k", k_of(F.col("n")))
+    tot = freq.agg(F.sum("c").alias("n")).withColumn("__k", _const_key(F.col("n")))
     freq_n = (
-        freq.withColumn("__k", k_of(F.col("w")))
+        freq.withColumn("__k", _const_key(F.col("w")))
         .join(F.broadcast(tot), "__k")
         .drop("__k")
     )
@@ -4039,11 +4049,10 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
     tot = counts.agg(
         F.sum("n").alias("total"), F.max("n").alias("mx")
-    ).withColumn("__k", k_of(F.col("total")))
-    joined = counts.withColumn("__k", k_of(F.col("user_id"))).join(
+    ).withColumn("__k", _const_key(F.col("total")))
+    joined = counts.withColumn("__k", _const_key(F.col("user_id"))).join(
         F.broadcast(tot), "__k"
     )
     return (
@@ -5839,14 +5848,13 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold the 1-row corpus count into the vocab table via the
     # data-derived constant-key equi-join (see unigram_logprob_quality:
     # a bare 1-row crossJoin plans as BroadcastNestedLoopJoin)
-    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
-        "__k", k_of(F.col("n_docs"))
+        "__k", _const_key(F.col("n_docs"))
     )
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .withColumn("__k", k_of(F.col("term")))
+        .withColumn("__k", _const_key(F.col("term")))
         .join(F.broadcast(n_docs), "__k")
         .drop("__k")
         .select(
@@ -6739,7 +6747,6 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderdate"
     )
     cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
-    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
     thresh = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(
@@ -6748,19 +6755,19 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (100.0 * F.count(F.lit(1)))
             ).alias("ab")
         )
-        .withColumn("__k", k_of(F.col("ab")))
+        .withColumn("__k", _const_key(F.col("ab")))
     )
     cutoff = orders.agg(
         (F.max("o_orderdate") - F.expr("INTERVAL 180 DAYS")).alias("cut")
-    ).withColumn("__k", k_of(F.col("cut")))
+    ).withColumn("__k", _const_key(F.col("cut")))
     recent = (
-        orders.withColumn("__k", k_of(F.col("o_custkey")))
+        orders.withColumn("__k", _const_key(F.col("o_custkey")))
         .join(F.broadcast(cutoff), "__k")
         .filter(F.col("o_orderdate") >= F.col("cut"))
         .select("o_custkey")
     )
     rich = (
-        cust.withColumn("__k", k_of(F.col("c_custkey")))
+        cust.withColumn("__k", _const_key(F.col("c_custkey")))
         .join(F.broadcast(thresh), "__k")
         .filter(F.col("c_acctbal") > F.col("ab"))
         .select("c_custkey", "c_nationkey", "c_acctbal")
@@ -6888,10 +6895,16 @@ def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
     def kept_mask(v, eid):
+        # exact mirror of the SQL percent_rank()-window semantics,
+        # INCLUDING the degenerate groups: a 1-row group has pr=0
+        # (DuckDB defines percent_rank of a single row as 0) and a
+        # 2-row group has pr=[0,1] — both trim to empty, and such
+        # groups must VANISH like the oracle's WHERE clause makes
+        # them (the caller filters n_kept=0 rows out after the agg)
         order = np.lexsort((eid.to_numpy(), v.to_numpy()))
         n = len(order)
-        if n <= 1:
-            return np.ones(n, dtype=bool), order
+        if n == 1:
+            return np.zeros(1, dtype=bool), order
         pr = np.arange(n) / (n - 1)
         keep = (pr >= 0.1) & (pr <= 0.9)
         return keep, order
@@ -6899,6 +6912,8 @@ def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def trimmed_mean(v, eid):
         keep, order = kept_mask(v, eid)
         vv = v.to_numpy()[order][keep]
+        if len(vv) == 0:
+            return None
         cents = np.floor(vv * 10000 + 0.5).astype("int64").sum()
         return float(cents) / (10000.0 * len(vv))
 
@@ -6926,6 +6941,9 @@ def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "trimmed_mean"
             ),
         )
+        # oracle's WHERE pr BETWEEN .1 AND .9 makes fully-trimmed
+        # groups (1- and 2-row) disappear; mirror that here
+        .filter(F.col("n_kept") > 0)
         .orderBy("event_type")
     )
 
@@ -7078,15 +7096,14 @@ def q_bigram_logprob_quality(
     ).select("doc_id", F.col("x.w1").alias("w1"), F.col("x.b").alias("b"))
     bc = bgrows.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
     uc = bgrows.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
-    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
     vocab = (
         docs.select("doc_id", _word_toks().alias("t"))
         .select(F.explode("t").alias("w"))
         .agg(F.countDistinct("w").alias("v"))
-        .withColumn("__k", k_of(F.col("v")))
+        .withColumn("__k", _const_key(F.col("v")))
     )
     uc_v = (
-        uc.withColumn("__k", k_of(F.col("w1")))
+        uc.withColumn("__k", _const_key(F.col("w1")))
         .join(F.broadcast(vocab), "__k")
         .drop("__k")
     )
@@ -7417,7 +7434,7 @@ def q_asof_forward_attribution(
     f"""
     WITH ch AS (
       SELECT doc_id, unnest(string_split(text, '')) AS c
-      FROM documents
+      FROM documents WHERE text <> ''
     ), cnt AS (
       SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
     ), tot AS (
@@ -7451,9 +7468,18 @@ def q_asof_forward_attribution(
 def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs = fan_out(docs)
-    ch = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
-    ).filter(F.col("c") != "")
+    # empty-string text filtered on BOTH sides: DuckDB's
+    # string_split('','') yields [''] (a phantom 1-char doc) where
+    # Spark's split produces only removable empties — excluding
+    # empty docs up front keeps the engines aligned AND entropy
+    # well-defined
+    ch = (
+        docs.filter(F.col("text") != "")
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+    )
     cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
     w = Window.partitionBy("doc_id")
     tot = cnt.withColumn("n", F.sum("k").over(w))
@@ -7517,15 +7543,14 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(cents).alias("total_cents"))
     )
-    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
     mx = rev.agg(F.max("total_cents").alias("m")).withColumn(
-        "__k", k_of(F.col("m"))
+        "__k", _const_key(F.col("m"))
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
     return (
-        rev.withColumn("__k", k_of(F.col("l_suppkey")))
+        rev.withColumn("__k", _const_key(F.col("l_suppkey")))
         .join(F.broadcast(mx), "__k")
         .filter(F.col("total_cents") == F.col("m"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -7785,12 +7810,11 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
-    k_of = lambda c: F.pmod(F.xxhash64(c), F.lit(1)).cast("int")  # noqa: E731
     tot = pv.agg(
         F.sum("value_cents").alias("t"), F.count(F.lit(1)).alias("n")
-    ).withColumn("__k", k_of(F.col("t")))
+    ).withColumn("__k", _const_key(F.col("t")))
     return (
-        pv.withColumn("__k", k_of(F.col("l_partkey")))
+        pv.withColumn("__k", _const_key(F.col("l_partkey")))
         .join(F.broadcast(tot), "__k")
         .filter(F.col("value_cents") * F.col("n") * 2 > 3 * F.col("t"))
         .select("l_partkey", "value_cents")

@@ -104,6 +104,18 @@ def pruned_files(
         if hi is not None and fmin > hi:
             continue  # entire file above the range
         kept.append(os.path.join(path, name))
+    # staleness guard: files appended AFTER write_manifest have no
+    # stats row — they must be READ, not silently dropped, or the
+    # pruned-read ≡ full-read contract breaks. Same conservatism as
+    # the stats-less case; re-run write_manifest to regain skipping.
+    for name in sorted(os.listdir(path)):
+        if (
+            name.endswith(".parquet")
+            and not name.startswith(("_", "."))
+            and name not in manifest["files"]
+        ):
+            total += 1
+            kept.append(os.path.join(path, name))
     return kept, total
 
 

@@ -102,9 +102,16 @@ class _StockHistoryReader(DataSourceReader):
             syms = sorted({r["symbol"] for r in _load_jsonl(self.path)})
         if self._pushed_symbols is not None:
             syms = [s for s in syms if s in self._pushed_symbols]
+        if not syms:
+            # a filter can prune EVERY partition; PySpark substitutes
+            # [None] for an empty partition list, so hand it one
+            # explicit no-match partition instead of crashing in read()
+            return [_SymbolPartition("")]
         return [_SymbolPartition(s) for s in syms]
 
     def read(self, partition: _SymbolPartition) -> Iterator[tuple]:
+        if not partition.symbol:
+            return  # no-match partition → empty result, not a crash
         # executor-side: one symbol's full history (the per-ticker
         # REST call in a real deployment)
         for r in _load_jsonl(self.path):
