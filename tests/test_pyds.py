@@ -167,3 +167,34 @@ def test_stock_history_filter_pruning_all_partitions_is_empty_not_crash(
         .filter(F.col("symbol") == "NO_SUCH_TICKER")
     )
     assert df.count() == 0
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """The writer leg: tasks land in _temporary/, commit renames the
+    complete set into place and drops _SUCCESS, and a reader sees
+    every row exactly once."""
+    import json as _json
+
+    register_python_sources(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df = spark.range(0, 1000, 1, 4).selectExpr(
+        "id", "cast(id * 2 as double) as v"
+    )
+    df.write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert not os.path.exists(os.path.join(out, "_temporary"))
+    parts = [f for f in files if f.endswith(".jsonl")]
+    assert len(parts) == 4  # one file per write task
+    rows = []
+    for f in parts:
+        with open(os.path.join(out, f)) as fh:
+            rows.extend(_json.loads(line) for line in fh)
+    assert {r["id"] for r in rows} == set(range(1000))
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read() == "1000"
+    # round-trip through Spark's own json reader
+    assert spark.read.json(out).count() == 1000

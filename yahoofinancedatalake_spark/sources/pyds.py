@@ -38,8 +38,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 STOCK_SCHEMA = (
@@ -211,3 +213,93 @@ def register_python_sources(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(StockHistoryDataSource)
     spark.dataSource.register(NewsWindowsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Batch writer — the commit-protocol half of the DataSource API
+# ---------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """One per write task: where the task's temp file landed and how
+    many rows it holds. Only the DRIVER sees all of these together —
+    that asymmetry is the whole two-phase-commit design."""
+
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-side JSONL writer with a FileOutputCommitter-style
+    protocol: every task writes to ``_temporary/`` under a unique
+    name and reports it in its commit message; the driver's
+    ``commit`` renames the complete set into place and drops a
+    ``_SUCCESS`` marker, ``abort`` deletes the orphans. A reader
+    therefore never observes a half-written table — the exact
+    guarantee the reference leans on FileOutputCommitter v2 for
+    (format_to_parquet.py:36-45), here implemented explicitly."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _JsonlCommit:
+        import os  # noqa: PLC0415
+        import uuid  # noqa: PLC0415
+
+        tmp_dir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(tmp_dir, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(name, n)
+
+    def commit(self, messages) -> None:
+        import os  # noqa: PLC0415
+
+        tmp_dir = os.path.join(self.path, "_temporary")
+        total = 0
+        for m in messages:
+            os.replace(
+                os.path.join(tmp_dir, m.tmp_name),
+                os.path.join(self.path, m.tmp_name),
+            )
+            total += m.n_rows
+        try:
+            os.rmdir(tmp_dir)
+        except OSError:
+            pass  # another concurrent writer may still be using it
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages) -> None:
+        import os  # noqa: PLC0415
+
+        tmp_dir = os.path.join(self.path, "_temporary")
+        for m in messages:
+            try:
+                os.remove(os.path.join(tmp_dir, m.tmp_name))
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", p).save()`` —
+    the writer leg of the Python DataSource API (reader, stream
+    reader, filter pushdown, and now the two-phase-commit writer)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlWriter:
+        if overwrite:
+            raise NotImplementedError(
+                "jsonl_sink supports append mode only; full-refresh "
+                "semantics live in parquet_io.write_parquet"
+            )
+        return _JsonlWriter(self.options)
