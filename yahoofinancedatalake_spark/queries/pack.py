@@ -7864,6 +7864,57 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "datasketches_kit",
+    """
+    WITH t AS (
+      SELECT event_type AS item, count(*) AS cnt
+      FROM events GROUP BY event_type
+      ORDER BY cnt DESC, item LIMIT 3
+    )
+    SELECT item, cnt, TRUE AS hll_ok FROM t
+    ORDER BY cnt DESC, item
+    """,
+    doc="Apache DataSketches SQL surface (Spark 4's sketch family "
+    "beyond approx_count_distinct/percentile_approx): approx_top_k "
+    "heavy hitters and hll_sketch_agg/hll_sketch_estimate distinct "
+    "counting, both MERGEABLE sketches — the property that makes "
+    "them the 100 TB answer (map-side partials union losslessly; "
+    "the exact top-k needs a full groupBy first). Gated exactly "
+    "where exactness is guaranteed: with the tracked-item budget "
+    "above the domain size, approx_top_k's counts ARE exact and "
+    "hash-match the SQL top-3; the HLL estimate is bounds-checked "
+    "(±5% of the exact distinct, computed in the same pass) and "
+    "reported as a boolean the oracle pins TRUE — the same "
+    "gate-the-approximation pattern as approx_distinct_per_day, "
+    "cms_heavy_hitters, and approx_quantile_gate.",
+)
+def q_datasketches_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    agg = ev.agg(
+        F.expr("approx_top_k(event_type, 3)").alias("topk"),
+        F.expr(
+            "hll_sketch_estimate(hll_sketch_agg(user_id, 12))"
+        ).alias("est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    hll_ok = (
+        F.abs(F.col("est") - F.col("exact"))
+        <= 0.05 * F.col("exact")
+    ).alias("hll_ok")
+    return (
+        agg.select(F.explode("topk").alias("e"), hll_ok)
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("cnt"),
+            "hll_ok",
+        )
+        .orderBy(F.col("cnt").desc(), F.col("item"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -7893,6 +7944,7 @@ _FRESH_FIRST = [
     "media_frame_sample",
     "important_parts",
     "supplier_variety",
+    "datasketches_kit",
     # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
     # API surfaces, seasonal decomposition, bigram LM, image resize
     "large_order_customers",
