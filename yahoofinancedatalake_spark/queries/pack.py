@@ -7915,6 +7915,95 @@ def q_datasketches_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_pieces(spark: SparkSession, sf_dir: str):
+    """Shared BPE pipeline: train merges on the corpus vocabulary
+    (driver-side, vocabulary-sized — see functions/bpe.py), encode
+    every doc distributed. Returns (docs-with-pieces, merges)."""
+    from yahoofinancedatalake_spark.functions.bpe import (  # noqa: PLC0415
+        bpe_encode_udf,
+        corpus_word_freqs,
+        train_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    base = docs.select("doc_id", _word_toks().alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    freqs = corpus_word_freqs(base, F.col("toks"))
+    merges = train_bpe(freqs, n_merges=60)
+    enc = bpe_encode_udf(merges)
+    return base.withColumn("pieces", enc(F.col("toks"))), merges
+
+
+@_register(
+    "bpe_token_count",
+    None,  # iterative merge replay → not ANSI-SQL-expressible
+    doc="REAL byte-pair encoding under the driver gate (upgrading "
+    "token_count's BPE-STYLE pre-token regex to the actual merge "
+    "algorithm): 60 merges trained on the corpus's own "
+    "word-frequency table (driver-side on the vocabulary-sized "
+    "aggregate — the IVF-training placement argument; GPT-2's 50k "
+    "merges are trained exactly once on exactly this shape), then "
+    "every document encoded distributed via an Arrow-batched "
+    "encoder with a per-executor word memo (Zipfian reuse → memo "
+    "hit rate ≈ 1). Output: per-doc word count, BPE piece count, "
+    "and the pieces-per-word compression ratio — the token-budget "
+    "number a training-data pipeline actually bills by. "
+    "Deterministic (lexicographic tie-break in training) but "
+    "iterative, hence rows-only; the algebraic invariants are "
+    "hash-gated by bpe_roundtrip_gate and the trainer/encoder pair "
+    "is cross-checked against a pure-python reference in pytest.",
+    parts=8,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc, _ = _bpe_pieces(spark, sf_dir)
+    return enc.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.size("pieces").alias("n_bpe_tokens"),
+        dround(
+            F.size("pieces") / F.size("toks").cast("double"), 4
+        ).alias("pieces_per_word"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "bpe_roundtrip_gate",
+    "SELECT 'bpe_roundtrip' AS metric, TRUE AS passed",
+    doc="BPE correctness gate (the approximation-family pattern "
+    "applied to a tokenizer): over EVERY document, (1) lossless "
+    "round-trip — concatenating each doc's BPE pieces and deleting "
+    "the end-of-word sentinels must reproduce exactly the "
+    "concatenation of its words (checked distributed with one "
+    "string comparison per doc), and (2) compression sanity — "
+    "piece count per doc is never below the word count's lower "
+    "bound (one piece per word) nor above characters+words (the "
+    "no-merge ceiling). A tokenizer that drops, duplicates, or "
+    "reorders a single character anywhere in the corpus fails the "
+    "gate; the driver's oracle pins passed=TRUE.",
+    parts=8,
+)
+def q_bpe_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.functions.bpe import EOW  # noqa: PLC0415
+
+    enc, _ = _bpe_pieces(spark, sf_dir)
+    joined_words = F.array_join(F.col("toks"), "")
+    rebuilt = F.replace(
+        F.array_join(F.col("pieces"), ""), F.lit(EOW), F.lit("")
+    )
+    n_chars = F.length(joined_words)
+    ok = (
+        (rebuilt == joined_words)
+        & (F.size("pieces") >= F.size("toks"))
+        & (F.size("pieces") <= n_chars + F.size("toks"))
+    )
+    return enc.agg(
+        F.lit("bpe_roundtrip").alias("metric"),
+        F.min(ok.cast("boolean")).alias("passed"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -7945,6 +8034,8 @@ _FRESH_FIRST = [
     "important_parts",
     "supplier_variety",
     "datasketches_kit",
+    "bpe_token_count",
+    "bpe_roundtrip_gate",
     # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
     # API surfaces, seasonal decomposition, bigram LM, image resize
     "large_order_customers",
