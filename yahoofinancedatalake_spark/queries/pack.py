@@ -8004,6 +8004,82 @@ def q_bpe_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cluster_canonical_docs",
+    None,  # filled in below — composes the dedup_clusters oracle
+    doc="Canonical-document selection per near-dup cluster: the "
+    "keep-LONGEST policy (the common production alternative to "
+    "prep.py's keep-min-id — longer near-dups usually carry the "
+    "superset content), expressed as an arg-max window over the "
+    "connected components joined with doc length. Output: one row "
+    "per multi-member cluster with its canonical doc, member count, "
+    "and the characters the policy keeps vs the cluster total — the "
+    "audit numbers a dedup run reports. Oracle: the SAME recursive-"
+    "CTE component closure as dedup_clusters, wrapped with the "
+    "identical join+argmax — policy change is pure relational "
+    "algebra on top of the verified cluster labels. At 100 TB the "
+    "extra cost over dedup_clusters is one broadcast join against "
+    "doc metadata and a window over cluster-sized groups.",
+    parts=8,
+)
+def q_cluster_canonical_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs_meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    cc = QUERIES["dedup_clusters"].spark(spark, sf_dir)
+    labeled = cc.join(F.broadcast(docs_meta), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+# the oracle wraps dedup_clusters' recursive-CTE closure with the same
+# join + argmax; registered after the fact because it references the
+# already-registered oracle text
+QUERIES["cluster_canonical_docs"] = Query(
+    name="cluster_canonical_docs",
+    spark=QUERIES["cluster_canonical_docs"].spark,
+    doc=QUERIES["cluster_canonical_docs"].doc,
+    oracle=f"""
+    WITH labeled AS (
+      SELECT t.doc_id, t.cluster_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY t.cluster_id
+               ORDER BY d.n_chars DESC, t.doc_id ASC) AS rn
+      FROM ({QUERIES["dedup_clusters"].oracle}) t
+      JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           count(*) AS n_members,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+           max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
+           sum(n_chars) AS total_chars
+    FROM labeled
+    GROUP BY cluster_id
+    HAVING count(*) > 1
+    ORDER BY cluster_id
+    """,
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -8036,6 +8112,7 @@ _FRESH_FIRST = [
     "datasketches_kit",
     "bpe_token_count",
     "bpe_roundtrip_gate",
+    "cluster_canonical_docs",
     # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
     # API surfaces, seasonal decomposition, bigram LM, image resize
     "large_order_customers",
