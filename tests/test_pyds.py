@@ -198,3 +198,21 @@ def test_jsonl_sink_two_phase_commit(spark, tmp_path):
         assert fh.read() == "1000"
     # round-trip through Spark's own json reader
     assert spark.read.json(out).count() == 1000
+
+
+def test_jsonl_sink_nested_struct_roundtrip(spark, tmp_path):
+    """Struct columns must serialize as real JSON objects (recursive
+    asDict), not Row reprs."""
+    register_python_sources(spark)
+    out = str(tmp_path / "sink2")
+    os.makedirs(out)
+    df = spark.range(0, 10).selectExpr(
+        "id", "named_struct('a', id, 'b', cast(id as string)) as s"
+    )
+    df.write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    back = spark.read.json(out)
+    assert dict(back.dtypes)["s"].startswith("struct")
+    row = back.filter(F.col("id") == 3).collect()[0]
+    assert row.s.a == 3 and row.s.b == "3"

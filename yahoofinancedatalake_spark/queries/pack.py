@@ -7867,12 +7867,8 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "datasketches_kit",
     """
-    WITH t AS (
-      SELECT event_type AS item, count(*) AS cnt
-      FROM events GROUP BY event_type
-      ORDER BY cnt DESC, item LIMIT 3
-    )
-    SELECT item, cnt, TRUE AS hll_ok FROM t
+    SELECT event_type AS item, count(*) AS cnt, TRUE AS hll_ok
+    FROM events GROUP BY event_type
     ORDER BY cnt DESC, item
     """,
     doc="Apache DataSketches SQL surface (Spark 4's sketch family "
@@ -7883,8 +7879,11 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the exact top-k needs a full groupBy first). Gated exactly "
     "where exactness is guaranteed: with the tracked-item budget "
     "above the domain size, approx_top_k's counts ARE exact and "
-    "hash-match the SQL top-3; the HLL estimate is bounds-checked "
-    "(±5% of the exact distinct, computed in the same pass) and "
+    "hash-match the SQL counts (k also covers the domain, so no "
+    "k-boundary tie can be resolved sketch-internally against the "
+    "oracle's lexicographic break); the HLL estimate is "
+    "bounds-checked (±5% of the exact distinct plus an absolute "
+    "slack of 6, computed in the same pass) and "
     "reported as a boolean the oracle pins TRUE — the same "
     "gate-the-approximation pattern as approx_distinct_per_day, "
     "cms_heavy_hitters, and approx_quantile_gate.",
@@ -7894,15 +7893,23 @@ def q_datasketches_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_id"
     )
     agg = ev.agg(
-        F.expr("approx_top_k(event_type, 3)").alias("topk"),
+        # k covers the whole (small) domain: a tied count at the
+        # k-boundary is resolved sketch-internally, NOT pinned by the
+        # oracle's lexicographic tie-break — covering the domain makes
+        # the result set tie-free by construction while still gating
+        # the sketch's exact-count guarantee
+        F.expr("approx_top_k(event_type, 10)").alias("topk"),
         F.expr(
             "hll_sketch_estimate(hll_sketch_agg(user_id, 12))"
         ).alias("est"),
         F.countDistinct("user_id").alias("exact"),
     )
+    # relative bound + absolute slack, the approx_distinct_per_day
+    # pattern: at tiny cardinalities 5% of exact is < 1 and would
+    # demand bit-exactness from an estimator
     hll_ok = (
         F.abs(F.col("est") - F.col("exact"))
-        <= 0.05 * F.col("exact")
+        <= 0.05 * F.col("exact") + 6
     ).alias("hll_ok")
     return (
         agg.select(F.explode("topk").alias("e"), hll_ok)

@@ -242,49 +242,75 @@ class _JsonlWriter(DataSourceWriter):
     (format_to_parquet.py:36-45), here implemented explicitly."""
 
     def __init__(self, options: dict):
+        import uuid  # noqa: PLC0415
+
         self.path = options["path"]
+        # per-JOB attempt dir (FileOutputCommitter's _temporary/<job>/
+        # design): the id is minted driver-side and ships in the
+        # closure, so every task of this job writes under one dir that
+        # commit/abort can delete WHOLESALE — zombie files from task
+        # attempts that died mid-write (whose names the driver never
+        # learns) are cleaned up too, and concurrent jobs on the same
+        # table never collide
+        self.job_id = uuid.uuid4().hex
+
+    def _job_dir(self) -> str:
+        import os  # noqa: PLC0415
+
+        return os.path.join(self.path, "_temporary", self.job_id)
 
     def write(self, iterator) -> _JsonlCommit:
         import os  # noqa: PLC0415
         import uuid  # noqa: PLC0415
 
-        tmp_dir = os.path.join(self.path, "_temporary")
+        tmp_dir = self._job_dir()
         os.makedirs(tmp_dir, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.jsonl"
         n = 0
         with open(os.path.join(tmp_dir, name), "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                # recursive: a plain asDict leaves nested Rows intact
+                # and default=str would stringify them into reprs —
+                # silent corruption for struct columns
+                f.write(
+                    json.dumps(row.asDict(recursive=True), default=str)
+                    + "\n"
+                )
                 n += 1
         return _JsonlCommit(name, n)
+
+    def _cleanup_job_dir(self) -> None:
+        import os  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(self._job_dir(), ignore_errors=True)
+        try:  # remove _temporary itself once the last job leaves
+            os.rmdir(os.path.join(self.path, "_temporary"))
+        except OSError:
+            pass
 
     def commit(self, messages) -> None:
         import os  # noqa: PLC0415
 
-        tmp_dir = os.path.join(self.path, "_temporary")
+        tmp_dir = self._job_dir()
         total = 0
         for m in messages:
+            if m is None:
+                continue  # Spark passes None for failed tasks
             os.replace(
                 os.path.join(tmp_dir, m.tmp_name),
                 os.path.join(self.path, m.tmp_name),
             )
             total += m.n_rows
-        try:
-            os.rmdir(tmp_dir)
-        except OSError:
-            pass  # another concurrent writer may still be using it
+        self._cleanup_job_dir()
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(str(total))
 
     def abort(self, messages) -> None:
-        import os  # noqa: PLC0415
-
-        tmp_dir = os.path.join(self.path, "_temporary")
-        for m in messages:
-            try:
-                os.remove(os.path.join(tmp_dir, m.tmp_name))
-            except OSError:
-                pass
+        # messages may contain None for failed tasks; the job-dir
+        # rmtree removes every attempt file regardless of whether its
+        # task ever reported a commit message
+        self._cleanup_job_dir()
 
 
 class JsonlSinkDataSource(DataSource):
