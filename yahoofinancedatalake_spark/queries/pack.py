@@ -627,19 +627,24 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hll_partial_rollup",
     """
     SELECT date_trunc('month', l_shipdate) AS ship_month,
-           count(DISTINCT l_partkey) AS distinct_parts
+           count(DISTINCT l_partkey) AS distinct_parts_exact,
+           TRUE AS hll_ok
     FROM lineitem GROUP BY 1
+    ORDER BY 1
     """,
     doc="Mergeable-sketch pre-aggregation (the 100 TB dashboard "
     "pattern): per-DAY datasketches HLL sketches of the part key, "
     "unioned up to month level, then estimated — distinct-count "
     "rollups become partial-aggregable, so the daily sketch table is "
     "computed once and every coarser bucket is a cheap union instead "
-    "of a re-scan (exact count-distinct cannot merge). Oracle is the "
-    "exact month-level distinct: at gate scale (<= ~2k distinct per "
-    "month << 3/4 * 2^16 coupons) the lgK=16 sketch never leaves "
-    "exact coupon mode, so the estimate IS the exact count; at 100 TB "
-    "it degrades gracefully to ~0.4% rank error.",
+    "of a re-scan (exact count-distinct cannot merge). Gated the way "
+    "every approximation in the pack is: the merged estimate must sit "
+    "within ±1.5% + 6 of the exact month distinct (lgK=16 RSE "
+    "≈0.4%, so the bound is ≳3σ) — NOT exact equality, which held at "
+    "sf0.01 only because the sketch was still in its exact "
+    "small-cardinality mode and silently broke one scale factor up "
+    "(caught by the sf0.1 parity sweep; the exact count rides along "
+    "as the hash-pinned value).",
 )
 def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -647,8 +652,23 @@ def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "l_shipdate").alias("ship_month"),
         F.date_trunc("day", "l_shipdate").alias("ship_day"),
     ).agg(F.hll_sketch_agg("l_partkey", F.lit(16)).alias("sk"))
-    return daily.groupBy("ship_month").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_parts")
+    merged = daily.groupBy("ship_month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("ship_month")
+    ).agg(F.countDistinct("l_partkey").alias("distinct_parts_exact"))
+    return (
+        exact.join(merged, "ship_month")
+        .select(
+            "ship_month",
+            "distinct_parts_exact",
+            (
+                F.abs(F.col("est") - F.col("distinct_parts_exact"))
+                <= 0.015 * F.col("distinct_parts_exact") + 6
+            ).alias("hll_ok"),
+        )
+        .orderBy("ship_month")
     )
 
 
@@ -8103,6 +8123,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the FRONT of the dict so fresh code is always inside the driver's
 # correctness window, while long-green mature queries run last.
 _FRESH_FIRST = [
+    # re-gated after the sf0.1 parity sweep
+    "hll_partial_rollup",
     # round-4 fifth wave — sliding distinct, chunk-level dedup,
     # forward as-of, char entropy
     "sliding_distinct_users_7d",
