@@ -8107,6 +8107,56 @@ QUERIES["cluster_canonical_docs"] = Query(
 )
 
 
+@_register(
+    "set_ops_kit",
+    """
+    WITH p1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ), p2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    )
+    SELECT 'both' AS segment, user_id
+    FROM (SELECT user_id FROM p1 INTERSECT SELECT user_id FROM p2)
+    UNION ALL
+    SELECT 'p1_only', user_id
+    FROM (SELECT user_id FROM p1 EXCEPT SELECT user_id FROM p2)
+    UNION ALL
+    SELECT 'p2_only', user_id
+    FROM (SELECT user_id FROM p2 EXCEPT SELECT user_id FROM p1)
+    ORDER BY segment, user_id
+    """,
+    doc="Set operators completing §2.7 (union_split covers UNION): "
+    "INTERSECT and EXCEPT between two periods' user sets, labeled "
+    "into the churn segmentation every retention report starts from "
+    "(retained / churned / new). Spark plans INTERSECT as a "
+    "LeftSemi and EXCEPT as a LeftAnti over the deduped inputs — "
+    "set semantics as joins, shuffling only the distinct keys; "
+    "contrast with period_reconcile_full_outer, which answers the "
+    "same comparison via one FULL OUTER join when per-side "
+    "aggregates are also wanted. At 100 TB all three branches reuse "
+    "the two deduped key sets.",
+)
+def q_set_ops_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    cut = "2024-01-16 00:00:00"
+    p1 = ev.filter(F.col("ts") < cut).select("user_id").distinct()
+    p2 = ev.filter(F.col("ts") >= cut).select("user_id").distinct()
+    both = p1.intersect(p2).select(
+        F.lit("both").alias("segment"), "user_id"
+    )
+    only1 = p1.exceptAll(p2).select(
+        F.lit("p1_only").alias("segment"), "user_id"
+    )
+    only2 = p2.exceptAll(p1).select(
+        F.lit("p2_only").alias("segment"), "user_id"
+    )
+    return both.unionByName(only1).unionByName(only2).orderBy(
+        "segment", "user_id"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -8125,6 +8175,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRESH_FIRST = [
     # re-gated after the sf0.1 parity sweep
     "hll_partial_rollup",
+    "set_ops_kit",
     # round-4 fifth wave — sliding distinct, chunk-level dedup,
     # forward as-of, char entropy
     "sliding_distinct_users_7d",
