@@ -90,14 +90,30 @@ def main() -> int:
                 print(f"WARN  {name}: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
         problems = []
+        # the driver's value hash renders DuckDB INT128/DECIMAL
+        # differently from Spark's long — an un-cast SUM(BIGINT) is a
+        # guaranteed driver hash-mismatch even when values are equal
+        # (the round-4 13-query failure class). Hard-fail it here.
+        widetyped = [
+            f"{c}:{t}"
+            for c, t in zip(ocols, otypes)
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+        ]
+        if widetyped:
+            problems.append(
+                "oracle emits driver-unsafe column types "
+                f"{widetyped} — wrap the aggregate in "
+                "CAST(... AS BIGINT/DOUBLE)"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):

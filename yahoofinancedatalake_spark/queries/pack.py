@@ -2591,7 +2591,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(k) AS sum_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
            sum(k)::DOUBLE / count(*) AS avg_k
     FROM (
       SELECT event_type,
@@ -2634,7 +2634,7 @@ def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN h < 'e6' THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_chars) AS sum_chars
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM (
       SELECT substr(md5(doc_id::VARCHAR), 1, 2) AS h, n_chars
       FROM documents
@@ -2780,7 +2780,8 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_fuzzy,
-           sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS n_exact
+           CAST(sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact
     FROM ex
     WHERE length(term) BETWEEN 5 AND 7
       AND levenshtein(term, 'stream') <= 1
@@ -3349,7 +3350,7 @@ _PACK_BUDGET = 512
     SELECT source,
            CAST(floor((cum - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
            count(*) AS n_docs,
-           sum(n_tok) AS bin_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM c
@@ -3900,13 +3901,13 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
-             AS stage_signup,
-           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-                    THEN 1 ELSE 0 END) AS stage_view,
-           sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS stage_signup,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
                          AND t_purchase > t_view
-                    THEN 1 ELSE 0 END) AS stage_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
     FROM per_user
     """,
     doc="Funnel analysis: users progressing signup → view → purchase "
@@ -4097,7 +4098,8 @@ _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
         f"""
     SELECT '{c}' AS col,
            count(*) AS n,
-           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
            count(DISTINCT {c}) AS n_distinct
     FROM orders
     """
@@ -4489,10 +4491,10 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_windows,
-           sum(CASE WHEN value > mean + 2.0 * sd THEN 1 ELSE 0 END)
-             AS n_breakout_up,
-           sum(CASE WHEN value < mean - 2.0 * sd THEN 1 ELSE 0 END)
-             AS n_breakout_down
+           CAST(sum(CASE WHEN value > mean + 2.0 * sd
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_up,
+           CAST(sum(CASE WHEN value < mean - 2.0 * sd
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_down
     FROM b GROUP BY 1
     """,
     doc="Bollinger bands: 20-row rolling mean ± 2σ, count band "
@@ -4573,8 +4575,10 @@ def q_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n,
-           sum(CASE WHEN rsi > 70.0 THEN 1 ELSE 0 END) AS n_overbought,
-           sum(CASE WHEN rsi < 30.0 THEN 1 ELSE 0 END) AS n_oversold,
+           CAST(sum(CASE WHEN rsi > 70.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overbought,
+           CAST(sum(CASE WHEN rsi < 30.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oversold,
            {sql_dround("sum(rsi)", 4)} / count(*) AS avg_rsi
     FROM r GROUP BY 1
     """,
@@ -5181,7 +5185,7 @@ def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS kept
       FROM documents d JOIN rates r USING (lang)
     )
-    SELECT lang, n_total, sum(kept) AS n_kept,
+    SELECT lang, n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
            CAST(floor(rate * 65536) AS BIGINT) AS rate_u16
     FROM gated
     GROUP BY lang, n_total, rate_u16
@@ -5751,7 +5755,8 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training_order_shard",
     """
     SELECT shard, count(*) AS n_docs, min(pos) AS first_pos,
-           max(pos) AS last_pos, sum(n_chars) AS sum_chars
+           max(pos) AS last_pos,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM (
       SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
                AS shard,
@@ -6071,8 +6076,8 @@ def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type,
            count(*) AS n,
-           sum(CASE WHEN d.adev > 3 * 1.4826 * mad.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * mad.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad USING (event_type)
     GROUP BY d.event_type
     ORDER BY d.event_type
@@ -6316,7 +6321,7 @@ def q_array_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(k) AS n_with_k,
-           sum(k) AS sum_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
            min(k) AS min_k,
            max(k) AS max_k
     FROM (
@@ -6596,8 +6601,9 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disjunctive_parts_revenue",
     """
     SELECT count(*) AS n_lines,
-           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-                          * 100 + 0.5) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                          * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_size BETWEEN 1 AND 10
@@ -6737,8 +6743,8 @@ def q_solo_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT max(o_orderdate) - INTERVAL 180 DAY AS cut FROM orders
     )
     SELECT c.c_nationkey, count(*) AS n_custs,
-           sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
-             AS total_bal_cents
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_bal_cents
     FROM customer c CROSS JOIN thresh
     WHERE c.c_acctbal > thresh.ab
       AND NOT EXISTS (
@@ -7346,7 +7352,8 @@ def q_sliding_distinct_users_7d(
     )
     SELECT doc_id,
            count(*) AS n_chunks,
-           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
            {sql_dround(
                "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)"
                " * 1.0 / count(*)", 4)} AS kept_frac
@@ -7520,8 +7527,9 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey,
-             sum(CAST(floor(l_extendedprice * (1 - l_discount)
-                            * 100 + 0.5) AS BIGINT)) AS total_cents
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -7587,8 +7595,8 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT count(*) AS n_lines,
-           sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
-             AS price_cents
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS price_cents
     FROM lineitem l
     JOIN pavg ON pavg.l_partkey = l.l_partkey
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -7638,7 +7646,8 @@ def q_small_quantity_revenue(
     SELECT grouping(event_type) * 2 + grouping(first_half) AS gid,
            event_type, first_half,
            count(*) AS n,
-           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS v_fix
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                AS BIGINT) AS v_fix
     FROM (
       SELECT event_type, day(ts) <= 15 AS first_half, value
       FROM events
@@ -7689,8 +7698,9 @@ def q_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_days,
-           sum(CASE WHEN cnt >= 66 THEN 1 ELSE 0 END) AS n_busy_days,
-           sum(cnt) * 2 AS doubled_total
+           CAST(sum(CASE WHEN cnt >= 66 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_busy_days,
+           CAST(sum(cnt) * 2 AS BIGINT) AS doubled_total
     FROM daily
     GROUP BY event_type
     ORDER BY event_type
@@ -7799,8 +7809,8 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pv AS (
       SELECT l_partkey,
-             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-               AS value_cents
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS value_cents
       FROM lineitem GROUP BY l_partkey
     ), tot AS (
       SELECT sum(value_cents) AS t, count(*) AS n FROM pv
@@ -8098,7 +8108,7 @@ QUERIES["cluster_canonical_docs"] = Query(
            count(*) AS n_members,
            max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
            max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM labeled
     GROUP BY cluster_id
     HAVING count(*) > 1
