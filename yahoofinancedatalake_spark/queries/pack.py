@@ -8173,134 +8173,113 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Registry ordering — freshest queries first
+# Registry ordering — driver-staleness rotation
 # ---------------------------------------------------------------------------
 
-# The driver executes queries in registry insertion order and may stop
-# early on a budget (round 3 stopped at entry #50, leaving the 10 newest
-# queries driver-unchecked). Source order above follows SURVEY.md §2 for
-# readability; this reorder puts the queries added/changed most recently
-# at the FRONT of the dict so fresh code is always inside the driver's
-# correctness window, while long-green mature queries run last.
-_FRESH_FIRST = [
-    # re-gated after the sf0.1 parity sweep
-    "hll_partial_rollup",
-    "set_ops_kit",
-    # round-4 fifth wave — sliding distinct, chunk-level dedup,
-    # forward as-of, char entropy
-    "sliding_distinct_users_7d",
-    "chunk_dedup",
-    "asof_forward_attribution",
-    "char_entropy_quality",
-    "top_revenue_suppliers",
-    "small_quantity_revenue",
-    "grouping_sets_custom",
-    "map_hof_kit",
-    "media_frame_sample",
-    "important_parts",
-    "supplier_variety",
-    "datasketches_kit",
-    "bpe_token_count",
-    "bpe_roundtrip_gate",
-    "cluster_canonical_docs",
-    # round-4 fourth wave — TPC-H Q18/Q19/Q21/Q22 shapes, UDTF/UDAF
-    # API surfaces, seasonal decomposition, bigram LM, image resize
-    "large_order_customers",
-    "disjunctive_parts_revenue",
-    "solo_late_supplier",
-    "idle_customer_balance",
-    "udtf_word_index",
-    "trimmed_mean_udaf",
-    "seasonal_decompose",
-    "bigram_logprob_quality",
-    "media_image_resize",
-    # round 6 additions — multi-way joins, corpus rebalancing, PQ ANN
-    "ivfpq_recall",
-    "ivfpq_topk",
-    "stream_enrich_batch_eq",
-    "training_order_shard",
-    "doc_keywords",
-    "period_reconcile_full_outer",
-    "rolling_correlation_14d",
-    "mad_anomalies",
-    "cms_heavy_hitters",
-    "sentiment_distribution",
-    "array_hof_kit",
-    "variant_shred_agg",
-    "simhash_accuracy",
-    "media_audio_features",
-    "dedup_clusters_star",
-    "late_shipment_priority",
-    "nation_market_share",
-    "customer_order_distribution",
-    "running_revenue_by_customer",
-    "order_deciles_yearly",
-    "top_lineitem_per_order",
-    "segment_top_orders",
-    "region_nation_revenue",
-    "temperature_sampling",
-    "group_topk_sample",
-    "pq_recall",
-    "pq_topk",
-    # round 5 additions — market/technical analytics + the minhash gate
-    "ohlc_weekly",
-    "vwap_monthly",
-    "max_drawdown",
-    "bollinger_breakouts",
-    "rsi_14",
-    "ewma_smooth",
-    "zscore_anomalies",
-    "scd2_segments",
-    "event_transitions",
-    "pairwise_correlation",
-    "minhash_accuracy",
-    # round 4 additions / fixes
-    "stream_daily_avg_batch_eq",  # NTZ crash fixed in r4
-    "ivf_recall",                 # operating point retuned this round
+# The driver executes queries in registry insertion order under a budget
+# (~50 entries/round), so ordering decides which queries get a driver
+# correctness row. Rounds 1-4 used a hand-curated "freshest first" list;
+# under the budget that permanently shadowed 46 mid-age queries that
+# never got a driver row (VERDICT r4, "What's wrong #2"). This rotation
+# is data-driven instead: it reads the committed CORRECTNESS_r*.json
+# artifacts and orders by
+#   1. checked-but-latest-result-red first (a known discrepancy whose
+#      fix must re-confirm before anything else),
+#   2. then never driver-checked (brand-new queries land here too),
+#   3. then green, stalest last-green round first,
+# with ties broken by the _PIN_FIRST hint list (fresh code this round /
+# judge-named must-checks) and then registration order. Every query is
+# guaranteed to eventually rotate into the driver window.
+
+_PIN_FIRST: list[str] = [
+    # round-5 judge-named must-checks (never driver-reached before)
+    "stream_daily_avg_batch_eq",
     "stream_sessions_batch_eq",
     "stream_dedup_batch_eq",
     "stream_attribution_batch_eq",
     "stream_custom_state_batch_eq",
-    "salted_join_eq",
+    "ivf_recall",
+    "pq_recall",
     "upsert_rows_eq",
-    "unigram_logprob_quality",
-    "approx_quantile_gate",
-    "gap_fill_daily",
-    "cohort_retention",
-    "funnel_stages",
-    "value_histogram",
-    "label_centroids",
-    "key_skew_profile",
-    "column_profile",
-    "snapshot_diff",
-    "cube_event_stats",
+    "salted_join_eq",
+    # r3 training-data wave, never driver-reached
     "doc_chunking",
     "contamination_ngrams",
-    "sequence_packing",
-    "corpus_top_bigrams",
-    # round 3 additions the driver never reached
-    "json_extract_agg",
     "train_split_assign",
     "stratified_sample",
     "pii_redaction",
     "fuzzy_match",
     "repetition_quality",
     "bm25_rank",
-    "percent_rank_daily",
-    "percent_rank_yearly",
-    "ivf_topk",                   # shares the retuned operating point
-    "ann_recall",
-    "text_search_rank",
+    "unigram_logprob_quality",
 ]
 
 
-def _reorder_fresh_first() -> None:
-    ordered = {n: QUERIES[n] for n in _FRESH_FIRST if n in QUERIES}
-    for n, q in list(QUERIES.items()):
-        if n not in ordered:
-            ordered[n] = q
+def _driver_history() -> dict[str, tuple[int, int, int]]:
+    """(last_checked, last_ok, last_red) round per query from the
+    committed CORRECTNESS_r*.json driver artifacts."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    hist: dict[str, tuple[int, int, int]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rn = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, v in rows.items():
+            if not isinstance(v, dict):
+                continue
+            # "ok" = full oracle green, or a rows-only check that ran
+            # and produced rows (the driver's weaker no_oracle row)
+            ok = bool(
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+            ) or (
+                v.get("err") == "no_oracle"
+                and (v.get("spark_rows") or 0) > 0
+            )
+            lc, lo, lr = hist.get(name, (0, 0, 0))
+            hist[name] = (
+                max(lc, rn),
+                max(lo, rn) if ok else lo,
+                lr if ok else max(lr, rn),
+            )
+    return hist
+
+
+def _reorder_for_driver() -> None:
+    hist = _driver_history()
+    pin = {n: i for i, n in enumerate(_PIN_FIRST)}
+    reg = {n: i for i, n in enumerate(QUERIES)}
+
+    def key(name: str) -> tuple:
+        lc, lo, lr = hist.get(name, (0, 0, 0))
+        if lc == 0:
+            tier = 1          # never driver-checked
+        elif lr >= lo:
+            tier = 0          # latest driver result was red
+        else:
+            tier = 2          # green — stalest first
+        return (tier, lo, pin.get(name, len(pin)), reg[name])
+
+    ordered = sorted(QUERIES, key=key)
+    snapshot = dict(QUERIES)
     QUERIES.clear()
-    QUERIES.update(ordered)
+    QUERIES.update({n: snapshot[n] for n in ordered})
 
 
-_reorder_fresh_first()
+_reorder_for_driver()
