@@ -336,3 +336,56 @@ def test_star_components_match_propagation_on_lsh_graph(spark):
         for r in connected_components_star(verified).collect()
     }
     assert a == b
+
+
+def test_mega_bucket_capped(spark):
+    """A planted boilerplate mega-bucket must be bounded: every
+    (band, bucket) feeds at most max_bucket_size members into pair
+    generation, overflow is reported, and pairs stay a subset of the
+    uncapped set."""
+    from yahoofinancedatalake_spark.operators.dedup import (
+        capped_bucket_members,
+        minhash_band_table,
+    )
+
+    cap = 8
+    n_dup = 50  # one shared boilerplate text → one bucket per band
+    rows = [(i, BASE) for i in range(n_dup)]
+    rows += [(1000, NEAR), (1001, FAR)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+
+    banded = minhash_band_table(docs, "text", "id", n_hashes=32,
+                                n_bands=8)
+    buckets = capped_bucket_members(banded, "id", cap)
+    stats = buckets.select(
+        F.max(F.size("ids")).alias("max_sz"),
+        F.sum("n_dropped").alias("dropped"),
+    ).collect()[0]
+    assert stats["max_sz"] <= cap
+    # 50 boilerplate docs in an 8-member bucket → 42 dropped per band
+    assert stats["dropped"] >= (n_dup - cap) * 8
+
+    capped_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "id", max_bucket_size=cap
+        ).collect()
+    }
+    full_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "id", max_bucket_size=1_000_000
+        ).collect()
+    }
+    assert capped_pairs <= full_pairs
+    # pair explosion bounded: ≤ C(cap,2) per (band, bucket)
+    n_buckets = buckets.count()
+    assert len(capped_pairs) <= n_buckets * cap * (cap - 1) // 2
+    # the cap is deterministic: same input → same survivor set
+    again = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "id", max_bucket_size=cap
+        ).collect()
+    }
+    assert again == capped_pairs

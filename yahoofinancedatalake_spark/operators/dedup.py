@@ -351,6 +351,52 @@ def minhash_band_table(
     )
 
 
+def capped_bucket_members(
+    banded: DataFrame,
+    id_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """(band, bucket) → bounded sorted member array + overflow count.
+
+    A boilerplate-heavy corpus (license headers, templated pages)
+    produces mega-buckets; an uncapped ``collect_list`` materializes
+    the whole bucket in one aggregation buffer and the in-bucket pair
+    explosion is O(m²) — a single-task OOM at 100 TB. Members are
+    ranked by ``md5(id)`` (deterministic, content-independent) and
+    only the first ``max_bucket_size`` survive into the pair
+    generator; ``n_dropped`` reports the overflow per bucket so
+    callers can log coverage loss. The rank window and the group-by
+    share the (band, bucket) hash partitioning, so the cap costs a
+    per-partition sort but no extra exchange; the window streams with
+    a spillable sort instead of buffering the bucket like
+    ``collect_list`` does.
+    """
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("band", "bucket").orderBy(
+            F.md5(F.col(id_col).cast("string")), id_col
+        )
+    )
+    return (
+        banded.withColumn("__rk", rk)
+        .groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__rk") <= max_bucket_size, F.col(id_col)
+                    )
+                )
+            ).alias("ids"),
+            F.greatest(
+                F.count(F.lit(1)) - max_bucket_size, F.lit(0)
+            ).alias("n_dropped"),
+        )
+        .filter(F.size("ids") > 1)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -359,6 +405,8 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int = 512,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -371,6 +419,11 @@ def minhash_lsh_pairs(
     Empty/whitespace-only documents (null signature) are dropped
     before banding: they would all share one bucket and generate
     O(m²) candidate pairs that the Jaccard verify then discards.
+    Buckets are additionally bounded at ``max_bucket_size`` members
+    (deterministic md5 order — see :func:`capped_bucket_members`) so
+    one boilerplate mega-bucket can't blow a task; with
+    ``log_drops=True`` the overflow total is counted (one cheap
+    aggregate job) and logged.
     """
     banded = minhash_band_table(
         df, text_col, id_col, n_hashes, n_bands, shingle_n, seed
@@ -379,11 +432,20 @@ def minhash_lsh_pairs(
     # is computed ONCE, and the only exchanges are the bucket-key
     # shuffle + the pair dedup — a self-join would re-evaluate the
     # whole scan→signature subtree on both sides.
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    buckets = capped_bucket_members(banded, id_col, max_bucket_size)
+    if log_drops:
+        import logging
+
+        dropped = (
+            buckets.agg(F.sum("n_dropped").alias("d")).collect()[0]["d"]
+        )
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: %d bucket members beyond "
+                "max_bucket_size=%d dropped from pair generation",
+                dropped,
+                max_bucket_size,
+            )
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
@@ -410,6 +472,7 @@ def incremental_minhash_pairs(
     n_bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Near-dup candidate pairs for an INCREMENT against a persisted
     LSH index — the daily-ingest shape: only the new batch is
@@ -431,12 +494,10 @@ def incremental_minhash_pairs(
     new_bands = minhash_band_table(
         new_docs, text_col, id_col, n_hashes, n_bands, shingle_n, seed
     )
-    # new × new: group-by-bucket within the increment
-    buckets = (
-        new_bands.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # new × new: group-by-bucket within the increment, bucket size
+    # bounded like the batch operator (one templated mega-bucket in a
+    # daily batch must not blow the task either)
+    buckets = capped_bucket_members(new_bands, id_col, max_bucket_size)
     ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
