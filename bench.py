@@ -134,6 +134,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "ann_recall_at_5": recall,
+        # IVF/PQ/IVFPQ index training is memoized per (dataset
+        # fingerprint, params) within the session — the build-once
+        # FAISS placement. The FIRST index query in the run pays the
+        # training cost; later ones serve the memo, so their timings
+        # are warm-index serving latency, not train+serve.
+        "notes": {"ann_index_training": "memoized_first_query_pays"},
     }
     if errors:
         out["errors"] = errors

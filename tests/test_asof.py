@@ -245,3 +245,28 @@ def test_asof_join_nearest_tolerance_cuts_both_sides(spark):
         tolerance=F.expr("INTERVAL 7 DAYS"),
     ).collect()[0]
     assert got.v is None
+
+
+def test_asof_join_nearest_on_date_columns(spark):
+    """direction='nearest' must work on DateType ts columns (a raw
+    date→double cast is an analysis error in Spark; distances hop
+    through timestamp)."""
+    left = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10)), (2, dt.date(2024, 1, 20))],
+        "id long, ts date",
+    )
+    right = spark.createDataFrame(
+        [
+            (dt.date(2024, 1, 8), 1.0),    # 2 days before left#1
+            (dt.date(2024, 1, 17), 2.0),   # 3 days before left#2
+            (dt.date(2024, 1, 21), 3.0),   # 1 day after left#2
+        ],
+        "ts date, v double",
+    )
+    out = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, [], "ts", ["v"], direction="nearest"
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 3.0}

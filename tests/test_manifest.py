@@ -104,3 +104,48 @@ def test_files_added_after_manifest_are_still_read(spark, tmp_path):
         .count()
     )
     assert got == 50  # appended rows are found despite pruning
+
+
+def test_timestamp_stats_prune_with_datetime_bounds(spark, tmp_path):
+    """Timestamp column stats round-trip through the JSON manifest as
+    ISO strings and still prune correctly against datetime bounds."""
+    import datetime as dt
+
+    path = str(tmp_path / "ts_tbl")
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("ts"),
+    )
+    write_clustered(df, path, ["ts"], n_files=8)
+    write_manifest(path, ["ts"])
+
+    lo = dt.datetime(2024, 1, 2, 0, 0)
+    hi = dt.datetime(2024, 1, 2, 6, 0)
+    kept, total = pruned_files(path, "ts", lo, hi)
+    assert 0 < len(kept) < total  # really skips on a clustered layout
+
+    got = read_pruned(spark, path, "ts", lo, hi).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    want = spark.read.parquet(path).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_deleted_files_are_dropped_from_pruning(spark, tmp_path):
+    path = str(tmp_path / "del_tbl")
+    write_clustered(_key_range_table(spark), path, ["k"], n_files=8)
+    write_manifest(path, ["k"])
+    victims = [
+        n for n in sorted(os.listdir(path)) if n.endswith(".parquet")
+    ][:2]
+    for v in victims:
+        os.remove(os.path.join(path, v))
+    kept, total = pruned_files(path, "k", None, None)
+    assert all(os.path.exists(p) for p in kept)
+    # the read must not schedule the dead files
+    assert read_pruned(spark, path, "k", None, None).count() > 0

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -128,13 +129,19 @@ def asof_join(
         match = in_tol(F.col("__mf"))
     else:
         mb, mf = in_tol(F.col("__mb")), in_tol(F.col("__mf"))
-        # nearest: closer wins; exact tie → backward (pandas rule)
-        back_dist = F.col("__ts").cast("double") - mb["__rts"].cast(
-            "double"
-        )
-        fwd_dist = mf["__rts"].cast("double") - F.col("__ts").cast(
-            "double"
-        )
+
+        # nearest: closer wins; exact tie → backward (pandas rule).
+        # DateType can't cast straight to double (analysis error) —
+        # hop through timestamp (midnight), a no-op for timestamps.
+        def secs(c: Column) -> Column:
+            if isinstance(
+                unioned.schema["__ts"].dataType, T.DateType
+            ):
+                c = c.cast("timestamp")
+            return c.cast("double")
+
+        back_dist = secs(F.col("__ts")) - secs(mb["__rts"])
+        fwd_dist = secs(mf["__rts"]) - secs(F.col("__ts"))
         match = (
             F.when(mb.isNull(), mf)
             .when(mf.isNull(), mb)

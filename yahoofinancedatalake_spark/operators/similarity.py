@@ -42,8 +42,28 @@ def _as_double(vec: Column) -> Column:
 # across the 6 IVF/PQ/IVFPQ entries. Keyed by an EXPLICIT caller key
 # (the dataset path) plus every training parameter; None disables
 # caching entirely (tests that mutate fixtures pass cache_key=None).
+# A string cache_key that is an existing path is widened with a
+# (name, mtime_ns, size) fingerprint of the files under it, so data
+# REWRITTEN at the same path within a session invalidates the memo
+# instead of silently serving stale centroids/codebooks.
 _SAMPLE_CACHE: dict = {}
 _TRAIN_CACHE: dict = {}
+
+
+def _fingerprint(cache_key):
+    import os  # noqa: PLC0415
+
+    if not isinstance(cache_key, str) or not os.path.exists(cache_key):
+        return cache_key
+    sig = []
+    for root, dirs, names in os.walk(cache_key):
+        dirs[:] = sorted(d for d in dirs if not d.startswith("."))
+        for n in sorted(names):
+            if n.startswith((".", "_")):
+                continue
+            st = os.stat(os.path.join(root, n))
+            sig.append((os.path.join(root, n), st.st_mtime_ns, st.st_size))
+    return (cache_key, tuple(sig))
 
 
 def _training_sample(
@@ -57,7 +77,7 @@ def _training_sample(
     """Deterministic size-capped training sample (the only driver
     collect on any index path): rate-bound by the id-hash filter,
     size-bound by the FAISS-style ~max(10k, 39·k) cap."""
-    key = (cache_key, id_col, vec_col, sample_mod, train_cap)
+    key = (_fingerprint(cache_key), id_col, vec_col, sample_mod, train_cap)
     if cache_key is not None and key in _SAMPLE_CACHE:
         return _SAMPLE_CACHE[key]
     rows = (
@@ -75,7 +95,7 @@ def _training_sample(
 def _cached_train(kind: str, fn, cache_key, *params):
     """Memo for the deterministic trainers (same seed + same sample →
     bit-identical output, so caching cannot change any result)."""
-    key = (kind, cache_key, *params)
+    key = (kind, _fingerprint(cache_key), *params)
     if cache_key is not None and key in _TRAIN_CACHE:
         return _TRAIN_CACHE[key]
     out = fn()

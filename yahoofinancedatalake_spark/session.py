@@ -54,6 +54,12 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Spark still defaults timestamp output to deprecated INT96,
+        # which parquet writes WITHOUT column statistics — no footer
+        # min/max, no row-group pruning, no manifest skipping on any
+        # timestamp column. INT64 micros is the modern type every
+        # reader (pyarrow, DuckDB, Trino) stats-prunes.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # 40g, deliberately NOT most of the box: an oversized heap lets
         # garbage pile up until multi-second collections hit whatever

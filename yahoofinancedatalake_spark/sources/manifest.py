@@ -64,20 +64,44 @@ def write_manifest(path: str, columns: list[str]) -> dict:
                 lo = s.min if lo is None else min(lo, s.min)
                 hi = s.max if hi is None else max(hi, s.max)
             if ok and lo is not None:
-                stats[col] = [_plain(lo), _plain(hi)]
+                plo, phi = _plain(lo), _plain(hi)
+                if plo is not None and phi is not None:
+                    stats[col] = [plo, phi]
         files[name] = stats
     manifest = {"columns": columns, "files": files}
     with open(os.path.join(path, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, default=str)
+        json.dump(manifest, f)
     return manifest
 
 
 def _plain(v):
-    # JSON-safe scalar: bytes → utf-8 best effort, dates/timestamps →
-    # ISO strings (compared lexicographically, which is order-correct
-    # for ISO-8601)
+    """JSON-safe, order-preserving scalar — or None for types whose
+    string form does not compare in value order (e.g. Decimal:
+    '9' > '10' lexicographically), which must not be pruned on."""
+    import datetime as dt  # noqa: PLC0415
+
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
+    # ISO-8601 with 'T' separator: lexicographic == chronological,
+    # and the same form callers get from _bound() at prune time
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _bound(v):
+    """Normalize a caller-supplied predicate bound the same way the
+    stored stats were normalized, so comparisons are like-typed."""
+    import datetime as dt  # noqa: PLC0415
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
     return v
 
 
@@ -90,19 +114,29 @@ def pruned_files(
     be conservative). Returns (kept file paths, total file count)."""
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
+    lo, hi = _bound(lo), _bound(hi)
     kept = []
     total = 0
     for name, stats in manifest["files"].items():
+        if not os.path.exists(os.path.join(path, name)):
+            # deleted since write_manifest — scheduling it would fail
+            # the read; dropping it is exact (no rows to miss)
+            continue
         total += 1
         s = stats.get(col)
         if s is None:
             kept.append(os.path.join(path, name))
             continue
         fmin, fmax = s
-        if lo is not None and fmax < lo:
-            continue  # entire file below the range
-        if hi is not None and fmin > hi:
-            continue  # entire file above the range
+        try:
+            if lo is not None and fmax < lo:
+                continue  # entire file below the range
+            if hi is not None and fmin > hi:
+                continue  # entire file above the range
+        except TypeError:
+            # stat/bound type mismatch — never prune on an
+            # uncomparable pair
+            pass
         kept.append(os.path.join(path, name))
     # staleness guard: files appended AFTER write_manifest have no
     # stats row — they must be READ, not silently dropped, or the
