@@ -648,16 +648,29 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy(
+    # One scan + one dedup exchange feeds BOTH the sketch ladder and
+    # the exact gate: (month, day, part) pairs are deduped once, the
+    # daily sketches aggregate the deduped pairs (HLL is duplicate-
+    # insensitive, so sketching pairs == sketching raw rows), and the
+    # exact month distinct re-aggregates the same pairs (partial-agg
+    # over ~|distinct| rows, not the raw table — the r4 version's
+    # second full countDistinct scan doubled the query's cost). The
+    # two branches share the dedup exchange byte-for-byte, so AQE
+    # plans it as a ReusedExchange: the lineitem scan runs once.
+    pairs = li.select(
         F.date_trunc("month", "l_shipdate").alias("ship_month"),
         F.date_trunc("day", "l_shipdate").alias("ship_day"),
-    ).agg(F.hll_sketch_agg("l_partkey", F.lit(16)).alias("sk"))
+        "l_partkey",
+    ).distinct()
+    daily = pairs.groupBy("ship_month", "ship_day").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(16)).alias("sk")
+    )
     merged = daily.groupBy("ship_month").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     )
-    exact = li.groupBy(
-        F.date_trunc("month", "l_shipdate").alias("ship_month")
-    ).agg(F.countDistinct("l_partkey").alias("distinct_parts_exact"))
+    exact = pairs.groupBy("ship_month").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts_exact")
+    )
     return (
         exact.join(merged, "ship_month")
         .select(
