@@ -3514,6 +3514,64 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_upsert_batch_eq",
+    """
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN event_id % 5 = 0 THEN value * 2.0 ELSE value END
+             AS value
+    FROM events
+    """,
+    doc="Streaming serving-sink leg under the ORACLE gate: the events "
+    "table is seeded into a keyed parquet serving table "
+    "(upsert_rows, _id semantics of the reference's ES indexer — "
+    "to_elasticsearch.py:78), an update batch (value doubled for "
+    "every fifth event_id) is streamed through the foreachBatch "
+    "upsert sink, and then the SAME batch is re-delivered under a "
+    "fresh checkpoint — the at-least-once failure replay. The final "
+    "table must hash-equal base-overridden-by-updates: keyed upsert "
+    "is idempotent, so replay upgrades at-least-once delivery to "
+    "exactly-once table state. Write amplification stays O(touched "
+    "partitions) — untouched event_type partitions are never "
+    "rewritten.",
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.sources.parquet_io import (  # noqa: PLC0415
+        upsert_rows,
+    )
+    from yahoofinancedatalake_spark.streaming.sinks import (  # noqa: PLC0415
+        foreach_batch_upsert,
+    )
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_upsert_eq_")
+    table = f"{work}/serving"
+    with _scoped_shuffle(spark, 8):
+        upsert_rows(spark, base, table, ["event_id"], "event_type")
+        updates = base.filter(F.col("event_id") % 5 == 0).withColumn(
+            "value", F.col("value") * 2.0
+        )
+        src = f"{work}/updates"
+        updates.repartition(4).write.mode("overwrite").parquet(src)
+        for ck in ("ck_deliver", "ck_redeliver"):
+            stream = spark.readStream.schema(base.schema).parquet(src)
+            q = (
+                foreach_batch_upsert(
+                    stream, table, ["event_id"], "event_type", f"{work}/{ck}"
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    return spark.read.parquet(table).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@_register(
     "stream_attribution_batch_eq",
     """
     SELECT p.user_id,
@@ -8205,6 +8263,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # guaranteed to eventually rotate into the driver window.
 
 _PIN_FIRST: list[str] = [
+    # new in round 5
+    "stream_upsert_batch_eq",
     # round-5 judge-named must-checks (never driver-reached before)
     "stream_daily_avg_batch_eq",
     "stream_sessions_batch_eq",
