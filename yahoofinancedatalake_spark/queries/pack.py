@@ -3266,6 +3266,87 @@ def _word_toks() -> Column:
 
 
 @_register(
+    "span_dedup_c4",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS w FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i:i+9], ' ')
+                     FOR i IN range(1, len(w) + 1, 10)]) AS span
+      FROM toks WHERE len(w) > 0
+    ), freq AS (
+      SELECT md5(span) AS h, count(*) AS occ
+      FROM spans GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN f.occ < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN f.occ < 2 THEN length(s.span)
+                         ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM spans s JOIN freq f ON md5(s.span) = f.h
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="Training-data op: C4-style corpus-frequency span removal — "
+    "the third member of the corpus-dedup family, with semantics "
+    "neither neighbor has (chunk_dedup KEEPS the first occurrence of "
+    "a duplicated chunk; contamination_ngrams removes docs hitting "
+    "an external benchmark; this REMOVES every occurrence of any "
+    "span frequent in the corpus itself — C4's boilerplate rule, "
+    "arXiv:1910.10683 §2.2 'we discarded any line that appeared "
+    "more than three times'). Lines don't exist in this corpus, so "
+    "the unit is non-overlapping 10-word spans, and the removal "
+    "threshold is >=2 occurrences so the testdata's planted "
+    "pair-level duplication actually exercises the removal path "
+    "(both are parameters of the rule, not the shape). Plan: spans "
+    "carry only (doc_id, md5, length) into the frequency exchange "
+    "and the count-back join — the span text itself never shuffles; "
+    "partial counts combine map-side. Per-doc audit output (spans "
+    "kept / chars surviving) is the number a prep run reports.",
+    parts=8,
+)
+def q_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    toks = docs.select("doc_id", _word_toks().alias("w")).filter(
+        F.size("w") > 0
+    )
+    n_spans = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice("w", i * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("span"),
+    ).select(
+        "doc_id",
+        F.md5("span").alias("h"),
+        F.length("span").alias("span_len"),
+    )
+    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        spans.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("occ") < 2, 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("occ") < 2, F.col("span_len")).otherwise(0)
+            ).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "doc_chunking",
     f"""
     WITH toks AS (
@@ -8329,6 +8410,7 @@ _PIN_FIRST: list[str] = [
     # new in round 5
     "stream_upsert_batch_eq",
     "sarimax_seasonal_forecast",
+    "span_dedup_c4",
     # round-5 judge-named must-checks (never driver-reached before)
     "stream_daily_avg_batch_eq",
     "stream_sessions_batch_eq",
