@@ -167,3 +167,12 @@ def test_region_nation_revenue_broadcasts_dims(spark):
     plan = _plan(spark, "region_nation_revenue")
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_is_single_scan(spark):
+    # corpus-frequency removal must read the corpus ONCE: the window
+    # count on the span-hash exchange replaces a groupBy + count-back
+    # join (which re-scans and re-explodes the whole corpus)
+    plan = _plan(spark, "span_dedup_c4")
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") <= 4, plan

@@ -18,6 +18,17 @@ verify + clustering math at 10x scale; candidate RECALL is separately
 gated by ``minhash_accuracy``'s estimator bound and the planted-pair
 pytest suite (banding miss prob ~1e-9 per planted pair).
 
+The candidate restriction alone would be one-sided — a banding
+regression that silently DROPS true near-dup pairs would restrict
+the oracle to the same broken candidate set and still "match". The
+sweep therefore also runs an exact-recall anchor check: a
+deterministic ~3% md5-sample of doc ids is exhaustively joined
+against the ENTIRE corpus (O(B·n), bounded at any corpus size, no
+candidate pruning anywhere) and every true near-dup pair touching
+the sample is compared pair-for-pair, jaccard value included,
+against the engine's output. A planted pair the banding misses
+fails the sweep.
+
 Every oracle also runs under a wall-clock budget (default 180 s,
 ``con.interrupt()`` on expiry) so one pathological oracle can never
 stall the sweep.
@@ -96,6 +107,65 @@ def _run_oracle(con, sql: str):
         return None, None, f"{type(e).__name__}: {e}"[:300]
     finally:
         timer.cancel()
+
+
+#: md5(doc_id) two-hex-digit prefix below this → anchor doc (~3%).
+_ANCHOR_PREFIX = os.environ.get("SWEEP_ANCHOR_PREFIX", "08")
+
+
+def _block_recall_check(spark, sf_dir: str, con, qs, oracles) -> dict:
+    """Exact recall check: every true near-dup pair with at least one
+    endpoint in the md5-sampled anchor set, from an UNPRUNED anchor ×
+    corpus join, vs the engine's pairs touching the same anchors."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    anchor = (
+        f"substr(md5(doc_id::VARCHAR), 1, 2) < '{_ANCHOR_PREFIX}'"
+    )
+    sql = oracles["minhash_near_dup"].replace(
+        _QUADRATIC_JOIN,
+        f"FROM (SELECT * FROM sh WHERE {anchor}) a "
+        "JOIN sh b ON a.doc_id <> b.doc_id",
+    )
+    t0 = time.time()
+    want = {
+        (min(r[0], r[1]), max(r[0], r[1]), round(float(r[2]), 6))
+        for r in con.sql(sql).fetchall()
+    }
+    oracle_secs = round(time.time() - t0, 2)
+
+    def in_anchor(col):
+        return F.substring(F.md5(F.col(col).cast("string")), 1, 2) < (
+            F.lit(_ANCHOR_PREFIX)
+        )
+
+    got = {
+        (r.id_a, r.id_b, round(float(r.jaccard), 6))
+        for r in qs["minhash_near_dup"](spark, sf_dir)
+        .filter(in_anchor("id_a") | in_anchor("id_b"))
+        .collect()
+    }
+    missed, extra = want - got, got - want
+    status = "ok" if not missed and not extra else "mismatch"
+    rec = {
+        "status": status,
+        "anchor_prefix": _ANCHOR_PREFIX,
+        "n_anchor_pairs": len(want),
+        "oracle_secs": oracle_secs,
+        "missed_by_engine": sorted(missed)[:10],
+        "extra_in_engine": sorted(extra)[:10],
+    }
+    if status == "ok":
+        print(
+            f"ok    __lsh_anchor_recall ({len(want)} unpruned anchor "
+            f"pairs, engine recall exact, {oracle_secs}s oracle)"
+        )
+    else:
+        print(
+            f"FAIL  __lsh_anchor_recall: missed={len(missed)} "
+            f"extra={len(extra)}"
+        )
+    return rec
 
 
 def main() -> int:
@@ -190,6 +260,13 @@ def main() -> int:
                 + (f", {rec.get('oracle_secs')}s oracle" if 'oracle_secs' in rec else "")
                 + f"){tag}"
             )
+
+    if not only or "minhash_near_dup" in only:
+        spark.catalog.clearCache()
+        rec = _block_recall_check(spark, sf_dir, con, qs, oracles)
+        results["__lsh_anchor_recall"] = rec
+        if rec["status"] != "ok":
+            failed.append("__lsh_anchor_recall")
 
     n_run = len(results)
     summary = {
