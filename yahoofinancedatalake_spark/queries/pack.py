@@ -1711,6 +1711,62 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_dedup_gate",
+    "SELECT 'incremental_equals_full' AS metric, TRUE AS passed",
+    doc="Incremental LSH dedup equivalence under the DRIVER gate (was "
+    "pytest-only): documents split deterministically (xxhash64 of "
+    "doc_id, 80/20) into history and a daily batch; history lands "
+    "its (id, band, bucket) index once (minhash_band_table) and the "
+    "increment is deduped against it WITHOUT re-shingling history "
+    "(incremental_minhash_pairs: O(batch) hash + indexed bucket "
+    "join — the shape that turns daily dedup at 100 TB from "
+    "O(corpus) into O(batch)). Gate: the incremental pair set must "
+    "EQUAL the full recompute over history ∪ batch minus known "
+    "old×old pairs — asserted as an empty symmetric difference "
+    "(two exceptAlls unioned into one lazy count; pair tables are "
+    "candidate-sized, hundreds of rows). passed=TRUE hash-matches "
+    "the constant oracle only if the sets are identical.",
+    parts=8,
+)
+def q_incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10))
+    hist = docs.filter(bucket < 8)
+    batch = docs.filter(bucket >= 8)
+    index = minhash_band_table(hist, "text", "doc_id")
+    inc = incremental_minhash_pairs(batch, index, "text", "doc_id")
+    full = minhash_lsh_pairs(docs, "text", "doc_id")
+    old_ids = hist.select("doc_id")
+    # expected = full pairs minus the already-known old×old pairs:
+    # keep a pair iff either endpoint is NOT in history (broadcast
+    # semi-join flags, no collect)
+    a_old = old_ids.select(F.col("doc_id").alias("id_a"))
+    b_old = old_ids.select(F.col("doc_id").alias("id_b"))
+    expected = full.join(
+        F.broadcast(a_old.withColumn("__ha", F.lit(1))), "id_a", "left"
+    ).join(
+        F.broadcast(b_old.withColumn("__hb", F.lit(1))), "id_b", "left"
+    ).filter(
+        F.col("__ha").isNull() | F.col("__hb").isNull()
+    ).select("id_a", "id_b")
+    sym_diff = expected.exceptAll(inc).unionByName(
+        inc.exceptAll(expected)
+    )
+    return sym_diff.agg(
+        F.count(F.lit(1)).alias("__n")
+    ).select(
+        F.lit("incremental_equals_full").alias("metric"),
+        (F.col("__n") == 0).alias("passed"),
+    )
+
+
+@_register(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_SQL_SHINGLES},
@@ -8414,6 +8470,7 @@ _PIN_FIRST: list[str] = [
     "stream_upsert_batch_eq",
     "sarimax_seasonal_forecast",
     "span_dedup_c4",
+    "incremental_dedup_gate",
     # round-5 judge-named must-checks (never driver-reached before)
     "stream_daily_avg_batch_eq",
     "stream_sessions_batch_eq",
