@@ -153,3 +153,21 @@ def test_group_forecaster_contract_on_seasonal_backend():
     # actual rows: lower = upper = value (visual-continuity contract)
     assert (actual["confidence_lower"] == actual["predicted"]).all()
     assert np.isfinite(fc["predicted"].to_numpy()).all()
+
+
+def test_ci_coverage_calibrated_on_true_process():
+    """Pooled 95% CI coverage over independent realizations of the
+    true SARIMA process must be near nominal (a calibration gate, not
+    a single-realization spot check: 12 seeds x 10-step horizons =
+    120 correlated-but-pooled indicator draws; a broken psi-weight
+    recursion lands far below 0.8)."""
+    hits = total = 0
+    for seed in range(12):
+        y_all = _simulate(262, seed=100 + seed)
+        y, hold = y_all[:252], y_all[252:]
+        preds, halves = css_sarimax_forecast(y, 10)
+        hits += int(
+            np.sum((hold >= preds - halves) & (hold <= preds + halves))
+        )
+        total += 10
+    assert hits / total >= 0.8, f"pooled coverage {hits/total:.2f}"
