@@ -3717,6 +3717,51 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_lake_dedup_batch_eq",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_id % 4 <> 0
+    """,
+    doc="Stream-static ANTI-join dedup under the ORACLE gate — the "
+    "daily-ingest twin of incremental_dedup_gate: new events arrive "
+    "as a stream and every id already LANDED in the lake (a static "
+    "keyed table, here every fourth event_id) is dropped by a "
+    "left_anti join before the batch lands. Complements "
+    "stream_dedup_batch_eq (within-stream dropDuplicates, watermark-"
+    "bounded state): against-history dedup keeps NO stream state at "
+    "all — the static side is just a (re-broadcast or shuffled) "
+    "relation, so the operator scales with the micro-batch, not the "
+    "stream lifetime. At 100 TB the landed-id table is the bucketed "
+    "band/key index the lake already maintains.",
+)
+def q_stream_lake_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_lake_dedup_")
+    src = f"{work}/events"
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    landed = batch.filter(F.col("event_id") % 4 == 0).select("event_id")
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"s_lake_dedup_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle(spark, 8):
+        q = (
+            stream.join(landed, "event_id", "left_anti")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
+
+
+@_register(
     "stream_upsert_batch_eq",
     """
     SELECT event_id, ts, user_id, event_type,
@@ -8471,6 +8516,7 @@ _PIN_FIRST: list[str] = [
     "sarimax_seasonal_forecast",
     "span_dedup_c4",
     "incremental_dedup_gate",
+    "stream_lake_dedup_batch_eq",
     # round-5 judge-named must-checks (never driver-reached before)
     "stream_daily_avg_batch_eq",
     "stream_sessions_batch_eq",
