@@ -63,3 +63,36 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["user_id", "last_day", "last_value", "delta"]
+
+
+def test_driver_rotation_ordering_invariants():
+    """The registry order must follow the staleness rotation contract
+    derived from the committed CORRECTNESS_r*.json artifacts:
+    latest-red queries first, then never-driver-checked, then greens
+    by ascending last-green round. Guards the rotation against
+    refactors — a wrong order silently starves queries of driver
+    coverage."""
+    from yahoofinancedatalake_spark.queries.pack import (
+        QUERIES,
+        _driver_history,
+    )
+
+    hist = _driver_history()
+    if not hist:  # fresh clone without driver artifacts
+        return
+
+    def tier(name: str) -> int:
+        lc, lo, lr = hist.get(name, (0, 0, 0))
+        if lc == 0:
+            return 1
+        return 0 if lr >= lo else 2
+
+    names = list(QUERIES)
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), "tiers must be non-decreasing"
+    # within the green tier, last-green rounds ascend
+    greens = [hist[n][1] for n, t in zip(names, tiers) if t == 2]
+    assert greens == sorted(greens), "greens must be stalest-first"
+    # at least one query of each tier exists in the current state
+    # (13 reds + new never-checked queries as of round 5)
+    assert 0 in tiers and 1 in tiers and 2 in tiers
