@@ -685,6 +685,56 @@ def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bitmap_distinct_rollup",
+    """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    doc="EXACT mergeable distinct rollup — the exactness-preserving "
+    "sibling of hll_partial_rollup, same 100 TB dashboard pattern: "
+    "plain count(DISTINCT) cannot partial-aggregate (re-scan per "
+    "granularity), but Spark 4's bitmap family can — per (month, "
+    "day, 32k-bucket) roaring-style bitmaps (bitmap_construct_agg "
+    "of bitmap_bit_position), OR-merged up to month level "
+    "(bitmap_or_agg), then summed bitmap_count == the exact "
+    "distinct, hash-pinned against count(DISTINCT) — no error "
+    "bound needed, unlike the HLL twin. The daily bitmap table is "
+    "computed once; every coarser bucket is a cheap bitwise OR. "
+    "Trade vs HLL: bitmaps are exact but sized O(distinct/8 bytes) "
+    "per bucket — right when keys are dense ints (TPC-H part keys); "
+    "HLL wins on sparse 64-bit ids.",
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select(
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        F.date_trunc("day", "l_shipdate").alias("ship_day"),
+        "l_partkey",
+    ).createOrReplaceTempView("__bm_li")
+    # the bitmap agg family is SQL-only surface in Spark 4
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT ship_month, ship_day,
+                 bitmap_bucket_number(l_partkey) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(l_partkey))
+                   AS bm
+          FROM __bm_li
+          GROUP BY ship_month, ship_day, bkt
+        ),
+        monthly AS (
+          SELECT ship_month, bkt, bitmap_or_agg(bm) AS bm
+          FROM daily GROUP BY ship_month, bkt
+        )
+        SELECT ship_month,
+               CAST(sum(bitmap_count(bm)) AS BIGINT) AS distinct_parts
+        FROM monthly GROUP BY ship_month ORDER BY ship_month
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # O1 — multi-key desc sort + limit feed (saved search, kibana_saved_objects:5)
 # ---------------------------------------------------------------------------
@@ -8517,6 +8567,7 @@ _PIN_FIRST: list[str] = [
     "span_dedup_c4",
     "incremental_dedup_gate",
     "stream_lake_dedup_batch_eq",
+    "bitmap_distinct_rollup",
     # round-5 judge-named must-checks (never driver-reached before)
     "stream_daily_avg_batch_eq",
     "stream_sessions_batch_eq",
