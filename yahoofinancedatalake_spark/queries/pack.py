@@ -3407,12 +3407,19 @@ def _word_toks() -> Column:
     "threshold is >=2 occurrences so the testdata's planted "
     "pair-level duplication actually exercises the removal path "
     "(both are parameters of the rule, not the shape). Plan: spans "
-    "carry only (doc_id, md5, length) into ONE exchange on the span "
-    "hash, where a whole-partition window count replaces the "
-    "groupBy+count-back-join formulation (which re-scans and "
-    "re-explodes the corpus on the join's probe side — measured 6 "
-    "exchanges vs 4, two scans vs one); the span text itself never "
-    "shuffles. Per-doc audit output (spans kept / chars surviving) "
+    "carry only (doc_id, md5, length) — the text never shuffles — "
+    "and the exploded span table is persisted so the corpus is "
+    "scanned+exploded ONCE while feeding both the frequency "
+    "aggregate and the count-back join (at 100 TB the persist is a "
+    "landed table). The frequency side is a groupBy count with "
+    "MAP-SIDE partial aggregation, so a boilerplate mega-span "
+    "('all rights reserved …' x 100M occurrences) collapses per "
+    "task before its exchange; the count-back join's probe side "
+    "does see the hot hash, which is exactly what AQE's skew-join "
+    "splitting handles. A window-count formulation was rejected "
+    "for 100 TB: windows have NO partial aggregation and no skew "
+    "splitting, so the mega-span would pile onto one task. "
+    "Per-doc audit output (spans kept / chars surviving) "
     "is the number a prep run reports.",
     parts=8,
 )
@@ -3437,10 +3444,10 @@ def q_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("span").alias("h"),
         F.length("span").alias("span_len"),
-    )
-    occ = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).persist()
+    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     return (
-        spans.withColumn("occ", occ)
+        spans.join(freq, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
