@@ -389,3 +389,19 @@ def test_mega_bucket_capped(spark):
         ).collect()
     }
     assert again == capped_pairs
+
+
+def test_mega_bucket_drop_logging(spark, caplog):
+    """log_drops=True counts the overflow and emits one warning."""
+    import logging
+
+    rows = [(i, BASE) for i in range(30)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    with caplog.at_level(
+        logging.WARNING, logger="yahoofinancedatalake_spark.operators.dedup"
+    ):
+        pairs = minhash_lsh_pairs(
+            docs, "text", "id", max_bucket_size=4, log_drops=True
+        )
+        assert pairs.count() > 0
+    assert any("max_bucket_size" in r.message for r in caplog.records)
