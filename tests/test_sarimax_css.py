@@ -171,3 +171,15 @@ def test_ci_coverage_calibrated_on_true_process():
         )
         total += 10
     assert hits / total >= 0.8, f"pooled coverage {hits/total:.2f}"
+
+
+def test_fit_survives_explosive_series():
+    """A geometric series (doubly-integrated explosion) drives the
+    CSS filter toward overflow for large |theta| candidates; the fit
+    must still return finite parameters and a finite forecast (the
+    nan->inf guard in the objective keeps the simplex ordered)."""
+    y = 1.5 ** np.arange(60)  # overflows filters for bad params fast
+    fit = fit_css(y)
+    assert all(np.isfinite(v) for v in fit["params"])
+    preds, halves = css_sarimax_forecast(y, 5)
+    assert np.all(np.isfinite(preds)) and np.all(np.isfinite(halves))

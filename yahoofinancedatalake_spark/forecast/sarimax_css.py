@@ -207,7 +207,13 @@ def fit_css(
     wx = None if x is None else _difference(x)
 
     def f(params: np.ndarray) -> float:
-        return _objective(params, wy, wx)[0]
+        s = _objective(params, wy, wx)[0]
+        # an explosive MA recursion (|theta| near 2 is inside the
+        # soft bounds but amplifies eps geometrically over 250 steps)
+        # can overflow to inf/nan; map to +inf so the simplex ordering
+        # and the final argmin stay well-defined (nan would otherwise
+        # poison np.argmin via a shrink-step assignment)
+        return s if np.isfinite(s) else float("inf")
 
     best = _nelder_mead(f, np.zeros(6))
     _, beta = _objective(best, wy, wx)
