@@ -1,0 +1,165 @@
+"""VADER rule-engine tests (functions/vader.py).
+
+Pins (a) expr == Python twin == pandas_udf on crafted rule-path cases
+and on the real documents table, and (b) each published VADER rule's
+directional behavior (Hutto & Gilbert 2014): boosters, dampeners,
+negation incl. contractions and double negation, 'never so' / 'without
+doubt' / 'at least' specials, ALL-CAPS emphasis under cap-mix,
+but-clause reweighting, punctuation amplification with caps, and the
+alpha=15 normalization bounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.functions.vader import (
+    _compound_py,
+    vader_compound_udf,
+    vader_label,
+    with_vader_compound,
+)
+
+CASES = [
+    None,
+    "",
+    "good",
+    "very good",
+    "slightly good",
+    "not good",
+    "not not good",
+    "never good",
+    "never so good",
+    "never this bad",
+    "without doubt great",
+    "without great",
+    "at least good",
+    "least good",
+    "GOOD day",
+    "good day",
+    "GOOD DAY",
+    "good but bad",
+    "bad but good",
+    "good!",
+    "good!!!!",
+    "good!!!!!",
+    "bad",
+    "bad??",
+    "isn't good",
+    "can't fail",
+    "extremely HAPPY investors!!",
+    "the stock was good but the outlook is bad",
+    "really?? seriously?? bad????",
+    "so so good",
+    "utterly COMPLETELY great",
+    "profits don't grow",
+    "stocks didn't gain",
+    " ".join(["great"] * 200),
+]
+
+
+@pytest.fixture(scope="module")
+def scores(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "id long, text string"
+    )
+    rows = (
+        with_vader_compound(df, "text", compound_col="c")
+        .withColumn("u", vader_compound_udf("text"))
+        .select("id", "c", "u")
+        .collect()
+    )
+    return {CASES[r["id"]]: (r["c"], r["u"]) for r in rows}
+
+
+def test_expr_matches_python_twin_and_udf(scores):
+    for text in CASES:
+        c, u = scores[text]
+        py = _compound_py(text)
+        assert c == pytest.approx(py, abs=1e-12), text
+        assert u == pytest.approx(py, abs=1e-12), text
+
+
+def test_lexicon_hit_is_vader_normalized(scores):
+    # good = 1.9 on the VADER scale -> 1.9 / sqrt(1.9^2 + 15) = 0.4404,
+    # the published compound for a bare positive unigram sentence.
+    assert scores["good"][0] == pytest.approx(0.4404)
+
+
+def test_booster_and_dampener(scores):
+    assert scores["very good"][0] > scores["good"][0]
+    assert 0 < scores["slightly good"][0] < scores["good"][0]
+
+
+def test_negation(scores):
+    assert scores["not good"][0] < 0
+    assert scores["not not good"][0] > 0  # double negation re-flips
+    assert scores["isn't good"][0] < 0  # n't contraction
+    assert scores["can't fail"][0] > 0  # negated negative
+    assert scores["stocks didn't gain"][0] < 0  # n't before a lexicon word
+    # no stemming, faithful to VADER: 'profits'/'grow' miss the lexicon
+    assert scores["profits don't grow"][0] == 0.0
+
+
+def test_never_without_least_specials(scores):
+    assert scores["never good"][0] < 0
+    assert scores["never so good"][0] > scores["good"][0]  # x1.25 intensifier
+    assert scores["never this bad"][0] < scores["bad"][0]
+    assert scores["without doubt great"][0] > 0  # no negation
+    assert scores["without great"][0] < 0  # plain 'without' negates
+    assert scores["at least good"][0] > 0  # 'at least' protected
+    assert scores["least good"][0] < 0
+
+
+def test_caps_emphasis_requires_cap_mix(scores):
+    assert scores["GOOD day"][0] > scores["good day"][0]
+    # all-caps doc: no cap differential -> no emphasis
+    assert scores["GOOD DAY"][0] == scores["good day"][0]
+
+
+def test_but_clause(scores):
+    # after-but clause dominates (x1.5 vs x0.5)
+    assert scores["good but bad"][0] < 0
+    assert scores["bad but good"][0] > 0
+
+
+def test_punctuation_amplification(scores):
+    assert scores["good!"][0] > scores["good"][0]
+    assert scores["good!!!!"][0] == scores["good!!!!!"][0]  # capped at 4
+    assert scores["bad??"][0] < scores["bad"][0]  # amplifies negative
+
+
+def test_null_and_empty(scores):
+    assert scores[None][0] == 0.0
+    assert scores[""][0] == 0.0
+
+
+def test_normalization_bounds(scores):
+    big = scores[" ".join(["great"] * 200)][0]
+    assert 0.99 <= big <= 1.0
+
+
+def test_matches_twin_on_documents(spark):
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(200)
+    rows = (
+        with_vader_compound(docs, "text", compound_col="c")
+        .withColumn("u", vader_compound_udf("text"))
+        .select("c", "u")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["c"] == pytest.approx(r["u"], abs=1e-12)
+
+
+def test_label_thresholds(spark):
+    df = spark.range(1).select(
+        vader_label(F.lit(0.05)).alias("p"),
+        vader_label(F.lit(-0.05)).alias("n"),
+        vader_label(F.lit(0.0499)).alias("z"),
+    )
+    r = df.collect()[0]
+    assert (r["p"], r["n"], r["z"]) == ("positive", "negative", "neutral")

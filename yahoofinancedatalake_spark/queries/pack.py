@@ -8543,6 +8543,211 @@ def q_set_ops_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X1 (completed r5) — VADER-faithful sentiment rule engine
+# ---------------------------------------------------------------------------
+
+
+def _vader_sql_case(col: str, d: dict[str, float]) -> str:
+    """``CASE <col> WHEN 'w' THEN v ... ELSE NULL END`` from a dict."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in d.items()
+    )
+    return f"CASE {col} {whens} ELSE NULL END"
+
+
+def _vader_sql_neg(col: str) -> str:
+    from yahoofinancedatalake_spark.functions.vader import NEGATORS  # noqa: PLC0415
+
+    words = ", ".join(f"'{w}'" for w in sorted(NEGATORS))
+    return f"({col} IN ({words}) OR {col} LIKE '%n''t')"
+
+
+def _vader_oracle_sql() -> str:
+    from yahoofinancedatalake_spark.functions import vader as V  # noqa: PLC0415
+
+    isupper = "(s <> '' AND s = upper(s) AND s <> lower(s))"
+    lexw = _vader_sql_case("w", V.VADER_LEXICON)
+    lex1 = _vader_sql_case("pw1", V.VADER_LEXICON)
+    lex2 = _vader_sql_case("pw2", V.VADER_LEXICON)
+    lex3 = _vader_sql_case("pw3", V.VADER_LEXICON)
+    b1 = _vader_sql_case("pw1", V.BOOSTERS)
+    b2 = _vader_sql_case("pw2", V.BOOSTERS)
+    b3 = _vader_sql_case("pw3", V.BOOSTERS)
+    n1, n2, n3 = (_vader_sql_neg(c) for c in ("pw1", "pw2", "pw3"))
+
+    def s_j(j: int, damp: float) -> str:
+        return f"""CASE WHEN a{j} AND b{j} IS NOT NULL THEN
+            ((CASE WHEN v0 < 0 THEN -b{j} ELSE b{j} END)
+             + CASE WHEN pc{j} AND capdiff
+                    THEN (CASE WHEN v0 > 0 THEN {V.C_INCR} ELSE {-V.C_INCR} END)
+                    ELSE 0.0 END) * {damp}
+          ELSE 0.0 END"""
+
+    qm_n = "(length(text) - length(replace(text, '?', '')))"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'never so good but ' ELSE '' END
+             || replace(replace(coalesce(text, ''), 'slow', 'not slow'),
+                        'fast', 'very FAST')
+             || repeat('!', CAST(doc_id % 5 AS INT)) AS text
+      FROM documents
+    ), raw AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM base
+    ), tok AS (
+      SELECT doc_id,
+             generate_subscripts(toks, 1) AS i,
+             regexp_replace(unnest(toks),
+                '^[^A-Za-z0-9'']+|[^A-Za-z0-9'']+$', '', 'g') AS s
+      FROM raw
+    ), feat AS (
+      SELECT doc_id, i, lower(s) AS w, {isupper} AS c,
+             lag(lower(s), 1) OVER win AS pw1,
+             lag(lower(s), 2) OVER win AS pw2,
+             lag(lower(s), 3) OVER win AS pw3,
+             coalesce(lag({isupper}, 1) OVER win, false) AS pc1,
+             coalesce(lag({isupper}, 2) OVER win, false) AS pc2,
+             coalesce(lag({isupper}, 3) OVER win, false) AS pc3,
+             count(*) OVER (PARTITION BY doc_id) AS n_tok,
+             sum(CASE WHEN {isupper} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS n_caps,
+             min(CASE WHEN lower(s) = 'but' THEN i END)
+               OVER (PARTITION BY doc_id) AS but_i
+      FROM tok
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ), lv AS (
+      SELECT doc_id, i, c, pw1, pw2, pw3, pc1, pc2, pc3, but_i,
+             (n_caps > 0 AND n_caps < n_tok) AS capdiff,
+             coalesce({lexw}, 0.0) AS v0,
+             ({lex1}) IS NULL AS nolex1,
+             ({lex2}) IS NULL AS nolex2,
+             ({lex3}) IS NULL AS nolex3,
+             {b1} AS b1, {b2} AS b2, {b3} AS b3
+      FROM feat
+    ), step AS (
+      SELECT doc_id, i, but_i, v0, pw1, pw2, pw3,
+             v0 + CASE WHEN c AND capdiff
+                       THEN CASE WHEN v0 > 0 THEN {V.C_INCR}
+                                 WHEN v0 < 0 THEN {-V.C_INCR}
+                                 ELSE 0.0 END
+                       ELSE 0.0 END AS v1,
+             {s_j(1, V.DAMP[0])} AS s1,
+             {s_j(2, V.DAMP[1])} AS s2,
+             {s_j(3, V.DAMP[2])} AS s3,
+             CASE WHEN a1 AND {n1} THEN {V.N_SCALAR} ELSE 1.0 END AS m1,
+             CASE WHEN a2 AND pw2 = 'never' AND pw1 IN ('so', 'this')
+                    THEN {V.NEVER_SO}
+                  WHEN a2 AND pw2 = 'without' AND pw1 = 'doubt' THEN 1.0
+                  WHEN a2 AND {n2} THEN {V.N_SCALAR}
+                  ELSE 1.0 END AS m2,
+             CASE WHEN a3 AND pw3 = 'never'
+                       AND (pw2 IN ('so', 'this') OR pw1 IN ('so', 'this'))
+                    THEN {V.NEVER_SO}
+                  WHEN a3 AND pw3 = 'without'
+                       AND (pw2 = 'doubt' OR pw1 = 'doubt') THEN 1.0
+                  WHEN a3 AND {n3} THEN {V.N_SCALAR}
+                  ELSE 1.0 END AS m3,
+             CASE WHEN v0 <> 0 AND pw1 = 'least'
+                       AND (pw2 IS NULL OR pw2 NOT IN ('at', 'very'))
+                    THEN {V.N_SCALAR} ELSE 1.0 END AS lm,
+             CASE WHEN but_i IS NOT NULL AND i < but_i THEN {V.BUT_BEFORE}
+                  WHEN but_i IS NOT NULL AND i > but_i THEN {V.BUT_AFTER}
+                  ELSE 1.0 END AS bm
+      FROM (
+        SELECT *,
+               (v0 <> 0 AND pw1 IS NOT NULL AND nolex1) AS a1,
+               (v0 <> 0 AND pw2 IS NOT NULL AND nolex2) AS a2,
+               (v0 <> 0 AND pw3 IS NOT NULL AND nolex3) AS a3
+        FROM lv
+      )
+    ), agg AS (
+      SELECT doc_id,
+             sum((((v1 + s1) * m1 + s2) * m2 + s3) * m3 * lm * bm) AS ssum
+      FROM step GROUP BY doc_id
+    ), fin AS (
+      SELECT b.doc_id,
+             coalesce(a.ssum, 0.0) AS s,
+             least(length(b.text) - length(replace(b.text, '!', '')),
+                   {V.EP_CAP}) * {V.EP_UNIT}
+             + CASE WHEN {qm_n.replace('text', 'b.text')} > 3 THEN {V.QM_CAP}
+                    WHEN {qm_n.replace('text', 'b.text')} > 1
+                      THEN {qm_n.replace('text', 'b.text')} * {V.QM_UNIT}
+                    ELSE 0.0 END AS pe
+      FROM base b LEFT JOIN agg a USING (doc_id)
+    )
+    SELECT doc_id, compound,
+           CASE WHEN compound >= 0.05 THEN 'positive'
+                WHEN compound <= -0.05 THEN 'negative'
+                ELSE 'neutral' END AS sentiment_label
+    FROM (
+      SELECT doc_id,
+             {sql_dround(
+                 "greatest(-1.0, least(1.0, s2 / sqrt(s2 * s2 + "
+                 + str(V.ALPHA) + ")))", 4)} AS compound
+      FROM (
+        SELECT doc_id,
+               CASE WHEN s > 0 THEN s + pe
+                    WHEN s < 0 THEN s - pe
+                    ELSE s END AS s2
+        FROM fin
+      )
+    )
+    """
+
+
+@_register(
+    "vader_sentiment",
+    _vader_oracle_sql(),
+    doc="X1 completed (r4 VERDICT 'What's missing' #3): the VADER "
+    "sentiment rule engine — booster/dampener window with distance "
+    "damping, negation (incl. n't contractions, 'never so/this' and "
+    "'without doubt' specials), 'least' check, ALL-CAPS emphasis under "
+    "cap-mix, but-clause reweighting, !/? amplification, alpha=15 "
+    "normalization (Hutto & Gilbert 2014; finnhub_news.py:27-51) — as "
+    "pure codegen'd array expressions, replayed token-for-token by a "
+    "DuckDB window-lag oracle generated from the same constant dicts. "
+    "The synthetic corpus is deterministically annotated from doc_id "
+    "arithmetic (injected negation, booster+caps, '!' runs, leading "
+    "but-clause) so every rule path is data-exercised in both engines. "
+    "Scale: one narrow projection, no shuffle before the final hash — "
+    "the per-token fold is a sequential array aggregate inside "
+    "whole-stage codegen.",
+    parts=8,
+)
+def q_vader_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.functions.vader import (  # noqa: PLC0415
+        with_vader_compound,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    aug = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("never so good but "))
+        .otherwise(F.lit("")),
+        F.replace(
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("slow"),
+                F.lit("not slow"),
+            ),
+            F.lit("fast"),
+            F.lit("very FAST"),
+        ),
+        F.repeat(F.lit("!"), (F.col("doc_id") % 5).cast("int")),
+    )
+    scored = with_vader_compound(
+        docs.withColumn("_aug", aug),
+        "_aug",
+        compound_col="compound",
+        label_col="sentiment_label",
+    )
+    return scored.select("doc_id", "compound", "sentiment_label")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -8569,6 +8774,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIN_FIRST: list[str] = [
     # new in round 5
+    "vader_sentiment",
     "stream_upsert_batch_eq",
     "sarimax_seasonal_forecast",
     "span_dedup_c4",
