@@ -263,3 +263,80 @@ def test_ivfpq_topk_with_full_coverage_matches_exact(spark, corpus):
         ).collect()
     }
     assert truth == approx
+
+
+# ---------------------------------------------------------------------------
+# nearest_centroid_classify (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _planted_cluster_rows(n_per=40, n_labels=4, dim=8, sep=5.0):
+    """Deterministic well-separated clusters: label k centered at
+    sep * e_k with +/-0.5 triangular jitter from a hash counter."""
+    rows = []
+    vid = 0
+    for k in range(n_labels):
+        for i in range(n_per):
+            vec = []
+            for d in range(dim):
+                h = (vid * 1_000_003 + d * 7919) % 1000 / 1000.0 - 0.5
+                vec.append((sep if d == k else 0.0) + h)
+            rows.append((vid, k, vec))
+            vid += 1
+    return rows
+
+
+def test_nearest_centroid_learns_planted_clusters(spark):
+    from yahoofinancedatalake_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+
+    df = spark.createDataFrame(
+        _planted_cluster_rows(),
+        "vec_id long, label int, embedding array<double>",
+    )
+    train = df.filter(F.col("vec_id") % 5 != 0)
+    test = df.filter(F.col("vec_id") % 5 == 0)
+    out = nearest_centroid_classify(train, test).collect()
+    assert len(out) == test.count()
+    acc = sum(r["pred_label"] == r["label"] for r in out) / len(out)
+    assert acc == 1.0  # sep >> jitter: separable by construction
+    for r in out:
+        assert -1.0 <= r["score"] <= 1.0
+
+
+def test_nearest_centroid_plan_is_broadcast_hash(spark):
+    from yahoofinancedatalake_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+
+    df = spark.createDataFrame(
+        _planted_cluster_rows(n_per=10),
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = nearest_centroid_classify(
+        df.filter(F.col("vec_id") % 5 != 0),
+        df.filter(F.col("vec_id") % 5 == 0),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nearest_centroid_single_label_and_ties(spark):
+    from yahoofinancedatalake_spark.operators.similarity import (
+        nearest_centroid_classify,
+    )
+
+    rows = [(i, 0, [1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = nearest_centroid_classify(
+        df.filter(F.col("vec_id") > 0), df.filter(F.col("vec_id") == 0)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 0
+    # identical vectors: cosine to own centroid is exactly 1.0 after dround
+    assert out[0]["score"] == pytest.approx(1.0, abs=1e-3)

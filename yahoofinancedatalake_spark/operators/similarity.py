@@ -980,3 +980,116 @@ def ivfpq_cosine_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) classifier over embeddings
+# ---------------------------------------------------------------------------
+
+
+def nearest_centroid_classify(
+    train: DataFrame,
+    test: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Classify test vectors by cosine-nearest per-label train centroid.
+
+    The classical Rocchio / nearest-class-mean classifier. Unlike an
+    iteratively-trained model, every step is exactly SQL-replayable,
+    so the whole train+predict pipeline sits under the driver's
+    value-hash oracle gate. (On the synthetic corpus the labels are
+    uncorrelated with embedding geometry — holdout accuracy is at
+    the 1/n_labels random floor, as is 1-NN's; the oracle therefore
+    gates the *mechanics* value-exactly, and learnability is proven
+    separately in pytest on planted separable clusters.)
+
+    Determinism discipline (the label_centroids pattern): components
+    are dround(4)-fixed BEFORE every cross-engine sum; centroid means
+    are dround(2)-fixed sums over exact counts; dot/norm terms are
+    dround(6)-fixed before their folds; the final cosine is
+    dround(round_to)-fixed with (score DESC, label ASC) tie-break.
+
+    Scale shape: training shuffles (label x dim) partial sums — map-
+    side combined, dims x labels reducers, no hot key. The fitted
+    model (10 x 64 doubles) broadcasts back as a constant-key
+    BroadcastHashJoin (a bare crossJoin would plan BNLJ), and
+    inference is a per-row sequential array fold inside codegen — at
+    100 TB the scoring pass is embarrassingly parallel with no
+    exchange at all.
+    """
+    from yahoofinancedatalake_spark.functions.scalars import dround
+
+    comp = train.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x0"),
+    ).select("label", "pos", dround(F.col("x0"), 4).alias("x"))
+    cent_rows = comp.groupBy("label", "pos").agg(
+        (dround(F.sum("x"), 2) / F.count(F.lit(1))).alias("c")
+    )
+    cent = (
+        cent_rows.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("carr")
+        )
+        .withColumn(
+            "nc",
+            F.aggregate(
+                F.transform(F.col("carr"), lambda c: dround(c * c, 6)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # data-derived constant key (queries/pack._const_key pattern):
+        # a literal key constant-folds the equi-condition away and the
+        # join degenerates to BroadcastNestedLoopJoin
+        .withColumn("__k", F.pmod(F.xxhash64("label"), F.lit(1)).cast("int"))
+    )
+
+    t = test.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("actual"),
+        F.transform(_as_double(F.col(vec_col)), lambda x: dround(x, 4)).alias(
+            "tv"
+        ),
+    ).withColumn(
+        "nt",
+        F.aggregate(
+            F.transform(F.col("tv"), lambda x: dround(x * x, 6)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    ).withColumn("__k", F.pmod(F.xxhash64("vec_id"), F.lit(1)).cast("int"))
+
+    joined = t.join(F.broadcast(cent), "__k")
+    dotv = F.aggregate(
+        F.zip_with(F.col("tv"), F.col("carr"), lambda x, c: dround(x * c, 6)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        "vec_id",
+        "actual",
+        "label",
+        dround(dotv / F.sqrt(F.col("nt") * F.col("nc")), round_to).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            F.col("actual").alias("label"),
+            F.col("label").alias("pred_label"),
+            "score",
+        )
+    )
