@@ -405,3 +405,45 @@ def test_mega_bucket_drop_logging(spark, caplog):
         )
         assert pairs.count() > 0
     assert any("max_bucket_size" in r.message for r in caplog.records)
+
+
+def test_incremental_cap_matches_full_recompute_above_cap(spark):
+    """When a (band, bucket) exceeds max_bucket_size ACROSS history
+    and batch, the incremental path must apply the same md5-rank cap
+    over the UNION membership that the full recompute applies —
+    capping the sides independently emits pairs a full run drops
+    (the r5 review finding). Planted mega-clique, cap = 8."""
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(30)], "doc_id long, text string"
+    ).repartition(4)
+    hist = docs.filter(F.col("doc_id") < 20)
+    batch = docs.filter(F.col("doc_id") >= 20)
+    cap = 8
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", max_bucket_size=cap
+        ).collect()
+    }
+    expected = {(a, b) for a, b in full if a >= 20 or b >= 20}
+    index = minhash_band_table(hist, "text", "doc_id")
+    inc = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_pairs(
+            batch, index, "text", "doc_id", max_bucket_size=cap
+        ).collect()
+    }
+    assert inc == expected
+    # the cap actually bit: a clique of 30 would otherwise emit 435
+    # pairs; 8 survivors emit at most C(8,2)=28
+    assert len(full) <= 28

@@ -149,3 +149,33 @@ def test_deleted_files_are_dropped_from_pruning(spark, tmp_path):
     assert all(os.path.exists(p) for p in kept)
     # the read must not schedule the dead files
     assert read_pruned(spark, path, "k", None, None).count() > 0
+
+
+def test_version_mismatched_manifest_disables_skipping(spark, tmp_path):
+    """A v1-era manifest (str(datetime) stats, space separator) must
+    not be compared against v2 ISO-T bounds: ' ' < 'T' would sort
+    every v1 timestamp below every v2 bound and mis-prune files that
+    DO contain matches. Mismatched format -> keep everything."""
+    import json
+
+    from yahoofinancedatalake_spark.sources.manifest import MANIFEST_NAME
+
+    path = str(tmp_path / "v1_tbl")
+    write_clustered(_key_range_table(spark), path, ["k"], n_files=6)
+    write_manifest(path, ["k"])
+    mpath = os.path.join(path, MANIFEST_NAME)
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["format"]  # simulate a manifest written by the v1 code
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    kept, total = pruned_files(path, "k", 10, 20)
+    assert len(kept) == total  # skipping disabled, not mis-applied
+    got = read_pruned(spark, path, "k", 10, 20).filter(
+        (F.col("k") >= 10) & (F.col("k") <= 20)
+    )
+    want = spark.read.parquet(path).filter(
+        (F.col("k") >= 10) & (F.col("k") <= 20)
+    )
+    assert got.count() == want.count() > 0

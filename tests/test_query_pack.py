@@ -93,6 +93,7 @@ def test_driver_rotation_ordering_invariants():
     # within the green tier, last-green rounds ascend
     greens = [hist[n][1] for n, t in zip(names, tiers) if t == 2]
     assert greens == sorted(greens), "greens must be stalest-first"
-    # at least one query of each tier exists in the current state
-    # (13 reds + new never-checked queries as of round 5)
-    assert 0 in tiers and 1 in tiers and 2 in tiers
+    # NOTE: no assertion that every tier is POPULATED — which tiers
+    # exist is a property of the committed driver artifacts (e.g. a
+    # round that fixes all reds empties tier 0), not of the rotation
+    # logic. The ordering invariants above are the contract.

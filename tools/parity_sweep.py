@@ -95,8 +95,22 @@ def _load_candidates(spark, sf_dir: str, con) -> int:
 
 
 def _run_oracle(con, sql: str):
-    """Execute with a wall-clock budget; interrupt past it."""
-    timer = threading.Timer(ORACLE_BUDGET_SECS, con.interrupt)
+    """Execute with a wall-clock budget; interrupt past it.
+
+    The interrupt is guarded by a done-flag under a lock: without it,
+    a timer firing between fetchall() returning and timer.cancel()
+    would land a stray con.interrupt() on the shared connection and
+    poison the NEXT statement.
+    """
+    lock = threading.Lock()
+    done = [False]
+
+    def _interrupt():
+        with lock:
+            if not done[0]:
+                con.interrupt()
+
+    timer = threading.Timer(ORACLE_BUDGET_SECS, _interrupt)
     timer.start()
     try:
         rel = con.sql(sql)
@@ -106,6 +120,8 @@ def _run_oracle(con, sql: str):
     except Exception as e:  # noqa: BLE001
         return None, None, f"{type(e).__name__}: {e}"[:300]
     finally:
+        with lock:
+            done[0] = True
         timer.cancel()
 
 
@@ -128,9 +144,18 @@ def _block_recall_check(spark, sf_dir: str, con, qs, oracles) -> dict:
         "JOIN sh b ON a.doc_id <> b.doc_id",
     )
     t0 = time.time()
+    # same wall-clock budget as every other oracle: the unpruned
+    # anchor x corpus join is the sweep's most expensive statement
+    # and must not be the one place that can stall it
+    _cols, rows, err = _run_oracle(con, sql)
+    if err is not None:
+        return {
+            "status": f"oracle_error: {err}",
+            "anchor_prefix": _ANCHOR_PREFIX,
+        }
     want = {
         (min(r[0], r[1]), max(r[0], r[1]), round(float(r[2]), 6))
-        for r in con.sql(sql).fetchall()
+        for r in rows
     }
     oracle_secs = round(time.time() - t0, 2)
 

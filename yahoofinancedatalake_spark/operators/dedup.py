@@ -397,6 +397,28 @@ def capped_bucket_members(
     )
 
 
+def _bucket_id_pairs(buckets: DataFrame) -> DataFrame:
+    """Explode each bucket's sorted ``ids`` array into unique
+    unordered (id_a, id_b) candidate pairs (index-based i<j, so each
+    pair is emitted once per bucket; cross-bucket repeats are the
+    caller's ``dropDuplicates``). Shared by the batch and incremental
+    MinHash operators — the simhash path keeps its own variant
+    because its members carry probe flags and a hamming payload."""
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_structs).alias("p")).select(
+        "p.id_a", "p.id_b"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -422,8 +444,10 @@ def minhash_lsh_pairs(
     Buckets are additionally bounded at ``max_bucket_size`` members
     (deterministic md5 order — see :func:`capped_bucket_members`) so
     one boilerplate mega-bucket can't blow a task; with
-    ``log_drops=True`` the overflow total is counted (one cheap
-    aggregate job) and logged.
+    ``log_drops=True`` the bucket table is persisted, the overflow
+    total counted from it and logged, and the subsequent pair
+    consumption reuses the persisted buckets instead of re-running
+    the scan→signature→shuffle pipeline a second time.
     """
     banded = minhash_band_table(
         df, text_col, id_col, n_hashes, n_bands, shingle_n, seed
@@ -436,6 +460,10 @@ def minhash_lsh_pairs(
     if log_drops:
         import logging
 
+        # persist so the eager drop-count job and the lazy pair
+        # consumption share one signature computation (the bucket
+        # table is small: <= n_buckets capped member arrays)
+        buckets = buckets.persist()
         dropped = (
             buckets.agg(F.sum("n_dropped").alias("d")).collect()[0]["d"]
         )
@@ -446,21 +474,7 @@ def minhash_lsh_pairs(
                 dropped,
                 max_bucket_size,
             )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return _bucket_id_pairs(buckets).dropDuplicates(["id_a", "id_b"])
 
 
 def incremental_minhash_pairs(
@@ -480,51 +494,72 @@ def incremental_minhash_pairs(
     (id, band, bucket) rows (:func:`minhash_band_table`), never its
     text.
 
-    Emits new×new pairs (within-bucket, the same group-by-bucket
-    trick as the batch operator) plus new×old pairs (equi-join on
-    the (band, bucket) key — with the index table bucketed by
-    ``bucket`` at write time this join is exchange-free on the
-    history side). At 100 TB this turns daily dedup from
-    O(corpus) re-hash into O(batch) hash + one indexed join; the
-    caller appends the new batch's band rows to the index afterward.
+    Emits every candidate pair with at least one NEW endpoint, from
+    buckets touched by the batch. The bucket-size cap is applied over
+    the UNION membership (history ∪ batch) with the same md5 rank the
+    batch operator uses — capping the two sides independently would
+    admit pairs a full recompute drops, breaking the equivalence
+    below. At 100 TB this turns daily dedup from O(corpus) re-hash
+    into O(batch) hash + one (band, bucket) semi-join against the
+    landed index plus a rank window over only the touched buckets
+    (with the index table bucketed by ``bucket`` at write time the
+    join is exchange-free on the history side); the caller appends
+    the new batch's band rows to the index afterward.
     Pair set == what a full :func:`minhash_lsh_pairs` over
     (history ∪ batch) emits, minus old×old pairs (already known) —
-    asserted in tests.
+    asserted in tests, including above the cap.
     """
+    from pyspark.sql import Window  # noqa: PLC0415
+
     new_bands = minhash_band_table(
         new_docs, text_col, id_col, n_hashes, n_bands, shingle_n, seed
     )
-    # new × new: group-by-bucket within the increment, bucket size
-    # bounded like the batch operator (one templated mega-bucket in a
-    # daily batch must not blow the task either)
-    buckets = capped_bucket_members(new_bands, id_col, max_bucket_size)
-    ids = F.col("ids")
+    # only history rows in buckets the batch touches participate
+    touched = new_bands.select("band", "bucket").distinct()
+    old_in_touched = index.join(touched, ["band", "bucket"]).select(
+        F.col(id_col).alias("id"), "band", "bucket", F.lit(False).alias("new")
+    )
+    union_rows = new_bands.select(
+        F.col(id_col).alias("id"), "band", "bucket", F.lit(True).alias("new")
+    ).unionByName(old_in_touched)
+    # the SAME deterministic cap as capped_bucket_members, ranked over
+    # the union membership
+    rk = F.row_number().over(
+        Window.partitionBy("band", "bucket").orderBy(
+            F.md5(F.col("id").cast("string")), F.col("id")
+        )
+    )
+    buckets = (
+        union_rows.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= max_bucket_size)
+        .groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("new")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    ms = F.col("members")
     pair_structs = F.flatten(
         F.transform(
-            ids,
+            ms,
             lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    F.least(x["id"], y["id"]).alias("id_a"),
+                    F.greatest(x["id"], y["id"]).alias("id_b"),
+                    (x["new"] | y["new"]).alias("any_new"),
+                ),
             ),
         )
     )
-    new_new = (
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.any_new"))
         .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    # new × old: bucket equi-join against the landed index
-    old = index.select(
-        F.col(id_col).alias("__old_id"), "band", "bucket"
-    )
-    new_old = (
-        new_bands.join(old, ["band", "bucket"])
-        .filter(F.col(id_col) != F.col("__old_id"))
-        .select(
-            F.least(F.col(id_col), F.col("__old_id")).alias("id_a"),
-            F.greatest(F.col(id_col), F.col("__old_id")).alias("id_b"),
-        )
-    )
-    return new_new.unionByName(new_old).dropDuplicates(["id_a", "id_b"])
 
 
 # ---------------------------------------------------------------------------

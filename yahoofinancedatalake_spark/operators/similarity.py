@@ -42,12 +42,25 @@ def _as_double(vec: Column) -> Column:
 # across the 6 IVF/PQ/IVFPQ entries. Keyed by an EXPLICIT caller key
 # (the dataset path) plus every training parameter; None disables
 # caching entirely (tests that mutate fixtures pass cache_key=None).
-# A string cache_key that is an existing path is widened with a
+# A string cache_key that is an existing path is validated against a
 # (name, mtime_ns, size) fingerprint of the files under it, so data
 # REWRITTEN at the same path within a session invalidates the memo
-# instead of silently serving stale centroids/codebooks.
+# instead of silently serving stale centroids/codebooks. Entries are
+# keyed by (cache_key, params) and REPLACED when the fingerprint
+# changes — a superseded rewrite evicts its predecessor's collected
+# sample/codebooks instead of stranding them for the session
+# lifetime (one live entry per dataset path).
 _SAMPLE_CACHE: dict = {}
 _TRAIN_CACHE: dict = {}
+
+
+def _memo_get(cache: dict, ident, fp):
+    ent = cache.get(ident)
+    return ent[1] if ent is not None and ent[0] == fp else None
+
+
+def _memo_put(cache: dict, ident, fp, value) -> None:
+    cache[ident] = (fp, value)
 
 
 def _fingerprint(cache_key):
@@ -77,9 +90,12 @@ def _training_sample(
     """Deterministic size-capped training sample (the only driver
     collect on any index path): rate-bound by the id-hash filter,
     size-bound by the FAISS-style ~max(10k, 39·k) cap."""
-    key = (_fingerprint(cache_key), id_col, vec_col, sample_mod, train_cap)
-    if cache_key is not None and key in _SAMPLE_CACHE:
-        return _SAMPLE_CACHE[key]
+    ident = (cache_key, id_col, vec_col, sample_mod, train_cap)
+    fp = _fingerprint(cache_key)
+    if cache_key is not None:
+        hit = _memo_get(_SAMPLE_CACHE, ident, fp)
+        if hit is not None:
+            return hit
     rows = (
         corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
         .select(_as_double(F.col(vec_col)).alias("v"))
@@ -88,19 +104,22 @@ def _training_sample(
     )
     sample = [r.v for r in rows]
     if cache_key is not None:
-        _SAMPLE_CACHE[key] = sample
+        _memo_put(_SAMPLE_CACHE, ident, fp, sample)
     return sample
 
 
 def _cached_train(kind: str, fn, cache_key, *params):
     """Memo for the deterministic trainers (same seed + same sample →
     bit-identical output, so caching cannot change any result)."""
-    key = (kind, _fingerprint(cache_key), *params)
-    if cache_key is not None and key in _TRAIN_CACHE:
-        return _TRAIN_CACHE[key]
+    ident = (kind, cache_key, *params)
+    fp = _fingerprint(cache_key)
+    if cache_key is not None:
+        hit = _memo_get(_TRAIN_CACHE, ident, fp)
+        if hit is not None:
+            return hit
     out = fn()
     if cache_key is not None:
-        _TRAIN_CACHE[key] = out
+        _memo_put(_TRAIN_CACHE, ident, fp, out)
     return out
 
 

@@ -36,6 +36,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_NAME = "_manifest.json"
 
+#: Bumped whenever the stat serialization changes shape. v2: datetimes
+#: stored as ISO-8601 with the 'T' separator (lexicographic ==
+#: chronological). A v1 manifest (str(datetime), space separator)
+#: compared against v2 bounds would prune files that DO contain
+#: matches (' ' < 'T' makes every v1 timestamp sort below every v2
+#: bound) — silent row loss. Version-mismatched manifests therefore
+#: disable skipping entirely instead of mis-pruning.
+FORMAT_VERSION = 2
+
 
 def write_manifest(path: str, columns: list[str]) -> dict:
     """Collect per-file min/max for ``columns`` from parquet footers
@@ -68,7 +77,7 @@ def write_manifest(path: str, columns: list[str]) -> dict:
                 if plo is not None and phi is not None:
                     stats[col] = [plo, phi]
         files[name] = stats
-    manifest = {"columns": columns, "files": files}
+    manifest = {"format": FORMAT_VERSION, "columns": columns, "files": files}
     with open(os.path.join(path, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -114,6 +123,7 @@ def pruned_files(
     be conservative). Returns (kept file paths, total file count)."""
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
+    stale_format = manifest.get("format") != FORMAT_VERSION
     lo, hi = _bound(lo), _bound(hi)
     kept = []
     total = 0
@@ -123,7 +133,7 @@ def pruned_files(
             # the read; dropping it is exact (no rows to miss)
             continue
         total += 1
-        s = stats.get(col)
+        s = None if stale_format else stats.get(col)
         if s is None:
             kept.append(os.path.join(path, name))
             continue
