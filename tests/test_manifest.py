@@ -179,3 +179,52 @@ def test_version_mismatched_manifest_disables_skipping(spark, tmp_path):
         (F.col("k") >= 10) & (F.col("k") <= 20)
     )
     assert got.count() == want.count() > 0
+
+
+def _uuid_table(spark):
+    """k clusters well; u is high-cardinality and SPREAD across files
+    (every file's [min, max] covers ~the whole u domain), so range
+    stats can never skip an equality probe on u — only the bloom can."""
+    return spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("u"),
+    )
+
+
+def test_bloom_skips_equality_on_high_cardinality_key(spark, tmp_path):
+    path = str(tmp_path / "bloom_tbl")
+    write_clustered(_uuid_table(spark), path, ["k"], n_files=8)
+    write_manifest(path, ["k", "u"], bloom_columns=["u"])
+
+    # a present key lives in exactly one file
+    probe = spark.sql("SELECT md5('4242') AS u").collect()[0]["u"]
+    kept_range, total = pruned_files(path, "u", probe, probe)
+    assert len(kept_range) == total  # range stats alone skip nothing
+    kept, total = pruned_files(path, "u", eq=probe)
+    assert 1 <= len(kept) < total  # the bloom skips
+
+    got = read_pruned(spark, path, "u", eq=probe).filter(F.col("u") == probe)
+    want = spark.read.parquet(path).filter(F.col("u") == probe)
+    assert got.count() == want.count() == 1
+
+
+def test_bloom_absent_key_reads_empty_and_exact(spark, tmp_path):
+    path = str(tmp_path / "bloom_absent")
+    write_clustered(_uuid_table(spark), path, ["k"], n_files=8)
+    # bloom-only column: u carries no range stats at all
+    write_manifest(path, ["k"], bloom_columns=["u"])
+    probe = "not-a-real-md5-value"
+    got = read_pruned(spark, path, "u", eq=probe).filter(F.col("u") == probe)
+    assert got.count() == 0  # FP-kept files are harmless, never wrong
+
+
+def test_bloom_false_positive_rate_is_bounded(spark, tmp_path):
+    path = str(tmp_path / "bloom_fpp")
+    write_clustered(_uuid_table(spark), path, ["k"], n_files=8)
+    write_manifest(path, ["k", "u"], bloom_columns=["u"], bloom_fpp=0.01)
+    kept_frac = []
+    for i in range(100):
+        kept, total = pruned_files(path, "u", eq=f"absent-{i}")
+        kept_frac.append(len(kept) / total)
+    # expected FP keep fraction ~ fpp = 1%; allow generous slack
+    assert sum(kept_frac) / len(kept_frac) < 0.10

@@ -15,10 +15,17 @@ makes per-file ranges narrow enough to skip):
   time, amortized over every future query) into
   ``_manifest.json`` next to the data (underscore prefix → invisible
   to Spark's file listing, same convention as ``_SUCCESS``).
+- :func:`write_manifest` with ``bloom_columns`` — per-file Bloom
+  filters over a column's distinct values, the skipping story for
+  EQUALITY predicates on high-cardinality keys where every file's
+  [min, max] spans the whole domain and range stats skip nothing
+  (the gap Parquet column blooms / Delta bloom indexes fill).
 - :func:`pruned_files` / :func:`read_pruned` — at query time, drop
-  every file whose [min, max] cannot intersect the predicate and
-  hand Spark only the survivors. Planning cost is one tiny JSON
-  read; the cluster never schedules a task for a skipped file.
+  every file whose [min, max] cannot intersect the predicate (and,
+  for ``eq=`` probes, whose bloom proves the key absent — blooms
+  have no false negatives, so skipping stays exact) and hand Spark
+  only the survivors. Planning cost is one tiny JSON read; the
+  cluster never schedules a task for a skipped file.
 
 Correctness contract: pruning only ever REMOVES files that cannot
 contain matches (interval disjointness), so
@@ -41,23 +48,44 @@ MANIFEST_NAME = "_manifest.json"
 #: chronological). A v1 manifest (str(datetime), space separator)
 #: compared against v2 bounds would prune files that DO contain
 #: matches (' ' < 'T' makes every v1 timestamp sort below every v2
-#: bound) — silent row loss. Version-mismatched manifests therefore
-#: disable skipping entirely instead of mis-pruning.
-FORMAT_VERSION = 2
+#: bound) — silent row loss. v3: per-file entries are
+#: ``{"stats": {col: [lo, hi]}, "blooms": {col: {m, k, bits}}}``.
+#: Version-mismatched manifests therefore disable skipping entirely
+#: instead of mis-pruning.
+FORMAT_VERSION = 3
 
 
-def write_manifest(path: str, columns: list[str]) -> dict:
+def write_manifest(
+    path: str,
+    columns: list[str],
+    bloom_columns: list[str] | None = None,
+    bloom_fpp: float = 0.01,
+) -> dict:
     """Collect per-file min/max for ``columns`` from parquet footers
     under ``path`` (non-recursive: one directory = one table or one
     partition) and land them as ``_manifest.json``. Returns the
-    manifest dict. Cheap: footer metadata only, no data pages."""
+    manifest dict. The range stats are cheap (footer metadata only,
+    no data pages).
+
+    ``bloom_columns`` additionally builds a per-file Bloom filter
+    over each listed column's distinct values — the skipping story
+    for EQUALITY predicates on high-cardinality keys, where min/max
+    spans nearly the whole domain in every file and range stats skip
+    nothing (the same gap Parquet column bloom filters / Delta
+    bloom indexes fill). Building a bloom reads the column's data
+    pages for each file — here a write-time driver-side pyarrow
+    scan, amortized over every future point lookup; at 100 TB the
+    identical bitmaps are computed inside the writer job per output
+    file (the writer already holds the values) and only the encoded
+    bits land in the manifest."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     files = {}
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet") or name.startswith(("_", ".")):
             continue
-        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        pf = pq.ParquetFile(os.path.join(path, name))
+        md = pf.metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         stats: dict = {}
         for col in columns:
@@ -76,11 +104,59 @@ def write_manifest(path: str, columns: list[str]) -> dict:
                 plo, phi = _plain(lo), _plain(hi)
                 if plo is not None and phi is not None:
                     stats[col] = [plo, phi]
-        files[name] = stats
+        blooms: dict = {}
+        for col in bloom_columns or []:
+            if col not in idx:
+                continue
+            vals = {
+                _bound(v)
+                for v in pf.read(columns=[col]).column(col).to_pylist()
+                if v is not None
+            }
+            blooms[col] = _bloom_build(vals, bloom_fpp)
+        files[name] = {"stats": stats, "blooms": blooms}
     manifest = {"format": FORMAT_VERSION, "columns": columns, "files": files}
     with open(os.path.join(path, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def _bloom_build(values: set, fpp: float) -> dict:
+    """Standard Bloom sizing (m = -n ln p / ln²2, k = m/n ln 2) with
+    md5 double hashing over the ``_bound()``-normalized repr — the
+    probe side normalizes identically, so membership of every
+    inserted value is exact (no false negatives by construction)."""
+    import base64  # noqa: PLC0415
+    import math  # noqa: PLC0415
+
+    n = max(len(values), 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray(m // 8)
+    for v in values:
+        for pos in _bloom_positions(v, m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_positions(v, m: int, k: int):
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.md5(repr(v).encode("utf-8")).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_contains(bloom: dict, v) -> bool:
+    import base64  # noqa: PLC0415
+
+    bits = base64.b64decode(bloom["bits"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_positions(v, bloom["m"], bloom["k"])
+    )
 
 
 def _plain(v):
@@ -115,38 +191,49 @@ def _bound(v):
 
 
 def pruned_files(
-    path: str, col: str, lo=None, hi=None
+    path: str, col: str, lo=None, hi=None, eq=None
 ) -> tuple[list[str], int]:
-    """Files under ``path`` that may contain rows with
-    ``lo <= col <= hi`` (either bound optional), per the manifest.
-    Files without stats for ``col`` are always kept (skipping must
-    be conservative). Returns (kept file paths, total file count)."""
+    """Files under ``path`` that may contain matching rows, per the
+    manifest: ``lo <= col <= hi`` (either bound optional) and/or
+    ``col = eq`` (range stats AND the per-file Bloom filter, when one
+    was written for ``col``). Files without stats/bloom for ``col``
+    are always kept (skipping must be conservative). Returns
+    (kept file paths, total file count)."""
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
     stale_format = manifest.get("format") != FORMAT_VERSION
-    lo, hi = _bound(lo), _bound(hi)
+    if eq is not None:
+        # an equality probe also bounds the range check
+        lo = eq if lo is None else lo
+        hi = eq if hi is None else hi
+    lo, hi, eqb = _bound(lo), _bound(hi), _bound(eq)
     kept = []
     total = 0
-    for name, stats in manifest["files"].items():
+    for name, entry in manifest["files"].items():
         if not os.path.exists(os.path.join(path, name)):
             # deleted since write_manifest — scheduling it would fail
             # the read; dropping it is exact (no rows to miss)
             continue
         total += 1
-        s = None if stale_format else stats.get(col)
-        if s is None:
+        if stale_format:
             kept.append(os.path.join(path, name))
             continue
-        fmin, fmax = s
-        try:
-            if lo is not None and fmax < lo:
-                continue  # entire file below the range
-            if hi is not None and fmin > hi:
-                continue  # entire file above the range
-        except TypeError:
-            # stat/bound type mismatch — never prune on an
-            # uncomparable pair
-            pass
+        s = entry["stats"].get(col)
+        bloom = entry.get("blooms", {}).get(col)
+        if s is not None:
+            fmin, fmax = s
+            try:
+                if lo is not None and fmax < lo:
+                    continue  # entire file below the range
+                if hi is not None and fmin > hi:
+                    continue  # entire file above the range
+            except TypeError:
+                # stat/bound type mismatch — never prune on an
+                # uncomparable pair
+                pass
+        if eqb is not None and bloom is not None:
+            if not _bloom_contains(bloom, eqb):
+                continue  # definitely-absent key (no false negatives)
         kept.append(os.path.join(path, name))
     # staleness guard: files appended AFTER write_manifest have no
     # stats row — they must be READ, not silently dropped, or the
@@ -164,14 +251,14 @@ def pruned_files(
 
 
 def read_pruned(
-    spark: SparkSession, path: str, col: str, lo=None, hi=None
+    spark: SparkSession, path: str, col: str, lo=None, hi=None, eq=None
 ) -> DataFrame:
     """``spark.read.parquet`` over only the files that can match
-    ``lo <= col <= hi``. The predicate itself is NOT applied — callers
-    keep their own ``.filter`` (row groups inside kept files still
-    prune via footer stats as usual). An empty survivor set returns
-    an empty frame with the table's schema."""
-    files, _ = pruned_files(path, col, lo, hi)
+    ``lo <= col <= hi`` / ``col = eq``. The predicate itself is NOT
+    applied — callers keep their own ``.filter`` (row groups inside
+    kept files still prune via footer stats as usual). An empty
+    survivor set returns an empty frame with the table's schema."""
+    files, _ = pruned_files(path, col, lo, hi, eq)
     if not files:
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*files)
