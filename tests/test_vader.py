@@ -163,3 +163,44 @@ def test_label_thresholds(spark):
     )
     r = df.collect()[0]
     assert (r["p"], r["n"], r["z"]) == ("positive", "negative", "neutral")
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: expr == Python twin on adversarial token soups
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from yahoofinancedatalake_spark.functions.vader import (  # noqa: E402
+    BOOSTERS,
+    NEGATORS,
+    VADER_LEXICON,
+)
+
+# draw tokens from exactly the vocab the rules react to (plus caps
+# variants, contractions, punctuation runs and unknown words) so
+# every rule path gets fuzzed, not just the lexicon lookup
+_VOCAB = (
+    list(VADER_LEXICON)[:12]
+    + [w.upper() for w in list(VADER_LEXICON)[:6]]
+    + list(BOOSTERS)[:8]
+    + [w.upper() for w in list(BOOSTERS)[:4]]
+    + sorted(NEGATORS)[:8]
+    + ["isn't", "don't", "CAN'T", "but", "never", "so", "this",
+       "without", "doubt", "at", "least", "very", "xyzzy", "Qwert",
+       "!!", "??", "!?", "...", "--", ""]
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12))
+def test_expr_matches_python_twin_fuzz(spark, tokens):
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    got = (
+        with_vader_compound(df, "text", compound_col="c")
+        .select("c")
+        .collect()[0]["c"]
+    )
+    assert got == pytest.approx(_compound_py(text), abs=1e-12), repr(text)
