@@ -8825,6 +8825,260 @@ def q_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_centroid_classify(train, test)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H shape completions (r5): Q7 / Q9 / Q10 / Q14 / Q20 forms
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "nation_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           {sql_dround("sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping): cross-nation trade flows — "
+    "supplier nation x customer nation x ship-year revenue over a "
+    "two-year window, excluding domestic flows. 100 TB plan: the two "
+    "nation aliases, supplier and customer broadcast; lineitem⋈orders "
+    "is the only shuffle; the pushed l_shipdate range prunes the fact "
+    "scan; output domain nations² x 2 years aggregates map-side.",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+@_register(
+    "product_profit_yearly",
+    f"""
+    SELECT n.n_name AS nation,
+           year(l.l_shipdate) AS l_year,
+           {sql_dround(
+               "sum(l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.6 * p.p_retailprice * l.l_quantity)", 4)}
+             AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%rod%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-type profit): per supplier-nation, "
+    "per ship-year margin on a part-name family — revenue minus a "
+    "0.6 x retail-price x quantity cost proxy (the synthetic schema "
+    "has no partsupp table, same adaptation as important_parts/Q11). "
+    "part/supplier/nation broadcast; the name filter prunes part "
+    "BEFORE the broadcast so only matching partkeys reach the probe.",
+)
+def q_product_profit_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%rod%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dround(F.sum(amount), 4).alias("profit"))
+    )
+
+
+@_register(
+    "returned_item_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           {sql_dround("sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): the 20 customers "
+    "who returned the most revenue in one quarter. Revenue per "
+    "customer aggregates map-side after the lineitem⋈orders shuffle "
+    "(returnflag + quarter filters pushed to the scans); top-20 is a "
+    "TakeOrderedAndProject with the custkey tie-break, never a "
+    "global sort.",
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "promo_revenue_monthly",
+    f"""
+    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+           {sql_dround(
+               "100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN "
+               "l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) "
+               "/ sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
+             AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape (promotion effect): the PROMO-type share of "
+    "revenue per ship-month across one year — the conditional-"
+    "aggregate-over-total ratio form. One broadcast (part) + one "
+    "map-side-combined aggregation over 12 output rows; both sums "
+    "ride the same shuffled bytes.",
+)
+def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            dround(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_share_pct"
+            )
+        )
+    )
+
+
+@_register(
+    "excess_rod_suppliers",
+    f"""
+    WITH per_supp AS (
+      SELECT s.s_suppkey, s.s_name,
+             {sql_dround("sum(l.l_quantity)", 4)} AS rod_qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE p.p_name LIKE '%rod%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ), thresh AS (
+      SELECT {sql_dround("avg(rod_qty)", 4)} AS avg_qty FROM per_supp
+    )
+    SELECT ps.s_suppkey, ps.s_name, ps.rod_qty, t.avg_qty
+    FROM per_supp ps, thresh t
+    WHERE ps.rod_qty > t.avg_qty
+    """,
+    doc="TPC-H Q20 shape (excess-inventory suppliers), adapted to the "
+    "partsupp-less synthetic schema: suppliers whose shipped quantity "
+    "of a part-name family in one year exceeds the cross-supplier "
+    "average — the aggregate-vs-aggregate-of-aggregates HAVING form. "
+    "Both sides of the comparison are dround-fixed so the knife-edge "
+    "supplier-equal-to-average case cannot flip across engines. The "
+    "1-row threshold folds back via the data-derived constant-key "
+    "BroadcastHashJoin (a bare crossJoin would plan BNLJ).",
+    parts=8,
+)
+def q_excess_rod_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%rod%")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_supp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(dround(F.sum("l_quantity"), 4).alias("rod_qty"))
+    )
+    thresh = per_supp.agg(
+        dround(F.avg("rod_qty"), 4).alias("avg_qty")
+    ).withColumn("__k", _const_key(F.col("avg_qty")))
+    return (
+        per_supp.withColumn("__k", _const_key(F.col("s_suppkey")))
+        .join(F.broadcast(thresh), "__k")
+        .filter(F.col("rod_qty") > F.col("avg_qty"))
+        .select("s_suppkey", "s_name", "rod_qty", "avg_qty")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -8853,6 +9107,11 @@ _PIN_FIRST: list[str] = [
     # new in round 5
     "vader_sentiment",
     "centroid_classifier",
+    "nation_trade_volume",
+    "product_profit_yearly",
+    "returned_item_customers",
+    "promo_revenue_monthly",
+    "excess_rod_suppliers",
     "stream_upsert_batch_eq",
     "sarimax_seasonal_forecast",
     "span_dedup_c4",
