@@ -392,3 +392,44 @@ def test_transform_with_state_v2_matches_v1_and_batch(
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+
+def test_stream_sliding_distinct_matches_batch(spark, event_files, tmp_path):
+    """Rung 9: trailing-7-day sliding distinct users — the stateless
+    expand-then-single-dedup plan must equal a batch
+    dedup-then-expand-then-distinct-count over the same history."""
+    from yahoofinancedatalake_spark.streaming.ops import (
+        stream_sliding_distinct,
+    )
+
+    path, batch_df = event_files
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    _run_to_memory(
+        stream_sliding_distinct(stream),
+        "s_slide", "complete", str(tmp_path / "cks"),
+    )
+    got = {
+        (r.event_type, r.window_start, r.n_users)
+        for r in spark.table("s_slide").collect()
+    }
+    day = F.date_trunc("day", "ts")
+    contrib = (
+        batch_df.select(
+            "event_type",
+            "user_id",
+            F.explode(
+                F.sequence(
+                    day - F.expr("INTERVAL 6 DAYS"),
+                    day,
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("window_start"),
+        )
+        .dropDuplicates(["event_type", "user_id", "window_start"])
+        .groupBy("event_type", "window_start")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    want = {
+        (r.event_type, r.window_start, r.n_users) for r in contrib.collect()
+    }
+    assert got == want and got

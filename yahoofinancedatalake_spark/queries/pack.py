@@ -9079,6 +9079,74 @@ def q_excess_rod_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming rung 9 (r5): sliding-window distinct users
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "stream_sliding_distinct_batch_eq",
+    """
+    WITH tri AS (
+      SELECT DISTINCT event_type, user_id,
+             date_trunc('day', ts) AS day
+      FROM events
+    ), contrib AS (
+      SELECT DISTINCT event_type, user_id,
+             day - k.k * INTERVAL 1 DAY AS window_start
+      FROM tri, (SELECT unnest(generate_series(0, 6)) AS k) k
+    )
+    SELECT event_type, window_start, count(DISTINCT user_id) AS n_users
+    FROM contrib
+    GROUP BY 1, 2
+    """,
+    doc="Streaming rung 9 under the ORACLE gate: trailing-7-day "
+    "distinct active users per type per sliding window position — "
+    "the sliding COUNT DISTINCT streaming aggregation cannot express "
+    "(count(DISTINCT) is unsupported on streams, DISTINCT is not "
+    "frame-mergeable). The streaming plan makes the window expansion "
+    "STATELESS (each triple explodes to its <= 7 window starts) so "
+    "the distinct becomes one dropDuplicates at (type, user, "
+    "window_start) granularity followed by a plain window count — "
+    "expand-then-dedup, because dedup-at-day-then-count counts a "
+    "user once per active day (measured wrong on the first "
+    "prototype). Re-landed parquet, availableNow replay, complete "
+    "mode to a memory sink, hash-compared against the batch "
+    "generate_series oracle. Sibling of the exact batch twin "
+    "sliding_distinct_users_7d (which also prunes phantom window "
+    "ends) and the mergeable-sketch answer hll_partial_rollup.",
+    parts=8,
+)
+def q_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
+        stream_sliding_distinct,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_slide_eq_")
+    src = f"{work}/events"
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"s_slide_eq_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle(spark, 8):
+        q = (
+            stream_sliding_distinct(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -9107,6 +9175,7 @@ _PIN_FIRST: list[str] = [
     # new in round 5
     "vader_sentiment",
     "centroid_classifier",
+    "stream_sliding_distinct_batch_eq",
     "nation_trade_volume",
     "product_profit_yearly",
     "returned_item_customers",

@@ -6,6 +6,7 @@ from yahoofinancedatalake_spark.streaming.ops import (  # noqa: F401
     stream_enrich,
     stream_last_value_per_group,
     stream_sessions,
+    stream_sliding_distinct,
     stream_stream_attribution,
 )
 from yahoofinancedatalake_spark.streaming.sinks import (  # noqa: F401

@@ -59,6 +59,48 @@ def stream_daily_avg(
     )
 
 
+def stream_sliding_distinct(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_col: str = "event_type",
+    win_days: int = 7,
+) -> DataFrame:
+    """Streaming twin of the batch ``sliding_distinct_users_7d``:
+    trailing ``win_days``-day distinct active users per bucket per
+    window position — the sliding COUNT DISTINCT that streaming
+    aggregation cannot express directly (count(DISTINCT) is
+    unsupported on streams, and DISTINCT is not frame-mergeable).
+
+    Plan: the window expansion is STATELESS (each (bucket, user, day)
+    triple explodes to its <= win_days window starts via sequence()),
+    so the only stateful operators are one dropDuplicates at
+    (bucket, user, window_start) granularity — which IS the distinct
+    — followed by the window count. Expanding before deduping matters:
+    dedup at day granularity then counting triples per window counts
+    a user once per ACTIVE DAY in the window, not once (measured
+    wrong on the first prototype). State is bounded by distinct
+    (bucket, user, window) keys; production adds a watermark to age
+    it out, the bounded availableNow replay runs complete-mode."""
+    day = F.date_trunc("day", ts_col)
+    expanded = events.select(
+        bucket_col,
+        user_col,
+        F.explode(
+            F.sequence(
+                day - F.expr(f"INTERVAL {win_days - 1} DAYS"),
+                day,
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_start"),
+    )
+    return (
+        expanded.dropDuplicates([bucket_col, user_col, "window_start"])
+        .groupBy(bucket_col, "window_start")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def stream_last_value_per_group(
     events: DataFrame,
     key_col: str = "user_id",
