@@ -9147,6 +9147,118 @@ def q_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@_register(
+    "revenue_delta_q6",
+    f"""
+    SELECT {sql_dround(
+        "sum(l_extendedprice * l_discount)", 4)} AS revenue_delta,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): the pure scan-and-"
+    "aggregate — three pushed predicates (year range, discount band, "
+    "quantity cap), no join, one global sum. The plan IS the "
+    "benchmark: every filter must reach the parquet scan "
+    "(PushedFilters), the aggregation is a two-phase partial, and "
+    "the exchange carries exactly one row per task.",
+    parts=8,
+)
+def q_revenue_delta_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_register(
+    "cheapest_supplier_per_part",
+    f"""
+    WITH offers AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             {sql_dround("min(l.l_extendedprice / l.l_quantity)", 4)}
+               AS unit_price
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND l.l_quantity > 0
+      GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_name, o.l_suppkey AS s_suppkey, o.unit_price
+    FROM offers o
+    JOIN part p ON o.l_partkey = p.p_partkey
+    WHERE p.p_size >= 30
+    QUALIFY row_number() OVER (
+      PARTITION BY o.l_partkey
+      ORDER BY o.unit_price ASC, o.l_suppkey ASC) = 1
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): for each large part, "
+    "the ASIA-region supplier offering the lowest observed unit "
+    "price — the correlated-min subquery form, executed as an argmin "
+    "window over per-(part, supplier) offers (the schema has no "
+    "partsupp; lineitem unit prices stand in, same adaptation as "
+    "Q9/Q11/Q16/Q20). Region/nation/supplier/part broadcast; the "
+    "one shuffle is the (part, supplier) offer aggregation, and the "
+    "argmin rides the same partitioning with a deterministic "
+    "suppkey tie-break.",
+    parts=8,
+)
+def q_cheapest_supplier_per_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nat = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 0
+    ).select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") >= 30
+    ).select("p_partkey", "p_name")
+    offers = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            dround(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        offers.join(F.broadcast(part), offers.l_partkey == part.p_partkey)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "unit_price",
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -9181,6 +9293,8 @@ _PIN_FIRST: list[str] = [
     "returned_item_customers",
     "promo_revenue_monthly",
     "excess_rod_suppliers",
+    "revenue_delta_q6",
+    "cheapest_supplier_per_part",
     "stream_upsert_batch_eq",
     "sarimax_seasonal_forecast",
     "span_dedup_c4",
