@@ -228,3 +228,61 @@ def test_bloom_false_positive_rate_is_bounded(spark, tmp_path):
         kept_frac.append(len(kept) / total)
     # expected FP keep fraction ~ fpp = 1%; allow generous slack
     assert sum(kept_frac) / len(kept_frac) < 0.10
+
+
+def test_bloom_numeric_promotion_probe_never_misprunes(spark, tmp_path):
+    """Review-confirmed repro: an int column's bloom probed with the
+    equal float (k = 5.0 matches k=5 under numeric promotion) must
+    NOT false-negative — typed canonical keys unify integral floats
+    with ints."""
+    path = str(tmp_path / "bloom_promo")
+    write_clustered(_key_range_table(spark), path, ["k"], n_files=8)
+    write_manifest(path, ["k"], bloom_columns=["k"])
+    got = read_pruned(spark, path, "k", eq=5.0).filter(F.col("k") == 5.0)
+    want = spark.read.parquet(path).filter(F.col("k") == 5.0)
+    assert got.count() == want.count() == 1
+
+
+def test_bloom_date_column_midnight_datetime_probe(spark, tmp_path):
+    """A date column probed with the equal midnight datetime must
+    keep the file (both canonicalize to the date ISO form)."""
+    import datetime as dt
+
+    path = str(tmp_path / "bloom_date")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 200).cast("int")).alias("d"),
+    )
+    write_clustered(df, path, ["k"], n_files=4)
+    write_manifest(path, ["k"], bloom_columns=["d"])
+    probe = dt.datetime(2024, 3, 1)  # == date 2024-03-01 at midnight
+    got = read_pruned(spark, path, "d", eq=probe).filter(
+        F.col("d") == F.lit(probe)
+    )
+    want = spark.read.parquet(path).filter(F.col("d") == F.lit(probe))
+    assert got.count() == want.count() > 0
+
+
+def test_bloom_refused_for_uncanonicalizable_types(spark, tmp_path):
+    """Decimal columns get NO bloom (repr is not canonical under
+    value equality: Decimal('1.50') == Decimal('1.5')) — same
+    conservatism as the range path's Decimal rejection."""
+    import json
+
+    from yahoofinancedatalake_spark.sources.manifest import MANIFEST_NAME
+
+    path = str(tmp_path / "bloom_dec")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 4).cast("decimal(10,2)").alias("price"),
+    )
+    write_clustered(df, path, ["k"], n_files=2)
+    write_manifest(path, ["k"], bloom_columns=["price"])
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        m = json.load(f)
+    assert all("price" not in e["blooms"] for e in m["files"].values())
+    # and an eq probe on it keeps everything (never mis-prunes)
+    from decimal import Decimal
+
+    kept, total = pruned_files(path, "price", eq=Decimal("1.50"))
+    assert len(kept) == total

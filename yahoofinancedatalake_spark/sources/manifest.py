@@ -108,12 +108,21 @@ def write_manifest(
         for col in bloom_columns or []:
             if col not in idx:
                 continue
-            vals = {
-                _bound(v)
-                for v in pf.read(columns=[col]).column(col).to_pylist()
-                if v is not None
-            }
-            blooms[col] = _bloom_build(vals, bloom_fpp)
+            keys = set()
+            for v in pf.read(columns=[col]).column(col).to_pylist():
+                if v is None:
+                    continue
+                key = _bloom_key(v)
+                if key is None:
+                    # un-canonicalizable type (e.g. Decimal): no bloom
+                    # for this column at all — skipping must never be
+                    # built on a representation that can disagree with
+                    # value equality
+                    keys = None
+                    break
+                keys.add(key)
+            if keys is not None:
+                blooms[col] = _bloom_build(keys, bloom_fpp)
         files[name] = {"stats": stats, "blooms": blooms}
     manifest = {"format": FORMAT_VERSION, "columns": columns, "files": files}
     with open(os.path.join(path, MANIFEST_NAME), "w") as f:
@@ -121,10 +130,50 @@ def write_manifest(
     return manifest
 
 
+def _bloom_key(v) -> "tuple[str, str] | None":
+    """Typed canonical key for bloom hashing — the representation
+    that two values share IFF an equality predicate treats them as
+    equal. ``repr()`` alone is NOT that (review-confirmed repro:
+    ``repr(5) != repr(5.0)`` but ``k = 5.0`` matches an int 5 under
+    numeric promotion — a raw-repr bloom would false-negative and
+    silently prune a matching file). Integral floats canonicalize to
+    the int form; midnight naive datetimes to the date form; bools
+    get their own tag (``True == 1`` is a numeric-promotion question
+    callers shouldn't pay row loss for, so they are kept apart from
+    ints only via the int tag sharing below being deliberate: bool
+    IS an int in Python and in predicate promotion). Types with no
+    reliable canonical form (Decimal, ...) return None — the caller
+    then refuses to build/consult a bloom, same conservatism as the
+    range path's TypeError keep."""
+    import datetime as dt  # noqa: PLC0415
+
+    if isinstance(v, bool):
+        return ("i", str(int(v)))
+    if isinstance(v, int):
+        return ("i", str(v))
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return ("f", repr(v))
+        if v.is_integer():
+            return ("i", str(int(v)))
+        return ("f", repr(v))
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None and v.time() == dt.time(0, 0):
+            return ("t", v.date().isoformat())
+        return ("t", v.isoformat())
+    if isinstance(v, dt.date):
+        return ("t", v.isoformat())
+    if isinstance(v, bytes):
+        return ("s", v.decode("utf-8", "replace"))
+    if isinstance(v, str):
+        return ("s", v)
+    return None
+
+
 def _bloom_build(values: set, fpp: float) -> dict:
     """Standard Bloom sizing (m = -n ln p / ln²2, k = m/n ln 2) with
-    md5 double hashing over the ``_bound()``-normalized repr — the
-    probe side normalizes identically, so membership of every
+    md5 double hashing over :func:`_bloom_key` canonical keys — the
+    probe side canonicalizes identically, so membership of every
     inserted value is exact (no false negatives by construction)."""
     import base64  # noqa: PLC0415
     import math  # noqa: PLC0415
@@ -149,13 +198,13 @@ def _bloom_positions(v, m: int, k: int):
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-def _bloom_contains(bloom: dict, v) -> bool:
+def _bloom_contains(bloom: dict, key: "tuple[str, str]") -> bool:
     import base64  # noqa: PLC0415
 
     bits = base64.b64decode(bloom["bits"])
     return all(
         bits[pos >> 3] & (1 << (pos & 7))
-        for pos in _bloom_positions(v, bloom["m"], bloom["k"])
+        for pos in _bloom_positions(key, bloom["m"], bloom["k"])
     )
 
 
@@ -206,7 +255,8 @@ def pruned_files(
         # an equality probe also bounds the range check
         lo = eq if lo is None else lo
         hi = eq if hi is None else hi
-    lo, hi, eqb = _bound(lo), _bound(hi), _bound(eq)
+    eq_key = None if eq is None else _bloom_key(eq)
+    lo, hi = _bound(lo), _bound(hi)
     kept = []
     total = 0
     for name, entry in manifest["files"].items():
@@ -231,8 +281,8 @@ def pruned_files(
                 # stat/bound type mismatch — never prune on an
                 # uncomparable pair
                 pass
-        if eqb is not None and bloom is not None:
-            if not _bloom_contains(bloom, eqb):
+        if eq_key is not None and bloom is not None:
+            if not _bloom_contains(bloom, eq_key):
                 continue  # definitely-absent key (no false negatives)
         kept.append(os.path.join(path, name))
     # staleness guard: files appended AFTER write_manifest have no
