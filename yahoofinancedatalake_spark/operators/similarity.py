@@ -1112,3 +1112,84 @@ def nearest_centroid_classify(
             "score",
         )
     )
+
+
+def kmeans_lloyd_rounds(
+    vectors: DataFrame,
+    k: int = 5,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``rounds`` fully-distributed Lloyd iterations, exactly
+    SQL-replayable — the iterative-algorithm pattern under the
+    value-hash oracle gate (contrast: :func:`kmeans_centroids` trains
+    driver-side on a capped sample for the IVF index, the FAISS
+    placement; THIS runs the assignment and update steps as
+    DataFrame ops, the shape a 100 TB full-corpus refinement pass
+    uses).
+
+    Deterministic throughout: init centroids are the ``k`` smallest
+    ids' vectors; components dround(4)-fixed; squared-L2 terms
+    dround(6)-fixed before their group sum; distances dround(4)-fixed
+    with a cluster-id tie-break before the argmin; centroid updates
+    are dround(2)-fixed sums over exact counts (the label_centroids
+    discipline). Per round: one (vec, cluster) distance aggregation
+    (comp ⋈ broadcast centroids on pos) and one (cluster, pos) mean —
+    map-side combined, no driver collect anywhere.
+
+    Returns the post-``rounds`` centroid table:
+    (cluster, pos, centroid, n_members).
+    """
+    from pyspark.sql import Window as W
+    from yahoofinancedatalake_spark.functions.scalars import dround
+
+    comp = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos0", "x0"),
+    ).select(
+        "vid", (F.col("pos0") + 1).alias("pos"), dround(F.col("x0"), 4).alias("x")
+    )
+
+    seed_w = W.orderBy(F.col("vid").asc())
+    seeds = (
+        vectors.select(F.col(id_col).alias("vid"))
+        .withColumn("__rn", F.row_number().over(seed_w))
+        .filter(F.col("__rn") <= k)
+        .select("vid", (F.col("__rn") - 1).alias("cluster"))
+    )
+    cent = (
+        comp.join(F.broadcast(seeds), "vid")
+        .select("cluster", "pos", F.col("x").alias("c"))
+    )
+
+    for _ in range(rounds):
+        dists = (
+            comp.join(F.broadcast(cent), "pos")
+            .groupBy("vid", "cluster")
+            .agg(
+                F.sum(
+                    dround((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 6)
+                ).alias("d_raw")
+            )
+            .select("vid", "cluster", dround(F.col("d_raw"), 4).alias("d"))
+        )
+        aw = W.partitionBy("vid").orderBy(
+            F.col("d").asc(), F.col("cluster").asc()
+        )
+        assign = (
+            dists.withColumn("__rn", F.row_number().over(aw))
+            .filter(F.col("__rn") == 1)
+            .select("vid", "cluster")
+        )
+        cent = (
+            comp.join(F.broadcast(assign), "vid")
+            .groupBy("cluster", "pos")
+            .agg(
+                (dround(F.sum("x"), 2) / F.count(F.lit(1))).alias("c"),
+                F.count(F.lit(1)).alias("n_members"),
+            )
+        )
+    return cent.select(
+        "cluster", "pos", F.col("c").alias("centroid"), "n_members"
+    )

@@ -9259,6 +9259,86 @@ def q_cheapest_supplier_per_part(
     )
 
 
+# ---------------------------------------------------------------------------
+# Extension (r5): distributed Lloyd k-means rounds under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle_sql(k: int = 5, rounds: int = 2) -> str:
+    sq = sql_dround("(c.x - t.c) * (c.x - t.c)", 6)
+    parts = [
+        f"""
+    WITH comp AS (
+      SELECT vid, pos, {sql_dround("embedding[pos]::DOUBLE", 4)} AS x
+      FROM (
+        SELECT vec_id AS vid, embedding,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+      )
+    ), seeds AS (
+      SELECT vid, rn - 1 AS cluster FROM (
+        SELECT vid, row_number() OVER (ORDER BY vid ASC) AS rn
+        FROM (SELECT DISTINCT vec_id AS vid FROM embeddings)
+      ) WHERE rn <= {k}
+    ), c0 AS (
+      SELECT s.cluster, c.pos, c.x AS c, CAST(0 AS BIGINT) AS n_members
+      FROM comp c JOIN seeds s USING (vid)
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS (
+      SELECT c.vid, t.cluster,
+             {sql_dround(f"sum({sq})", 4)} AS d
+      FROM comp c JOIN {prev} t USING (pos)
+      GROUP BY c.vid, t.cluster
+    ), a{i} AS (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster, row_number() OVER (
+          PARTITION BY vid ORDER BY d ASC, cluster ASC) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ), c{i} AS (
+      SELECT a.cluster, c.pos,
+             {sql_dround("sum(c.x)", 2)} / count(*) AS c,
+             count(*) AS n_members
+      FROM comp c JOIN a{i} a USING (vid)
+      GROUP BY a.cluster, c.pos
+    )""")
+        prev = f"c{i}"
+    parts.append(f"""
+    SELECT cluster, pos, c AS centroid, n_members FROM {prev}
+    """)
+    return "".join(parts)
+
+
+@_register(
+    "kmeans_lloyd_gate",
+    _kmeans_oracle_sql(),
+    doc="Distributed Lloyd k-means (k=5, 2 rounds) with EVERY "
+    "iteration under the value-hash oracle: deterministic seeding "
+    "(the k smallest ids' vectors), assignment as a squared-L2 "
+    "argmin window with a cluster tie-break, update as fixed-point "
+    "group means — the iterative-algorithm pattern as pure "
+    "DataFrame ops, exactly replayed by a generated chain of "
+    "per-round SQL CTEs. Contrast with the FAISS-placement "
+    "driver-side trainer the IVF index uses (capped sample, "
+    "kmeans_centroids): THIS is the full-corpus refinement shape — "
+    "per round one (vec, cluster) distance aggregation against "
+    "broadcast centroids and one (cluster, pos) mean, both "
+    "map-side combined, no driver collect anywhere.",
+    parts=8,
+)
+def q_kmeans_lloyd_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import (  # noqa: PLC0415
+        kmeans_lloyd_rounds,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)
+    return kmeans_lloyd_rounds(emb, k=5, rounds=2)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -9295,6 +9375,7 @@ _PIN_FIRST: list[str] = [
     "excess_rod_suppliers",
     "revenue_delta_q6",
     "cheapest_supplier_per_part",
+    "kmeans_lloyd_gate",
     "stream_upsert_batch_eq",
     "sarimax_seasonal_forecast",
     "span_dedup_c4",
