@@ -9339,6 +9339,61 @@ def q_kmeans_lloyd_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_rounds(emb, k=5, rounds=2)
 
 
+@_register(
+    "rolling_median_15",
+    f"""
+    WITH med AS (
+      SELECT user_id,
+             quantile_cont(value::DOUBLE, 0.5) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS m
+      FROM events
+    )
+    SELECT user_id,
+           {sql_dround(sql_dround("sum(" + sql_dround("m", 4) + ")", 2)
+                       + " / count(*)", 4)} AS mean_med,
+           {sql_dround("max(m)", 4)} AS max_med,
+           count(*) AS n
+    FROM med
+    GROUP BY user_id
+    """,
+    doc="Trailing 15-row exact rolling MEDIAN per user — the order-"
+    "statistic window the rolling mean/corr family cannot express "
+    "(median is not algebraic: no partial-aggregate trick exists, "
+    "the frame must be re-ranked per row, which is why engines ship "
+    "it as a dedicated windowed ordered-set aggregate). Spark's "
+    "exact interpolated percentile() and DuckDB's quantile_cont "
+    "agree bit-for-bit on the same frame; every one of the ~N "
+    "windowed medians is pinned through a per-user fixed-point "
+    "summary (medians dround(4)-fixed before the sum — the "
+    "fixed-point-before-sum rule). Frame order is (ts, event_id) — "
+    "ts alone ties. Scale: one user-key exchange, then the window "
+    "sorts partition-locally; state is the 15-row frame.",
+    parts=8,
+)
+def q_rolling_median_15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-14, 0)
+    )
+    med = ev.select(
+        "user_id",
+        F.percentile(F.col("v"), F.lit(0.5)).over(w).alias("m"),
+    )
+    return med.groupBy("user_id").agg(
+        dround(
+            dround(F.sum(dround(F.col("m"), 4)), 2) / F.count(F.lit(1)), 4
+        ).alias("mean_med"),
+        dround(F.max("m"), 4).alias("max_med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -9376,6 +9431,7 @@ _PIN_FIRST: list[str] = [
     "revenue_delta_q6",
     "cheapest_supplier_per_part",
     "kmeans_lloyd_gate",
+    "rolling_median_15",
     "stream_upsert_batch_eq",
     "sarimax_seasonal_forecast",
     "span_dedup_c4",
