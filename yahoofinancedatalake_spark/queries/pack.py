@@ -9394,6 +9394,170 @@ def q_rolling_median_15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Statistics extensions (r5 final): rank correlation + two-sample KS drift
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "spearman_trend",
+    f"""
+    WITH ranked AS (
+      SELECT event_type,
+             rank() OVER (PARTITION BY event_type ORDER BY ts)
+               + (count(*) OVER (PARTITION BY event_type, ts) - 1)
+                 / 2.0 AS rx,
+             rank() OVER (PARTITION BY event_type ORDER BY value)
+               + (count(*) OVER (PARTITION BY event_type, value) - 1)
+                 / 2.0 AS ry
+      FROM events
+    ), sums AS (
+      SELECT event_type,
+             count(*) AS n,
+             {sql_dround("sum(rx)", 2)} AS sx,
+             {sql_dround("sum(ry)", 2)} AS sy,
+             {sql_dround("sum(rx * ry)", 2)} AS sxy,
+             {sql_dround("sum(rx * rx)", 2)} AS sxx,
+             {sql_dround("sum(ry * ry)", 2)} AS syy
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {sql_dround(
+               "(n * sxy - sx * sy)"
+               " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 4)}
+             AS spearman
+    FROM sums
+    """,
+    doc="Spearman rank correlation between event time and value per "
+    "type — monotonic-trend detection, the rank-based sibling of "
+    "pairwise_correlation's Pearson. Tie-corrected AVERAGE ranks "
+    "computed windowless-join-free as rank() + (tie_count - 1)/2 "
+    "(identical tie semantics in both engines), then the closed-form "
+    "Pearson on ranks with fixed-point sums. Ranks are integers "
+    "or .5 halves, so every sum is lattice-valued. Two window passes "
+    "over one (event_type)-partitioned sort, one aggregation.",
+    parts=8,
+)
+def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts"),
+        F.col("value").cast("double").alias("v"),
+    )
+    rx = F.rank().over(
+        Window.partitionBy("event_type").orderBy("ts")
+    ) + (F.count(F.lit(1)).over(Window.partitionBy("event_type", "ts")) - 1) / 2.0
+    ry = F.rank().over(
+        Window.partitionBy("event_type").orderBy("v")
+    ) + (F.count(F.lit(1)).over(Window.partitionBy("event_type", "v")) - 1) / 2.0
+    ranked = ev.select("event_type", rx.alias("rx"), ry.alias("ry"))
+    sums = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum("rx"), 2).alias("sx"),
+        dround(F.sum("ry"), 2).alias("sy"),
+        dround(F.sum(F.col("rx") * F.col("ry")), 2).alias("sxy"),
+        dround(F.sum(F.col("rx") * F.col("rx")), 2).alias("sxx"),
+        dround(F.sum(F.col("ry") * F.col("ry")), 2).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return sums.select(
+        "event_type",
+        "n",
+        dround(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("spearman"),
+    )
+
+
+@_register(
+    "ks_drift_gate",
+    f"""
+    WITH tagged AS (
+      SELECT event_type, value::DOUBLE AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS is_a
+      FROM events
+    ), per_value AS (
+      SELECT event_type, v,
+             sum(is_a) AS a_cnt,
+             sum(1 - is_a) AS b_cnt
+      FROM tagged GROUP BY event_type, v
+    ), cum AS (
+      SELECT event_type, v,
+             sum(a_cnt) OVER w AS cum_a,
+             sum(b_cnt) OVER w AS cum_b,
+             sum(a_cnt) OVER (PARTITION BY event_type) AS n_a,
+             sum(b_cnt) OVER (PARTITION BY event_type) AS n_b
+      FROM per_value
+      WINDOW w AS (PARTITION BY event_type ORDER BY v
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           {sql_dround(
+               "max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b))", 4)}
+             AS ks_stat
+    FROM cum
+    GROUP BY event_type
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift statistic per event "
+    "type: value distribution of the first half-month vs the rest — "
+    "the distribution-shift monitor a training-data pipeline runs "
+    "between snapshots (the nonparametric sibling of snapshot_diff's "
+    "row-level comparison and column_profile's moments). Exact "
+    "sup-norm CDF distance: ties collapse in a per-(type, value) "
+    "pre-aggregation, the empirical CDFs are cumulative window sums "
+    "over the distinct-value table (tie handling is exact because "
+    "both CDFs step together at a shared value), and the max |F_A - "
+    "F_B| aggregates map-side. Exchange profile: one (type, value) "
+    "shuffle + one (type)-partitioned sort over DISTINCT values — "
+    "the corpus-sized scan never re-sorts raw rows.",
+    parts=8,
+)
+def q_ks_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
+        ).otherwise(0).alias("is_a"),
+    )
+    per_value = ev.groupBy("event_type", "v").agg(
+        F.sum("is_a").alias("a_cnt"),
+        F.sum(1 - F.col("is_a")).alias("b_cnt"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = per_value.select(
+        "event_type",
+        F.sum("a_cnt").over(wcum).alias("cum_a"),
+        F.sum("b_cnt").over(wcum).alias("cum_b"),
+        F.sum("a_cnt").over(wall).alias("n_a"),
+        F.sum("b_cnt").over(wall).alias("n_b"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        dround(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a")
+                    - F.col("cum_b").cast("double") / F.col("n_b")
+                )
+            ),
+            4,
+        ).alias("ks_stat"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
@@ -9432,6 +9596,8 @@ _PIN_FIRST: list[str] = [
     "cheapest_supplier_per_part",
     "kmeans_lloyd_gate",
     "rolling_median_15",
+    "spearman_trend",
+    "ks_drift_gate",
     "stream_upsert_batch_eq",
     "sarimax_seasonal_forecast",
     "span_dedup_c4",
