@@ -1135,7 +1135,9 @@ def kmeans_lloyd_rounds(
     with a cluster-id tie-break before the argmin; centroid updates
     are dround(2)-fixed sums over exact counts (the label_centroids
     discipline). Per round: one (vec, cluster) distance aggregation
-    (comp ⋈ broadcast centroids on pos) and one (cluster, pos) mean —
+    (comp ⋈ broadcast centroids on pos) and one (cluster, pos) mean
+    fed by a plain vid-key shuffle join against the assignment (the
+    assignment is corpus-sized — never broadcast) — both aggregations
     map-side combined, no driver collect anywhere.
 
     Returns the post-``rounds`` centroid table:
@@ -1144,28 +1146,43 @@ def kmeans_lloyd_rounds(
     from pyspark.sql import Window as W
     from yahoofinancedatalake_spark.functions.scalars import dround
 
+    # persisted: every round's distance AND update join re-reads this
+    # byte-identical table — without the persist the scan+posexplode
+    # subtree re-executes 2*rounds+1 times (r5 review finding). Small:
+    # N x dim narrow rows; bench/selfcheck clearCache between queries.
     comp = vectors.select(
         F.col(id_col).alias("vid"),
         F.posexplode(_as_double(F.col(vec_col))).alias("pos0", "x0"),
     ).select(
         "vid", (F.col("pos0") + 1).alias("pos"), dround(F.col("x0"), 4).alias("x")
-    )
+    ).persist()
 
-    seed_w = W.orderBy(F.col("vid").asc())
+    # DISTINCT mirrors the oracle's seeds CTE (duplicate ids must not
+    # seed two clusters); orderBy().limit(k) plans as a distributed
+    # TakeOrdered — the row_number window then ranks only k rows
+    # (a global unpartitioned window over all N ids would funnel
+    # every id through one task).
     seeds = (
         vectors.select(F.col(id_col).alias("vid"))
-        .withColumn("__rn", F.row_number().over(seed_w))
-        .filter(F.col("__rn") <= k)
+        .distinct()
+        .orderBy(F.col("vid").asc())
+        .limit(k)
+        .withColumn("__rn", F.row_number().over(W.orderBy(F.col("vid").asc())))
         .select("vid", (F.col("__rn") - 1).alias("cluster"))
     )
     cent = (
         comp.join(F.broadcast(seeds), "vid")
-        .select("cluster", "pos", F.col("x").alias("c"))
+        .select(
+            "cluster",
+            "pos",
+            F.col("x").alias("c"),
+            F.lit(0).cast("long").alias("n_members"),  # rounds=0 parity
+        )
     )
 
     for _ in range(rounds):
         dists = (
-            comp.join(F.broadcast(cent), "pos")
+            comp.join(F.broadcast(cent.drop("n_members")), "pos")
             .groupBy("vid", "cluster")
             .agg(
                 F.sum(
@@ -1182,8 +1199,13 @@ def kmeans_lloyd_rounds(
             .filter(F.col("__rn") == 1)
             .select("vid", "cluster")
         )
+        # plain shuffle join: assign is one row per corpus vector —
+        # broadcasting it would collect the whole corpus's assignment
+        # to the driver (r5 review finding; the 8 GB broadcast cap
+        # and driver memory both break at full-corpus scale). Only
+        # the k x dim centroid table is broadcast-sized.
         cent = (
-            comp.join(F.broadcast(assign), "vid")
+            comp.join(assign, "vid")
             .groupBy("cluster", "pos")
             .agg(
                 (dround(F.sum("x"), 2) / F.count(F.lit(1))).alias("c"),
