@@ -390,3 +390,20 @@ def test_kmeans_lloyd_recovers_planted_clusters_and_descends(spark):
     # or broken argmin collapses clusters and fails this)
     sizes = sorted({r["cluster"]: r["n_members"] for r in cent2}.values())
     assert sizes == [30, 30, 30, 30]
+
+
+def test_kmeans_rounds_zero_returns_seed_centroids(spark):
+    """rounds=0 must return the seeded (cluster, pos) table with
+    n_members=0 — the SQL oracle's c0 CTE shape — not crash on a
+    missing column (r5 review regression pin)."""
+    from yahoofinancedatalake_spark.operators.similarity import (
+        kmeans_lloyd_rounds,
+    )
+
+    df = spark.createDataFrame(
+        _planted_cluster_rows(n_per=5, n_labels=2, dim=4),
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = kmeans_lloyd_rounds(df, k=2, rounds=0).collect()
+    assert len(out) == 2 * 4
+    assert all(r["n_members"] == 0 for r in out)

@@ -1211,7 +1211,15 @@ def kmeans_lloyd_rounds(
                 (dround(F.sum("x"), 2) / F.count(F.lit(1))).alias("c"),
                 F.count(F.lit(1)).alias("n_members"),
             )
+            # eager localCheckpoint per round: bounds the otherwise
+            # rounds-deep lineage (the connected_components
+            # convention) and materializes the k x dim table so comp
+            # can be unpersisted before returning
+            .localCheckpoint(eager=True)
         )
+    # safe for rounds=0 too: unpersist only drops the cache, the
+    # lazy seed frame recomputes from source if consumed afterwards
+    comp.unpersist()
     return cent.select(
         "cluster", "pos", F.col("c").alias("centroid"), "n_members"
     )

@@ -9346,7 +9346,7 @@ def q_kmeans_lloyd_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              quantile_cont(value::DOUBLE, 0.5) OVER (
                PARTITION BY user_id
-               ORDER BY ts, event_id
+               ORDER BY ts NULLS LAST, event_id NULLS LAST
                ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS m
       FROM events
     )
@@ -9378,7 +9378,9 @@ def q_rolling_median_15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(
+            F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+        )
         .rowsBetween(-14, 0)
     )
     med = ev.select(
@@ -9404,10 +9406,10 @@ def q_rolling_median_15(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH ranked AS (
       SELECT event_type,
-             rank() OVER (PARTITION BY event_type ORDER BY ts)
+             rank() OVER (PARTITION BY event_type ORDER BY ts NULLS LAST)
                + (count(*) OVER (PARTITION BY event_type, ts) - 1)
                  / 2.0 AS rx,
-             rank() OVER (PARTITION BY event_type ORDER BY value)
+             rank() OVER (PARTITION BY event_type ORDER BY value NULLS LAST)
                + (count(*) OVER (PARTITION BY event_type, value) - 1)
                  / 2.0 AS ry
       FROM events
@@ -9444,11 +9446,14 @@ def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
         F.col("value").cast("double").alias("v"),
     )
+    # asc_nulls_last pins Spark to DuckDB's ASC default (Spark's asc
+    # is NULLS FIRST) — parity must not depend on the data being
+    # null-free
     rx = F.rank().over(
-        Window.partitionBy("event_type").orderBy("ts")
+        Window.partitionBy("event_type").orderBy(F.col("ts").asc_nulls_last())
     ) + (F.count(F.lit(1)).over(Window.partitionBy("event_type", "ts")) - 1) / 2.0
     ry = F.rank().over(
-        Window.partitionBy("event_type").orderBy("v")
+        Window.partitionBy("event_type").orderBy(F.col("v").asc_nulls_last())
     ) + (F.count(F.lit(1)).over(Window.partitionBy("event_type", "v")) - 1) / 2.0
     ranked = ev.select("event_type", rx.alias("rx"), ry.alias("ry"))
     sums = ranked.groupBy("event_type").agg(
@@ -9492,7 +9497,7 @@ def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(a_cnt) OVER (PARTITION BY event_type) AS n_a,
              sum(b_cnt) OVER (PARTITION BY event_type) AS n_b
       FROM per_value
-      WINDOW w AS (PARTITION BY event_type ORDER BY v
+      WINDOW w AS (PARTITION BY event_type ORDER BY v NULLS LAST
                    ROWS UNBOUNDED PRECEDING)
     )
     SELECT event_type,
@@ -9532,7 +9537,7 @@ def q_ks_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wcum = (
         Window.partitionBy("event_type")
-        .orderBy("v")
+        .orderBy(F.col("v").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wall = Window.partitionBy("event_type")
