@@ -248,6 +248,63 @@ def test_incremental_minhash_matches_full_recompute(spark):
     assert inc_pairs and hist_pairs
 
 
+def test_incremental_minhash_reingested_id_no_self_pairs(spark):
+    """ADVICE r5: an id present in BOTH the landed index and the new
+    batch (replayed/re-ingested batch) must not produce a degenerate
+    (id, id) self-pair, and the duplicate membership row must not
+    consume a max_bucket_size rank slot — the incremental result must
+    still equal the full recompute."""
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+    from yahoofinancedatalake_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = fan_out(load_table(spark, "/root/testdata/sf0.01", "documents"))
+    hist = docs.filter(F.col("doc_id") < 400)
+    # the replayed batch OVERLAPS history: ids 300-399 are in both
+    inc = docs.filter(F.col("doc_id") >= 300)
+
+    index = minhash_band_table(hist, "text", "doc_id")
+    inc_pairs = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_pairs(
+            inc, index, "text", "doc_id"
+        ).collect()
+    }
+    assert all(a != b for a, b in inc_pairs)  # no degenerate self-pairs
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    assert inc_pairs <= full  # never invents pairs the full run lacks
+    # every full-run pair touching a batch id is recovered
+    batch_touch = {p for p in full if p[0] >= 300 or p[1] >= 300}
+    assert batch_touch <= inc_pairs
+
+    # cap stress: with a tiny cap, duplicate rows stealing rank slots
+    # would diverge from the full recompute's capped membership
+    inc_capped = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_pairs(
+            inc, index, "text", "doc_id", max_bucket_size=3
+        ).collect()
+    }
+    full_capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", max_bucket_size=3
+        ).collect()
+    }
+    assert all(a != b for a, b in inc_capped)
+    batch_touch_capped = {
+        p for p in full_capped if p[0] >= 300 or p[1] >= 300
+    }
+    assert batch_touch_capped <= inc_capped <= full_capped
+
+
 def _uf_components(edges, nodes):
     parent = {n: n for n in nodes}
 

@@ -136,6 +136,87 @@ def test_timestamp_stats_prune_with_datetime_bounds(spark, tmp_path):
     assert got.count() == want.count() > 0
 
 
+def test_timestamp_boundary_equal_to_hi_bound_is_kept(spark, tmp_path):
+    """ADVICE r5 (high): pyarrow returns TZ-AWARE datetimes for
+    Spark-written TIMESTAMP columns; before the _utc_naive fix their
+    stored ISO form carried '+00:00', which sorts ABOVE the
+    offset-less form of the SAME instant — so a file whose stored min
+    EQUALS a naive hi bound was pruned (fmin > hi lexicographically):
+    silent row loss exactly at the boundary. The boundary row must
+    survive pruning."""
+    import datetime as dt
+
+    path = str(tmp_path / "ts_boundary")
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("ts"),
+    )
+    write_clustered(df, path, ["ts"], n_files=8)
+    write_manifest(path, ["ts"])
+
+    import json
+
+    from yahoofinancedatalake_spark.sources.manifest import MANIFEST_NAME
+
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        m = json.load(f)
+    # stored stats must be offset-less (naive-UTC canonical form)
+    all_bounds = [b for e in m["files"].values() for b in e["stats"]["ts"]]
+    assert all_bounds and all("+" not in b for b in all_bounds)
+
+    # pick an actual file-min as the hi bound → boundary equality
+    file_min = sorted(all_bounds)[2]
+    hi = dt.datetime.fromisoformat(file_min)
+    got = read_pruned(spark, path, "ts", hi=hi).filter(F.col("ts") <= F.lit(hi))
+    want = spark.read.parquet(path).filter(F.col("ts") <= F.lit(hi))
+    assert got.count() == want.count() > 0
+
+    # and the symmetric lo-boundary: file max == lo
+    file_max = sorted(all_bounds)[-3]
+    lo = dt.datetime.fromisoformat(file_max)
+    got = read_pruned(spark, path, "ts", lo=lo).filter(F.col("ts") >= F.lit(lo))
+    want = spark.read.parquet(path).filter(F.col("ts") >= F.lit(lo))
+    assert got.count() == want.count() > 0
+
+
+def test_bloom_on_spark_written_timestamp_column(spark, tmp_path):
+    """ADVICE r5 (high), bloom path: a naive-datetime eq probe
+    against a bloom built from pyarrow's TZ-AWARE values must not
+    false-negative (before the fix it pruned EVERY file containing
+    the key — 0 kept for a present row)."""
+    import datetime as dt
+
+    path = str(tmp_path / "bloom_ts")
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("ts"),
+    )
+    write_clustered(df, path, ["k"], n_files=4)
+    write_manifest(path, ["k"], bloom_columns=["ts"])
+    probe = dt.datetime(2024, 1, 1, 2, 17)  # present, non-midnight
+    kept, total = pruned_files(path, "ts", eq=probe)
+    assert kept  # the containing file must survive
+    got = read_pruned(spark, path, "ts", eq=probe).filter(
+        F.col("ts") == F.lit(probe)
+    )
+    want = spark.read.parquet(path).filter(F.col("ts") == F.lit(probe))
+    assert got.count() == want.count() == 1
+
+    # tz-aware probe of the same instant (e.g. +02:00 clock time)
+    # canonicalizes identically — same file kept
+    probe_tz = probe.replace(tzinfo=dt.timezone.utc).astimezone(
+        dt.timezone(dt.timedelta(hours=2))
+    )
+    kept_tz, _ = pruned_files(path, "ts", eq=probe_tz)
+    assert sorted(kept_tz) == sorted(kept)
+
+
 def test_deleted_files_are_dropped_from_pruning(spark, tmp_path):
     path = str(tmp_path / "del_tbl")
     write_clustered(_key_range_table(spark), path, ["k"], n_files=8)

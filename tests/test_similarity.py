@@ -407,3 +407,29 @@ def test_kmeans_rounds_zero_returns_seed_centroids(spark):
     out = kmeans_lloyd_rounds(df, k=2, rounds=0).collect()
     assert len(out) == 2 * 4
     assert all(r["n_members"] == 0 for r in out)
+
+
+def test_fingerprint_single_file_dataset_detects_rewrite(tmp_path):
+    """ADVICE r5: os.walk on a regular FILE yields nothing, so the
+    fingerprint of a single-file dataset was ('path', ()) forever and
+    a rewrite at the same path served stale cached centroids. A file
+    cache_key must fingerprint the file's own (mtime_ns, size)."""
+    import os
+
+    from yahoofinancedatalake_spark.operators.similarity import _fingerprint
+
+    p = tmp_path / "data.parquet"
+    p.write_bytes(b"v1-contents")
+    fp1 = _fingerprint(str(p))
+    assert fp1[1], "file fingerprint must not be empty"
+
+    os.utime(p, ns=(os.stat(p).st_mtime_ns + 2_000_000_000,) * 2)
+    fp2 = _fingerprint(str(p))
+    assert fp2 != fp1  # mtime change invalidates
+
+    p.write_bytes(b"v2-contents-longer")
+    assert _fingerprint(str(p)) != fp2  # size change invalidates
+
+    # non-path / missing-path keys pass through unchanged
+    assert _fingerprint(("k", 1)) == ("k", 1)
+    assert _fingerprint(str(tmp_path / "nope")) == str(tmp_path / "nope")

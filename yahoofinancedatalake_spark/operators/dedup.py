@@ -519,9 +519,24 @@ def incremental_minhash_pairs(
     old_in_touched = index.join(touched, ["band", "bucket"]).select(
         F.col(id_col).alias("id"), "band", "bucket", F.lit(False).alias("new")
     )
-    union_rows = new_bands.select(
-        F.col(id_col).alias("id"), "band", "bucket", F.lit(True).alias("new")
-    ).unionByName(old_in_touched)
+    union_rows = (
+        new_bands.select(
+            F.col(id_col).alias("id"),
+            "band",
+            "bucket",
+            F.lit(True).alias("new"),
+        )
+        .unionByName(old_in_touched)
+        # A re-ingested id (replayed batch: present in BOTH the landed
+        # index and new_docs) would otherwise contribute TWO rows per
+        # (id, band, bucket): the i<j generator then emits a
+        # degenerate (id, id) self-pair and the duplicate consumes a
+        # max_bucket_size rank slot, diverging from the
+        # full-recompute membership this function promises. Collapse
+        # to one row, keeping new=true so its pairs still surface.
+        .groupBy("id", "band", "bucket")
+        .agg(F.max("new").alias("new"))
+    )
     # the SAME deterministic cap as capped_bucket_members, ranked over
     # the union membership
     rk = F.row_number().over(
@@ -558,6 +573,9 @@ def incremental_minhash_pairs(
         buckets.select(F.explode(pair_structs).alias("p"))
         .filter(F.col("p.any_new"))
         .select("p.id_a", "p.id_b")
+        # belt-and-suspenders vs the degenerate self-pair class the
+        # groupBy above prevents structurally
+        .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -68,6 +68,13 @@ def _fingerprint(cache_key):
 
     if not isinstance(cache_key, str) or not os.path.exists(cache_key):
         return cache_key
+    if os.path.isfile(cache_key):
+        # os.walk on a regular file yields nothing → the fingerprint
+        # would be ('path', ()) forever and a rewritten single-file
+        # dataset at the same path would serve stale centroids —
+        # exactly the staleness this function exists to prevent.
+        st = os.stat(cache_key)
+        return (cache_key, ((cache_key, st.st_mtime_ns, st.st_size),))
     sig = []
     for root, dirs, names in os.walk(cache_key):
         dirs[:] = sorted(d for d in dirs if not d.startswith("."))

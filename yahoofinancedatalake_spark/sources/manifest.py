@@ -50,9 +50,13 @@ MANIFEST_NAME = "_manifest.json"
 #: matches (' ' < 'T' makes every v1 timestamp sort below every v2
 #: bound) — silent row loss. v3: per-file entries are
 #: ``{"stats": {col: [lo, hi]}, "blooms": {col: {m, k, bits}}}``.
-#: Version-mismatched manifests therefore disable skipping entirely
-#: instead of mis-pruning.
-FORMAT_VERSION = 3
+#: v4: tz-aware datetimes normalize to naive UTC before
+#: serialization (a v3 manifest over a Spark-written timestamp
+#: column stored '+00:00' suffixes that sort ABOVE offset-less
+#: bounds for the same instant — mis-prune, so v3 must not be
+#: consulted). Version-mismatched manifests therefore disable
+#: skipping entirely instead of mis-pruning.
+FORMAT_VERSION = 4
 
 
 def write_manifest(
@@ -130,6 +134,26 @@ def write_manifest(
     return manifest
 
 
+def _utc_naive(v):
+    """Normalize a tz-aware datetime to naive UTC. pyarrow returns
+    tz-AWARE datetimes for Spark-written TIMESTAMP (instant) columns,
+    whose ``isoformat()`` carries a ``+00:00`` suffix; caller-supplied
+    probe bounds are usually NAIVE and serialize without it. Mixing
+    the two breaks both skipping paths (review-confirmed repro): the
+    range check prunes a file whose stored min EQUALS the hi bound
+    (``'...T02:00:00+00:00' > '...T02:00:00'`` lexicographically),
+    and a bloom probe false-negatives on a present key — both silent
+    row loss. All stat/bound/bloom canonicalizers therefore convert
+    tz-aware values to UTC and strip the offset; naive datetimes are
+    by contract interpreted as UTC (which is what Spark's
+    session-UTC configuration yields)."""
+    import datetime as dt  # noqa: PLC0415
+
+    if isinstance(v, dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def _bloom_key(v) -> "tuple[str, str] | None":
     """Typed canonical key for bloom hashing — the representation
     that two values share IFF an equality predicate treats them as
@@ -158,7 +182,8 @@ def _bloom_key(v) -> "tuple[str, str] | None":
             return ("i", str(int(v)))
         return ("f", repr(v))
     if isinstance(v, dt.datetime):
-        if v.tzinfo is None and v.time() == dt.time(0, 0):
+        v = _utc_naive(v)  # tz-aware → naive UTC, see _utc_naive
+        if v.time() == dt.time(0, 0):
             return ("t", v.date().isoformat())
         return ("t", v.isoformat())
     if isinstance(v, dt.date):
@@ -217,9 +242,12 @@ def _plain(v):
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
     # ISO-8601 with 'T' separator: lexicographic == chronological,
-    # and the same form callers get from _bound() at prune time
+    # and the same form callers get from _bound() at prune time.
+    # Tz-aware values normalize to naive UTC first (_utc_naive) so the
+    # stored form never carries a '+00:00' suffix that would sort
+    # above an offset-less bound for the same instant.
     if isinstance(v, dt.datetime):
-        return v.isoformat()
+        return _utc_naive(v).isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (bool, int, float, str)):
@@ -234,7 +262,9 @@ def _bound(v):
 
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
-    if isinstance(v, (dt.datetime, dt.date)):
+    if isinstance(v, dt.datetime):
+        return _utc_naive(v).isoformat()
+    if isinstance(v, dt.date):
         return v.isoformat()
     return v
 
