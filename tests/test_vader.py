@@ -204,3 +204,84 @@ def test_expr_matches_python_twin_fuzz(spark, tokens):
         .collect()[0]["c"]
     )
     assert got == pytest.approx(_compound_py(text), abs=1e-12), repr(text)
+
+
+# ---------------------------------------------------------------------------
+# Published ground truth (r6): the vaderSentiment README / Hutto &
+# Gilbert 2014 example sentences, value-exact at 4 decimals. These pin
+# the engine to the published implementation's numbers, not just rule
+# directions — every lexicon value they touch (smart 1.7, handsome 2.2,
+# funny 1.9, good 1.9, horrible -2.5, sux -1.5) is the published one,
+# and sentence 9 exercises the multiword-idiom merge ("kind of" ->
+# kind-of dampener).
+# ---------------------------------------------------------------------------
+
+PUBLISHED = [
+    ("VADER is smart, handsome, and funny.", 0.8316),
+    ("VADER is smart, handsome, and funny!", 0.8439),
+    ("VADER is very smart, handsome, and funny.", 0.8545),
+    ("VADER is VERY SMART, handsome, and FUNNY.", 0.9227),
+    ("VADER is VERY SMART, handsome, and FUNNY!!!", 0.9342),
+    ("VADER is not smart, handsome, nor funny.", -0.7424),
+    ("The book was good.", 0.4404),
+    ("At least it isn't a horrible book.", 0.431),
+    ("The book was only kind of good.", 0.3832),
+    ("Today SUX!", -0.5461),
+]
+
+
+def test_published_ground_truth_sentences(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(PUBLISHED)],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in with_vader_compound(df, "text", compound_col="c")
+        .select("id", "c")
+        .collect()
+    }
+    for i, (text, want) in enumerate(PUBLISHED):
+        assert got[i] == pytest.approx(want, abs=5e-5), text
+        # the Python twin must produce the identical published value
+        assert _compound_py(text) == pytest.approx(want, abs=5e-5), text
+
+
+IDIOM_CASES = [
+    "the project is the bomb",
+    "THE BOMB indeed",
+    "a kiss of death for the deal",
+    "yeah right that will work",
+    "this is kind of good",
+    "sort of bad really",
+    "to die for",
+    "mankind of sorts",  # \b guard: no merge, no idiom hit
+]
+
+
+def test_idiom_rule_paths(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(IDIOM_CASES)], "id long, text string"
+    )
+    rows = (
+        with_vader_compound(df, "text", compound_col="c")
+        .withColumn("u", vader_compound_udf("text"))
+        .select("id", "c", "u")
+        .collect()
+    )
+    got = {IDIOM_CASES[r["id"]]: (r["c"], r["u"]) for r in rows}
+    for text, (c, u) in got.items():
+        py = _compound_py(text)
+        assert c == pytest.approx(py, abs=1e-12), text
+        assert u == pytest.approx(py, abs=1e-12), text
+    assert got["the project is the bomb"][0] > 0.5  # valence 3.0
+    # caps'd idiom gets C_INCR under cap-mix: 3.0 + 0.733
+    assert got["THE BOMB indeed"][0] > got["the project is the bomb"][0]
+    assert got["a kiss of death for the deal"][0] < 0  # valence -1.5
+    assert got["yeah right that will work"][0] < 0  # valence -2.0
+    # dampener idiom: weaker than bare 'good' but still positive
+    bare = _compound_py("this is good")
+    assert 0 < got["this is kind of good"][0] < bare
+    assert got["sort of bad really"][0] > _compound_py("bad really")
+    assert got["to die for"][0] > 0.5  # valence 3.0
+    assert got["mankind of sorts"][0] == 0.0

@@ -8585,17 +8585,30 @@ def _vader_oracle_sql() -> str:
           ELSE 0.0 END"""
 
     qm_n = "(length(text) - length(replace(text, '?', '')))"
+    # the same pre-tokenization idiom merge the engine applies
+    # (functions/vader.py IDIOM_MERGES), generated from the same
+    # tuples: case-preserving capture-group re-emit, global flag
+    tok_src = "text"
+    for seq in V.IDIOM_MERGES:
+        repl = "-".join(f"\\{i}" for i in range(1, len(seq) + 1))
+        tok_src = (
+            f"regexp_replace({tok_src}, '{V.idiom_pattern(seq)}', "
+            f"'{repl}', 'g')"
+        )
     return f"""
     WITH base AS (
       SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN 'never so good but ' ELSE '' END
              || replace(replace(coalesce(text, ''), 'slow', 'not slow'),
                         'fast', 'very FAST')
+             || CASE WHEN doc_id % 11 = 0 THEN ' only kind of good' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' it is THE BOMB' ELSE '' END
+             || CASE WHEN doc_id % 17 = 0 THEN ' yeah right' ELSE '' END
              || repeat('!', CAST(doc_id % 5 AS INT)) AS text
       FROM documents
     ), raw AS (
       SELECT doc_id, text,
-             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+             list_filter(regexp_split_to_array(trim({tok_src}), '\\s+'),
                          x -> x <> '') AS toks
       FROM base
     ), tok AS (
@@ -8737,6 +8750,16 @@ def q_vader_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("fast"),
             F.lit("very FAST"),
         ),
+        # idiom-rule exercise (r6): a dampener idiom, a caps'd
+        # sentiment idiom, and a negative idiom — merged by the
+        # engine's pre-tokenization pass and by the oracle's
+        # generated regexp_replace chain identically
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" only kind of good"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" it is THE BOMB"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" yeah right"))
+        .otherwise(F.lit("")),
         F.repeat(F.lit("!"), (F.col("doc_id") % 5).cast("int")),
     )
     scored = with_vader_compound(
