@@ -252,13 +252,30 @@ def _update_last(key, pdf_iter, state: GroupState):
     )
 
 
-def _running_last_fn(key, pdf_iter, state: GroupState):
-    """ProcessingTimeTimeout flavor: evict idle keys after 24 h."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    yield from _update_last(key, pdf_iter, state)
-    state.setTimeoutDuration(24 * 3600 * 1000)
+DEFAULT_IDLE_TIMEOUT_MS = 24 * 3600 * 1000
+
+
+def _make_running_last_fn(timeout_ms: int):
+    """ProcessingTimeTimeout flavor factory: evict keys idle for
+    ``timeout_ms``. A timed-out key removes its state and emits
+    nothing; a key with data in the batch never times out (Spark only
+    surfaces hasTimedOut for keys ABSENT from the batch), so re-arming
+    after every update gives sliding-idle semantics — the bounded
+    state story for unbounded key cardinality."""
+
+    def _running_last(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        yield from _update_last(key, pdf_iter, state)
+        state.setTimeoutDuration(timeout_ms)
+
+    return _running_last
+
+
+#: Default 24 h flavor (kept as a module attribute for direct unit
+#: tests of the timeout branch).
+_running_last_fn = _make_running_last_fn(DEFAULT_IDLE_TIMEOUT_MS)
 
 
 def _running_last_fn_no_timeout(key, pdf_iter, state: GroupState):
@@ -270,6 +287,7 @@ def running_last_state(
     events: DataFrame,
     key_col: str = "user_id",
     evict_idle: bool = True,
+    idle_timeout_ms: int = DEFAULT_IDLE_TIMEOUT_MS,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``:
     running (last_value, last_ts, n_events) per key with explicit
@@ -278,14 +296,21 @@ def running_last_state(
     tested integration shape for semantics aggregates can't express
     (session logic, decaying counters, model state).
 
-    ``evict_idle=True`` (production default) arms a 24 h
-    processing-time timeout that removes idle keys — bounded state on
-    an unbounded stream. Set it False for finite availableNow
-    replays: with a timeout armed, the microbatch engine keeps
-    scheduling empty batches to let timers fire, so an availableNow
-    run never reaches its natural end.
+    ``evict_idle=True`` (production default) arms a processing-time
+    timeout (``idle_timeout_ms``, default 24 h) that removes idle
+    keys — bounded state on an unbounded stream. Set it False for
+    finite availableNow replays: with a timeout armed, the microbatch
+    engine keeps scheduling empty batches to let timers fire, so an
+    availableNow run never reaches its natural end. Eviction-boundary
+    semantics (idle just-under keeps state, idle past evicts and the
+    key restarts fresh) are integration-tested with a short TTL in
+    ``tests/test_streaming.py``.
     """
-    fn = _running_last_fn if evict_idle else _running_last_fn_no_timeout
+    fn = (
+        _make_running_last_fn(idle_timeout_ms)
+        if evict_idle
+        else _running_last_fn_no_timeout
+    )
     conf = (
         GroupStateTimeout.ProcessingTimeTimeout
         if evict_idle
