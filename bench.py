@@ -127,6 +127,16 @@ def main() -> None:
         errors["__ann_recall"] = f"{type(e).__name__}: {e}"[:300]
         recall = None
 
+    # TPC-H composite: the 22 classic plan shapes as ONE scalar, a
+    # round-over-round regression watch for the relational core. The
+    # membership is derived from the registry docstrings ("TPC-H Qn
+    # shape") so renames/additions can't silently desync the suite.
+    import re  # noqa: PLC0415
+
+    tpch_names = [
+        n for n, q in QUERIES.items() if re.search(r"TPC-H Q\d+", q.doc or "")
+    ]
+
     out = {
         "metric": "query_pack_total",
         "value": round(sum(timings.values()), 3),
@@ -134,6 +144,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "ann_recall_at_5": recall,
+        "tpch_suite_s": round(
+            sum(timings.get(n, 0.0) for n in tpch_names), 3
+        ),
+        "tpch_suite_n": sum(1 for n in tpch_names if n in timings),
         # IVF/PQ/IVFPQ index training is memoized per (dataset
         # fingerprint, params) within the session — the build-once
         # FAISS placement. The FIRST index query in the run pays the

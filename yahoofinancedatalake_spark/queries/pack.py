@@ -9282,6 +9282,72 @@ def q_cheapest_supplier_per_part(
     )
 
 
+@_register(
+    "late_lines_by_flag",
+    """
+    SELECT l.l_returnflag,
+           count(*) FILTER (
+             WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+           ) AS high_line_count,
+           count(*) FILTER (
+             WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           ) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipping-mode line counts), adapted to the "
+    "schema: l_returnflag stands in for the absent l_shipmode, and "
+    "'shipped >30 days after order date' stands in for the absent "
+    "commit/receipt-date lateness predicate (same adaptation family "
+    "as Q2/Q9/Q11). The shape under test: a fact-fact equi-join on "
+    "orderkey carrying a residual NON-equi predicate "
+    "(shipdate > orderdate + 30d) — Catalyst must keep the hash "
+    "join on the equi key and apply the comparison as a post-join "
+    "filter, never degrade to a nested-loop — plus the pivoted "
+    "conditional counts (count-FILTER, Spark count(when)), which "
+    "map-side combine into 3 groups so the final exchange is 3 "
+    "rows. The one-year shipdate range is pushed into the lineitem "
+    "scan. At 100 TB both facts bucket by orderkey and the join is "
+    "co-partitioned, identical to late_shipment_priority's layout.",
+)
+def q_late_lines_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    # The non-equi lateness predicate needs o_orderdate, so it rides
+    # the join as a residual condition next to the equi key.
+    orders_full = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders_full,
+            (li.l_orderkey == orders_full.o_orderkey)
+            & (
+                li.l_shipdate
+                > orders_full.o_orderdate + F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension (r5): distributed Lloyd k-means rounds under the oracle gate
 # ---------------------------------------------------------------------------
