@@ -317,48 +317,62 @@ def test_timed_out_state_is_removed():
 
 def test_ttl_eviction_boundary_end_to_end(spark, tmp_path):
     """VERDICT r5 #5: the state-bound argument must be TESTED, not
-    asserted. With a short idle TTL: a key re-activated WITHIN the
-    TTL keeps its state (count accumulates); a key idle PAST the TTL
-    is evicted by the next microbatch's timer sweep and restarts
-    fresh (count resets to 1) when it reappears. Uses a continuous
-    query with a polling sink: armed processing-time timers keep the
-    microbatch engine scheduling, so processAllAvailable (and
-    availableNow) never settle — polling the sink is the only
-    non-hanging drive."""
+    asserted. Two continuous queries decouple the two sides of the
+    boundary so neither races the microbatch engine's latency under a
+    loaded test host (the original single-query form used one 10 s
+    TTL for both and flaked when a 'within-TTL' re-activation took
+    >10 s wall-clock to process):
+
+    - retention query, TTL = 10 min: a key re-activated well within
+      its TTL keeps its state (count accumulates) — no sleep can
+      plausibly cross the TTL;
+    - eviction query, TTL = 4 s: after a sleep safely past the TTL
+      the key restarts fresh (count resets to 1) — the sweep runs on
+      the engine's own armed-timer microbatches, no new data needed.
+
+    Both poll a foreachBatch dict sink: with armed processing-time
+    timers the engine never settles, so processAllAvailable (and
+    availableNow) would hang — polling is the only non-hanging drive.
+    """
     import datetime as dt
     import time
 
-    src = tmp_path / "ttl_src"
-    ck = str(tmp_path / "ttl_ck")
     schema = "user_id long, ts timestamp, value double"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
 
     def t(s):
         return dt.datetime.fromisoformat(s)
 
-    def land(rows):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(str(src))
+    def start(tag: str, ttl_ms: int, first_rows):
+        src = tmp_path / f"ttl_src_{tag}"
+        got: dict[int, tuple] = {}
 
-    got: dict[int, tuple] = {}
+        def land(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
 
-    def sink(batch_df, _bid):
-        for r in batch_df.collect():
-            got[r.user_id] = (r.last_value, r.n_events)
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                got[r.user_id] = (r.last_value, r.n_events)
 
-    land([(1, t("2024-01-01 10:00:00"), 5.0),
-          (2, t("2024-01-01 10:00:00"), 7.0)])
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    stream = spark.readStream.schema(schema).parquet(str(src))
-    q = (
-        running_last_state(stream, evict_idle=True, idle_timeout_ms=10_000)
-        .writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ck)
-        .start()
-    )
-    def wait_for(cond, desc, timeout=90.0):
+        land(first_rows)
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            running_last_state(
+                stream, evict_idle=True, idle_timeout_ms=ttl_ms
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ttl_ck_{tag}")
+            )
+            .start()
+        )
+        return q, got, land
+
+    def wait_for(got, cond, desc, timeout=120.0):
         deadline = time.time() + timeout
         while time.time() < deadline:
             if cond():
@@ -366,28 +380,41 @@ def test_ttl_eviction_boundary_end_to_end(spark, tmp_path):
             time.sleep(0.2)
         raise AssertionError(f"timed out waiting for {desc}: got={got}")
 
+    # --- retention: TTL far larger than any test-host latency -------
+    qk, gotk, landk = start(
+        "keep", 600_000, [(1, t("2024-01-01 10:00:00"), 5.0)]
+    )
     try:
-        wait_for(lambda: got.get(1) == (5.0, 1) and got.get(2) == (7.0, 1),
-                 "initial batch")
-
-        # key 2 re-activates well within its TTL (microbatch latency
-        # with a warm engine is ~1-2 s << 10 s) -> state kept
-        land([(2, t("2024-01-01 11:00:00"), 8.0)])
-        wait_for(lambda: got.get(2) == (8.0, 2), "within-TTL accumulation")
-
-        # both keys now idle past the TTL. No data needed for the
-        # sweep: while timers are armed the engine keeps scheduling
-        # microbatches, so the expired keys evict on their own.
-        time.sleep(12.5)
-
-        # the keys reappear: state must have been evicted -> fresh
-        # counts (would be (6.0, 2) / (9.0, 3) had idle state survived)
-        land([(1, t("2024-01-02 10:00:00"), 6.0)])
-        wait_for(lambda: got.get(1) == (6.0, 1), "post-TTL fresh state")
-        land([(2, t("2024-01-02 11:00:00"), 9.0)])
-        wait_for(lambda: got.get(2) == (9.0, 1), "post-TTL fresh state 2")
+        wait_for(gotk, lambda: gotk.get(1) == (5.0, 1), "keep: initial")
+        landk([(1, t("2024-01-01 11:00:00"), 8.0)])
+        wait_for(
+            gotk,
+            lambda: gotk.get(1) == (8.0, 2),
+            "keep: within-TTL accumulation",
+        )
     finally:
-        q.stop()
+        qk.stop()
+
+    # --- eviction: idle past a short TTL, then reappear -------------
+    qe, gote, lande = start(
+        "evict", 4_000, [(2, t("2024-01-01 10:00:00"), 7.0)]
+    )
+    try:
+        wait_for(gote, lambda: gote.get(2) == (7.0, 1), "evict: initial")
+        # Idle past the TTL. No data needed for the sweep: while
+        # timers are armed the engine keeps scheduling microbatches,
+        # so the expired key evicts on its own.
+        time.sleep(8.0)
+        # The key reappears: state must have been evicted -> a fresh
+        # count ((9.0, 2) would mean idle state survived the TTL).
+        lande([(2, t("2024-01-02 11:00:00"), 9.0)])
+        wait_for(
+            gote,
+            lambda: gote.get(2) == (9.0, 1),
+            "evict: post-TTL fresh state",
+        )
+    finally:
+        qe.stop()
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
