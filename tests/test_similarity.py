@@ -433,3 +433,111 @@ def test_fingerprint_single_file_dataset_detects_rewrite(tmp_path):
     # non-path / missing-path keys pass through unchanged
     assert _fingerprint(("k", 1)) == ("k", 1)
     assert _fingerprint(str(tmp_path / "nope")) == str(tmp_path / "nope")
+
+
+def test_semantic_dedup_removes_planted_duplicates(spark):
+    """SemDeDup contract on planted structure: two well-separated
+    clusters, each containing one EXACT duplicate pair (cosine 1.0)
+    plus angularly-distinct members (seeded uniform jitter keeps
+    distinct-member cosine < 0.999 — _planted_cluster_rows' hash
+    jitter is near-linear in vid, which makes ALL members
+    near-duplicates, so this test builds its own vectors). The
+    duplicate partner with the larger id must be dropped, the
+    smaller kept (keep-first rule), everything else survives."""
+    import itertools
+    import math
+    import random
+
+    from yahoofinancedatalake_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(42)
+    base = []
+    # ids interleaved so smallest-k seeding lands one seed per
+    # planted cluster (same reasoning as the Lloyd recovery test)
+    for i in range(10):
+        for label in range(2):
+            vec = [
+                (4.0 if d == label else 0.0) + rng.uniform(-1.0, 1.0)
+                for d in range(6)
+            ]
+            base.append((i * 2 + label, label, vec))
+
+    # sanity on the geometry this test depends on: distinct members
+    # must sit below the dedup threshold
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    for label in (0, 1):
+        vs = [v for _i, lab, v in base if lab == label]
+        assert (
+            max(cos(a, b) for a, b in itertools.combinations(vs, 2))
+            < 0.999
+        )
+
+    # plant one exact duplicate inside each cluster: copy the vector
+    # of the smallest id of each label onto a fresh larger id
+    by_label = {}
+    for vid, label, vec in base:
+        by_label.setdefault(label, []).append((vid, vec))
+    extra = []
+    nxt = 100
+    for label, members in sorted(by_label.items()):
+        src_vid, src_vec = min(members)
+        extra.append((nxt, label, list(src_vec)))
+        nxt += 1
+    df = spark.createDataFrame(
+        base + extra, "vec_id long, label int, embedding array<double>"
+    )
+    out = {
+        r["cluster"]: r
+        for r in semantic_dedup(df, k=2, rounds=1, threshold=0.999).collect()
+    }
+    assert len(out) == 2
+    for r in out.values():
+        assert r["n_members"] == 11  # 10 planted + 1 duplicate
+        assert r["n_dups"] == 1  # exactly the planted copy
+        assert r["n_survivors"] == 10
+    # the dropped ids are precisely the large-id copies (100, 101):
+    # total id sum minus survivors' sum equals the planted copies
+    all_ids = sum(vid for vid, _l, _v in base + extra)
+    surv = sum(r["survivor_id_sum"] for r in out.values())
+    assert all_ids - surv == 100 + 101
+
+
+def test_assign_to_centroids_matches_kmeans_final_assignment(spark):
+    """assign_to_centroids against kmeans_lloyd_rounds' output must
+    reproduce the planted partition — the standalone assignment step
+    and the in-loop one share the determinism discipline."""
+    from yahoofinancedatalake_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_lloyd_rounds,
+    )
+
+    rows = [
+        (vid % 20 * 3 + label, label, vec)
+        for vid, label, vec in _planted_cluster_rows(
+            n_per=20, n_labels=3, dim=6, sep=10.0
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    cent = kmeans_lloyd_rounds(df, k=3, rounds=2)
+    assign = assign_to_centroids(df, cent).collect()
+    # every planted cluster maps to exactly one kmeans cluster, 20 each
+    from collections import Counter
+
+    sizes = Counter(r["cluster"] for r in assign)
+    assert sorted(sizes.values()) == [20, 20, 20]
+    label_of = {vid: label for vid, label, _v in rows}
+    seen = {}
+    for r in assign:
+        lab = label_of[r["vid"]]
+        seen.setdefault(r["cluster"], set()).add(lab)
+    assert all(len(s) == 1 for s in seen.values())

@@ -1230,3 +1230,146 @@ def kmeans_lloyd_rounds(
     return cent.select(
         "cluster", "pos", F.col("c").alias("centroid"), "n_members"
     )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment of every vector against a
+    ``(cluster, pos, centroid)`` table — the standalone form of the
+    assignment step inside :func:`kmeans_lloyd_rounds`, with the
+    identical determinism discipline (components dround(4), squared
+    terms dround(6) before the group sum, distances dround(4) with a
+    cluster-id tie-break) so a SQL oracle replays it exactly.
+
+    Plan: centroid table broadcasts (k x dim values), one
+    (vid, cluster) map-side-combined distance aggregation, one
+    per-vid argmin window — never a corpus broadcast.
+
+    Returns (vid, cluster).
+    """
+    from pyspark.sql import Window as W
+    from yahoofinancedatalake_spark.functions.scalars import dround
+
+    comp = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos0", "x0"),
+    ).select(
+        "vid",
+        (F.col("pos0") + 1).alias("pos"),
+        dround(F.col("x0"), 4).alias("x"),
+    )
+    cent = centroids.select(
+        "cluster", "pos", F.col("centroid").alias("c")
+    )
+    dists = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vid", "cluster")
+        .agg(
+            F.sum(
+                dround(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 6
+                )
+            ).alias("d_raw")
+        )
+        .select("vid", "cluster", dround(F.col("d_raw"), 4).alias("d"))
+    )
+    aw = W.partitionBy("vid").orderBy(F.col("d").asc(), F.col("cluster").asc())
+    return (
+        dists.withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "cluster")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    rounds: int = 1,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with k-means, then
+    find near-duplicate pairs ONLY within each cluster (exact cosine
+    >= ``threshold``) and keep one representative per duplicate
+    relation — the clustering turns the quadratic all-pairs problem
+    into per-cluster blocks, the same blocking role LSH bands play in
+    :func:`lsh_near_dup_pairs` but driven by learned structure.
+
+    Duplicate rule (deterministic): a vector is a duplicate iff some
+    SMALLER-id vector in its cluster has cosine >= threshold with it
+    ("keep first"); survivors have no smaller-id near-neighbor. This
+    replaces the paper's centroid-distance representative choice with
+    an id tie-break so a SQL oracle can replay the decision exactly.
+
+    Scale: the within-cluster self-join is O(sum cluster_size^2) —
+    the paper's own deployment bounds it by scaling k with the corpus
+    (they run k ~ 11k on LAION so clusters stay ~1e4); at 100 TB pick
+    k ~ N/10k and bucket the clustered table by cluster id so the
+    self-join is co-partitioned. The pair cosine runs on candidate
+    pairs only, Arrow-batched (:func:`pair_cosine`), and the
+    embedding payload rides the cluster shuffle once.
+
+    Returns one row per cluster:
+    (cluster, n_members, n_dups, n_survivors, survivor_id_sum).
+    """
+    cent = kmeans_lloyd_rounds(
+        vectors, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    assign = assign_to_centroids(
+        vectors, cent, id_col=id_col, vec_col=vec_col
+    )
+    clustered = (
+        vectors.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+        )
+        .join(assign, "vid")
+        # persisted: both sides of the pair self-join and the final
+        # per-cluster rollup re-read this table
+        .persist()
+    )
+    a = clustered.select(
+        "cluster", F.col("vid").alias("id_a"), F.col("v").alias("va")
+    )
+    b = clustered.select(
+        "cluster", F.col("vid").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    dups = (
+        pairs.withColumn("cos", pair_cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_b")
+        .distinct()
+        .withColumnRenamed("id_b", "dup_id")
+    )
+    out = (
+        clustered.join(
+            dups, clustered.vid == F.col("dup_id"), "left"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("dup_id").alias("n_dups"),
+            F.count(F.when(F.col("dup_id").isNull(), 1)).alias(
+                "n_survivors"
+            ),
+            F.sum(
+                F.when(F.col("dup_id").isNull(), F.col("vid")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("survivor_id_sum"),
+        )
+        .orderBy("cluster")
+    )
+    # materialize before unpersisting the build table the plan reads
+    out = out.localCheckpoint(eager=True)
+    clustered.unpersist()
+    return out

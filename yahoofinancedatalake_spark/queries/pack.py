@@ -9428,6 +9428,124 @@ def q_kmeans_lloyd_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd_rounds(emb, k=5, rounds=2)
 
 
+def _semantic_dedup_oracle_sql(
+    k: int = 8, rounds: int = 1, tau: float = 0.45
+) -> str:
+    """Replay of semantic_dedup: the kmeans CTE chain up to the
+    post-``rounds`` centroids, one more assignment argmin against
+    them, then within-cluster exact-cosine pairs and the
+    keep-smallest-id survivor rule."""
+    sq = sql_dround("(c.x - t.c) * (c.x - t.c)", 6)
+    parts = [f"""
+    WITH comp AS (
+      SELECT vid, pos, {sql_dround("embedding[pos]::DOUBLE", 4)} AS x
+      FROM (
+        SELECT vec_id AS vid, embedding,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+      )
+    ), seeds AS (
+      SELECT vid, rn - 1 AS cluster FROM (
+        SELECT vid, row_number() OVER (ORDER BY vid ASC) AS rn
+        FROM (SELECT DISTINCT vec_id AS vid FROM embeddings)
+      ) WHERE rn <= {k}
+    ), c0 AS (
+      SELECT s.cluster, c.pos, c.x AS c
+      FROM comp c JOIN seeds s USING (vid)
+    )"""]
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS (
+      SELECT c.vid, t.cluster,
+             {sql_dround(f"sum({sq})", 4)} AS d
+      FROM comp c JOIN {prev} t USING (pos)
+      GROUP BY c.vid, t.cluster
+    ), a{i} AS (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster, row_number() OVER (
+          PARTITION BY vid ORDER BY d ASC, cluster ASC) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ), c{i} AS (
+      SELECT a.cluster, c.pos,
+             {sql_dround("sum(c.x)", 2)} / count(*) AS c
+      FROM comp c JOIN a{i} a USING (vid)
+      GROUP BY a.cluster, c.pos
+    )""")
+        prev = f"c{i}"
+    cos = sql_dround(
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))",
+        4,
+    )
+    parts.append(f""", da AS (
+      SELECT c.vid, t.cluster,
+             {sql_dround(f"sum({sq})", 4)} AS d
+      FROM comp c JOIN {prev} t USING (pos)
+      GROUP BY c.vid, t.cluster
+    ), aa AS (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster, row_number() OVER (
+          PARTITION BY vid ORDER BY d ASC, cluster ASC) AS rn
+        FROM da
+      ) WHERE rn = 1
+    ), vecs AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ), prs AS (
+      SELECT la.cluster, la.vid AS id_a, lb.vid AS id_b
+      FROM aa la JOIN aa lb
+        ON la.cluster = lb.cluster AND la.vid < lb.vid
+    ), sims AS (
+      SELECT p.cluster, p.id_a, p.id_b, {cos} AS cos
+      FROM prs p
+      JOIN vecs a ON p.id_a = a.vid
+      JOIN vecs b ON p.id_b = b.vid
+    ), dups AS (
+      SELECT DISTINCT id_b AS vid FROM sims WHERE cos >= {tau}
+    )
+    SELECT aa.cluster,
+           count(*) AS n_members,
+           count(d.vid) AS n_dups,
+           count(*) FILTER (WHERE d.vid IS NULL) AS n_survivors,
+           sum(CASE WHEN d.vid IS NULL THEN aa.vid ELSE 0 END)::BIGINT
+             AS survivor_id_sum
+    FROM aa LEFT JOIN dups d USING (vid)
+    GROUP BY aa.cluster
+    ORDER BY aa.cluster
+    """)
+    return "".join(parts)
+
+
+@_register(
+    "semantic_dedup",
+    _semantic_dedup_oracle_sql(),
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): "
+    "k-means clusters the embedding space (k=8, 1 Lloyd round, the "
+    "oracle-replayed kmeans_lloyd_rounds), every vector is assigned "
+    "to its nearest final centroid, and exact-cosine near-dup pairs "
+    "(>= 0.45 on this testdata — its strongest pairs sit near 0.5) "
+    "are found ONLY within clusters: learned-structure blocking in "
+    "the same role as LSH bands, turning all-pairs into per-cluster "
+    "blocks. Survivor rule is deterministic keep-smallest-id so the "
+    "oracle replays decisions exactly. Per-cluster rollup "
+    "(members/dups/survivors/survivor-id checksum) keeps the gated "
+    "output small while hashing every decision. At 100 TB: k scales "
+    "with the corpus (the paper runs k~11k on LAION) so cluster "
+    "blocks stay bounded; the clustered table buckets by cluster id "
+    "and the pair cosine is Arrow-batched on candidates only.",
+    parts=8,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import (  # noqa: PLC0415
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)
+    return semantic_dedup(emb, k=8, rounds=1, threshold=0.45)
+
+
 @_register(
     "rolling_median_15",
     f"""
