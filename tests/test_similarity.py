@@ -541,3 +541,34 @@ def test_assign_to_centroids_matches_kmeans_final_assignment(spark):
         lab = label_of[r["vid"]]
         seen.setdefault(r["cluster"], set()).add(lab)
     assert all(len(s) == 1 for s in seen.values())
+
+
+def test_mmr_rerank_prefers_diversity_over_redundancy(spark):
+    """MMR property pin on constructed geometry: three parallel
+    near-duplicates of the query direction (mutual cosine 1.0) and
+    one diverse vector. Pure top-3 would return the three duplicates;
+    MMR at lam=0.5 must pick duplicate -> diverse -> duplicate:
+    rank 1 = most relevant (smallest id on the rel tie), rank 2 = the
+    diverse vector (duplicates score rel - 1.0 < diverse's
+    rel - 0.6668), rank 3 = next duplicate (smaller id on the tie)."""
+    from yahoofinancedatalake_spark.operators.similarity import mmr_rerank
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.2, 0.0, 0.0]),   # a1
+            (11, [2.0, 0.4, 0.0, 0.0]),   # a2 = 2*a1 (cosine 1.0)
+            (12, [3.0, 0.6, 0.0, 0.0]),   # a3 = 3*a1
+            (20, [0.8, -0.6, 0.0, 0.0]),  # diverse: rel 0.8, sim~0.67
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "query_id long, qv array<double>"
+    )
+    out = mmr_rerank(
+        queries, corpus, k_candidates=4, k_select=3, lam=0.5
+    ).collect()
+    assert [r["selected_id"] for r in out] == [10, 20, 11]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # rank-1 score is 0.5 * rel with rel = cos(q, a1) = 1/sqrt(1.04)
+    assert abs(out[0]["score"] - 0.4903) < 1e-9

@@ -1373,3 +1373,133 @@ def semantic_dedup(
     out = out.localCheckpoint(eager=True)
     clustered.unpersist()
     return out
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_candidates: int = 20,
+    k_select: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): after exact top-``k_candidates`` retrieval,
+    greedily select ``k_select`` results maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in S} cos(c, s)`` — relevance
+    traded against redundancy with the already-selected set. The
+    retrieval-side diversity twin of :func:`semantic_dedup` (there:
+    drop near-dups from the corpus; here: keep them out of one
+    result list).
+
+    Deterministic and SQL-replayable: relevance is the dround(4)
+    brute-force cosine, pair similarities dround(4) before the max,
+    scores dround(4), argmax tie-broken by neighbor id — the
+    k_select greedy rounds unroll into one SQL CTE chain exactly
+    like the Lloyd rounds.
+
+    Scale: the iteration state is k_select rows per query (plus the
+    k_candidates candidate pool) — broadcast-sized by construction;
+    the corpus is touched only by the initial retrieval. Each round
+    is one anti-join + one (query, candidate) max-aggregation over
+    at most k_candidates * k_select pairs per query, JVM-side
+    (dot/l2_norm expressions, no Python). localCheckpoint per round
+    bounds the unrolled lineage (the kmeans convention).
+
+    Returns (query_id, rank, selected_id, score).
+    """
+    from yahoofinancedatalake_spark.functions.scalars import dround
+
+    cand = brute_force_cosine_topk(
+        queries, corpus, k=k_candidates, id_col=id_col, vec_col=vec_col
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    # tiny (n_queries x k_candidates rows); eager checkpoint so the
+    # corpus-wide retrieval doesn't re-execute every greedy round
+    cand = (
+        cand.join(vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").alias("rel"),
+            "__v",
+            "__n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    sel = (
+        cand.withColumn("score", dround(F.lit(lam) * F.col("rel"), 4))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("rank"),
+            "score",
+            "__v",
+            "__n",
+        )
+    )
+    for r in range(2, k_select + 1):
+        rem = cand.join(
+            sel.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pairs = rem.join(
+            sel.select(
+                "query_id",
+                F.col("__v").alias("__sv"),
+                F.col("__n").alias("__sn"),
+            ),
+            "query_id",
+        )
+        paircos = dround(
+            dot(F.col("__v"), F.col("__sv"))
+            / F.nullif(F.col("__n") * F.col("__sn"), F.lit(0.0)),
+            4,
+        )
+        m = (
+            pairs.withColumn("__pc", paircos)
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg(F.max("__pc").alias("maxsim"))
+            .withColumn(
+                "score",
+                dround(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("maxsim"),
+                    4,
+                ),
+            )
+        )
+        pick = (
+            m.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "neighbor_id", "score")
+            .join(
+                cand.select("query_id", "neighbor_id", "__v", "__n"),
+                ["query_id", "neighbor_id"],
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(r).alias("rank"),
+                "score",
+                "__v",
+                "__n",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id",
+        "rank",
+        F.col("neighbor_id").alias("selected_id"),
+        "score",
+    ).orderBy("query_id", "rank")

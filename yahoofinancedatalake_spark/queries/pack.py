@@ -9546,6 +9546,112 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, k=8, rounds=1, threshold=0.45)
 
 
+def _mmr_oracle_sql(
+    k_candidates: int = 20,
+    k_select: int = 5,
+    lam: float = 0.7,
+    n_queries: int = 3,
+) -> str:
+    """Replay of mmr_rerank: brute-force top-k_candidates retrieval,
+    then the greedy rounds unrolled as CTEs (the kmeans convention)."""
+    rel = sql_dround(
+        "list_dot_product(q.qv, e.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(q.qv, q.qv))"
+        " * sqrt(list_dot_product(e.embedding::DOUBLE[],"
+        " e.embedding::DOUBLE[])))",
+        4,
+    )
+    paircos = sql_dround(
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))",
+        4,
+    )
+    s1_score = sql_dround(f"{lam} * rel", 4)
+    parts = [f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {n_queries}
+    ), vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cand AS (
+      SELECT query_id, neighbor_id, rel FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {rel} AS rel
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id
+      )
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY rel DESC, neighbor_id ASC) <= {k_candidates}
+    ), s1 AS (
+      SELECT query_id, neighbor_id, 1 AS rank, {s1_score} AS score
+      FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {s1_score} DESC, neighbor_id ASC) = 1
+    ), sel1 AS (SELECT * FROM s1)"""]
+    for r in range(2, k_select + 1):
+        score = sql_dround(f"{lam} * rel - {1.0 - lam} * maxsim", 4)
+        parts.append(f""", rem{r} AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN sel{r - 1} s
+        ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+      WHERE s.neighbor_id IS NULL
+    ), m{r} AS (
+      SELECT rm.query_id, rm.neighbor_id, rm.rel,
+             max({paircos}) AS maxsim
+      FROM rem{r} rm
+      JOIN sel{r - 1} s ON s.query_id = rm.query_id
+      JOIN vecs a ON a.vec_id = rm.neighbor_id
+      JOIN vecs b ON b.vec_id = s.neighbor_id
+      GROUP BY rm.query_id, rm.neighbor_id, rm.rel
+    ), s{r} AS (
+      SELECT query_id, neighbor_id, {r} AS rank, {score} AS score
+      FROM m{r}
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {score} DESC, neighbor_id ASC) = 1
+    ), sel{r} AS (
+      SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r}
+    )""")
+    parts.append(f"""
+    SELECT query_id, rank, neighbor_id AS selected_id, score
+    FROM sel{k_select}
+    ORDER BY query_id, rank
+    """)
+    return "".join(parts)
+
+
+@_register(
+    "mmr_rerank",
+    _mmr_oracle_sql(),
+    doc="Maximal Marginal Relevance diversified retrieval (Carbonell "
+    "& Goldstein 1998): exact top-20 cosine retrieval for 3 query "
+    "vectors, then 5 greedy rounds selecting "
+    "argmax[0.7*rel - 0.3*max-sim-to-selected] — the RAG-serving "
+    "diversity op, and the retrieval-side twin of semantic_dedup "
+    "(keep near-dups out of one result list instead of out of the "
+    "corpus). Greedy rounds unroll into SQL CTEs exactly like the "
+    "Lloyd k-means rounds, so every selection decision is under the "
+    "value hash. Scale: iteration state is k_select rows per query "
+    "(broadcast-sized by construction); only the initial retrieval "
+    "touches the corpus (skew-salted two-phase top-k); each round "
+    "is JVM-expression work over <=100 pairs per query.",
+    parts=8,
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import (  # noqa: PLC0415
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return mmr_rerank(queries, emb, k_candidates=20, k_select=5, lam=0.7)
+
+
 @_register(
     "rolling_median_15",
     f"""
