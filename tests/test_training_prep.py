@@ -154,3 +154,35 @@ def test_contamination_detects_planted_overlap(spark):
     )
     assert {r.doc_id for r in out} == {1}
     assert out[0].n_shared == 1
+
+
+def test_weighted_sample_es_favors_heavy_docs_and_is_deterministic(
+    spark, tmp_path
+):
+    """The A-ES reservoir's defining property: P(keep) scales with
+    weight. Two weight classes in one stratum (w=2000 vs w=20, 50
+    docs each, keep 5): the heavy class must win nearly every slot.
+    And two runs over the same files must select identical rows (the
+    md5-derived uniform, not a seeded rand)."""
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    rows = [
+        (i, "x" * 10, "en", "s0", 2000 if i < 50 else 20)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    a = QUERIES["weighted_sample_es"].spark(spark, sf).collect()
+    b = QUERIES["weighted_sample_es"].spark(spark, sf).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 5
+    heavy = sum(1 for r in a if r["n_chars"] == 2000)
+    # E[heavy slots] ~ 5 * (100000/101000); even one light doc
+    # sneaking in is unlikely but tolerated — zero heavy would mean
+    # the weight is ignored or inverted
+    assert heavy >= 4

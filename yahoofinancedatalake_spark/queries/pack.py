@@ -9653,6 +9653,78 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "weighted_sample_es",
+    f"""
+    SELECT source, doc_id, n_chars, sample_rank FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY k ASC, doc_id ASC
+             ) AS sample_rank
+      FROM (
+        SELECT source, doc_id, n_chars,
+               {sql_dround(
+                   "-ln(((('0x' || substr(md5(doc_id::VARCHAR"
+                   " || ':' || source), 1, 8))::UBIGINT) + 0.5)"
+                   " / 4294967296.0) / n_chars::DOUBLE", 6)} AS k
+        FROM documents
+        WHERE n_chars > 0
+      )
+    )
+    WHERE sample_rank <= 5
+    ORDER BY source, sample_rank
+    """,
+    doc="Training-data op: deterministic weighted sampling without "
+    "replacement per stratum — the Efraimidis-Spirakis A-ES "
+    "one-pass reservoir (keep the m smallest ``-ln(u)/w`` keys; "
+    "here w = n_chars, so longer documents are proportionally more "
+    "likely to be kept, the standard size/quality-weighted "
+    "subsampling step in corpus mixing). The uniform u is derived "
+    "from md5(doc_id:source) (first 8 hex chars -> integer / 2^32, "
+    "the pack's content-hash idiom), so re-runs, retries, and both "
+    "engines draw the IDENTICAL sample — seeded-rand() sampling "
+    "cannot give that cross-engine determinism guarantee. At 100 TB "
+    "the key is a scan expression and the per-stratum top-m is a "
+    "bounded window (never a global sort): exactly a groupwise "
+    "top-k, the same shape as top_flop's TakeOrderedAndProject "
+    "family.",
+)
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("source"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    k = dround(-F.log(u) / F.col("n_chars").cast("double"), 6)
+    w = Window.partitionBy("source").orderBy(
+        F.col("k").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", k.alias("k"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .select("source", "doc_id", "n_chars", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
+@_register(
     "rolling_median_15",
     f"""
     WITH med AS (
