@@ -186,3 +186,29 @@ def test_weighted_sample_es_favors_heavy_docs_and_is_deterministic(
     # sneaking in is unlikely but tolerated — zero heavy would mean
     # the weight is ignored or inverted
     assert heavy >= 4
+
+
+def test_label_align_filter_flags_planted_misaligned_vector(
+    spark, tmp_path
+):
+    """Planted contract: label 0 holds five near-identical vectors
+    plus ONE inverted vector (negative direction -> cosine to the
+    label centroid below 0); exactly that one must be counted
+    misaligned, and a clean label flags nothing."""
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    rows = [(i, [1.0, 0.1 * i, 0.0, 0.0], 0) for i in range(5)]
+    rows.append((5, [-1.0, -0.2, 0.0, 0.0], 0))  # inverted
+    rows += [(10 + i, [0.0, 0.0, 1.0, 0.05 * i], 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    sf = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = {
+        r["label"]: r
+        for r in QUERIES["label_align_filter"].spark(spark, sf).collect()
+    }
+    assert out[0]["n"] == 6 and out[0]["n_misaligned"] == 1
+    assert out[1]["n"] == 4 and out[1]["n_misaligned"] == 0
+    assert out[1]["mean_cos"] > 0.9

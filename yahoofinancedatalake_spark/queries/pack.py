@@ -9725,6 +9725,112 @@ def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "label_align_filter",
+    f"""
+    WITH comp AS (
+      SELECT vec_id AS vid, label, pos,
+             {sql_dround("embedding[pos]::DOUBLE", 4)} AS x
+      FROM (
+        SELECT vec_id, label, embedding,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+      )
+    ), cent AS (
+      SELECT label, pos, {sql_dround("sum(x)", 2)} / count(*) AS c
+      FROM comp GROUP BY label, pos
+    ), cn AS (
+      SELECT label, sum({sql_dround("c * c", 6)}) AS n2c
+      FROM cent GROUP BY label
+    ), v AS (
+      SELECT comp.vid, comp.label,
+             sum({sql_dround("comp.x * cent.c", 6)}) AS dot,
+             sum({sql_dround("comp.x * comp.x", 6)}) AS n2v
+      FROM comp
+      JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos
+      GROUP BY comp.vid, comp.label
+    ), scored AS (
+      SELECT v.label,
+             {sql_dround("v.dot / sqrt(v.n2v * cn.n2c)", 4)} AS cos
+      FROM v JOIN cn USING (label)
+    )
+    SELECT label,
+           count(*) AS n,
+           count(*) FILTER (WHERE cos < 0.0) AS n_misaligned,
+           {sql_dround(sql_dround("sum(cos)", 4) + " / count(*)", 4)}
+             AS mean_cos
+    FROM scored
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Training-data op: label-alignment filtering, the CLIP-score "
+    "filter analog for labeled embeddings — every vector's cosine "
+    "to ITS OWN label's centroid; vectors below threshold (0.0 "
+    "here: ~10% of this testdata, whose labels are intentionally "
+    "noisy) are the mislabeled/noisy-pair candidates a multimodal "
+    "pipeline drops before training. Composes the label_centroids "
+    "aggregation with a component-space cosine (products "
+    "dround(6)-fixed before their sums, the fixed-point rule), so "
+    "the whole filter is two map-side-combined aggregations plus a "
+    "broadcast of the label x dim centroid table — no corpus "
+    "shuffle beyond the (label,pos) partial-sum exchange. Per-label "
+    "rollup (n / n_misaligned / mean alignment) is the "
+    "drift-monitorable gate output.",
+    parts=8,
+)
+def q_label_align_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(emb)
+    comp = emb.select(
+        F.col("vec_id").alias("vid"),
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "x0"
+        ),
+    ).select(
+        "vid",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        dround(F.col("x0"), 4).alias("x"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        (dround(F.sum("x"), 2) / F.count(F.lit(1))).alias("c")
+    )
+    cn = cent.groupBy("label").agg(
+        F.sum(dround(F.col("c") * F.col("c"), 6)).alias("n2c")
+    )
+    v = (
+        comp.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vid", "label")
+        .agg(
+            F.sum(dround(F.col("x") * F.col("c"), 6)).alias("dot"),
+            F.sum(dround(F.col("x") * F.col("x"), 6)).alias("n2v"),
+        )
+    )
+    scored = v.join(F.broadcast(cn), "label").select(
+        "label",
+        dround(
+            F.col("dot") / F.sqrt(F.col("n2v") * F.col("n2c")), 4
+        ).alias("cos"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("cos") < 0.0, 1)).alias("n_misaligned"),
+            (dround(F.sum(dround(F.col("cos"), 4)), 4) / F.count(F.lit(1)))
+            .alias("mean_cos_raw"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_misaligned",
+            dround(F.col("mean_cos_raw"), 4).alias("mean_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+@_register(
     "rolling_median_15",
     f"""
     WITH med AS (
