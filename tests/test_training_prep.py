@@ -212,3 +212,34 @@ def test_label_align_filter_flags_planted_misaligned_vector(
     assert out[0]["n"] == 6 and out[0]["n_misaligned"] == 1
     assert out[1]["n"] == 4 and out[1]["n_misaligned"] == 0
     assert out[1]["mean_cos"] > 0.9
+
+
+def test_pagerank_bipartite_ranks_popular_hub_higher(spark, tmp_path):
+    """Hand graph: users 1-3 all touch type A, only user 3 touches
+    type B -> after two rounds A's rank must exceed B's, and total
+    rank mass stays ~1 (bidirectional edges leave no dangling
+    nodes; the rounding loses at most ~1e-7 per node)."""
+    import datetime as dt
+
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, uid, et, 1.0, None)
+        for i, (uid, et) in enumerate(
+            [(1, "A"), (2, "A"), (3, "A"), (3, "B"), (1, "A")]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = QUERIES["pagerank_bipartite"].spark(spark, sf).collect()
+    ranks = {r["node"]: r["rank"] for r in out}
+    assert ranks["e:A"] > ranks["e:B"]
+    # 5 nodes total (3 users + 2 types), all in the output
+    assert len(out) == 5
+    assert abs(sum(ranks.values()) - 1.0) < 1e-5

@@ -9830,6 +9830,132 @@ def q_label_align_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(rounds: int = 2) -> str:
+    """Replay of pagerank_bipartite: per-round contribution sums as
+    chained CTEs (the kmeans/MMR unrolling convention)."""
+    r0 = sql_dround("1.0 / n", 8)
+    contrib = sql_dround("r.rank / r.deg", 8)
+    parts = [f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'u:' || user_id::VARCHAR AS u,
+                      'e:' || event_type AS e
+      FROM events
+    ), edges AS (
+      SELECT u AS src, e AS dst FROM pairs
+      UNION ALL
+      SELECT e AS src, u AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+    ), tot AS (
+      SELECT count(*) AS n FROM deg
+    ), r0 AS (
+      SELECT node, deg, n, {r0} AS rank FROM deg CROSS JOIN tot
+    )"""]
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        newrank = sql_dround("0.15 / d.n + 0.85 * coalesce(c.s, 0)", 8)
+        parts.append(f""", c{i} AS (
+      SELECT e.dst AS node, sum({contrib}) AS s
+      FROM {prev} r JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT d.node, d.deg, d.n, {newrank} AS rank
+      FROM {prev} d LEFT JOIN c{i} c USING (node)
+    )""")
+        prev = f"r{i}"
+    parts.append(f"""
+    SELECT node, rank FROM (
+      SELECT node, rank FROM {prev} WHERE node LIKE 'e:%'
+      UNION ALL
+      SELECT node, rank FROM (
+        SELECT node, rank FROM {prev} WHERE node LIKE 'u:%'
+        ORDER BY rank DESC, node ASC LIMIT 10
+      )
+    )
+    ORDER BY rank DESC, node ASC
+    """)
+    return "".join(parts)
+
+
+@_register(
+    "pagerank_bipartite",
+    _pagerank_oracle_sql(),
+    doc="Graph analytics: 2 power-iteration PageRank rounds (d=0.85) "
+    "over the user <-> event-type bipartite interaction graph "
+    "(distinct (user, type) pairs, edges in both directions so no "
+    "dangling nodes), every round under the value hash via the "
+    "kmeans/MMR CTE-unrolling convention — the third iterative "
+    "family next to Lloyd refinement and connected components. "
+    "Plan per round: ranks join edges on the source key (at 100 TB "
+    "both sides bucket by node id, co-partitioned), contributions "
+    "map-side combine into the destination sum, the 1-row node "
+    "count folds in via the data-derived constant-key "
+    "BroadcastHashJoin — never a driver collect of the rank vector. "
+    "Output: all event-type hubs plus the top-10 user nodes "
+    "(deterministic rank/node tie-break).",
+)
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    pairs = ev.distinct().select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("e:"), F.col("event_type")).alias("e"),
+    )
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("e").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("e").alias("src"), F.col("u").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    tot = deg.agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "__k", _const_key(F.col("n"))
+    )
+    nodes = (
+        deg.withColumnRenamed("src", "node")
+        .withColumn("__k", _const_key(F.col("node")))
+        .join(F.broadcast(tot), "__k")
+        .drop("__k")
+    )
+    ranks = nodes.select(
+        "node", "deg", "n", dround(F.lit(1.0) / F.col("n"), 8).alias("rank")
+    )
+    for _ in range(2):
+        contrib = ranks.join(
+            edges, ranks.node == edges.src
+        ).select(
+            F.col("dst").alias("dnode"),
+            dround(F.col("rank") / F.col("deg"), 8).alias("c"),
+        )
+        summed = contrib.groupBy("dnode").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes.node == summed.dnode, "left")
+            .select(
+                "node",
+                "deg",
+                "n",
+                dround(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("s"), F.lit(0.0)),
+                    8,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    hubs = ranks.filter(F.col("node").startswith("e:")).select(
+        "node", "rank"
+    )
+    top_users = (
+        ranks.filter(F.col("node").startswith("u:"))
+        .select("node", "rank")
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(10)
+    )
+    return hubs.unionByName(top_users).orderBy(
+        F.col("rank").desc(), F.col("node").asc()
+    )
+
+
 @_register(
     "rolling_median_15",
     f"""
