@@ -10180,6 +10180,212 @@ def q_ks_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MACD: truncated renormalized FIR EMAs (the ewma_smooth convention —
+# the tap cut is part of the operator definition, identical on both
+# engines, so values are bit-identical left-associated double sums).
+_MACD_TAPS = 40
+_MACD_WF = 11.0 / 13.0   # span-12 EMA decay (1 - 2/(12+1))
+_MACD_WS = 25.0 / 27.0   # span-26 EMA decay
+_MACD_SIG_TAPS = 30
+_MACD_WSIG = 0.8         # span-9 EMA decay (1 - 2/(9+1))
+
+
+def _fir_sql(col: str, w: float, taps: int) -> str:
+    """Renormalized truncated-EMA FIR over window ``w`` in SQL text.
+
+    Weight literals are cast to DOUBLE: DuckDB parses a 16-digit
+    decimal literal as DECIMAL(16,16) and would run the 40-term
+    renormalization sum in fixed-point DECIMAL(18,16), which both
+    overflows and diverges from Spark's IEEE-double sum."""
+    num = [col]
+    den = ["CAST(1.0 AS DOUBLE)"]
+    for j in range(1, taps):
+        wj = f"CAST({w**j!r} AS DOUBLE)"
+        num.append(f"{wj} * coalesce(lag({col}, {j}) OVER w, 0.0)")
+        den.append(
+            f"CASE WHEN lag({col}, {j}) OVER w IS NULL THEN 0.0 ELSE {wj} END"
+        )
+    return f"({' + '.join(num)}) / ({' + '.join(den)})"
+
+
+def _fir_col(col: str, w: float, taps: int, wn) -> Column:
+    """The same FIR as :func:`_fir_sql`, as a Spark expression tree —
+    term-for-term identical association order."""
+    from functools import reduce  # noqa: PLC0415
+    from operator import add  # noqa: PLC0415
+
+    num = [F.col(col)]
+    den = [F.lit(1.0)]
+    for j in range(1, taps):
+        wj = w**j
+        lagj = F.lag(col, j).over(wn)
+        num.append(F.lit(wj) * F.coalesce(lagj, F.lit(0.0)))
+        den.append(F.when(lagj.isNull(), F.lit(0.0)).otherwise(F.lit(wj)))
+    return reduce(add, num) / reduce(add, den)
+
+
+@_register(
+    "macd_crossover",
+    f"""
+    WITH m AS (
+      SELECT event_id, event_type, ts,
+             {sql_dround(
+                 f"({_fir_sql('value', _MACD_WF, _MACD_TAPS)})"
+                 f" - ({_fir_sql('value', _MACD_WS, _MACD_TAPS)})", 6)}
+               AS macd
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), s AS (
+      SELECT event_id, event_type, ts, macd,
+             {sql_dround(
+                 _fir_sql('macd', _MACD_WSIG, _MACD_SIG_TAPS), 6)}
+               AS signal
+      FROM m
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), h AS (
+      SELECT event_id, event_type, ts, macd, signal,
+             {sql_dround("macd - signal", 6)} AS hist
+      FROM s
+    ), x AS (
+      SELECT event_id, ts, macd, signal, hist,
+             lag(hist) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS prev_hist
+      FROM h
+    )
+    SELECT event_id, ts, macd, signal, hist,
+           CASE WHEN hist >= 0 THEN 'bull' ELSE 'bear' END AS direction
+    FROM x
+    WHERE prev_hist IS NOT NULL AND sign(hist) <> sign(prev_hist)
+    ORDER BY ts, event_id
+    """,
+    doc="MACD(12,26,9) crossover detection on the purchase price "
+    "series — the missing classic next to RSI/Bollinger/EWMA in the "
+    "technical-analysis family. Fast and slow EMAs are 40-tap "
+    "renormalized FIR filters, the signal line a 30-tap FIR over the "
+    "dround'd MACD column (the ewma_smooth convention: the tap cut "
+    "IS the operator definition, so both engines sum identical "
+    "left-associated double terms and every value matches "
+    "bit-exactly). Emits only histogram sign-change rows with the "
+    "crossing direction. All 100 lags come out of TWO window sorts "
+    "(one per stage) partitioned by series key — at 100 TB each "
+    "symbol sorts independently, no global sort, state bounded by "
+    "the tap count.",
+    parts=8,
+)
+def q_macd_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    wn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    m = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        dround(
+            _fir_col("value", _MACD_WF, _MACD_TAPS, wn)
+            - _fir_col("value", _MACD_WS, _MACD_TAPS, wn),
+            6,
+        ).alias("macd"),
+    )
+    s = m.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "macd",
+        dround(
+            _fir_col("macd", _MACD_WSIG, _MACD_SIG_TAPS, wn), 6
+        ).alias("signal"),
+    )
+    h = s.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "macd",
+        "signal",
+        dround(F.col("macd") - F.col("signal"), 6).alias("hist"),
+    )
+    x = h.withColumn("prev_hist", F.lag("hist").over(wn))
+    return (
+        x.filter(
+            F.col("prev_hist").isNotNull()
+            & (F.signum("hist") != F.signum("prev_hist"))
+        )
+        .select(
+            "event_id",
+            "ts",
+            "macd",
+            "signal",
+            "hist",
+            F.when(F.col("hist") >= 0, F.lit("bull"))
+            .otherwise(F.lit("bear"))
+            .alias("direction"),
+        )
+        .orderBy("ts", "event_id")
+    )
+
+
+@_register(
+    "basket_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem
+    ), freq AS (
+      SELECT pk FROM items GROUP BY pk HAVING count(*) >= 2
+    ), pruned AS (
+      SELECT i.ok, i.pk FROM items i JOIN freq f USING (pk)
+    ), pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM pruned a JOIN pruned b
+        ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+    doc="Market-basket frequent part pairs (the A-priori L2 pass): "
+    "distinct (order, part) items, the A-priori pruning theorem "
+    "applied first (a part in fewer than min_support orders cannot "
+    "appear in a frequent pair, so infrequent items are semi-joined "
+    "away BEFORE pair generation), then within-order pair expansion "
+    "and a (part_a, part_b) count with min support 2, top-20 "
+    "deterministic. Scale shape: pair expansion is bounded by "
+    "basket size squared per order (TPC-H baskets are <= 7 lines), "
+    "the frequent-item filter is a broadcast semi-join, and the "
+    "pair count combines map-side — the only wide exchange is the "
+    "(part_a, part_b) aggregation.",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    items = li.distinct()
+    freq = (
+        items.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pk")
+    )
+    pruned = items.join(F.broadcast(freq), "pk")
+    a = pruned.select("ok", F.col("pk").alias("part_a"))
+    b = pruned.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return pairs.orderBy(
+        F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
