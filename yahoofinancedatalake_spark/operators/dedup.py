@@ -958,3 +958,80 @@ def connected_components_star(
         .withColumn("component", F.col("node"))
     )
     return labels.unionByName(centers)
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= ``threshold`` via PREFIX FILTERING
+    (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo/Ma/Srikant "Scaling Up
+    All Pairs Similarity Search", WWW'07) — the deterministic,
+    loss-free alternative to MinHash banding in the dedup ladder:
+    no hash-family miss probability, every qualifying pair found.
+
+    Tokens (word-``shingle_n``-gram shingles) get a global total
+    order by ascending document frequency (rarest first, token text
+    tie-break). A document with m shingles keeps only its first
+    ``L = m - ceil(t·m) + 1`` tokens in that order as its *prefix*.
+    Theorem: J(a,b) >= t implies |a∩b| >= ceil(t·max(ma, mb)), so if
+    the earliest shared token (in the global order) sat outside
+    either document's prefix, the suffix could hold at most
+    ``ceil(t·m) - 1`` shared tokens — contradiction. Hence every
+    qualifying pair shares a token in BOTH prefixes, and a
+    prefix-on-prefix equi-join generates a candidate superset;
+    :func:`ngram_jaccard` then verifies exactly. Rare-first ordering
+    makes prefixes touch the *least* frequent tokens, keeping posting
+    lists (and the join fan-out) minimal.
+
+    ``ceil(t·m)`` is computed in INTEGER arithmetic from
+    ``Fraction(str(threshold))`` — an IEEE ``ceil(0.8 * 5)`` is 5,
+    not 4, and a one-too-short prefix silently loses pairs.
+
+    Scale: no crossJoin anywhere — the joins key on token, the
+    per-doc prefix window is bounded by the doc's own shingle count,
+    and candidate volume concentrates on rare tokens (df-ascending
+    prefixes). At 100 TB add the standard length filter (a doc pairs
+    only with lengths within [t·m, m/t]) by banding on
+    ``floor(log(m)/log(1/t))`` — omitted here because the testdata's
+    doc lengths are homogeneous.
+    """
+    from fractions import Fraction  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    frac = Fraction(str(threshold))
+    tn, td = frac.numerator, frac.denominator
+    sh = docs.select(
+        F.col(id_col).alias("pid"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    sz = sh.groupBy("pid").agg(F.count(F.lit(1)).alias("m"))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("pid").orderBy(
+        F.col("df").asc(), F.col("g").asc()
+    )
+    ceil_tm = F.floor(
+        (F.lit(tn) * F.col("m") + F.lit(td - 1)) / F.lit(td)
+    )
+    pref = (
+        sh.join(dfreq, "g")
+        .join(sz, "pid")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(
+            F.col("rn")
+            <= F.greatest(F.col("m") - ceil_tm + F.lit(1), F.lit(1))
+        )
+        .select("pid", "g")
+    )
+    a = pref.select(F.col("pid").alias("id_a"), "g")
+    b = pref.select(F.col("pid").alias("id_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

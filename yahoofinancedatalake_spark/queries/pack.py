@@ -10453,6 +10453,62 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+@_register(
+    "prefix_filter_jaccard",
+    f"""
+    WITH {_SQL_SHINGLES},
+    ex AS (
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), sz AS (
+      SELECT doc_id, count(*) AS m FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           i::DOUBLE / (sa.m + sb.m - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    WHERE i::DOUBLE / (sa.m + sb.m - i) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact all-pairs shingle Jaccard >= 0.8 via PREFIX FILTERING "
+    "(Chaudhuri/Ganti/Kaushik ICDE'06, Bayardo et al. WWW'07) — the "
+    "loss-FREE third rung of the near-dup ladder next to MinHash "
+    "(probabilistic) and SimHash (radius-bounded): tokens ordered "
+    "rarest-first by document frequency, each doc keeps only its "
+    "first m - ceil(t*m) + 1 tokens as a prefix (integer-exact ceil "
+    "— IEEE ceil(0.8*5)=5 would silently shorten prefixes and lose "
+    "pairs), qualifying pairs provably share a prefix token on both "
+    "sides, and the surviving candidates verify with the exact "
+    "ngram_jaccard kernel. The oracle computes ground truth by the "
+    "full inverted-index join WITHOUT the prefix pruning, so the "
+    "gate checks the losslessness theorem itself, not a shared "
+    "implementation. Plan: token-keyed equi-joins only, per-doc "
+    "window bounded by doc length, no LSH miss probability, no "
+    "crossJoin.",
+    parts=8,
+)
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
+    cand = prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.8, shingle_n=3
+    )
+    return (
+        ngram_jaccard(cand, docs, "doc_id", "text", shingle_n=3)
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
