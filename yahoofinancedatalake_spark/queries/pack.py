@@ -10509,6 +10509,240 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _z_interleave_sql(gx: str, gy: str, bits: int = 16) -> str:
+    """Bit-interleaved z-value of two ``bits``-wide grid coords, SQL."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({gx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({gy} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_oracle_sql() -> str:
+    z = _z_interleave_sql("gx", "gy")
+    return f"""
+    WITH st AS (
+      SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+             min(l_suppkey) AS mins, max(l_suppkey) AS maxs,
+             min(l_orderkey) AS mino, max(l_orderkey) AS maxo
+      FROM lineitem
+    ), g AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(floor((l_partkey - minp) * 65535.0
+                        / greatest(maxp - minp, 1)) AS BIGINT) AS gx,
+             CAST(floor((l_suppkey - mins) * 65535.0
+                        / greatest(maxs - mins, 1)) AS BIGINT) AS gy,
+             CAST(floor((l_orderkey - mino) * 64.0
+                        / (maxo - mino + 1)) AS BIGINT) AS nf,
+             minp + floor(0.45 * (maxp - minp)) AS pk_lo,
+             minp + floor(0.55 * (maxp - minp)) AS pk_hi,
+             mins + floor(0.45 * (maxs - mins)) AS sk_lo,
+             mins + floor(0.55 * (maxs - mins)) AS sk_hi
+      FROM lineitem CROSS JOIN st
+    ), z AS (
+      SELECT pk, sk, nf, ({z}) >> 26 AS zf,
+             pk_lo, pk_hi, sk_lo, sk_hi
+      FROM g
+    ), zf AS (
+      SELECT zf AS f, min(pk) AS minpk, max(pk) AS maxpk,
+             min(sk) AS minsk, max(sk) AS maxsk,
+             count(*) AS rows_, min(pk_lo) AS pk_lo,
+             min(pk_hi) AS pk_hi, min(sk_lo) AS sk_lo,
+             min(sk_hi) AS sk_hi
+      FROM z GROUP BY zf
+    ), nf AS (
+      SELECT nf AS f, min(pk) AS minpk, max(pk) AS maxpk,
+             min(sk) AS minsk, max(sk) AS maxsk,
+             count(*) AS rows_, min(pk_lo) AS pk_lo,
+             min(pk_hi) AS pk_hi, min(sk_lo) AS sk_lo,
+             min(sk_hi) AS sk_hi
+      FROM z GROUP BY nf
+    )
+    SELECT layout, probe_dim,
+           CAST(files_total AS BIGINT) AS files_total,
+           CAST(files_kept AS BIGINT) AS files_kept,
+           CAST(rows_kept AS BIGINT) AS rows_kept
+    FROM (
+      SELECT 'zorder' AS layout, 'partkey' AS probe_dim,
+             count(*) AS files_total,
+             sum(CASE WHEN minpk <= pk_hi AND maxpk >= pk_lo
+                 THEN 1 ELSE 0 END) AS files_kept,
+             sum(CASE WHEN minpk <= pk_hi AND maxpk >= pk_lo
+                 THEN rows_ ELSE 0 END) AS rows_kept
+      FROM zf
+      UNION ALL
+      SELECT 'zorder', 'suppkey', count(*),
+             sum(CASE WHEN minsk <= sk_hi AND maxsk >= sk_lo
+                 THEN 1 ELSE 0 END),
+             sum(CASE WHEN minsk <= sk_hi AND maxsk >= sk_lo
+                 THEN rows_ ELSE 0 END)
+      FROM zf
+      UNION ALL
+      SELECT 'natural', 'partkey', count(*),
+             sum(CASE WHEN minpk <= pk_hi AND maxpk >= pk_lo
+                 THEN 1 ELSE 0 END),
+             sum(CASE WHEN minpk <= pk_hi AND maxpk >= pk_lo
+                 THEN rows_ ELSE 0 END)
+      FROM nf
+      UNION ALL
+      SELECT 'natural', 'suppkey', count(*),
+             sum(CASE WHEN minsk <= sk_hi AND maxsk >= sk_lo
+                 THEN 1 ELSE 0 END),
+             sum(CASE WHEN minsk <= sk_hi AND maxsk >= sk_lo
+                 THEN rows_ ELSE 0 END)
+      FROM nf
+    )
+    ORDER BY layout, probe_dim
+    """
+
+
+@_register(
+    "zorder_layout",
+    _zorder_oracle_sql(),
+    doc="Z-order data-layout audit (the OPTIMIZE ZORDER BY analog a "
+    "lakehouse runs before writing 100 TB of scan-heavy fact data): "
+    "both probe dimensions are min/max-scaled onto a 16-bit grid "
+    "(integer-exact arithmetic from a 1-row stats aggregate folded "
+    "in via the data-derived constant-key broadcast join, never a "
+    "driver collect), bit-interleaved into a 32-bit Morton code, "
+    "and rows are binned into 64 z-files (top 6 code bits) vs 64 "
+    "ingest-order files (orderkey ranges). For a 10%-band probe on "
+    "EACH dimension the query emits per-layout file-skipping "
+    "effectiveness (files kept / rows kept under min-max pruning) — "
+    "demonstrating the z-layout prunes on BOTH columns while the "
+    "ingest layout prunes on neither. The interleave is a plain "
+    "64-term shift/mask expression (whole-stage codegen, no UDF), "
+    "identical in SQL on the oracle side.",
+    parts=8,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_orderkey").alias("ok"),
+    )
+    stats = (
+        li.agg(
+            F.min("pk").alias("minp"),
+            F.max("pk").alias("maxp"),
+            F.min("sk").alias("mins"),
+            F.max("sk").alias("maxs"),
+            F.min("ok").alias("mino"),
+            F.max("ok").alias("maxo"),
+        )
+        .withColumn("__k", _const_key(F.col("minp")))
+    )
+    t = li.withColumn("__k", _const_key(F.col("pk"))).join(
+        F.broadcast(stats), "__k"
+    )
+    gx = F.floor(
+        (F.col("pk") - F.col("minp"))
+        * F.lit(65535.0)
+        / F.greatest(F.col("maxp") - F.col("minp"), F.lit(1))
+    )
+    gy = F.floor(
+        (F.col("sk") - F.col("mins"))
+        * F.lit(65535.0)
+        / F.greatest(F.col("maxs") - F.col("mins"), F.lit(1))
+    )
+    nf = F.floor(
+        (F.col("ok") - F.col("mino"))
+        * F.lit(64.0)
+        / (F.col("maxo") - F.col("mino") + F.lit(1))
+    )
+    g = t.select(
+        "pk",
+        "sk",
+        gx.alias("gx"),
+        gy.alias("gy"),
+        nf.alias("nf"),
+        (
+            F.col("minp")
+            + F.floor(F.lit(0.45) * (F.col("maxp") - F.col("minp")))
+        ).alias("pk_lo"),
+        (
+            F.col("minp")
+            + F.floor(F.lit(0.55) * (F.col("maxp") - F.col("minp")))
+        ).alias("pk_hi"),
+        (
+            F.col("mins")
+            + F.floor(F.lit(0.45) * (F.col("maxs") - F.col("mins")))
+        ).alias("sk_lo"),
+        (
+            F.col("mins")
+            + F.floor(F.lit(0.55) * (F.col("maxs") - F.col("mins")))
+        ).alias("sk_hi"),
+    )
+    from functools import reduce  # noqa: PLC0415
+    from operator import add  # noqa: PLC0415
+
+    zterms = []
+    for i in range(16):
+        zterms.append(
+            F.shiftleft(
+                F.shiftright(F.col("gx"), i).bitwiseAND(F.lit(1)), 2 * i
+            )
+        )
+        zterms.append(
+            F.shiftleft(
+                F.shiftright(F.col("gy"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+    z = g.withColumn("zf", F.shiftright(reduce(add, zterms), 26))
+
+    def files(by: str) -> DataFrame:
+        return z.groupBy(F.col(by).alias("f")).agg(
+            F.min("pk").alias("minpk"),
+            F.max("pk").alias("maxpk"),
+            F.min("sk").alias("minsk"),
+            F.max("sk").alias("maxsk"),
+            F.count(F.lit(1)).alias("rows_"),
+            F.min("pk_lo").alias("pk_lo"),
+            F.min("pk_hi").alias("pk_hi"),
+            F.min("sk_lo").alias("sk_lo"),
+            F.min("sk_hi").alias("sk_hi"),
+        )
+
+    zfiles = files("zf").persist()
+    nfiles = files("nf").persist()
+
+    def probe(fdf: DataFrame, layout: str, dim: str) -> DataFrame:
+        lo, hi, mn, mx = (
+            ("pk_lo", "pk_hi", "minpk", "maxpk")
+            if dim == "partkey"
+            else ("sk_lo", "sk_hi", "minsk", "maxsk")
+        )
+        keep = (F.col(mn) <= F.col(hi)) & (F.col(mx) >= F.col(lo))
+        return fdf.agg(
+            F.count(F.lit(1)).cast("bigint").alias("files_total"),
+            F.sum(F.when(keep, 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_kept"),
+            F.sum(F.when(keep, F.col("rows_")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_kept"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            F.lit(dim).alias("probe_dim"),
+            "files_total",
+            "files_kept",
+            "rows_kept",
+        )
+
+    out = (
+        probe(zfiles, "zorder", "partkey")
+        .unionByName(probe(zfiles, "zorder", "suppkey"))
+        .unionByName(probe(nfiles, "natural", "partkey"))
+        .unionByName(probe(nfiles, "natural", "suppkey"))
+        .orderBy("layout", "probe_dim")
+    )
+    out = out.localCheckpoint(eager=True)
+    zfiles.unpersist()
+    nfiles.unpersist()
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
