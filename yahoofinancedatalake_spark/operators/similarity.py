@@ -1300,7 +1300,7 @@ def semantic_dedup(
     >= ``threshold``) and keep one representative per duplicate
     relation — the clustering turns the quadratic all-pairs problem
     into per-cluster blocks, the same blocking role LSH bands play in
-    :func:`lsh_near_dup_pairs` but driven by learned structure.
+    the MinHash ladder but driven by learned structure.
 
     Duplicate rule (deterministic): a vector is a duplicate iff some
     SMALLER-id vector in its cluster has cosine >= threshold with it
@@ -1313,12 +1313,15 @@ def semantic_dedup(
     (they run k ~ 11k on LAION so clusters stay ~1e4); at 100 TB pick
     k ~ N/10k and bucket the clustered table by cluster id so the
     self-join is co-partitioned. The pair cosine runs on candidate
-    pairs only, Arrow-batched (:func:`pair_cosine`), and the
-    embedding payload rides the cluster shuffle once.
+    pairs only, JVM-side (codegen'd dot-fold over per-MEMBER
+    precomputed norms — the quadratic piece never crosses Arrow),
+    and the embedding payload rides the cluster shuffle once.
 
     Returns one row per cluster:
     (cluster, n_members, n_dups, n_survivors, survivor_id_sum).
     """
+    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+
     cent = kmeans_lloyd_rounds(
         vectors, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
     )
@@ -1327,22 +1330,41 @@ def semantic_dedup(
     )
     clustered = (
         vectors.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+            F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("v"),
         )
         .join(assign, "vid")
+        # norm once per MEMBER, not once per pair — the self-join
+        # squares the row count, so per-pair norms would recompute
+        # each vector's norm ~cluster_size times
+        .withColumn("n", l2_norm(F.col("v")))
         # persisted: both sides of the pair self-join and the final
         # per-cluster rollup re-read this table
         .persist()
     )
     a = clustered.select(
-        "cluster", F.col("vid").alias("id_a"), F.col("v").alias("va")
+        "cluster",
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
     )
     b = clustered.select(
-        "cluster", F.col("vid").alias("id_b"), F.col("v").alias("vb")
+        "cluster",
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
     )
     pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    # JVM-side codegen'd cosine (dot/zip_with fold) — the candidate
+    # volume is the quadratic piece, so keeping it out of Arrow
+    # transfer matters more than numpy's per-row speed
+    cos = dround(
+        dot(F.col("va"), F.col("vb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        4,
+    )
     dups = (
-        pairs.withColumn("cos", pair_cosine(F.col("va"), F.col("vb")))
+        pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_b")
         .distinct()

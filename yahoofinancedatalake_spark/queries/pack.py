@@ -9893,6 +9893,7 @@ def _pagerank_oracle_sql(rounds: int = 2) -> str:
     "BroadcastHashJoin — never a driver collect of the rank vector. "
     "Output: all event-type hubs plus the top-10 user nodes "
     "(deterministic rank/node tie-break).",
+    parts=8,
 )
 def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
@@ -10430,6 +10431,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(orientation-invariant, so implementation and ground truth are "
     "independent formulations). Output: nodes/edges/wedges/triangles "
     "+ global clustering coefficient.",
+    parts=8,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yahoofinancedatalake_spark.operators.graph import (  # noqa: PLC0415
