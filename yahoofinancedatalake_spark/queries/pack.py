@@ -10745,6 +10745,190 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register(
+    "incremental_agg_gate",
+    """
+    SELECT event_type,
+           CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           sum(CAST(floor(value * 100) AS BIGINT))::DOUBLE / count(*)
+             AS avg_cents
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    ORDER BY event_type, d
+    """,
+    doc="Incremental aggregate maintenance under an EXACT full-"
+    "recompute oracle: the events stream is split by event-id parity "
+    "into a landed history and a late-arriving batch (every "
+    "(type, day) key receives rows from BOTH, so the merge is real, "
+    "not a disjoint union), each side aggregates independently to "
+    "(n, sum) partials, and the partials merge by key — the "
+    "algebraic-decomposition pattern every 100 TB daily pipeline "
+    "uses to avoid re-scanning history (avg does not merge; "
+    "(sum, count) does). Values are integer cents (floor(value*100) "
+    "— floor, never engine-divergent casts or half-rounding) so "
+    "integer associativity makes incremental == full recompute "
+    "EXACTLY, and the oracle is the genuine one-pass recompute, not "
+    "a replay of the two-phase plan. The derived avg is an exact "
+    "int/int IEEE quotient.",
+    parts=8,
+)
+def q_incremental_agg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_id"),
+    )
+    hist = ev.filter(F.col("event_id") % 2 == 0)
+    batch = ev.filter(F.col("event_id") % 2 == 1)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "d").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    merged = (
+        partial(hist)
+        .unionByName(partial(batch))
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "d",
+        "n",
+        "sum_cents",
+        (F.col("sum_cents").cast("double") / F.col("n")).alias("avg_cents"),
+    ).orderBy("event_type", "d")
+
+
+@_register(
+    "session_pattern_match",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'v+p')) AS BIGINT)
+             AS n_conversions,
+           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+             AS n_error_runs
+    FROM seq
+    ORDER BY user_id
+    """,
+    doc="MATCH_RECOGNIZE-style event-sequence pattern matching: each "
+    "user's event history collapses to a compact per-user symbol "
+    "string (first letter of the event type, ordered by (ts, "
+    "event_id) — the alphabet c/e/p/s/v is prefix-distinct), and "
+    "funnel patterns are counted as leftmost non-overlapping regex "
+    "matches: 'v+p' = a view-run converting to purchase, 'ee+' = "
+    "consecutive-error incidents. Deterministic across engines "
+    "because greedy leftmost matching of a backtracking-free "
+    "pattern is engine-invariant. Spark side is pure expressions "
+    "(sort_array over (ts, event_id, symbol) structs -> array_join "
+    "-> regexp_count): ONE shuffle on user_id, per-user state "
+    "bounded by the user's own history — the sequence-analytics "
+    "sibling of event_transitions (which counts only adjacent "
+    "pairs) and funnel_stages (which checks one fixed stage "
+    "order).",
+    parts=8,
+)
+def q_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("ch"),
+        ).alias("rec"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("rec")), lambda r: r["ch"]
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("seq_len"),
+        F.regexp_count("s", F.lit("v+p")).cast("bigint").alias(
+            "n_conversions"
+        ),
+        F.regexp_count("s", F.lit("ee+")).cast("bigint").alias(
+            "n_error_runs"
+        ),
+    ).orderBy("user_id")
+
+
+@_register(
+    "orc_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_quantity <= 10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="ORC format round-trip under the value gate: a lineitem "
+    "projection lands as hive-partitioned ORC (partitioned by "
+    "l_returnflag), is read back through Spark's vectorized ORC "
+    "reader with a partition-pruning-eligible layout and a "
+    "pushdown-eligible l_quantity predicate, and must aggregate to "
+    "the EXACT integer-cent totals the oracle computes straight "
+    "from the source Parquet — format-conversion value parity, not "
+    "just row counts. Extends §2.1's source/sink matrix (JSON, "
+    "Parquet, CSV, REST) with the second columnar format; scan "
+    "contracts (pruning, pushdown) carry over unchanged.",
+    parts=8,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.sources.orc_io import (  # noqa: PLC0415
+        read_orc,
+        write_orc,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        "l_returnflag",
+    )
+    work = tempfile.mkdtemp(prefix="orc_rt_")
+    path = f"{work}/lineitem_orc"
+    write_orc(li, path, partition_by=["l_returnflag"])
+    back = read_orc(spark, path)
+    return (
+        back.filter(F.col("l_quantity") <= 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
