@@ -10601,8 +10601,11 @@ def _zorder_oracle_sql() -> str:
 @_register(
     "zorder_layout",
     _zorder_oracle_sql(),
-    doc="Z-order data-layout audit (the OPTIMIZE ZORDER BY analog a "
-    "lakehouse runs before writing 100 TB of scan-heavy fact data): "
+    doc="Z-order data-layout audit — the oracle-gated effectiveness "
+    "measurement for the engine's Morton-curve writer "
+    "(sources/parquet_io.py write_zordered, which range-partitions "
+    "and locally sorts by the same interleave before landing "
+    "files): "
     "both probe dimensions are min/max-scaled onto a 16-bit grid "
     "(integer-exact arithmetic from a 1-row stats aggregate folded "
     "in via the data-derived constant-key broadcast join, never a "
