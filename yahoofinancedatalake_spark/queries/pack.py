@@ -10932,6 +10932,101 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "compact_files_eq",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="Small-files compaction under the DRIVER value gate (was "
+    "pytest-only): an orders slice lands fragmented across 64 tiny "
+    "files (the streaming-sink / incremental-upsert accumulation "
+    "pattern), compact_parquet rewrites it to ~target-size files via "
+    "the crash-safe sibling-dir double-rename, and the compacted "
+    "table must hash-match the oracle's view of the ORIGINAL data — "
+    "compaction is pure layout, zero value drift. The gate also "
+    "asserts the file count actually dropped (returned count < 64) "
+    "by failing the read if not. At 100 TB scan task count and "
+    "listing load follow file count; ~128 MB compaction is standard "
+    "lake maintenance.",
+    parts=8,
+)
+def q_compact_files_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.sources.parquet_io import (  # noqa: PLC0415
+        compact_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0
+    )
+    sl = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="compact_eq_")
+    path = f"{work}/orders_small_files"
+    sl.repartition(64).write.mode("overwrite").parquet(path)
+    n_after = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    if n_after >= 64:
+        raise AssertionError(
+            f"compaction did not reduce file count: {n_after} >= 64"
+        )
+    return spark.read.parquet(path).orderBy("o_orderkey")
+
+
+@_register(
+    "schema_evolution_eq",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="Additive schema evolution under the DRIVER value gate (was "
+    "pytest-only): generation 1 of a bronze dir lands orders WITHOUT "
+    "o_orderstatus (even keys), generation 2 lands it WITH the new "
+    "column (odd keys) — the vendor-added-a-field drift every "
+    "long-lived ingest hits. read_parquet_evolving (mergeSchema) "
+    "must read both generations as one table where gen-1 rows carry "
+    "NULL for the added column, value-hash-equal to the oracle's "
+    "CASE reconstruction from the source table. Renames/retypes "
+    "stay out of scope by design — those are silver migrations, not "
+    "read options.",
+    parts=8,
+)
+def q_schema_evolution_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.sources.parquet_io import (  # noqa: PLC0415
+        read_parquet_evolving,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="evolve_eq_")
+    path = f"{work}/orders_bronze"
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    gen1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    return (
+        read_parquet_evolving(spark, path)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
