@@ -11027,6 +11027,113 @@ def q_schema_evolution_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bfs_oracle_sql(rounds: int = 3) -> str:
+    """Replay of bfs_levels: frontier expansion as chained CTEs (the
+    kmeans/MMR/PageRank unrolling convention)."""
+    parts = ["""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_orderkey % 10 = 0
+    ), eu AS (
+      SELECT DISTINCT a.pk AS a, b.pk AS b
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ), e AS (
+      SELECT a AS src, b AS dst FROM eu
+      UNION ALL
+      SELECT b AS src, a AS dst FROM eu
+    ), src AS (
+      SELECT min(a) AS s FROM eu
+    ), v0 AS (
+      SELECT s AS node, 0 AS level FROM src
+    )"""]
+    prev = "v0"
+    for i in range(1, rounds + 1):
+        parts.append(f""", f{i} AS (
+      SELECT DISTINCT e.dst AS node
+      FROM {prev} v JOIN e ON e.src = v.node
+      WHERE v.level = {i - 1}
+    ), v{i} AS (
+      SELECT node, level FROM {prev}
+      UNION ALL
+      SELECT f.node, {i} AS level
+      FROM f{i} f
+      WHERE f.node NOT IN (SELECT node FROM {prev})
+    )""")
+        prev = f"v{i}"
+    parts.append(f"""
+    SELECT level,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM {prev}
+    GROUP BY level
+    ORDER BY level
+    """)
+    return "".join(parts)
+
+
+@_register(
+    "bfs_levels",
+    _bfs_oracle_sql(),
+    doc="Single-source BFS over the part co-purchase graph (source = "
+    "smallest part in the graph, 3 frontier expansions) — the fourth "
+    "iterative family under the CTE-unrolling oracle next to Lloyd "
+    "refinement, PageRank, and star-contraction components. Every "
+    "round is ONE keyed join (frontier ⋈ edges on the source key) "
+    "plus a left-anti join against the visited set — frontier and "
+    "visited stay distributed DataFrames keyed by node (at 100 TB "
+    "both bucket by node id; visited never collects to the driver, "
+    "which is where naive BFS implementations die first). Per-level "
+    "rollup (count + node-id checksum) hashes every reached node "
+    "without emitting the frontier itself.",
+    parts=8,
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
+    )
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select("ok", F.col("pk").alias("a"))
+    b = items.select("ok", F.col("pk").alias("b"))
+    eu = (
+        a.join(b, "ok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    edges = eu.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        eu.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    visited = (
+        eu.agg(F.min("a").alias("node"))
+        .withColumn("level", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, 4):
+        frontier = visited.filter(F.col("level") == i - 1)
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(
+            visited.select("node"), "node", "left_anti"
+        ).withColumn("level", F.lit(i))
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+    edges.unpersist()
+    return (
+        visited.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("node_checksum"),
+        )
+        .orderBy("level")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
