@@ -11134,6 +11134,303 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "interval_concurrency",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, sid, min(ts) AS s_ts, max(ts) AS e_ts
+      FROM numbered GROUP BY user_id, sid
+    ), b AS (
+      SELECT ts, sum(st) AS starts, sum(en) AS ends
+      FROM (
+        SELECT s_ts AS ts, 1 AS st, 0 AS en FROM sess
+        UNION ALL
+        SELECT e_ts AS ts, 0 AS st, 1 AS en FROM sess
+      ) GROUP BY ts
+    ), r AS (
+      SELECT CAST(ts AS DATE) AS day, starts,
+             coalesce(sum(starts - ends) OVER (
+               ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) + starts AS peak
+      FROM b
+    )
+    SELECT day,
+           CAST(max(peak) AS BIGINT) AS peak_concurrency,
+           CAST(sum(starts) AS BIGINT) AS sessions_started
+    FROM r GROUP BY day ORDER BY day
+    """,
+    doc="Sweep-line interval analytics: per-user 30-minute-gap "
+    "sessions become [first-event, last-event] closed intervals, and "
+    "the per-day PEAK number of concurrently-open sessions is "
+    "computed by the classic boundary sweep (+1 at start, -1 at "
+    "end; starts at an instant count before ends, so touching "
+    "sessions overlap). The running sum is a DISTRIBUTED two-phase "
+    "prefix scan, not a single global window: boundaries aggregate "
+    "per timestamp, the within-day running sum is a day-partitioned "
+    "window, and cross-day carry (sessions spanning midnight) folds "
+    "in via a per-day net-offset table that is bounded by the "
+    "calendar (one row per day) and broadcast back — so no stage "
+    "ever sorts more than one day's boundaries in one task, the "
+    "scan scales with days x within-day parallelism at 100 TB. "
+    "The oracle replays the same sweep with a flat global window, "
+    "checking the two-phase decomposition against the direct "
+    "definition.",
+    parts=8,
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    brk = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800000000),
+        1,
+    ).otherwise(0)
+    numbered = ev.withColumn("brk", brk).withColumn(
+        "sid",
+        F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
+    )
+    bnd = sess.select(
+        F.col("s_ts").alias("ts"),
+        F.lit(1).alias("st"),
+        F.lit(0).alias("en"),
+    ).unionByName(
+        sess.select(
+            F.col("e_ts").alias("ts"),
+            F.lit(0).alias("st"),
+            F.lit(1).alias("en"),
+        )
+    )
+    b = (
+        bnd.groupBy("ts")
+        .agg(F.sum("st").alias("starts"), F.sum("en").alias("ends"))
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("net", F.col("starts") - F.col("ends"))
+    )
+    wday = (
+        Window.partitionBy("day")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Per-day net offsets: one row per calendar day, so the global
+    # window here runs over a calendar-bounded table (not the data).
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        b.groupBy("day")
+        .agg(F.sum("net").alias("dnet"))
+        .select(
+            "day",
+            F.coalesce(F.sum("dnet").over(wd), F.lit(0)).alias("off"),
+        )
+    )
+    j = b.join(F.broadcast(offsets), "day")
+    peak = F.col("off") + F.coalesce(
+        F.sum("net").over(wday), F.lit(0)
+    ) + F.col("starts")
+    return (
+        j.withColumn("peak", peak)
+        .groupBy("day")
+        .agg(
+            F.max("peak").cast("bigint").alias("peak_concurrency"),
+            F.sum("starts").cast("bigint").alias("sessions_started"),
+        )
+        .orderBy("day")
+    )
+
+
+@_register(
+    "editdist_blocked_join",
+    """
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_name < b.c_name
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+    ORDER BY name_a, name_b
+    """,
+    doc="Exact edit-distance<=1 similarity self-join via SYMSPELL "
+    "deletion-neighborhood blocking (Garbe's symmetric-delete "
+    "algorithm; same family as FastSS, Bocek et al. 2007): each "
+    "name emits itself plus its |s| single-deletion variants as "
+    "block keys, and the theorem 'lev(a,b)<=1 implies keys(a) "
+    "intersects keys(b)' (equal lengths: deleting the one differing "
+    "position from both gives a shared variant; length-off-by-one: "
+    "the shorter string IS a deletion variant of the longer) makes "
+    "the key-equi-join candidate set a provable superset — "
+    "levenshtein() then verifies exactly. The ORACLE is the naive "
+    "quadratic levenshtein join, so the gate checks the blocking "
+    "theorem itself, not a shared implementation. Scale: candidate "
+    "generation is linear in total string length, the join keys on "
+    "short variant strings (posting lists bounded by alphabet x "
+    "name-pattern collisions), no crossJoin — the O(n^2) "
+    "string-similarity join becomes a token-keyed shuffle, the "
+    "SAME blocking shape a 100 TB entity-resolution pass uses.",
+    parts=8,
+)
+def q_editdist_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_name").alias("name"))
+        .distinct()
+    )
+    keyed = cust.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("name")),
+                    F.expr(
+                        "transform(sequence(1, length(name)), "
+                        "i -> concat(left(name, i-1), substring(name, i+1)))"
+                    ),
+                )
+            )
+        ).alias("k"),
+    )
+    a = keyed.select(F.col("name").alias("name_a"), "k")
+    b = keyed.select(F.col("name").alias("name_b"), "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .withColumn(
+            "dist",
+            F.levenshtein("name_a", "name_b").cast("bigint"),
+        )
+        .filter(F.col("dist") <= 1)
+        .orderBy("name_a", "name_b")
+    )
+
+
+@_register(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
+    ), bg AS (
+      SELECT unnest([tokens[i] || ' ' || tokens[i+1]
+                     FOR i IN range(1, len(tokens))]) AS b
+      FROM toks WHERE len(tokens) >= 2
+    ), bgc AS (
+      SELECT b, count(*) AS c FROM bg GROUP BY b
+    ), words AS (
+      SELECT unnest(tokens) AS w FROM toks WHERE len(tokens) >= 1
+    ), uni AS (
+      SELECT w, count(*) AS cw FROM words GROUP BY w
+    ), nuni AS (
+      SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uni
+    ), nbg AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS nb FROM bgc
+    ), j AS (
+      SELECT bgc.b, bgc.c,
+             {sql_dround(
+                 "ln((CAST(bgc.c AS DOUBLE) / nb)"
+                 " / ((CAST(u1.cw AS DOUBLE) / nu)"
+                 " * (CAST(u2.cw AS DOUBLE) / nu)))", 6)} AS pmi
+      FROM bgc
+      JOIN uni u1 ON u1.w = split_part(bgc.b, ' ', 1)
+      JOIN uni u2 ON u2.w = split_part(bgc.b, ' ', 2)
+      CROSS JOIN nuni CROSS JOIN nbg
+      WHERE bgc.c >= 5
+    )
+    SELECT b, CAST(c AS BIGINT) AS c, pmi
+    FROM j ORDER BY pmi DESC, b ASC LIMIT 20
+    """,
+    doc="Pointwise-mutual-information collocation mining (Church & "
+    "Hanks 1990) — the statistical upgrade of corpus_top_bigrams: "
+    "raw bigram frequency surfaces stopword pairs, PMI = "
+    "ln(p(ab)/(p(a)p(b))) surfaces genuinely associated word pairs "
+    "(the vocabulary-audit signal a training-data pipeline uses to "
+    "find boilerplate phrases and collocation-heavy spam). Both "
+    "engines compute the PMI argument with an identical "
+    "left-associated double expression over bit-identical integer "
+    "counts, dround(6) before the top-20 TakeOrdered (tiebreak: "
+    "gram asc). Plan: one gram agg + one token agg (both map-side "
+    "partial), the two unigram lookups are vocabulary-keyed "
+    "equi-joins (vocab-sized, broadcastable or bucketed at 100 TB, "
+    "never corpus-sized), corpus totals fold in via the "
+    "data-derived constant-key broadcast, top-20 is a TakeOrdered "
+    "not a sort.",
+    parts=8,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(docs)
+    toks = docs.select("doc_id", _word_toks().alias("toks"))
+    bigrams = toks.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("b")
+    )
+    bgc = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    words = toks.filter(F.size("toks") >= 1).select(
+        F.explode("toks").alias("w")
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    nuni = (
+        uni.agg(F.sum("cw").cast("double").alias("nu"))
+        .withColumn("__k", _const_key(F.col("nu")))
+    )
+    nbg = (
+        bgc.agg(F.sum("c").cast("double").alias("nb"))
+        .withColumn("__k", _const_key(F.col("nb")))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    j = (
+        bgc.filter(F.col("c") >= 5)
+        .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("b"), F.lit(" "), F.lit(2)))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .withColumn("__k", _const_key(F.col("b")))
+        .join(F.broadcast(nuni), "__k")
+        .join(F.broadcast(nbg), "__k")
+    )
+    pmi = dround(
+        F.log(
+            (F.col("c").cast("double") / F.col("nb"))
+            / (
+                (F.col("cw1").cast("double") / F.col("nu"))
+                * (F.col("cw2").cast("double") / F.col("nu"))
+            )
+        ),
+        6,
+    )
+    return (
+        j.select("b", F.col("c").cast("bigint").alias("c"), pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
