@@ -62,3 +62,40 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+class TestMisraGries:
+    def test_planted_heavy_keys_survive_aggressive_pruning(self, spark):
+        """k=8 counters over a 10k-key domain: every key with global
+        count > N/(k+1) must appear in the candidate union no matter
+        how the rows are partitioned (the mergeable-MG guarantee the
+        heavy_hitters_2pass query rests on)."""
+        from yahoofinancedatalake_spark.operators.skew import (
+            misra_gries_candidates,
+        )
+
+        # 100k background rows over 10k distinct keys + 3 hot keys
+        # planted at ~20k rows each: N=160k, N/(k+1)=N/9~17.8k.
+        bg = spark.range(0, 100_000).select(
+            (F.col("id") % 10_000 + 100).alias("k")
+        )
+        hot = spark.range(0, 60_000).select((F.col("id") % 3).alias("k"))
+        df = bg.union(hot).repartition(16)  # adversarial mix
+        cands = set(
+            r.k for r in misra_gries_candidates(df, "k", 8).collect()
+        )
+        assert {0, 1, 2} <= cands
+        # and the candidate set is bounded by k x partitions
+        assert len(cands) <= 8 * 16
+
+    def test_exact_when_domain_fits(self, spark):
+        """k >= domain size: MG degenerates to exact distinct keys."""
+        from yahoofinancedatalake_spark.operators.skew import (
+            misra_gries_candidates,
+        )
+
+        df = spark.range(0, 1_000).select((F.col("id") % 37).alias("k"))
+        cands = set(
+            r.k for r in misra_gries_candidates(df, "k", 50).collect()
+        )
+        assert cands == set(range(37))

@@ -76,3 +76,51 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
     )
     return s.join(o, [*on, "__salt"], how).drop("__salt")
+
+
+def misra_gries_candidates(
+    df: DataFrame, key_col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-key candidates (k counters).
+
+    The frequent-items sketch (Misra & Gries 1982) in its mergeable
+    form (Agarwal et al., "Mergeable Summaries", PODS'12): each
+    partition maintains at most ``k`` (key, count) counters; Arrow
+    batches fold in via vectorized ``value_counts``, and whenever
+    the counter set exceeds ``k`` every counter is decremented by
+    the (k+1)-th largest count and non-positive counters drop. The
+    classical guarantee survives the batch-merge formulation: a
+    partition's total decrement is at most ``n_p / (k+1)``, so any
+    key with partition count above that threshold cannot vanish.
+    Summed over partitions: **every key with global count
+    > N/(k+1) appears in at least one partition's output** — the
+    union of per-partition candidates is a provable superset of the
+    heavy hitters, sized at most k x num_partitions no matter how
+    large the key domain is. That bounded candidate set is the
+    whole point at 100 TB: pass 2 counts ONLY the candidates
+    (broadcast semi-join) instead of aggregating the full domain.
+
+    Output: distinct candidate keys (one column, ``key_col``).
+    The candidate *set* depends on partitioning; callers must treat
+    it as a superset and verify with exact counts (pass 2), which
+    makes the final result partitioning-independent.
+    """
+    field = df.schema[key_col]
+    out_schema = f"`{key_col}` {field.dataType.simpleString()}"
+
+    def part(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf[key_col].dropna().value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                dec = vals[k]  # (k+1)-th largest
+                counters = {
+                    key: c - dec for key, c in counters.items() if c > dec
+                }
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return df.select(key_col).mapInPandas(part, schema=out_schema).distinct()

@@ -11431,6 +11431,263 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq_expectations",
+    """
+    SELECT 'events_bad_type' AS check_name,
+           CAST(sum(CASE WHEN event_type NOT IN
+                 ('click','error','purchase','signup','view')
+                 OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           CAST(count(*) AS BIGINT) AS checked
+    FROM events
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem_dup_pk',
+           CAST((SELECT count(*) FROM (
+              SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+             AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_order',
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                 OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    ORDER BY check_name
+    """,
+    doc="Declarative data-quality expectation suite (the "
+    "Deequ/Great-Expectations operator class): seven expectations — "
+    "enum domain, null, primary-key uniqueness, referential "
+    "integrity, value range — evaluate to "
+    "one (check_name, violations, checked) row each. Plan shape is "
+    "the point at 100 TB: ALL row-local expectations on a table "
+    "fuse into ONE conditional-aggregation scan (events: 2 checks "
+    "1 scan; lineitem row-local: 2 checks 1 scan), the uniqueness "
+    "check is a key-shuffle count with map-side partial aggregation "
+    "(never a global sort), and referential integrity is the "
+    "fact-dim key join counting unmatched probes. Violations "
+    "stream into counters — no violating-row materialization.",
+    parts=8,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def row(name: str, violations: Column, checked: Column) -> Column:
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            violations.cast("bigint").alias("violations"),
+            checked.cast("bigint").alias("checked"),
+        )
+
+    cnt = F.count(F.lit(1))
+    # events: both row-local expectations in ONE scan
+    ev_checks = ev.agg(
+        F.array(
+            row(
+                "events_bad_type",
+                F.sum(
+                    F.when(
+                        ~F.col("event_type").isin(
+                            "click", "error", "purchase", "signup", "view"
+                        )
+                        | F.col("event_type").isNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                cnt,
+            ),
+            row(
+                "events_null_user",
+                F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)),
+                cnt,
+            ),
+        ).alias("rows")
+    )
+    # lineitem row-local: one scan
+    li_checks = li.agg(
+        F.array(
+            row(
+                "lineitem_discount_range",
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0)
+                        | (F.col("l_discount") > 0.1),
+                        1,
+                    ).otherwise(0)
+                ),
+                cnt,
+            ),
+            row(
+                "lineitem_nonpositive_qty",
+                F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)),
+                cnt,
+            ),
+        ).alias("rows")
+    )
+    # primary-key uniqueness: key-shuffle, map-side partial agg
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.array(
+                row(
+                    "lineitem_dup_pk",
+                    F.sum(F.when(F.col("n") > 1, 1).otherwise(0)),
+                    F.sum("n"),
+                )
+            ).alias("rows")
+        )
+    )
+    # referential integrity: unmatched fact->dim probes
+    orphan = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+            "left",
+        )
+        .agg(
+            F.array(
+                row(
+                    "lineitem_orphan_order",
+                    F.sum(
+                        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+                    ),
+                    cnt,
+                )
+            ).alias("rows")
+        )
+    )
+    ord_checks = orders.agg(
+        F.array(
+            row(
+                "orders_bad_status",
+                F.sum(
+                    F.when(
+                        ~F.col("o_orderstatus").isin("O", "F", "P")
+                        | F.col("o_orderstatus").isNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                cnt,
+            )
+        ).alias("rows")
+    )
+    return (
+        ev_checks.unionByName(li_checks)
+        .unionByName(dup)
+        .unionByName(orphan)
+        .unionByName(ord_checks)
+        .select(F.explode("rows").alias("r"))
+        .select("r.check_name", "r.violations", "r.checked")
+        .orderBy("check_name")
+    )
+
+
+@_register(
+    "heavy_hitters_2pass",
+    """
+    WITH c AS (
+      SELECT o_custkey, count(*) AS cnt
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS d
+      FROM c
+    )
+    SELECT o_custkey AS custkey, CAST(cnt AS BIGINT) AS cnt
+    FROM c CROSS JOIN t
+    WHERE 10 * cnt * d > 13 * n
+    ORDER BY cnt DESC, custkey
+    """,
+    doc="EXACT heavy-key detection by the classic two-pass sketch "
+    "recipe: pass 1 runs mergeable Misra-Gries (k counters per "
+    "partition, operators/skew.py) whose union provably contains "
+    "every key with global count > N/(k+1); pass 2 exactly counts "
+    "ONLY those candidates (broadcast semi-join against the fact "
+    "table) and keeps keys hotter than 1.3x the mean key load — "
+    "the scale-invariant skew definition (10*cnt*D > 13*N in "
+    "integer arithmetic), with k sized from the dimension "
+    "cardinality so k+1 >= D/1.3 makes the MG guarantee cover the "
+    "threshold. The ORACLE aggregates the full key domain "
+    "directly, so the gate checks the sketch's no-loss guarantee "
+    "plus the exactness of pass 2 — the candidate SET may vary "
+    "with partitioning, the RESULT may not. At 100 TB pass 1 "
+    "touches each row once with O(k) state and no shuffle, pass 2 "
+    "shuffles only candidate-key rows — the full-domain "
+    "aggregation the oracle runs is exactly what this plan "
+    "avoids. Companion of key_skew_profile (which measures "
+    "skew; this returns the culprit keys exactly).",
+    parts=8,
+)
+def q_heavy_hitters_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.skew import (  # noqa: PLC0415
+        misra_gries_candidates,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    # k from the DIMENSION cardinality (an upper bound on the key
+    # domain D): k+1 >= D/1.3 puts the MG miss threshold N/(k+1)
+    # below the 1.3x-mean detection threshold. Metadata-scale count
+    # (customer is the small dim), not a data collect.
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    k = (10 * n_cust) // 13 + 1
+    cands = misra_gries_candidates(orders, "o_custkey", k)
+    exact = (
+        orders.join(F.broadcast(cands), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = (
+        orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("d"),
+        )
+        .withColumn("__k", _const_key(F.col("n")))
+    )
+    return (
+        exact.withColumn("__k", _const_key(F.col("o_custkey")))
+        .join(F.broadcast(tot), "__k")
+        .filter(
+            F.lit(10) * F.col("cnt") * F.col("d")
+            > F.lit(13) * F.col("n")
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("custkey"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
