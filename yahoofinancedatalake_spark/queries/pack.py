@@ -11688,6 +11688,232 @@ def q_heavy_hitters_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hybrid_rrf_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
+    ), hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+      FROM (SELECT doc_id, unnest(tokens) AS t FROM toks)
+      WHERE t IN ({_sql_wordlist(_SEARCH_TERMS)})
+      GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY hits DESC, doc_id ASC) AS BIGINT) AS ra
+      FROM hits
+      QUALIFY ra <= 100
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), cos AS (
+      SELECT e.vec_id AS doc_id,
+             {sql_dround(
+                 "list_dot_product(q.qv, e.embedding::DOUBLE[])"
+                 " / (sqrt(list_dot_product(q.qv, q.qv))"
+                 " * sqrt(list_dot_product(e.embedding::DOUBLE[],"
+                 " e.embedding::DOUBLE[])))", 4)} AS c
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ), sem AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY c DESC, doc_id ASC) AS BIGINT) AS rb
+      FROM cos
+      QUALIFY rb <= 100
+    )
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, ra, rb,
+           coalesce(1.0 / (60 + ra), 0.0)
+             + coalesce(1.0 / (60 + rb), 0.0) AS rrf
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 15
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion (Cormack, "
+    "Clarke & Buettcher SIGIR'09, the standard used by hybrid "
+    "lexical+vector search engines): a lexical top-100 (query-term "
+    "frequency, integer scores) and a semantic top-100 (cosine vs "
+    "the anchor embedding, dround(4) before ranking) fuse as "
+    "sum(1/(60+rank)) with a missing-list contribution of zero. "
+    "Every rank is a row_number over a deterministic (score desc, "
+    "id asc) order, and the RRF score is one fixed two-term IEEE "
+    "sum of exact small-integer quotients — bit-identical across "
+    "engines with no further rounding. Scale: both ranked lists "
+    "are TOP-K-CAPPED (k=100) before fusion — the global ordering "
+    "happens in a TakeOrdered over pre-filtered/scored rows (query-"
+    "term rows only; one corpus scan for cosine), the fusion join "
+    "touches at most 2k rows, exactly how a production RRF stage "
+    "fuses retriever outputs regardless of corpus size.",
+    parts=8,
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    hits = (
+        docs.select("doc_id", F.explode(_word_toks()).alias("t"))
+        .filter(F.col("t").isin(_SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # top-100 caps: TakeOrderedAndProject keeps the global sort
+    # bounded; row_number then runs over <=100 rows.
+    lex = (
+        hits.orderBy(F.col("hits").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("hits").desc(), F.col("doc_id")))
+            .cast("bigint")
+            .alias("ra"),
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        _const_key(F.col("vec_id")).alias("__k"),
+    )
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .withColumn("__k", _const_key(F.col("vec_id")))
+        .join(F.broadcast(qv), "__k")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dround(
+                dot(F.col("qv"), F.col("embedding"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                ),
+                4,
+            ).alias("c"),
+        )
+    )
+    sem = (
+        cos.orderBy(F.col("c").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("doc_id")))
+            .cast("bigint")
+            .alias("rb"),
+        )
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "ra",
+            "rb",
+            (
+                F.coalesce(1.0 / (F.lit(60) + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(60) + F.col("rb")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
+@_register(
+    "trend_ols_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           {sql_dround(
+               "CAST(n * sxy - sx * sy AS DOUBLE)"
+               " / CAST(n * sxx - sx * sx AS DOUBLE)", 6)} AS slope,
+           {sql_dround(
+               "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)"
+               " / CAST(n * sxx - sx * sx AS DOUBLE))"
+               " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 6)}
+             AS intercept
+    FROM s ORDER BY event_type
+    """,
+    doc="Per-group OLS trend line (daily revenue-cents vs day index, "
+    "one line per event_type) computed from the five CLOSED-FORM "
+    "sufficient statistics (n, sum x, sum y, sum xx, sum xy) — all "
+    "exact BIGINT sums over integer inputs (cents fixed-pointed at "
+    "the grain, day index an integer), so the normal-equation "
+    "slope/intercept are single IEEE quotients of bit-identical "
+    "integers on both engines; dround(6) on output only. The "
+    "statistics family's regression member next to spearman_trend "
+    "(rank correlation) and pairwise_correlation. Scale: two "
+    "map-side-combinable aggregations (day grain, then group "
+    "grain), zero windows, zero sorts — the sufficient-statistic "
+    "formulation is WHY regression distributes: the 100 TB plan "
+    "moves five numbers per group, not the series.",
+    parts=8,
+)
+def q_trend_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+            "y",
+        )
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope_raw = num / den
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        dround(slope_raw, 6).alias("slope"),
+        dround(
+            (
+                F.col("sy").cast("double")
+                - slope_raw * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+    ).orderBy("event_type")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
