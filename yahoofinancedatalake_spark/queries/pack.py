@@ -11914,6 +11914,175 @@ def q_trend_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@_register(
+    "ngram_novelty",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([tokens[i] || ' ' || tokens[i+1]
+                     FOR i IN range(1, len(tokens))]) AS b
+      FROM toks WHERE len(tokens) >= 2
+    ), f AS (
+      SELECT b, min(doc_id) AS first_doc FROM bg GROUP BY b
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = bg.doc_id
+                 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+           {sql_dround(
+               "CAST(sum(CASE WHEN f.first_doc = bg.doc_id"
+               " THEN 1 ELSE 0 END) AS DOUBLE)"
+               " / CAST(count(*) AS DOUBLE)", 6)} AS novelty_ratio
+    FROM bg JOIN f USING (b)
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    doc="Training-data op: per-document n-gram NOVELTY — the fraction "
+    "of a doc's bigram occurrences whose corpus-wide first "
+    "appearance (min doc_id, the ingestion-order tiebreak) is this "
+    "doc. The self-repetition / boilerplate-accumulation signal "
+    "dedup pipelines use to decide whether late-arriving shards "
+    "still contribute new text (high novelty early, asymptoting as "
+    "the corpus saturates — complement of span_dedup_c4, which "
+    "removes the repeats; this measures them). Plan: one gram agg "
+    "(map-side partial) builds the first-occurrence index, one "
+    "gram-keyed equi-join streams each doc's grams past it, one "
+    "per-doc agg — the index is gram-vocabulary-sized at 100 TB "
+    "(bucketable), never corpus-sized, and nothing sorts globally.",
+    parts=8,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bg = (
+        docs.select("doc_id", _word_toks().alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("b"),
+        )
+    )
+    first = bg.groupBy("b").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        bg.join(first, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("novel"),
+            dround(
+                novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "audience_overlap",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM ut GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS users
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, users,
+           CAST(users AS DOUBLE)
+             / CAST(sa.n + sb.n - users AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+    doc="Audience-overlap matrix: exact pairwise user-set Jaccard "
+    "between event types. The engine side avoids the fact-table "
+    "self-join entirely: ONE shuffle dedups (user, type), one more "
+    "groups each user's type set (bounded by the type vocabulary), "
+    "pairs explode from a per-user sorted-combination expression "
+    "(JVM-side flatten/transform, at most C(|types|,2) rows per "
+    "user), and per-pair counts map-side-combine. The oracle takes "
+    "the textbook self-join formulation, so the gate proves the "
+    "set-algebra rewrite. Jaccard is an exact IEEE quotient of "
+    "bit-identical BIGINTs (no rounding needed). The audience/"
+    "cohort analog of bitmap_distinct_rollup's exact distinct "
+    "machinery at 100 TB: per-user state is the type set, never "
+    "the event history.",
+    parts=8,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+    )
+    # all ordered pairs (i<j) from each user's sorted type set
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size("ts")),
+                lambda b: F.struct(
+                    a.alias("type_a"), b.alias("type_b")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        per_user.select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.type_a").alias("type_a"),
+            F.col("p.type_b").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users"))
+    )
+    sizes = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "users",
+            (
+                F.col("users").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("users")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
