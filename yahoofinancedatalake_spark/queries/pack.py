@@ -12083,6 +12083,100 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pareto_frontier",
+    """
+    SELECT a.p_partkey AS partkey,
+           a.p_retailprice AS price,
+           CAST(a.p_size AS BIGINT) AS size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice
+        AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice
+             OR b.p_size > a.p_size)
+    )
+    ORDER BY price, partkey
+    """,
+    doc="2-D Pareto frontier / skyline (Borzsonyi et al. ICDE'01): "
+    "parts minimizing retail price while maximizing size — a row "
+    "survives iff nothing is at-least-as-cheap AND at-least-as-big "
+    "with one strict. The engine avoids the quadratic dominance "
+    "test entirely: sorted by price, a row survives iff its size "
+    "equals its price-group max AND beats the running size-max of "
+    "all strictly-cheaper prices; that running max is the "
+    "DISTRIBUTED two-phase prefix-MAX scan (64 price buckets from "
+    "min/max stats folded in via the constant-key broadcast, "
+    "bucket-partitioned within-bucket windows over the price-level "
+    "rollup, cross-bucket offsets from a 64-row running max) — "
+    "the interval_concurrency prefix-SUM machinery re-instantiated "
+    "over the MAX monoid, so no stage sorts more than one bucket. "
+    "The ORACLE is the naive NOT EXISTS dominance formulation, "
+    "gating the sweep-line rewrite against the definition.",
+    parts=8,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    # price-level rollup: one row per distinct price
+    plevel = parts.groupBy("price").agg(F.max("size").alias("gmax"))
+    # bucket from min/max stats (constant-key broadcast, zorder idiom)
+    stats = plevel.agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    ).withColumn("__k", _const_key(F.col("lo")))
+    pb = (
+        plevel.withColumn("__k", _const_key(F.col("price")))
+        .join(F.broadcast(stats), "__k")
+        .withColumn(
+            "bucket",
+            F.floor(
+                (F.col("price") - F.col("lo"))
+                * 64
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+        )
+        .drop("__k", "lo", "hi")
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # cross-bucket offsets: 64 rows, bounded by the bucket count
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        pb.groupBy("bucket")
+        .agg(F.max("gmax").alias("bmax"))
+        .select(
+            "bucket",
+            F.coalesce(F.max("bmax").over(woff), F.lit(-1)).alias("off"),
+        )
+    )
+    m = (
+        pb.withColumn(
+            "loc", F.coalesce(F.max("gmax").over(wloc), F.lit(-1))
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "price",
+            "gmax",
+            F.greatest(F.col("loc"), F.col("off")).alias("m"),
+        )
+    )
+    return (
+        parts.join(m, "price")
+        .filter((F.col("size") == F.col("gmax")) & (F.col("gmax") > F.col("m")))
+        .select("partkey", "price", "size")
+        .orderBy("price", "partkey")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
