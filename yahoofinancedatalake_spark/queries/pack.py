@@ -12177,6 +12177,65 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_GROWTH_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST({datediff} AS BIGINT) AS d,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM {events} GROUP BY event_type, CAST(ts AS DATE)
+), rec(event_type, d, cents, idx) AS (
+  SELECT event_type, d, cents, CAST(1.0 AS DOUBLE) AS idx
+  FROM daily WHERE d = 0
+  UNION ALL
+  SELECT mo.event_type, mo.d, mo.cents,
+         r.idx * (CAST(mo.cents AS DOUBLE) / CAST(r.cents AS DOUBLE))
+  FROM rec r JOIN daily mo
+    ON mo.event_type = r.event_type AND mo.d = r.d + 1
+)
+SELECT event_type, d AS day_index,
+       CAST(floor(idx * 1000000 + 0.5) AS DOUBLE) / 1000000.0
+         AS growth_index
+FROM rec ORDER BY event_type, day_index
+"""
+
+
+@_register(
+    "recursive_compound_growth",
+    _RECURSIVE_GROWTH_SQL.format(
+        events="events",
+        datediff="datediff('day', DATE '2024-01-01', CAST(ts AS DATE))",
+    ),
+    doc="WITH RECURSIVE linear recurrence — Spark 4's recursive CTE "
+    "feature under the oracle gate: a per-event-type compounded "
+    "growth index, idx(d) = idx(d-1) * (cents(d)/cents(d-1)), "
+    "seeded at 1.0 on day 0. Sequential IEEE *products* are the "
+    "window functions' blind spot (exp(sum(ln)) re-associates and "
+    "diverges across engines; there is no PRODUCT aggregate), but "
+    "the recursion executes the same left-to-right multiply chain "
+    "on both engines over bit-identical integer-cent ratios, so "
+    "every index value matches exactly. The SAME SQL text runs on "
+    "Spark and DuckDB (only the datediff spelling differs). Scale: "
+    "recursion depth is the CALENDAR (one step per day), each step "
+    "one broadcastable day-slice equi-join over the group "
+    "cardinality — state never exceeds one row per group, the "
+    "iterative-family pattern (kmeans/PageRank/BFS) expressed in "
+    "pure declarative SQL instead of a driver loop.",
+    parts=8,
+)
+def q_recursive_compound_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__rec_events"
+    )
+    return spark.sql(
+        _RECURSIVE_GROWTH_SQL.format(
+            events="__rec_events",
+            datediff="datediff(CAST(ts AS DATE), DATE '2024-01-01')",
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
