@@ -1,0 +1,230 @@
+"""Property gates for the round-6 statistics / sampling operators.
+
+Each test replays the query's rewrite against an independent
+brute-force reference on randomized (seeded) planted data — shapes
+the uniform testdata cannot produce (heavy ties, skewed domains,
+one mega-domain) — the same adversarial posture as the oracle gates.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import tempfile
+
+from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _write_events(spark, rows, prefix):
+    d = tempfile.mkdtemp(prefix=prefix)
+    spark.createDataFrame(rows, _EVENTS_SCHEMA).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events.parquet")
+    return d
+
+
+def _mannwhitney_ref(a_vals, b_vals):
+    """Textbook tie-corrected Mann-Whitney over average ranks."""
+    pooled = sorted(
+        [(v, 0) for v in a_vals] + [(v, 1) for v in b_vals]
+    )
+    n = len(pooled)
+    ranks = {}
+    i = 0
+    tie_term = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        ranks[pooled[i][0]] = avg
+        t = j - i
+        tie_term += t * t * t - t
+        i = j
+    ra = sum(ranks[v] for v in a_vals)
+    na, nb = len(a_vals), len(b_vals)
+    u = ra - na * (na + 1) / 2.0
+    var = (na * nb / 12.0) * (
+        (na + nb + 1) - tie_term / ((na + nb) * (na + nb - 1.0))
+    )
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+    return u, z
+
+
+class TestMannWhitney:
+    def test_matches_reference_with_heavy_ties(self, spark):
+        """A tiny discrete domain (5 distinct cent values) maximizes
+        ties — where the rank-rollup identity and the tie-correction
+        most easily go wrong."""
+        import datetime as dt
+
+        rng = random.Random(13)
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        a_vals, b_vals = [], []
+        for i in range(400):
+            kind = rng.choice(["click", "error", "view"])
+            v = rng.choice([0.05, 0.10, 0.10, 0.25, 1.00])
+            if kind == "click":
+                a_vals.append(round(v * 100))
+            elif kind == "error":
+                b_vals.append(round(v * 100))
+            rows.append(
+                (i, base + dt.timedelta(minutes=i), i % 7, kind, v, "{}")
+            )
+        d = _write_events(spark, rows, "mw_prop_")
+        [r] = QUERIES["mannwhitney_drift"].spark(spark, d).collect()
+        u, z = _mannwhitney_ref(a_vals, b_vals)
+        assert r.n_click == len(a_vals) and r.n_error == len(b_vals)
+        assert r.u_stat == u  # exact: engine U is integer-derived
+        assert abs(r.z_score - z) < 1e-12
+
+    def test_planted_shift_is_detected(self, spark):
+        """clicks drawn ~100 cents above errors: z must be large
+        and positive (rank-sum direction check)."""
+        import datetime as dt
+
+        rng = random.Random(17)
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        for i in range(300):
+            if i % 2:
+                rows.append(
+                    (i, base, i, "click", 2.0 + rng.random(), "{}")
+                )
+            else:
+                rows.append(
+                    (i, base, i, "error", 1.0 + rng.random(), "{}")
+                )
+        d = _write_events(spark, rows, "mw_shift_")
+        [r] = QUERIES["mannwhitney_drift"].spark(spark, d).collect()
+        assert r.z_score > 5.0
+
+
+class TestChi2Independence:
+    def test_zero_cells_contribute_expected_counts(self, spark):
+        """Plant a type that NEVER lands in high buckets: the
+        zero-observed cells must still contribute (O=0, E>0), which
+        the groupBy alone would silently drop."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        i = 0
+        for _ in range(50):
+            rows.append((i, base, i, "click", 10.0, "{}"))  # bucket 0
+            i += 1
+            rows.append((i, base, i, "error", 460.0, "{}"))  # bucket 9
+            i += 1
+        d = _write_events(spark, rows, "chi_prop_")
+        [r] = QUERIES["chi2_independence"].spark(spark, d).collect()
+        # perfectly dependent 2x2: chi2 == N, V == 1
+        assert r.n_rows == 2 and r.n_cols == 2 and r.dof == 1
+        assert abs(r.chi2 - 100.0) < 1e-9
+
+    def test_reference_formula(self, spark):
+        """Random contingency vs the direct sum((O-E)^2/E)."""
+        import datetime as dt
+
+        rng = random.Random(29)
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        obs: dict = {}
+        for i in range(600):
+            t = rng.choice(["click", "error", "view"])
+            vb = rng.randrange(0, 4)
+            v = vb * 50.0 + 1.0
+            obs[(t, vb)] = obs.get((t, vb), 0) + 1
+            rows.append((i, base, i, t, v, "{}"))
+        d = _write_events(spark, rows, "chi_ref_")
+        [r] = QUERIES["chi2_independence"].spark(spark, d).collect()
+        types = sorted({t for t, _ in obs})
+        cols = sorted({b for _, b in obs})
+        n = sum(obs.values())
+        rt = {t: sum(obs.get((t, b), 0) for b in cols) for t in types}
+        ct = {b: sum(obs.get((t, b), 0) for t in types) for b in cols}
+        chi2 = sum(
+            (obs.get((t, b), 0) - rt[t] * ct[b] / n) ** 2
+            / (rt[t] * ct[b] / n)
+            for t in types
+            for b in cols
+        )
+        assert abs(r.chi2 - chi2) < 1e-9
+
+
+class TestDomainCapSample:
+    def test_threshold_rank_equals_global_rank(self, spark):
+        """One mega-domain (the skew case the two-pass exists for),
+        several tiny ones (below the cap): the nibble-threshold rank
+        must equal the naive global per-domain top-K by md5."""
+        import hashlib
+
+        rng = random.Random(31)
+        rows = []
+        did = 0
+        for src, cnt in [("mega", 900)] + [
+            (f"s{j}", rng.randrange(1, 12)) for j in range(6)
+        ]:
+            for _ in range(cnt):
+                rows.append((did, f"t{did}", "en", src, 10))
+                did += 1
+        d = tempfile.mkdtemp(prefix="cap_prop_")
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint",
+        ).repartition(6).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        got = sorted(
+            (r.source, r.doc_id)
+            for r in QUERIES["domain_cap_sample"].spark(spark, d).collect()
+        )
+        by_src: dict = {}
+        for doc_id, *_rest in rows:
+            src = _rest[2]
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()
+            by_src.setdefault(src, []).append((h, doc_id))
+        expected = sorted(
+            (src, doc_id)
+            for src, lst in by_src.items()
+            for _, doc_id in sorted(lst)[:12]
+        )
+        assert got == expected
+
+
+class TestBenford:
+    def test_digit_extraction_and_law(self, spark):
+        """Prices planted per leading digit; frequencies must match
+        the plant exactly and the expected column the log10 law."""
+        rows = []
+        i = 0
+        counts = {1: 30, 2: 17, 9: 3}
+        for digit, cnt in counts.items():
+            for j in range(cnt):
+                price = digit * 1000.0 + j + 0.37
+                rows.append((i, i, 1, 1, 1.0, price))
+                i += 1
+        d = tempfile.mkdtemp(prefix="ben_prop_")
+        spark.createDataFrame(
+            rows,
+            "l_orderkey bigint, l_linenumber bigint, l_partkey bigint,"
+            " l_suppkey bigint, l_quantity double, l_extendedprice double",
+        ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        out = {
+            r.digit: r
+            for r in QUERIES["benford_digits"].spark(spark, d).collect()
+        }
+        assert set(out) == set(counts)
+        tot = sum(counts.values())
+        for dgt, cnt in counts.items():
+            assert out[dgt].n == cnt
+            assert abs(out[dgt].obs_freq - cnt / tot) < 1e-12
+            assert abs(
+                out[dgt].benford_freq - math.log10(1 + 1 / dgt)
+            ) < 1e-12

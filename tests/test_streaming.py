@@ -291,6 +291,69 @@ def test_running_last_state_accumulates_across_restarts(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def test_stream_contingency_accumulates_across_restarts(spark, tmp_path):
+    """The chi2 drift monitor's sufficient statistics: counts must
+    accumulate through the checkpoint across restarts and equal a
+    full batch recompute of the contingency."""
+    import datetime as dt
+
+    from yahoofinancedatalake_spark.streaming.ops import (
+        stream_value_contingency,
+    )
+
+    src = tmp_path / "src"
+    ck = str(tmp_path / "ck_chi2")
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    got: dict = {}
+
+    def sink(batch_df, _bid):
+        got.clear()
+        for r in batch_df.collect():
+            got[(r.event_type, r.vb)] = r.obs
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_value_contingency(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        land([(1, t0, 1, "click", 10.0), (2, t0, 2, "click", 60.0),
+              (3, t0, 3, "error", 480.0)])
+        run_once()
+        assert got == {("click", 0): 1, ("click", 1): 1, ("error", 9): 1}
+        # second landing: same cells increment, a new cell appears,
+        # and the >domain value clamps into the top bucket
+        land([(4, t0, 4, "click", 12.0), (5, t0, 5, "view", 9999.0)])
+        run_once()
+        assert got == {
+            ("click", 0): 2,
+            ("click", 1): 1,
+            ("error", 9): 1,
+            ("view", 9): 1,
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_timed_out_state_is_removed():
     """The ProcessingTimeTimeout branch of _running_last_fn: a timed-out
     key removes its state and emits nothing (driver-side unit test —

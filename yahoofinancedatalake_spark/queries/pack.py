@@ -12236,6 +12236,467 @@ def q_recursive_compound_growth(
     )
 
 
+@_register(
+    "mannwhitney_drift",
+    """
+    WITH ev AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('click', 'error')
+    ), r AS (
+      SELECT cents, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY cents
+    ), c AS (
+      SELECT ca, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cb4
+      FROM r
+    ), s AS (
+      SELECT CAST(SUM(ca * (2 * cb4 + cnt + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties,
+             CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cnt - ca) AS BIGINT) AS nb
+      FROM c
+    )
+    SELECT na AS n_click, nb AS n_error,
+           CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,
+           CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) /
+           (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+             * (CAST(na + nb + 1 AS DOUBLE)
+                - CAST(ties AS DOUBLE)
+                  / (CAST(na + nb AS DOUBLE)
+                     * CAST(na + nb - 1 AS DOUBLE))))) AS z_score
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum drift gate (Mann & Whitney 1947): "
+    "does the `value` distribution of click events differ from "
+    "error events? Complements the ks_drift_gate's sup-CDF distance "
+    "with the rank-sum location test monitoring pipelines pair it "
+    "with. Everything is EXACT integer arithmetic until the last "
+    "scalar: values collapse to integer cents, tied ranks enter via "
+    "the rollup identity 2*R_A = sum(ca*(2*cum_before + cnt + 1)) "
+    "(so no 0.5 average-rank floats ever sum), and the tie "
+    "correction sum(t^3 - t) stays a BIGINT; z is then a single "
+    "deterministic double expression over five exact integers — "
+    "bit-identical on both engines, no FP-summation-order exposure. "
+    "Scale: one hash groupBy collapses 100 TB of events to the "
+    "cents-domain rollup; the rank prefix is the pack's two-phase "
+    "bucketed prefix-SUM (no global sort, no single-partition "
+    "window) and the rest is one scalar aggregate.",
+    parts=8,
+)
+def q_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+            F.when(F.col("event_type") == "click", F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("ia"),
+        )
+    )
+    # domain rollup: one row per distinct cents value (map-side combine
+    # absorbs the 100 TB fact scan; output is bounded by the value
+    # domain, not the row count)
+    r = ev.groupBy("cents").agg(
+        F.sum("ia").alias("ca"), F.count(F.lit(1)).alias("cnt")
+    )
+    # two-phase distributed prefix-SUM over the rollup (the
+    # interval_concurrency / pareto_frontier machinery): 64 range
+    # buckets from min/max stats folded in via the constant-key
+    # broadcast, within-bucket windows, 64-row cross-bucket offsets —
+    # no stage sorts more than one bucket.
+    stats = r.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    ).withColumn("__k", _const_key(F.col("lo")))
+    rb = (
+        r.withColumn("__k", _const_key(F.col("cents")))
+        .join(F.broadcast(stats), "__k")
+        .withColumn(
+            "bucket",
+            F.floor(
+                (F.col("cents") - F.col("lo"))
+                * 64
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+        )
+        .drop("__k", "lo", "hi")
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        rb.groupBy("bucket")
+        .agg(F.sum("cnt").alias("bsum"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    c = (
+        rb.withColumn(
+            "loc", F.coalesce(F.sum("cnt").over(wloc), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "ca", "cnt", (F.col("loc") + F.col("off")).alias("cb4")
+        )
+    )
+    s = c.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("cb4") + F.col("cnt") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+        F.sum("ca").alias("na"),
+        F.sum(F.col("cnt") - F.col("ca")).alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    d = lambda x: x.cast("double")  # noqa: E731
+    var = (d(na) * d(nb) / 12.0) * (
+        d(na + nb + 1) - d(F.col("ties")) / (d(na + nb) * d(na + nb - 1))
+    )
+    return s.select(
+        na.alias("n_click"),
+        nb.alias("n_error"),
+        (d(F.col("r2a") - na * (na + 1)) / 2.0).alias("u_stat"),
+        (
+            d(F.col("r2a") - na * (na + 1) - na * nb)
+            / (2.0 * F.sqrt(var))
+        ).alias("z_score"),
+    )
+
+
+@_register(
+    "benford_digits",
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem
+    ), d AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM d)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS obs_freq,
+           log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford_freq,
+           pow(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)
+                 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+             / (CAST(tot AS DOUBLE)
+                * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS chi_term
+    FROM d, t ORDER BY digit
+    """,
+    doc="Benford first-significant-digit audit (Benford 1938, the "
+    "classic financial-data anomaly screen): the observed leading "
+    "digit distribution of lineitem extended prices vs the "
+    "log10(1 + 1/d) law, with per-digit chi-square contributions. "
+    "The digit is extracted from the INTEGER-CENTS string form "
+    "(leading digit is scale-invariant, and bigint-to-string is "
+    "identical across engines) — never from floor(log10(x)), whose "
+    "1-ulp libm differences at exact powers of ten flip the digit. "
+    "Scale: one map-side-combined groupBy collapses any fact volume "
+    "to <=9 rows; the total folds back via the constant-key "
+    "broadcast, so nothing global ever sorts or shuffles wide.",
+    parts=8,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    d = li.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = d.agg(F.sum("n").alias("tot")).withColumn(
+        "__k", _const_key(F.col("tot"))
+    )
+    p = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return (
+        d.withColumn("__k", _const_key(F.col("digit")))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("tot").cast("double"))
+            .alias("obs_freq"),
+            p.alias("benford_freq"),
+            (
+                F.pow(
+                    F.col("n").cast("double")
+                    - F.col("tot").cast("double") * p,
+                    F.lit(2),
+                )
+                / (F.col("tot").cast("double") * p)
+            ).alias("chi_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@_register(
+    "domain_cap_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 12 ORDER BY source, doc_id
+    """,
+    doc="Per-domain quota sampling — the domain-rebalancing primitive "
+    "of LLM corpus prep (C4/RefinedWeb cap pages per registered "
+    "domain so no crawl-heavy site dominates the mixture): keep the "
+    "12 deterministically-hash-ranked docs per source. The ORACLE is "
+    "the naive per-domain ROW_NUMBER; the ENGINE never runs that "
+    "window over raw rows (a mega-domain would pin its whole history "
+    "into one sort partition at 100 TB). Instead it is an EXACT "
+    "two-pass hash-threshold top-K, the heavy_hitters_2pass idiom "
+    "over the md5 order: pass 1 rolls up per (source, first hex "
+    "nibble) counts (<=16 rows/domain), a cumulative scan over that "
+    "tiny rollup finds the nibble bucket containing the Kth-smallest "
+    "hash, and only rows at-or-below the threshold nibble (~K + "
+    "1/16th of the domain, recursively refinable) enter the final "
+    "rank window — identical output, bounded sort partitions.",
+    parts=8,
+)
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 12
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    docs = docs.withColumn("nib", F.substring("h", 1, 1))
+    # pass 1: tiny per-(source, nibble) rollup + cumulative threshold
+    counts = docs.groupBy("source", "nib").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("nib")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    thr = (
+        counts.withColumn("cum", F.sum("cnt").over(wcum))
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("cum") >= k, F.col("nib"))),
+                F.max("nib"),
+            ).alias("thr")
+        )
+    )
+    # pass 2: rank only inside the threshold prefix of each domain
+    wrk = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .filter(F.col("nib") <= F.col("thr"))
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+_CHI2_ORACLE = """
+    WITH ev AS (
+      SELECT event_type,
+             LEAST(9, CAST(floor(value / 50.0) AS INT)) AS vb
+      FROM events
+    ), o AS (
+      SELECT event_type, vb, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM ev GROUP BY event_type, vb
+    ), cells AS (
+      SELECT r.event_type, c.vb, COALESCE(o.obs, 0) AS obs,
+             r.rt, c.ct
+      FROM (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt
+            FROM o GROUP BY event_type) r
+      CROSS JOIN (SELECT vb, CAST(SUM(obs) AS BIGINT) AS ct
+                  FROM o GROUP BY vb) c
+      LEFT JOIN o ON o.event_type = r.event_type AND o.vb = c.vb
+    ), tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT vb) AS BIGINT) AS n_cols,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT vb) - 1) AS BIGINT) AS dof,
+           SUM(CAST((obs * n - rt * ct) AS DOUBLE)
+               * CAST((obs * n - rt * ct) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
+                  * CAST(ct AS DOUBLE))) AS chi2
+    FROM cells, tot
+    """
+
+
+@_register(
+    "chi2_independence",
+    _CHI2_ORACLE,
+    doc="Chi-square independence test between event type and a "
+    "fixed-width value bucket (Pearson 1900) — the categorical "
+    "drift/association monitor next to ks_drift_gate (continuous) "
+    "and mannwhitney_drift (rank location). Identity used: "
+    "sum((O*N - rt*ct)^2 / (N*rt*ct)) / N == sum((O-E)^2/E) with "
+    "E = rt*ct/N (one N inside the per-cell denominator — the "
+    "identity absorbs it, property-gated against the direct form), "
+    "so every numerator is an EXACT bigint product "
+    "before the single double division per cell (<=50 cells; the "
+    "only FP summation is over those 50 deterministic terms). "
+    "Zero-observed cells are restored via the row-total x col-total "
+    "cross join (they carry E > 0 and must contribute). Scale: the "
+    "fact scan collapses map-side to the contingency table "
+    "(types x 10 buckets); everything after is broadcast-sized.",
+    parts=8,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(
+            F.lit(9), F.floor(F.col("value") / 50.0).cast("int")
+        ).alias("vb"),
+    )
+    o = ev.groupBy("event_type", "vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    return _chi2_from_cells(o)
+
+
+def _chi2_from_cells(o: DataFrame) -> DataFrame:
+    """Pearson chi-square from an observed contingency table
+    ``(event_type, vb, obs)`` — shared by the batch query and the
+    streaming drift monitor (which maintains the contingency as its
+    streaming state and derives the statistic per trigger)."""
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
+    ct = o.groupBy("vb").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("n")).withColumn(
+        "__k", _const_key(F.col("n"))
+    )
+    # margin cross product as a const-key EQUI-join (BroadcastHash,
+    # never a BNLJ) — restores the zero-observed cells. The obs side
+    # is re-aliased first: margins and obs share grouping exprIds
+    # (both derive from the same source — a streaming memory-sink
+    # view in the drift-monitor twin), and the raw self-join trips
+    # the analyzer's conflicting-attributes check.
+    ob = o.select(
+        F.col("event_type").alias("__et"),
+        F.col("vb").alias("__vb"),
+        F.col("obs"),
+    )
+    cells = (
+        rt.withColumn("__c", _const_key(F.col("rt")))
+        .join(
+            F.broadcast(ct.withColumn("__c", _const_key(F.col("ct")))),
+            "__c",
+        )
+        .drop("__c")
+        .join(
+            ob,
+            (F.col("event_type") == F.col("__et"))
+            & (F.col("vb") == F.col("__vb")),
+            "left",
+        )
+        .drop("__et", "__vb")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .withColumn("__k", _const_key(F.col("rt")))
+        .join(F.broadcast(n), "__k")
+    )
+    num = F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
+    term = (num.cast("double") * num.cast("double")) / (
+        F.col("n").cast("double")
+        * F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+    )
+    stat = cells.agg(F.sum(term).alias("chi2")).withColumn(
+        "__d", _const_key(F.col("chi2"))
+    )
+    # dims from the already-distinct margin rollups (a multi-distinct
+    # agg over cells would plan an Expand; these are plain counts)
+    dims = (
+        rt.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn("__d", _const_key(F.col("n_rows")))
+        .join(
+            F.broadcast(
+                ct.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_cols")
+                ).withColumn("__d", _const_key(F.col("n_cols")))
+            ),
+            "__d",
+        )
+    )
+    return dims.join(F.broadcast(stat), "__d").select(
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        "chi2",
+    )
+
+
+@_register(
+    "stream_chi2_drift_batch_eq",
+    _CHI2_ORACLE,
+    doc="Streaming drift monitoring under the ORACLE gate — the tenth "
+    "streaming rung: the chi-square independence monitor run AS a "
+    "streaming job. The stream maintains only the contingency-table "
+    "sufficient statistics (streaming/ops.py "
+    "stream_value_contingency: a complete-mode groupBy whose state "
+    "is bounded by types x buckets, never by event volume — the "
+    "production shape for drift monitors at 100 TB/day), landed to "
+    "a memory sink by an availableNow replay; the scalar statistic "
+    "is then derived from that tiny table by the SAME "
+    "_chi2_from_cells formula as the batch twin and hash-compared "
+    "against the batch SQL oracle. Chained aggregations are "
+    "unsupported in a streaming plan, so statistic-from-state per "
+    "trigger is the architecture, not a shortcut.",
+)
+def q_stream_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
+        stream_value_contingency,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_chi2_")
+    src = f"{work}/events"
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"s_chi2_eq_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle(spark, 8):
+        q = (
+            stream_value_contingency(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return _chi2_from_cells(spark.table(name))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)

@@ -101,6 +101,35 @@ def stream_sliding_distinct(
     )
 
 
+def stream_value_contingency(
+    events: DataFrame,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Streaming sufficient statistics for the chi-square
+    independence drift monitor: the running contingency table
+    ``(event_type, vb) -> obs`` over a fixed-width value bucketing.
+    The monitor's ARCHITECTURE is the point — the stream maintains
+    only the O(types x buckets) count state (mergeable, map-side
+    combinable, bounded regardless of event volume); the scalar test
+    statistic is derived from this tiny table per trigger by the
+    shared batch formula (``queries.pack._chi2_from_cells``), because
+    chained aggregations are unsupported inside a streaming plan.
+    Complete/update-compatible (no watermark: state is domain-bounded
+    by construction, not time-bounded)."""
+    vb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int"),
+    )
+    return (
+        events.withColumn("vb", vb)
+        .groupBy(type_col, "vb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+
+
 def stream_last_value_per_group(
     events: DataFrame,
     key_col: str = "user_id",
