@@ -108,6 +108,36 @@ def test_prefix_filter_is_lossless(spark):
     assert verified == truth
 
 
+def test_ppjoin_filters_lossless_on_skewed_lengths(spark):
+    """The r6 PPJoin length+positional filters must stay lossless on
+    adversarial shapes: doc lengths spanning the length-filter
+    boundary (ratios just above and below t) and heavy shared-token
+    overlap where the positional bound is tight. Randomized (seeded)
+    docs from a tiny vocabulary maximize collisions."""
+    import random
+
+    rng = random.Random(43)
+    vocab = [f"w{i}" for i in range(18)]
+    rows = []
+    for i in range(60):
+        n = rng.choice([7, 9, 12, 15, 24])  # skewed lengths
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plus planted near-dups at both length extremes
+    rows.append((100, rows[0][1] + " w0"))
+    rows.append((101, rows[59][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        truth = _brute_force_pairs(spark, docs, t)
+        cand = {
+            (r.id_a, r.id_b)
+            for r in prefix_filter_jaccard_pairs(
+                docs, "text", "doc_id", threshold=t
+            ).collect()
+        }
+        assert truth <= cand, (t, truth - cand)
+    assert truth  # the planted dup qualifies even at 0.8
+
+
 def test_prefix_length_integer_exact(spark):
     """IEEE ceil(0.8*5)=5 would shorten the prefix to 1 token and can
     drop pairs; the integer-ratio arithmetic must keep L = m -
@@ -134,9 +164,14 @@ def test_prefix_length_integer_exact(spark):
         .collect()[0]
         .jaccard
     )
-    # choose the threshold exactly at the pair's jaccard: a lossy
-    # prefix would miss it, a lossless one must emit it
+    # choose the threshold exactly at the pair's jaccard (j == 2/3;
+    # str(j) truncates BELOW the rational value, so the pair
+    # qualifies): a lossy prefix would miss it, a lossless one must
+    # emit it. round(j, 10) would round UP above 2/3 and the pair
+    # would legitimately not qualify — the r6 PPJoin positional
+    # filter is tight enough to notice, the original prefix filter
+    # only emitted it by slack.
     cand = prefix_filter_jaccard_pairs(
-        docs, "text", "doc_id", threshold=round(j, 10)
+        docs, "text", "doc_id", threshold=j
     ).collect()
     assert {(r.id_a, r.id_b) for r in cand} == {(1, 2)}
