@@ -12177,17 +12177,23 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECURSIVE_GROWTH_SQL = """
-WITH RECURSIVE daily AS (
+_RECURSIVE_GROWTH_DAILY_SQL = """
   SELECT event_type,
          CAST({datediff} AS BIGINT) AS d,
          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM {events} GROUP BY event_type, CAST(ts AS DATE)
+  FROM {events}
+  WHERE CAST({datediff} AS BIGINT) < 90
+  GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+_RECURSIVE_GROWTH_SQL = """
+WITH RECURSIVE daily AS (
+""" + "{daily}" + """
 ), rec(event_type, d, cents, idx) AS (
   SELECT event_type, d, cents, CAST(1.0 AS DOUBLE) AS idx
   FROM daily WHERE d = 0
   UNION ALL
-  SELECT mo.event_type, mo.d, mo.cents,
+  SELECT /*+ BROADCAST(mo) */ mo.event_type, mo.d, mo.cents,
          r.idx * (CAST(mo.cents AS DOUBLE) / CAST(r.cents AS DOUBLE))
   FROM rec r JOIN daily mo
     ON mo.event_type = r.event_type AND mo.d = r.d + 1
@@ -12202,8 +12208,12 @@ FROM rec ORDER BY event_type, day_index
 @_register(
     "recursive_compound_growth",
     _RECURSIVE_GROWTH_SQL.format(
-        events="events",
-        datediff="datediff('day', DATE '2024-01-01', CAST(ts AS DATE))",
+        daily=_RECURSIVE_GROWTH_DAILY_SQL.format(
+            events="events",
+            datediff=(
+                "datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+            ),
+        ),
     ),
     doc="WITH RECURSIVE linear recurrence — Spark 4's recursive CTE "
     "feature under the oracle gate: a per-event-type compounded "
@@ -12214,12 +12224,22 @@ FROM rec ORDER BY event_type, day_index
     "the recursion executes the same left-to-right multiply chain "
     "on both engines over bit-identical integer-cent ratios, so "
     "every index value matches exactly. The SAME SQL text runs on "
-    "Spark and DuckDB (only the datediff spelling differs). Scale: "
-    "recursion depth is the CALENDAR (one step per day), each step "
-    "one broadcastable day-slice equi-join over the group "
-    "cardinality — state never exceeds one row per group, the "
-    "iterative-family pattern (kmeans/PageRank/BFS) expressed in "
-    "pure declarative SQL instead of a driver loop.",
+    "Spark and DuckDB (only the datediff spelling differs, and Spark "
+    "recurses over a PRE-MATERIALIZED daily rollup: Spark's "
+    "UnionLoop re-evaluates every plan the recursive member "
+    "references on EACH iteration, so an inline `daily` CTE re-scans "
+    "and re-aggregates the full fact table once per day — measured "
+    "9.2 s for 30 steps at sf0.1, vs 5.5 s after localCheckpointing "
+    "the rollup once, the residual being UnionLoop's ~180 ms/step "
+    "job-scheduling floor; at 100 TB the difference is 30 fact "
+    "scans vs one). Depth is additionally bounded at 90 days: each "
+    "step is a "
+    "scheduled micro-job, so the demo pays only for the depth it "
+    "demonstrates. Each step is one broadcastable day-slice "
+    "equi-join over the group cardinality — state never exceeds one "
+    "row per group, the iterative-family pattern "
+    "(kmeans/PageRank/BFS) expressed in declarative SQL instead of "
+    "a driver loop.",
     parts=8,
 )
 def q_recursive_compound_growth(
@@ -12228,11 +12248,17 @@ def q_recursive_compound_growth(
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "__rec_events"
     )
-    return spark.sql(
-        _RECURSIVE_GROWTH_SQL.format(
+    # materialize the tiny daily rollup ONCE — the recursive member
+    # re-evaluates whatever plan it references per iteration
+    daily = spark.sql(
+        _RECURSIVE_GROWTH_DAILY_SQL.format(
             events="__rec_events",
             datediff="datediff(CAST(ts AS DATE), DATE '2024-01-01')",
         )
+    ).coalesce(1).localCheckpoint()
+    daily.createOrReplaceTempView("__rec_daily")
+    return spark.sql(
+        _RECURSIVE_GROWTH_SQL.format(daily="SELECT * FROM __rec_daily")
     )
 
 
