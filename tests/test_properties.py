@@ -137,3 +137,96 @@ def test_fallback_forecast_constant_series(c, n, horizon):
     preds, halves = _fallback_forecast(y, horizon)
     assert np.allclose(preds, c, rtol=1e-9, atol=1e-6)
     assert np.allclose(halves, 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Round-6: PPJoin losslessness and Mann-Whitney, on generated inputs
+# ---------------------------------------------------------------------------
+
+_VOCAB = [f"w{i}" for i in range(12)]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=4, max_size=24),
+        min_size=4,
+        max_size=16,
+    ),
+    st.sampled_from([0.3, 0.5, 2 / 3, 0.75, 0.8, 0.6666666666666666]),
+)
+def test_ppjoin_candidates_superset_truth(spark, token_lists, t):
+    """The prefix filter's r6 length+positional filters must keep
+    candidates ⊇ all true pairs for ANY corpus and threshold —
+    including thresholds whose exact float form stresses the
+    denominator-limit path. Truth comes from the exact
+    ngram_jaccard kernel over ALL pairs (one Spark job), so the
+    property is checked against the verify semantics themselves."""
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.operators.dedup import (
+        ngram_jaccard,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    ids = [i for i in range(len(token_lists))]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b],
+        "id_a long, id_b long",
+    )
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard(all_pairs, docs, "doc_id", "text", 3)
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_jaccard_pairs(
+            docs, "text", "doc_id", threshold=t
+        ).collect()
+    }
+    assert truth <= cand, (t, truth - cand)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=8), min_size=2, max_size=40),
+    st.lists(st.integers(min_value=1, max_value=8), min_size=2, max_size=40),
+)
+def test_mannwhitney_matches_textbook_reference(spark, a_cents, b_cents):
+    """Engine U and z equal the average-rank textbook formulation on
+    arbitrary tied integer samples (tiny domain = maximal ties)."""
+    import datetime as dt
+
+    from tests.test_stat_gates import _mannwhitney_ref
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, i, "click", c / 100.0, "{}")
+        for i, c in enumerate(a_cents)
+    ] + [
+        (10_000 + i, t0, i, "error", c / 100.0, "{}")
+        for i, c in enumerate(b_cents)
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mw_hyp_")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    [r] = QUERIES["mannwhitney_drift"].spark(spark, d).collect()
+    if len(set(a_cents) | set(b_cents)) == 1:
+        # every observation tied: variance 0, z undefined -> NULL
+        assert r.z_score is None
+        return
+    u, z = _mannwhitney_ref(a_cents, b_cents)
+    assert r.u_stat == u
+    assert abs(r.z_score - z) < 1e-9

@@ -12286,15 +12286,24 @@ def q_recursive_compound_growth(
              CAST(SUM(cnt - ca) AS BIGINT) AS nb
       FROM c
     )
-    SELECT na AS n_click, nb AS n_error,
-           CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,
-           CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) /
-           (2.0 * sqrt((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+    , v AS (
+      SELECT na, nb, r2a,
+             (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
              * (CAST(na + nb + 1 AS DOUBLE)
                 - CAST(ties AS DOUBLE)
-                  / (CAST(na + nb AS DOUBLE)
-                     * CAST(na + nb - 1 AS DOUBLE))))) AS z_score
-    FROM s
+                  / (CASE WHEN na + nb > 1
+                     THEN CAST(na + nb AS DOUBLE)
+                          * CAST(na + nb - 1 AS DOUBLE)
+                     ELSE NULL END)) AS var
+      FROM s
+    )
+    SELECT na AS n_click, nb AS n_error,
+           CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,
+           CASE WHEN var > 0 THEN
+             CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
+             / (2.0 * sqrt(var))
+           ELSE NULL END AS z_score
+    FROM v
     """,
     doc="Mann-Whitney U rank-sum drift gate (Mann & Whitney 1947): "
     "does the `value` distribution of click events differ from "
@@ -12391,16 +12400,23 @@ def q_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb = F.col("na"), F.col("nb")
     d = lambda x: x.cast("double")  # noqa: E731
+    # try_divide twice: N <= 1 makes the tie-correction denominator 0,
+    # an all-tied sample makes var == 0 — both degenerate cases yield
+    # a NULL z (the oracle's guarded CASE mirrors it); ANSI mode would
+    # otherwise hard-fail on the division (hypothesis-caught).
     var = (d(na) * d(nb) / 12.0) * (
-        d(na + nb + 1) - d(F.col("ties")) / (d(na + nb) * d(na + nb - 1))
+        d(na + nb + 1)
+        - F.try_divide(
+            d(F.col("ties")), d(na + nb) * d(na + nb - 1)
+        )
     )
     return s.select(
         na.alias("n_click"),
         nb.alias("n_error"),
         (d(F.col("r2a") - na * (na + 1)) / 2.0).alias("u_stat"),
-        (
-            d(F.col("r2a") - na * (na + 1) - na * nb)
-            / (2.0 * F.sqrt(var))
+        F.try_divide(
+            d(F.col("r2a") - na * (na + 1) - na * nb),
+            2.0 * F.sqrt(var),
         ).alias("z_score"),
     )
 
