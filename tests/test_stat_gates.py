@@ -228,3 +228,33 @@ class TestBenford:
             assert abs(
                 out[dgt].benford_freq - math.log10(1 + 1 / dgt)
             ) < 1e-12
+
+
+class TestRangeFrame:
+    def test_gap_days_shrink_the_frame(self, spark):
+        """Planted sparse days: the RANGE frame must count calendar
+        distance, not row distance — a 7-day trailing window at day 9
+        sees only day 9 when days 2..8 are missing (ROWS 6 PRECEDING
+        would reach back to days 0 and 1)."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        # odd cent sums survive the sparsity filter: plant odd-valued
+        # days 0, 1, 9 and an even (filtered) day 5
+        for day, val in [(0, 0.01), (1, 0.03), (5, 0.02), (9, 0.05)]:
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day), eid, "click", val, "{}")
+            )
+            eid += 1
+        d = _write_events(spark, rows, "rf_prop_")
+        from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+        got = {
+            r.day_index: (r.win_cents, r.win_days)
+            for r in QUERIES["range_frame_trailing_7d"]
+            .spark(spark, d)
+            .collect()
+        }
+        assert got == {0: (1, 1), 1: (4, 2), 9: (5, 1)}

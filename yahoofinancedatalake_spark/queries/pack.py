@@ -12739,6 +12739,71 @@ def q_stream_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chi2_from_cells(spark.table(name))
 
 
+@_register(
+    "range_frame_trailing_7d",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), sparse AS (
+      SELECT * FROM daily WHERE cents % 2 = 1
+    )
+    SELECT event_type, d AS day_index, cents,
+           CAST(SUM(cents) OVER w AS BIGINT) AS win_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS win_days
+    FROM sparse
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day_index
+    """,
+    doc="Value-RANGE window frames — the frame class the pack's "
+    "trailing aggregates didn't exercise (rolling_mean_30 and the "
+    "FIR family are ROWS frames): a trailing 7-CALENDAR-DAY sum over "
+    "a deliberately SPARSE daily series (odd-cents days only), where "
+    "RANGE and ROWS genuinely diverge — a gap day shrinks the RANGE "
+    "frame's row count while ROWS 6 PRECEDING would silently reach "
+    "back across the gap into older days. Everything is exact "
+    "integer cents over an integer day index, so the frame sum is "
+    "associativity-safe cross-engine. Scale: the events scan "
+    "collapses map-side to the (type, day) rollup before any window; "
+    "the RANGE sort is partitioned by series key, state bounded by "
+    "the frame's value span.",
+    parts=8,
+)
+def q_range_frame_trailing_7d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("c").cast("bigint").alias("cents")
+    )
+    sparse = daily.filter(F.col("cents") % 2 == 1)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return sparse.select(
+        "event_type",
+        F.col("d").alias("day_index"),
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("win_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("win_days"),
+    ).orderBy("event_type", "day_index")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
