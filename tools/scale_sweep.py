@@ -1,0 +1,90 @@
+"""Replication scale sweep — the evidence protocol behind SURVEY §8.
+
+Replicates a query's input table N× with remapped ids into /tmp and
+reports warm wall-clock at 1× / 10× / 100×, so "would this plan hold
+at 100× the data?" is a measurement, not an assertion. Documents keep
+their ``source`` values under replication, so per-domain operators
+(e.g. ``domain_cap_sample``) face domains 100× past their caps — the
+skew case their two-pass formulations exist for.
+
+Usage::
+
+    python tools/scale_sweep.py [sf_dir] [query ...]
+
+With no queries given, runs the round-6 statistics family. Each query
+must read exactly one of the mapped tables; extend ``TABLE_OF`` when
+sweeping a new one.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from yahoofinancedatalake_spark.queries.pack import QUERIES  # noqa: E402
+from yahoofinancedatalake_spark.session import get_spark  # noqa: E402
+
+#: query -> (table it reads, id column to remap per replica)
+TABLE_OF = {
+    "mannwhitney_drift": ("events", "event_id"),
+    "chi2_independence": ("events", "event_id"),
+    "stream_chi2_drift_batch_eq": ("events", "event_id"),
+    "benford_digits": ("lineitem", "l_orderkey"),
+    "domain_cap_sample": ("documents", "doc_id"),
+    "range_frame_trailing_7d": ("events", "event_id"),
+}
+
+DEFAULT = [
+    "mannwhitney_drift",
+    "chi2_independence",
+    "benford_digits",
+    "domain_cap_sample",
+]
+
+
+def replicate(spark, sf_dir, table, factor, id_col, workdir):
+    out = f"{workdir}/{table}_{factor}"
+    base = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = base
+    for i in range(1, factor):
+        df = df.unionByName(
+            base.withColumn(
+                id_col, F.col(id_col) + F.lit(i * 10_000_000_000)
+            )
+        )
+    df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or DEFAULT
+    spark = get_spark("scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="scale_sweep_")
+    results: dict = {}
+    for qn in names:
+        table, id_col = TABLE_OF[qn]
+        for factor in (1, 10, 100):
+            d = replicate(
+                spark, sf_dir, table, factor, id_col, workdir
+            )
+            if factor == 1:  # JVM/codegen warm-up, untimed
+                QUERIES[qn].spark(spark, d).collect()
+            t0 = time.time()
+            rows = QUERIES[qn].spark(spark, d).collect()
+            dt = round(time.time() - t0, 2)
+            results.setdefault(qn, {})[factor] = dt
+            print(f"{qn} x{factor}: {dt}s ({len(rows)} rows)", flush=True)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
