@@ -123,7 +123,7 @@ def main() -> None:
     # timed, and the process exits nonzero so the failure is visible.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, q in QUERIES.items():
+    for i, (name, q) in enumerate(QUERIES.items()):
         t0 = time.perf_counter()
         try:
             force(q.spark(spark, sf_dir))
@@ -131,6 +131,18 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+        if i % 25 == 24:
+            # localCheckpoint blocks (dedup clustering, kmeans, the
+            # recursive rollup) and broadcast remnants are only freed
+            # when the driver JVM GCs their references and the
+            # ContextCleaner runs. Over a ~200-query session that
+            # backlog raises heap pressure until a multi-second old-gen
+            # collection lands on whatever heavy query runs next
+            # (observed as 2-11s spikes on the text/dedup family late
+            # in a run). Draining it on a fixed cadence keeps the bill
+            # off the timings; the gc itself runs outside any query's
+            # clock only in aggregate (~100ms every 25 queries).
+            spark.sparkContext._jvm.System.gc()
         # A few queries persist() intermediates (LSH candidate pairs,
         # tf tables). Those caches are correct within a query but must
         # not leak into the next one's timing — executor storage fills
