@@ -213,6 +213,10 @@ def main() -> int:
         if only and name not in only:
             continue
         spark.catalog.clearCache()
+        if len(results) % 25 == 24:
+            # drain localCheckpoint/broadcast refs the ContextCleaner
+            # is waiting on — same driver-heap hygiene as bench.py
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         rec: dict = {"sweep_oracle": False}
         try:

@@ -74,6 +74,12 @@ def main() -> int:
         # run each query against cold storage, like the driver does —
         # persisted intermediates from earlier queries must not leak
         spark.catalog.clearCache()
+        if n_run % 25 == 0:
+            # drain the ContextCleaner backlog (localCheckpoint blocks,
+            # broadcast remnants) the same way bench.py does — a full
+            # 199-query session otherwise builds driver-heap pressure
+            # until old-gen pauses distort late queries
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
