@@ -258,3 +258,66 @@ class TestRangeFrame:
             .collect()
         }
         assert got == {0: (1, 1), 1: (4, 2), 9: (5, 1)}
+
+
+class TestTheilSen:
+    def test_outlier_day_barely_moves_the_median_slope(self, spark):
+        """A clean cents-per-day trend of +100 with ONE wild outlier
+        day: the pairwise-slope median must stay at ~100 (the
+        estimator's whole point), and with the outlier removed it
+        must equal the planted slope exactly."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for day in range(20):
+            cents = 1000 + 100 * day
+            if day == 10:
+                cents = 90_000  # the outlier
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day), eid, "click",
+                 cents / 100.0, "{}")
+            )
+            eid += 1
+        d = _write_events(spark, rows, "ts_prop_")
+        from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+        [r] = (
+            QUERIES["theilsen_trend_daily"].spark(spark, d).collect()
+        )
+        assert r.n_slopes == 190
+        assert abs(r.slope_cents_per_day - 100.0) < 1e-9
+
+    def test_exact_median_on_even_and_odd_counts(self, spark):
+        """3 days -> 3 slopes (odd median = middle); 4 days -> 6
+        slopes (even median = mean of middles) — the rank arithmetic
+        must hit both branches exactly."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+        # days 0,1,2 with cents 0, 100, 400 -> slopes {100, 300, 200}
+        rows = [
+            (i, t0 + dt.timedelta(days=day), i, "click", c / 100.0, "{}")
+            for i, (day, c) in enumerate([(0, 0), (1, 100), (2, 400)])
+        ]
+        d = _write_events(spark, rows, "ts_odd_")
+        [r] = QUERIES["theilsen_trend_daily"].spark(spark, d).collect()
+        assert r.n_slopes == 3 and r.slope_cents_per_day == 200.0
+        # days 0..3 cents 0,100,400,500 -> slopes
+        # {100, 200, 300/2=...}: pairwise = [100,200,166.66,300,200,100]
+        rows = [
+            (i, t0 + dt.timedelta(days=day), i, "click", c / 100.0, "{}")
+            for i, (day, c) in enumerate(
+                [(0, 0), (1, 100), (2, 400), (3, 500)]
+            )
+        ]
+        d = _write_events(spark, rows, "ts_even_")
+        [r] = QUERIES["theilsen_trend_daily"].spark(spark, d).collect()
+        slopes = sorted(
+            [100.0, 200.0, 500.0 / 3.0, 300.0, 200.0, 100.0]
+        )
+        want = (slopes[2] + slopes[3]) / 2.0
+        assert r.n_slopes == 6 and r.slope_cents_per_day == want

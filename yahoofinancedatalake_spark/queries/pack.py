@@ -12804,6 +12804,107 @@ def q_range_frame_trailing_7d(
     ).orderBy("event_type", "day_index")
 
 
+@_register(
+    "theilsen_trend_daily",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ), ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_slopes,
+           (MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                THEN slope END)
+            + MAX(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+                  THEN slope END)) / 2.0 AS slope_cents_per_day
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Theil-Sen robust trend per event type (Theil 1950 / Sen "
+    "1968): the MEDIAN of all pairwise day-slopes of the daily "
+    "integer-cent series — the robust sibling of trend_ols_daily "
+    "(a single outlier day shifts OLS; it moves the slope median "
+    "almost nowhere). Each slope is one double division of exact "
+    "BIGINTs, the median is an exact order statistic (lower+upper "
+    "middle averaged, both via floor((n+k)/2) picked from a "
+    "per-type rank — deterministic because ties are between equal "
+    "values), so the result is bit-identical cross-engine with no "
+    "FP-summation anywhere. Scale: the fact scan collapses map-side "
+    "to the (type, day) rollup FIRST; the pairwise explosion is "
+    "bounded by the CALENDAR span squared per type (C(30,2)=435 "
+    "here), never by row count — for multi-year spans you sample "
+    "day pairs or fall back to the OLS twin, both shapes already in "
+    "the pack.",
+    parts=8,
+)
+def q_theilsen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("c").cast("bigint").alias("cents")
+    )
+    b = daily.select(
+        F.col("event_type").alias("__et"),
+        F.col("d").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    slopes = (
+        daily.join(b, (F.col("event_type") == F.col("__et")))
+        .filter(F.col("d") < F.col("d2"))
+        .select(
+            "event_type",
+            (
+                (F.col("c2") - F.col("cents")).cast("double")
+                / (F.col("d2") - F.col("d")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.withColumn(
+        "rn", F.row_number().over(wr)
+    ).withColumn("n", F.count(F.lit(1)).over(wn).cast("bigint"))
+    lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    hi = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_slopes"),
+            (
+                (
+                    F.max(F.when(F.col("rn") == lo, F.col("slope")))
+                    + F.max(F.when(F.col("rn") == hi, F.col("slope")))
+                )
+                / 2.0
+            ).alias("slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
