@@ -321,3 +321,68 @@ class TestTheilSen:
         )
         want = (slopes[2] + slopes[3]) / 2.0
         assert r.n_slopes == 6 and r.slope_cents_per_day == want
+
+
+class TestMannKendall:
+    def test_monotone_and_flat_series(self, spark):
+        """Strictly increasing series: S = C(n,2), z large positive.
+        All-tied series: variance degenerates -> NULL z."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for day in range(15):
+            rows.append(  # strictly rising clicks
+                (eid, t0 + dt.timedelta(days=day), eid, "click",
+                 (100 + day) / 100.0, "{}")
+            )
+            eid += 1
+            rows.append(  # perfectly flat errors
+                (eid, t0 + dt.timedelta(days=day), eid, "error",
+                 0.42, "{}")
+            )
+            eid += 1
+        d = _write_events(spark, rows, "mk_prop_")
+        from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+        got = {
+            r.event_type: r
+            for r in QUERIES["mann_kendall_trend"].spark(spark, d).collect()
+        }
+        assert got["click"].s_stat == 15 * 14 // 2 == 105
+        assert got["click"].z_score > 3.0
+        assert got["error"].s_stat == 0
+        assert got["error"].z_score is None  # all tied: var_s == 0
+
+    def test_reference_variance_with_ties(self, spark):
+        """Tied daily values: S and the tie-corrected variance must
+        match the textbook formula computed independently."""
+        import datetime as dt
+        import itertools
+        import math
+
+        t0 = dt.datetime(2024, 1, 1)
+        cents = [100, 300, 300, 200, 500, 100, 400]
+        rows = [
+            (i, t0 + dt.timedelta(days=i), i, "click", c / 100.0, "{}")
+            for i, c in enumerate(cents)
+        ]
+        d = _write_events(spark, rows, "mk_ref_")
+        from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+        [r] = QUERIES["mann_kendall_trend"].spark(spark, d).collect()
+        s_ref = sum(
+            (b > a) - (b < a)
+            for a, b in itertools.combinations(cents, 2)
+        )
+        n = len(cents)
+        tie_counts = [cents.count(v) for v in set(cents)]
+        var_ref = (
+            n * (n - 1) * (2 * n + 5)
+            - sum(t * (t - 1) * (2 * t + 5) for t in tie_counts)
+        ) / 18.0
+        z_ref = (s_ref - 1) / math.sqrt(var_ref)
+        assert r.s_stat == s_ref and r.n_days == n
+        assert abs(r.var_s - var_ref) < 1e-12
+        assert abs(r.z_score - z_ref) < 1e-12

@@ -12905,6 +12905,133 @@ def q_theilsen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "mann_kendall_trend",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY a.event_type
+    ), nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily
+      GROUP BY event_type
+    ), ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                  AS BIGINT) AS tt
+      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, cents)
+      GROUP BY event_type
+    )
+    SELECT s.event_type, stat AS s_stat, n AS n_days,
+           CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0
+             AS var_s,
+           CASE
+             WHEN n * (n - 1) * (2 * n + 5) - tt <= 0 THEN NULL
+             WHEN stat > 0 THEN CAST(stat - 1 AS DOUBLE)
+               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
+                      / 18.0)
+             WHEN stat < 0 THEN CAST(stat + 1 AS DOUBLE)
+               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
+                      / 18.0)
+             ELSE 0.0
+           END AS z_score
+    FROM s JOIN nd ON s.event_type = nd.event_type
+    JOIN ties ON s.event_type = ties.event_type
+    ORDER BY s.event_type
+    """,
+    doc="Mann-Kendall monotone-trend test per event type (Mann 1945 / "
+    "Kendall 1975) — the significance companion to the Theil-Sen "
+    "slope (the standard pairing in monitoring: MK answers IS there "
+    "a monotone trend, Theil-Sen answers how steep). S = sum of "
+    "sign(later - earlier) over all day pairs is an exact BIGINT; "
+    "the tie-corrected variance [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18 "
+    "is built from exact integer products; z applies the standard "
+    "continuity correction and is NULL when the variance degenerates "
+    "(all-tied series). Scale: same shape as theilsen_trend_daily — "
+    "map-side daily rollup first, calendar-bounded pairwise "
+    "explosion, three broadcast-sized margins.",
+    parts=8,
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("c").cast("bigint").alias("cents")
+    )
+    b = daily.select(
+        F.col("event_type").alias("__et"),
+        F.col("d").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    s = (
+        daily.join(b, F.col("event_type") == F.col("__et"))
+        .filter(F.col("d") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("cents"), 1)
+                .when(F.col("c2") < F.col("cents"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    n = F.col("n")
+    vnum = n * (n - 1) * (2 * n + 5) - F.col("tt")
+    sq = F.sqrt(vnum.cast("double") / 18.0)
+    stat = F.col("s_stat")
+    return (
+        s.join(F.broadcast(nd), "event_type")
+        .join(F.broadcast(ties), "event_type")
+        .select(
+            "event_type",
+            stat.alias("s_stat"),
+            n.alias("n_days"),
+            (vnum.cast("double") / 18.0).alias("var_s"),
+            F.when(vnum <= 0, F.lit(None).cast("double"))
+            .when(stat > 0, (stat - 1).cast("double") / sq)
+            .when(stat < 0, (stat + 1).cast("double") / sq)
+            .otherwise(F.lit(0.0))
+            .alias("z_score"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
