@@ -2602,7 +2602,11 @@ def _ann_queries(spark: SparkSession, sf_dir: str, n_queries: int = 20):
     "cosine ground truth must be ≥ 0.99 — an approximation "
     "regression now fails the driver's hash check instead of only "
     "moving a bench number. Computed fully distributed (semi-join "
-    "membership + counts).",
+    "membership + counts). The 0.99 bar is calibrated for the "
+    "sf0.01+ corpora the gates run at (1.00 measured at sf0.01 and "
+    "sf0.1); on the 200-vector sf0.001 smoke corpus the 12-band "
+    "tables are too sparse to clear it and the gate correctly "
+    "reports the config unfit — run ANN gates at sf0.01 or larger.",
     parts=8,
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
