@@ -386,3 +386,46 @@ class TestMannKendall:
         assert r.s_stat == s_ref and r.n_days == n
         assert abs(r.var_s - var_ref) < 1e-12
         assert abs(r.z_score - z_ref) < 1e-12
+
+
+class TestCusum:
+    def test_locates_a_planted_mean_shift(self, spark):
+        """Level 100 cents for days 0-9, level 500 for days 10-19:
+        |S_k| peaks exactly at the last pre-shift day (k=9)."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for day in range(20):
+            c = 100 if day < 10 else 500
+            rows.append(
+                (day, t0 + dt.timedelta(days=day), day, "click",
+                 c / 100.0, "{}")
+            )
+        d = _write_events(spark, rows, "cusum_prop_")
+        from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+        [r] = QUERIES["cusum_changepoint"].spark(spark, d).collect()
+        assert r.changepoint_day == 9 and r.n_days == 20
+        # n*S_9 = n*cum_9 - 9... k=10 rows through day 9:
+        # cum=1000, k=10, tot=6000, n=20 -> |20*1000 - 10*6000| = 40000
+        assert r.abs_n_cusum == 40_000
+
+    def test_tie_breaks_to_the_earlier_day(self, spark):
+        """A symmetric V-shaped series ties |S_k| at both shoulders;
+        the earlier day must win deterministically."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        cents = [300, 100, 300]  # mean ~233; |S| ties at k=1 vs k=2
+        rows = [
+            (i, t0 + dt.timedelta(days=i), i, "click", c / 100.0, "{}")
+            for i, c in enumerate(cents)
+        ]
+        d = _write_events(spark, rows, "cusum_tie_")
+        from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+        [r] = QUERIES["cusum_changepoint"].spark(spark, d).collect()
+        # nS_1 = 3*300-1*700 = 200; nS_2 = 3*400-2*700 = -200: tie on
+        # |.|, day 0 wins
+        assert r.changepoint_day == 0 and r.abs_n_cusum == 200

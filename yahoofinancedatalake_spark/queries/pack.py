@@ -13036,6 +13036,104 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS tot
+      FROM daily GROUP BY event_type
+    ), c AS (
+      SELECT daily.event_type, d, n,
+             CAST(SUM(cents) OVER (PARTITION BY daily.event_type
+               ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(ROW_NUMBER() OVER (PARTITION BY daily.event_type
+               ORDER BY d) AS BIGINT) AS k,
+             tot
+      FROM daily JOIN m ON daily.event_type = m.event_type
+    ), s AS (
+      SELECT event_type, d, n,
+             ABS(n * cum - k * tot) AS abs_ns,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY ABS(n * cum - k * tot) DESC, d ASC) AS rk
+      FROM c
+    )
+    SELECT event_type, d AS changepoint_day,
+           CAST(abs_ns AS BIGINT) AS abs_n_cusum,
+           n AS n_days
+    FROM s WHERE rk = 1 ORDER BY event_type
+    """,
+    doc="CUSUM changepoint detection per event type (Page 1954): the "
+    "day k maximizing |S_k|, S_k = sum_{i<=k}(x_i - mean), over the "
+    "daily integer-cent series — the mean-shift locator next to the "
+    "mannwhitney/ks/chi2 'did it drift' monitors (those test, this "
+    "POINTS). The statistic is kept EXACT by clearing the rational "
+    "mean: n*S_k = n*cum_k - k*tot is a pure BIGINT, so the argmax "
+    "(ties broken toward the earlier day) is bit-deterministic "
+    "cross-engine with no doubles anywhere in the output. Scale: "
+    "map-side rollup to (type, day) first; the prefix sum and the "
+    "argmax rank are windows partitioned by series key with "
+    "calendar-bounded state.",
+    parts=8,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("c").cast("bigint").alias("cents")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wk = Window.partitionBy("event_type").orderBy("d")
+    c = (
+        daily.join(F.broadcast(m), "event_type")
+        .withColumn(
+            "cum", F.sum("cents").over(wcum).cast("bigint")
+        )
+        .withColumn("k", F.row_number().over(wk).cast("bigint"))
+    )
+    abs_ns = F.abs(
+        F.col("n") * F.col("cum") - F.col("k") * F.col("tot")
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        abs_ns.desc(), F.col("d").asc()
+    )
+    return (
+        c.withColumn("abs_ns", abs_ns)
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.col("abs_ns").cast("bigint").alias("abs_n_cusum"),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query for ``entry(spark)`` — Top/Flop (W1+W2+O2)."""
     return QUERIES["top_flop"].spark(spark, sf_dir)
