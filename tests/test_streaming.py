@@ -55,7 +55,7 @@ def _run_to_memory(stream_df, name: str, mode: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
     return q
 
 
@@ -273,7 +273,7 @@ def test_running_last_state_accumulates_across_restarts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")  # 4 state stores
@@ -331,7 +331,7 @@ def test_stream_contingency_accumulates_across_restarts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream timed out"
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")

@@ -39,7 +39,7 @@ def _run(spark, src, serving, ck):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream timed out"
 
 
 def test_stream_upsert_maintains_latest_row_per_key(spark, tmp_path):

@@ -75,8 +75,11 @@ def main() -> int:
             d = replicate(
                 spark, sf_dir, table, factor, id_col, workdir
             )
-            if factor == 1:  # JVM/codegen warm-up, untimed
-                QUERIES[qn].spark(spark, d).collect()
+            # Untimed warm-up per (query, factor): one-time plan/codegen
+            # and the cold page cache of the freshly written replica
+            # would otherwise inflate exactly the scaling ratios this
+            # sweep exists to measure.
+            QUERIES[qn].spark(spark, d).collect()
             t0 = time.time()
             rows = QUERIES[qn].spark(spark, d).collect()
             dt = round(time.time() - t0, 2)

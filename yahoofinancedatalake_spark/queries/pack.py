@@ -127,6 +127,23 @@ def _register(
 import contextlib
 
 
+def _await_stream(q, timeout: int = 300) -> None:
+    """Block on a memory/foreachBatch stream; hard-fail on timeout.
+
+    ``awaitTermination(timeout)`` returns False on timeout rather than
+    raising; reading a complete-mode memory sink mid-replay would then
+    silently compute from a partial table. Every streaming gate query
+    routes through here so a stall surfaces as an error in bench and
+    ad-hoc runs, not only in oracle parity.
+    """
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish "
+            f"within {timeout}s"
+        )
+
+
 @contextlib.contextmanager
 def _scoped_shuffle(spark: SparkSession, n: int):
     """Temporarily size shuffle partitions to the data.
@@ -2702,7 +2719,7 @@ def q_stream_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     return spark.table(name)
 
 
@@ -2763,7 +2780,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     return spark.table(name)
 
 
@@ -3773,7 +3790,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     return spark.table(name)
 
 
@@ -3818,7 +3835,7 @@ def q_stream_lake_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     return spark.table(name)
 
 
@@ -3874,7 +3891,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_stream(q)
     return spark.read.parquet(table).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
@@ -3966,7 +3983,7 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     return spark.table(name)
 
 
@@ -4017,7 +4034,7 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     # update-mode memory sink appends the per-batch updated rows; the
     # single-batch availableNow run emits each key once, but guard the
     # multi-batch case deterministically: the LAST update per key is
@@ -6127,7 +6144,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     return spark.table(name)
 
 
@@ -9170,7 +9187,7 @@ def q_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     return spark.table(name)
 
 
@@ -12317,7 +12334,8 @@ def q_recursive_compound_growth(
     "scalar: values collapse to integer cents, tied ranks enter via "
     "the rollup identity 2*R_A = sum(ca*(2*cum_before + cnt + 1)) "
     "(so no 0.5 average-rank floats ever sum), and the tie "
-    "correction sum(t^3 - t) stays a BIGINT; z is then a single "
+    "correction sum(t^3 - t) stays an exact integer (decimal(38,0) "
+    "products — BIGINT saturates at N ~ 3e9); z is then a single "
     "deterministic double expression over five exact integers — "
     "bit-identical on both engines, no FP-summation-order exposure. "
     "Scale: one hash groupBy collapses 100 TB of events to the "
@@ -12392,17 +12410,25 @@ def q_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ca", "cnt", (F.col("loc") + F.col("off")).alias("cb4")
         )
     )
+    # Rank-sum products widened to decimal(38,0): ca*(2*cb4+cnt+1) and
+    # cnt^3 approach N^2 / N^3, past BIGINT at N ~ 3e9 / ~2e6 distinct
+    # cents x large counts; the rollup is domain-bounded so the decimal
+    # arithmetic never touches the fact scan.
+    dec38 = "decimal(38,0)"
     s = c.agg(
         F.sum(
-            F.col("ca") * (2 * F.col("cb4") + F.col("cnt") + 1)
+            F.col("ca").cast(dec38)
+            * (2 * F.col("cb4") + F.col("cnt") + 1)
         ).alias("r2a"),
         F.sum(
-            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            F.col("cnt").cast(dec38) * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
         ).alias("ties"),
         F.sum("ca").alias("na"),
         F.sum(F.col("cnt") - F.col("ca")).alias("nb"),
     )
     na, nb = F.col("na"), F.col("nb")
+    nad = na.cast(dec38)  # na*(na+1), na*nb exceed BIGINT at na ~ 3e9
     d = lambda x: x.cast("double")  # noqa: E731
     # try_divide twice: N <= 1 makes the tie-correction denominator 0,
     # an all-tied sample makes var == 0 — both degenerate cases yield
@@ -12417,9 +12443,9 @@ def q_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         na.alias("n_click"),
         nb.alias("n_error"),
-        (d(F.col("r2a") - na * (na + 1)) / 2.0).alias("u_stat"),
+        (d(F.col("r2a") - nad * (na + 1)) / 2.0).alias("u_stat"),
         F.try_divide(
-            d(F.col("r2a") - na * (na + 1) - na * nb),
+            d(F.col("r2a") - nad * (na + 1) - nad * nb),
             2.0 * F.sqrt(var),
         ).alias("z_score"),
     )
@@ -12602,7 +12628,8 @@ _CHI2_ORACLE = """
     "sum((O*N - rt*ct)^2 / (N*rt*ct)) / N == sum((O-E)^2/E) with "
     "E = rt*ct/N (one N inside the per-cell denominator — the "
     "identity absorbs it, property-gated against the direct form), "
-    "so every numerator is an EXACT bigint product "
+    "so every numerator is an EXACT integer product (decimal(38,0) "
+    "— BIGINT saturates once N ~ 3e9 makes rt*ct approach N^2) "
     "before the single double division per cell (<=50 cells; the "
     "only FP summation is over those 50 deterministic terms). "
     "Zero-observed cells are restored via the row-total x col-total "
@@ -12663,7 +12690,16 @@ def _chi2_from_cells(o: DataFrame) -> DataFrame:
         .withColumn("__k", _const_key(F.col("rt")))
         .join(F.broadcast(n), "__k")
     )
-    num = F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")
+    # Exact numerator widened to decimal(38,0): rt*ct approaches N^2,
+    # which exceeds BIGINT once N ~ 3e9 rows (ANSI mode would
+    # hard-fail at the scale the docs advertise). decimal(38,0) is
+    # exact to 1e38 (room for N ~ 1e19) and costs nothing here — the
+    # products run on the <=50-cell contingency table, never on the
+    # fact scan.
+    dec38 = "decimal(38,0)"
+    num = F.col("obs").cast(dec38) * F.col("n") - F.col("rt").cast(
+        dec38
+    ) * F.col("ct")
     term = (num.cast("double") * num.cast("double")) / (
         F.col("n").cast("double")
         * F.col("rt").cast("double")
@@ -12739,7 +12775,7 @@ def q_stream_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
     return _chi2_from_cells(spark.table(name))
 
 
@@ -13076,9 +13112,12 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily integer-cent series — the mean-shift locator next to the "
     "mannwhitney/ks/chi2 'did it drift' monitors (those test, this "
     "POINTS). The statistic is kept EXACT by clearing the rational "
-    "mean: n*S_k = n*cum_k - k*tot is a pure BIGINT, so the argmax "
-    "(ties broken toward the earlier day) is bit-deterministic "
-    "cross-engine with no doubles anywhere in the output. Scale: "
+    "mean: n*S_k = n*cum_k - k*tot is a pure integer (exact "
+    "decimal(38,0) products — BIGINT would overflow near 1e12 rows x "
+    "daily granularity), so the argmax (ties broken toward the "
+    "earlier day) is bit-deterministic cross-engine with no doubles "
+    "anywhere in the output; the reported abs_n_cusum column itself "
+    "stays BIGINT and saturates past ~9.2e18. Scale: "
     "map-side rollup to (type, day) first; the prefix sum and the "
     "argmax rank are windows partitioned by series key with "
     "calendar-bounded state.",
@@ -13114,8 +13153,14 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("k", F.row_number().over(wk).cast("bigint"))
     )
+    # n*cum and k*tot approach n_days x total_cents ~ 9e18 at 1e12
+    # rows — the BIGINT edge. The argmax ranks on the exact
+    # decimal(38,0) statistic (correct at any scale); only the
+    # REPORTED abs_n_cusum column stays BIGINT for the output
+    # contract and saturates past ~9.2e18.
     abs_ns = F.abs(
-        F.col("n") * F.col("cum") - F.col("k") * F.col("tot")
+        F.col("n").cast("decimal(38,0)") * F.col("cum")
+        - F.col("k").cast("decimal(38,0)") * F.col("tot")
     )
     wrk = Window.partitionBy("event_type").orderBy(
         abs_ns.desc(), F.col("d").asc()
