@@ -285,3 +285,78 @@ def test_idiom_rule_paths(spark):
     assert got["sort of bad really"][0] > _compound_py("bad really")
     assert got["to die for"][0] > 0.5  # valence 3.0
     assert got["mankind of sorts"][0] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Vendored-lexicon hook (r7): published vader_lexicon.txt format
+# ---------------------------------------------------------------------------
+
+LEXICON_TSV = (
+    # real rows from the published MIT-licensed vader_lexicon.txt
+    # format: TOKEN \t MEAN \t STDDEV \t RAW_RATINGS
+    "smart\t1.7\t0.78102\t[2, 1, 2, 2, 1, 3, 1, 2, 1, 2]\n"
+    "handsome\t2.2\t0.6\t[2, 3, 2, 2, 3, 2, 1, 2, 3, 2]\n"
+    "\n"  # blank line: skipped
+    "malformed-no-tab\n"  # skipped
+    "notanumber\tNaNopeX\t0\t[]\n"  # unparseable mean: skipped
+    "two words\t1.0\t0\t[]\n"  # multi-token key: skipped
+    "gloomy\t-1.5\t0.5\t[-2, -1, -2, -1, -1, -2, -1, -2, -1, -2]\n"
+    "badass\t0.1\t0\t[]\n"  # overridden by IDIOM_VALENCES on swap
+)
+
+
+def test_lexicon_loader_and_swap(tmp_path, spark):
+    from yahoofinancedatalake_spark.functions import vader as V
+
+    p = tmp_path / "vader_lexicon.txt"
+    p.write_text(LEXICON_TSV, encoding="utf-8")
+    lex = V.load_lexicon_file(str(p))
+    assert lex == {
+        "smart": 1.7,
+        "handsome": 2.2,
+        "gloomy": -1.5,
+        "badass": 0.1,
+    }
+
+    old = V.set_lexicon(lex)
+    try:
+        # swapped-in word scores; dropped built-in word goes neutral
+        assert V._compound_py("gloomy") < 0
+        assert V._compound_py("good") == 0.0
+        # SPECIAL-CASE idiom precedence survives the swap, as in
+        # vaderSentiment (file said 0.1; idiom table says 1.5)
+        assert V.VADER_LEXICON["badass"] == 1.5
+        # expression path reads the same dict at call time
+        df = spark.createDataFrame(
+            [("gloomy but smart",), ("very gloomy",)], ["text"]
+        )
+        got = {
+            r["text"]: r["c"]
+            for r in with_vader_compound(df, "text", compound_col="c")
+            .select("text", "c")
+            .collect()
+        }
+        for text, c in got.items():
+            assert c == pytest.approx(V._compound_py(text), abs=1e-12)
+        assert got["very gloomy"] < V._compound_py("gloomy") < 0
+    finally:
+        V.set_lexicon(old)
+    assert V._compound_py("good") > 0  # restored
+
+
+def test_lexicon_autoload_env(tmp_path, monkeypatch):
+    from yahoofinancedatalake_spark.functions import vader as V
+
+    p = tmp_path / "lex.txt"
+    p.write_text("zorp\t3.0\t0\t[]\n", encoding="utf-8")
+    old = dict(V.VADER_LEXICON)
+    try:
+        monkeypatch.setenv("VADER_LEXICON_PATH", str(p))
+        assert V._autoload_lexicon() == str(p)
+        assert V.VADER_LEXICON["zorp"] == 3.0
+        monkeypatch.setenv("VADER_LEXICON_PATH", str(tmp_path / "nope"))
+        assert V._autoload_lexicon() is None
+        # this container has no vendored file: subset mode
+        assert V.LEXICON_SOURCE is None
+    finally:
+        V.set_lexicon(old)
