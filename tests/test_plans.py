@@ -192,3 +192,98 @@ def test_span_dedup_scans_corpus_once_via_cache(spark):
     # must read the cache, not the file.
     plan = _plan(spark, "span_dedup_c4")
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# plan_audit --diff regression gate (r7): pure-function coverage
+# ---------------------------------------------------------------------------
+
+
+def _row(name, **over):
+    base = {
+        "query": name, "exchanges": 2, "bhj": 1, "smj": 0,
+        "codegen": 3, "pushed": True, "expand": 0, "killers": 0,
+        "take_ordered": 1,
+    }
+    base.update(over)
+    return base
+
+
+def test_plan_diff_gate_flags_injected_regressions():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import diff_rows
+
+    baseline = {n: _row(n) for n in ("a", "b", "c", "d", "e", "f")}
+    current = {
+        "a": _row("a"),                      # unchanged → clean
+        "b": _row("b", exchanges=3),         # extra shuffle → regression
+        "c": _row("c", killers=1),           # new scale-killer → regression
+        "d": _row("d", pushed=False),        # lost pushdown → regression
+        "e": _row("e", bhj=0, smj=1),        # BHJ degraded to SMJ → regression
+        # "f" missing → regression
+        "g": _row("g"),                      # new query → note only
+    }
+    regressions, notes = diff_rows(baseline, current)
+    text = "\n".join(regressions)
+    assert len(regressions) == 5, text
+    assert "b: shuffles 2 -> 3" in text
+    assert "c: scale-killers 0 -> 1" in text
+    assert "d: parquet pushdown LOST" in text
+    assert "e: broadcast join degraded to sort-merge" in text
+    assert "f: in baseline but not audited now" in text
+    assert any("g: new query" in n for n in notes)
+
+
+def test_plan_diff_gate_passes_on_improvements():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import diff_rows
+
+    baseline = {"a": _row("a", exchanges=4, expand=1, pushed=False)}
+    current = {"a": _row("a", exchanges=2, expand=0, pushed=True)}
+    regressions, notes = diff_rows(baseline, current)
+    assert regressions == []
+    assert len(notes) == 3  # shuffles + expand improved, pushdown gained
+
+
+def test_plan_baseline_roundtrips_through_markdown(tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import parse_baseline
+
+    md = tmp_path / "PLANS.md"
+    md.write_text(
+        "# header\n\nprose | with | pipes\n\n"
+        "| query | shuffles | BHJ | SMJ | codegen | pushdown "
+        "| expand | killers | topk |\n"
+        "|---|---|---|---|---|---|---|---|---|\n"
+        "| top_flop | 2 | 1 | 0 | 3 | y | 0 | 0 | 1 |\n"
+        "| cosine_topk | 1 | 0 | 0 | 2 |  | 0 | 1 | 1 |\n"
+    )
+    b = parse_baseline(str(md))
+    assert set(b) == {"top_flop", "cosine_topk"}
+    assert b["top_flop"]["pushed"] is True
+    assert b["cosine_topk"]["pushed"] is False
+    assert b["cosine_topk"]["killers"] == 1
+
+
+def test_committed_plans_md_parses_as_baseline():
+    """The regression gate is only real if the committed PLANS.md
+    actually parses — pin the row count to the registered queries."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import MATERIALIZING, parse_baseline
+
+    b = parse_baseline("/root/repo/PLANS.md")
+    # every non-materializing registered query has a baseline row
+    # (new queries registered after the last snapshot may be absent,
+    # but the file must cover the overwhelming majority)
+    expected = {n for n in QUERIES if n not in MATERIALIZING}
+    assert len(b) >= 0.9 * len(expected), (len(b), len(expected))
+    unknown = set(b) - set(QUERIES)
+    assert not unknown, unknown

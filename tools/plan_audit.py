@@ -9,14 +9,26 @@ in a diff the same way CORRECTNESS_r*.json makes answer regressions
 reviewable; tests/test_plans.py pins the hard rules, this shows the
 whole surface.
 
-Usage: python tools/plan_audit.py [sf_dir] [out_md]
+``--diff`` (r7) turns the snapshot into a REGRESSION GATE: it parses
+the committed PLANS.md as the baseline, re-audits every query, and
+exits nonzero when a plan got structurally worse — more shuffles, a
+new scale-killer, a lost parquet pushdown, a new Expand, a broadcast
+join degrading to sort-merge, or a baseline query vanishing. New
+queries and strict improvements pass (improvements are reported so
+the baseline can be refreshed).
+
+Usage:
+    python tools/plan_audit.py [sf_dir] [out_md]     # write snapshot
+    python tools/plan_audit.py --diff [baseline_md]  # regression gate
 """
 
 from __future__ import annotations
 
+import os
+import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from yahoofinancedatalake_spark.queries.pack import QUERIES  # noqa: E402
 from yahoofinancedatalake_spark.session import get_spark  # noqa: E402
@@ -55,7 +67,103 @@ def audit_one(spark, name: str) -> dict | None:
     }
 
 
+_ROW_RE = re.compile(
+    r"^\| (?P<query>\S+) \| (?P<exchanges>\d+) \| (?P<bhj>\d+) "
+    r"\| (?P<smj>\d+) \| (?P<codegen>\d+) \| (?P<pushed>y?) "
+    r"\| (?P<expand>\d+) \| (?P<killers>\d+) \| (?P<take_ordered>\d+) \|$"
+)
+
+
+def parse_baseline(md_path: str) -> dict[str, dict]:
+    """Read a PLANS.md table back into audit rows."""
+    out: dict[str, dict] = {}
+    with open(md_path) as f:
+        for line in f:
+            m = _ROW_RE.match(line.rstrip())
+            if not m:
+                continue
+            d: dict = {"query": m.group("query")}
+            for k in (
+                "exchanges", "bhj", "smj", "codegen",
+                "expand", "killers", "take_ordered",
+            ):
+                d[k] = int(m.group(k))
+            d["pushed"] = m.group("pushed") == "y"
+            out[d["query"]] = d
+    return out
+
+
+def diff_rows(
+    baseline: dict[str, dict], current: dict[str, dict]
+) -> tuple[list[str], list[str]]:
+    """Compare audits; returns (regressions, notes).
+
+    Regressions (gate FAILS): more shuffles, a new scale-killer, a new
+    Expand, a lost parquet pushdown, broadcast degraded to sort-merge
+    (SMJ up while BHJ down), or a baseline query missing from the
+    current registry. Notes (gate passes): new queries, strict
+    improvements — signals to refresh the committed baseline.
+    """
+    regressions: list[str] = []
+    notes: list[str] = []
+    for name, b in baseline.items():
+        c = current.get(name)
+        if c is None:
+            regressions.append(f"{name}: in baseline but not audited now")
+            continue
+        for k, label in (
+            ("exchanges", "shuffles"),
+            ("killers", "scale-killers"),
+            ("expand", "Expand ops"),
+        ):
+            if c[k] > b[k]:
+                regressions.append(
+                    f"{name}: {label} {b[k]} -> {c[k]}"
+                )
+            elif c[k] < b[k]:
+                notes.append(f"{name}: {label} improved {b[k]} -> {c[k]}")
+        if b["pushed"] and not c["pushed"]:
+            regressions.append(f"{name}: parquet pushdown LOST")
+        elif c["pushed"] and not b["pushed"]:
+            notes.append(f"{name}: parquet pushdown gained")
+        if c["smj"] > b["smj"] and c["bhj"] < b["bhj"]:
+            regressions.append(
+                f"{name}: broadcast join degraded to sort-merge "
+                f"(BHJ {b['bhj']} -> {c['bhj']}, SMJ {b['smj']} -> {c['smj']})"
+            )
+    for name in current:
+        if name not in baseline:
+            notes.append(f"{name}: new query, no baseline row")
+    return regressions, notes
+
+
+def run_diff(baseline_md: str) -> int:
+    baseline = parse_baseline(baseline_md)
+    if not baseline:
+        print(f"no baseline rows parsed from {baseline_md}")
+        return 2
+    spark = get_spark("plan_audit_diff")
+    spark.sparkContext.setLogLevel("ERROR")
+    current: dict[str, dict] = {}
+    for name in QUERIES:
+        r = audit_one(spark, name)
+        if r:
+            current[r["query"]] = r
+    regressions, notes = diff_rows(baseline, current)
+    for n in notes:
+        print(f"note  {n}")
+    for r in regressions:
+        print(f"REGRESSION  {r}")
+    print(
+        f"{len(current)} audited vs {len(baseline)} baseline rows: "
+        f"{len(regressions)} regressions, {len(notes)} notes"
+    )
+    return 1 if regressions else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--diff":
+        return run_diff(sys.argv[2] if len(sys.argv) > 2 else "PLANS.md")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
     spark = get_spark("plan_audit")
