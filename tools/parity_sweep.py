@@ -53,7 +53,7 @@ from tools.selfcheck import _norm, value_hash  # noqa: E402
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from yahoofinancedatalake_spark.schemas import TESTDATA_TABLES  # noqa: E402
-from yahoofinancedatalake_spark.session import get_spark  # noqa: E402
+from yahoofinancedatalake_spark.session import drain_if_pressured, get_spark  # noqa: E402
 
 #: Queries whose oracle output is candidate-insensitive (the pair
 #: source is filtered to near-dups downstream) — the rewrite is only
@@ -213,10 +213,9 @@ def main() -> int:
         if only and name not in only:
             continue
         spark.catalog.clearCache()
-        if len(results) % 25 == 24:
-            # drain localCheckpoint/broadcast refs the ContextCleaner
-            # is waiting on — same driver-heap hygiene as bench.py
-            spark.sparkContext._jvm.System.gc()
+        # drain localCheckpoint/broadcast refs the ContextCleaner is
+        # waiting on — same pressure-triggered hygiene as bench.py
+        drain_if_pressured(spark)
         t0 = time.time()
         rec: dict = {"sweep_oracle": False}
         try:

@@ -24,7 +24,7 @@ sys.path.insert(0, "/root/repo")
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from yahoofinancedatalake_spark.schemas import TESTDATA_TABLES  # noqa: E402
-from yahoofinancedatalake_spark.session import get_spark  # noqa: E402
+from yahoofinancedatalake_spark.session import drain_if_pressured, get_spark  # noqa: E402
 
 
 def _norm(v):
@@ -74,12 +74,11 @@ def main() -> int:
         # run each query against cold storage, like the driver does —
         # persisted intermediates from earlier queries must not leak
         spark.catalog.clearCache()
-        if n_run % 25 == 0:
-            # drain the ContextCleaner backlog (localCheckpoint blocks,
-            # broadcast remnants) the same way bench.py does — a full
-            # 199-query session otherwise builds driver-heap pressure
-            # until old-gen pauses distort late queries
-            spark.sparkContext._jvm.System.gc()
+        # drain the ContextCleaner backlog (localCheckpoint blocks,
+        # broadcast remnants) whenever driver-heap pressure builds —
+        # same hygiene as bench.py, fired on measured pressure rather
+        # than a fixed cadence
+        drain_if_pressured(spark)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
