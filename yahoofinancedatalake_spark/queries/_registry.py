@@ -1,0 +1,143 @@
+"""Query-pack registry: the Query record, the QUERIES dict, and
+the shared registration/runtime helpers every pack_* family
+module uses. Split from pack.py (r7, pure refactor) — see
+pack.py for the pack-wide determinism rules and the driver
+rotation."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.catalog import fan_out, load_table
+from yahoofinancedatalake_spark.functions.sentiment import (
+    NEGATIVE_WORDS,
+    POSITIVE_WORDS,
+    SCALE,
+    sentiment_score_expr,
+)
+from yahoofinancedatalake_spark.functions.scalars import (
+    dround,
+    sentiment_label,
+    sql_dround,
+)
+from yahoofinancedatalake_spark.operators.windows import (
+    lag_delta,
+    last_row_per_group,
+    top_k,
+    top_k_with_other,
+)
+
+
+@dataclass(frozen=True)
+class Query:
+    """One driver-checkable query: Spark impl + optional DuckDB oracle."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def _const_key(c) -> Column:
+    """The data-derived constant-key for folding a 1-row aggregate
+    into a big table via an EQUI-join (BroadcastHashJoin): evaluates
+    to 0 on every row, but because the key is DERIVED FROM DATA
+    Catalyst cannot constant-fold the join condition away (a literal
+    key on both sides degenerates straight back to the
+    BroadcastNestedLoopJoin the plan suite treats as a scale killer).
+    Shared by every scalar-subquery-shaped query in the pack."""
+    return F.pmod(F.xxhash64(c), F.lit(1)).cast("int")
+
+
+def _register(
+    name: str,
+    oracle: Optional[str],
+    doc: str = "",
+    parts: Optional[int] = None,
+):
+    """Register a query; ``parts`` right-sizes the shuffle for it.
+
+    ``spark.sql.shuffle.partitions`` is read at *execution* time, and
+    both the driver and ``bench.py`` execute a query immediately after
+    constructing it — so setting the conf at construction time scopes
+    it to this query in practice. Every runner sets the conf (to
+    ``parts`` or back to the session default), so queries can't
+    inherit a neighbour's setting.
+
+    Why: the `documents`/`embeddings` side tables are 3-5 orders of
+    magnitude smaller than the fact tables, and a 32-partition shuffle
+    over 2 000 rows costs more in task scheduling than the work
+    (measured at sf0.1: ivf_recall 7.9s → 1.8s at 8 partitions).
+    AQE's coalescing doesn't recover this because
+    ``parallelismFirst`` keeps post-shuffle parallelism at the core
+    count (and turning it off globally single-threads the CPU-bound
+    verify stages — measured 3.5s → 18.7s on simhash_near_dup). A
+    production deployment sizes this per workload the same way.
+    """
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        import functools  # noqa: PLC0415
+
+        @functools.wraps(fn)
+        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from yahoofinancedatalake_spark.session import (  # noqa: PLC0415
+                DEFAULT_SHUFFLE_PARTITIONS,
+            )
+
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(parts or DEFAULT_SHUFFLE_PARTITIONS),
+            )
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = Query(name=name, spark=runner, oracle=oracle, doc=doc)
+        return runner
+
+    return wrap
+
+
+import contextlib
+
+
+def _await_stream(q, timeout: int = 300) -> None:
+    """Block on a memory/foreachBatch stream; hard-fail on timeout.
+
+    ``awaitTermination(timeout)`` returns False on timeout rather than
+    raising; reading a complete-mode memory sink mid-replay would then
+    silently compute from a partial table. Every streaming gate query
+    routes through here so a stall surfaces as an error in bench and
+    ad-hoc runs, not only in oracle parity.
+    """
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish "
+            f"within {timeout}s"
+        )
+
+
+@contextlib.contextmanager
+def _scoped_shuffle(spark: SparkSession, n: int):
+    """Temporarily size shuffle partitions to the data.
+
+    Stateful streaming allocates one state store per shuffle partition
+    per stateful operator, and store setup/commit dominates gate-scale
+    runs (measured: the stream-stream join drops 9.7s → 6.5s at sf0.1
+    going 32 → 8). The result set is partitioning-invariant; a real
+    deployment sizes this to key cardinality × arrival rate.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+

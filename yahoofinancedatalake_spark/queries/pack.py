@@ -23,13159 +23,62 @@ Determinism rules applied throughout:
   IEEE quotients on both sides — no further rounding needed.
 
 Reference provenance is cited per query (files under /root/reference).
+
+
+Layout (r7): the pack is split into per-family modules imported below
+IN REGISTRATION ORDER — the registry and helpers live in
+``_registry.py``, the queries in ``pack_01_relational.py`` ..
+``pack_13_monitors.py``. Importing this module registers everything
+and re-exports every name (helpers included) so existing
+``queries.pack.X`` references keep working; the driver-staleness
+rotation at the bottom then orders QUERIES for the driver window.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, Optional
+from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from yahoofinancedatalake_spark.catalog import fan_out, load_table
-from yahoofinancedatalake_spark.functions.sentiment import (
-    NEGATIVE_WORDS,
-    POSITIVE_WORDS,
-    SCALE,
-    sentiment_score_expr,
-)
-from yahoofinancedatalake_spark.functions.scalars import (
-    dround,
-    sentiment_label,
-    sql_dround,
-)
-from yahoofinancedatalake_spark.operators.windows import (
-    lag_delta,
-    last_row_per_group,
-    top_k,
-    top_k_with_other,
+from yahoofinancedatalake_spark.queries import _registry as _reg
+from yahoofinancedatalake_spark.queries._registry import (  # noqa: F401
+    QUERIES, Query, _await_stream, _const_key, _register, _scoped_shuffle,
 )
 
+from yahoofinancedatalake_spark.queries import pack_01_relational as _pack_01_relational  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_02_text as _pack_02_text  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_03_timeseries as _pack_03_timeseries  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_04_dedup_ann as _pack_04_dedup_ann  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_05_forecast_search as _pack_05_forecast_search  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_06_streaming_scrub as _pack_06_streaming_scrub  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_07_training_prep as _pack_07_training_prep  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_08_scale_market as _pack_08_scale_market  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_09_joins_sampling_ann as _pack_09_joins_sampling_ann  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_10_tpch as _pack_10_tpch  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_11_vader_ml_streaming as _pack_11_vader_ml_streaming  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_12_statistics as _pack_12_statistics  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_13_monitors as _pack_13_monitors  # noqa: E402
 
-@dataclass(frozen=True)
-class Query:
-    """One driver-checkable query: Spark impl + optional DuckDB oracle."""
-
-    name: str
-    spark: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]  # None → non-SQL-expressible, rows-only check
-    doc: str = ""
-
-
-QUERIES: dict[str, Query] = {}
-
-
-def _const_key(c) -> Column:
-    """The data-derived constant-key for folding a 1-row aggregate
-    into a big table via an EQUI-join (BroadcastHashJoin): evaluates
-    to 0 on every row, but because the key is DERIVED FROM DATA
-    Catalyst cannot constant-fold the join condition away (a literal
-    key on both sides degenerates straight back to the
-    BroadcastNestedLoopJoin the plan suite treats as a scale killer).
-    Shared by every scalar-subquery-shaped query in the pack."""
-    return F.pmod(F.xxhash64(c), F.lit(1)).cast("int")
-
-
-def _register(
-    name: str,
-    oracle: Optional[str],
-    doc: str = "",
-    parts: Optional[int] = None,
+# Re-export every family-module name (underscore helpers included):
+# tests and tools address them as queries.pack.<name>, and the split
+# must not break a single existing reference. The registry merges
+# last so Query/QUERIES/_register always bind to the canonical ones.
+for _m in (
+    _pack_01_relational,
+    _pack_02_text,
+    _pack_03_timeseries,
+    _pack_04_dedup_ann,
+    _pack_05_forecast_search,
+    _pack_06_streaming_scrub,
+    _pack_07_training_prep,
+    _pack_08_scale_market,
+    _pack_09_joins_sampling_ann,
+    _pack_10_tpch,
+    _pack_11_vader_ml_streaming,
+    _pack_12_statistics,
+    _pack_13_monitors,
+    _reg,
 ):
-    """Register a query; ``parts`` right-sizes the shuffle for it.
-
-    ``spark.sql.shuffle.partitions`` is read at *execution* time, and
-    both the driver and ``bench.py`` execute a query immediately after
-    constructing it — so setting the conf at construction time scopes
-    it to this query in practice. Every runner sets the conf (to
-    ``parts`` or back to the session default), so queries can't
-    inherit a neighbour's setting.
-
-    Why: the `documents`/`embeddings` side tables are 3-5 orders of
-    magnitude smaller than the fact tables, and a 32-partition shuffle
-    over 2 000 rows costs more in task scheduling than the work
-    (measured at sf0.1: ivf_recall 7.9s → 1.8s at 8 partitions).
-    AQE's coalescing doesn't recover this because
-    ``parallelismFirst`` keeps post-shuffle parallelism at the core
-    count (and turning it off globally single-threads the CPU-bound
-    verify stages — measured 3.5s → 18.7s on simhash_near_dup). A
-    production deployment sizes this per workload the same way.
-    """
-
-    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        import functools  # noqa: PLC0415
-
-        @functools.wraps(fn)
-        def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from yahoofinancedatalake_spark.session import (  # noqa: PLC0415
-                DEFAULT_SHUFFLE_PARTITIONS,
-            )
-
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(parts or DEFAULT_SHUFFLE_PARTITIONS),
-            )
-            return fn(spark, sf_dir)
-
-        QUERIES[name] = Query(name=name, spark=runner, oracle=oracle, doc=doc)
-        return runner
-
-    return wrap
-
-
-import contextlib
-
-
-def _await_stream(q, timeout: int = 300) -> None:
-    """Block on a memory/foreachBatch stream; hard-fail on timeout.
-
-    ``awaitTermination(timeout)`` returns False on timeout rather than
-    raising; reading a complete-mode memory sink mid-replay would then
-    silently compute from a partial table. Every streaming gate query
-    routes through here so a stall surfaces as an error in bench and
-    ad-hoc runs, not only in oracle parity.
-    """
-    if not q.awaitTermination(timeout):
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {q.name or q.id} did not finish "
-            f"within {timeout}s"
-        )
-
-
-@contextlib.contextmanager
-def _scoped_shuffle(spark: SparkSession, n: int):
-    """Temporarily size shuffle partitions to the data.
-
-    Stateful streaming allocates one state store per shuffle partition
-    per stateful operator, and store setup/commit dominates gate-scale
-    runs (measured: the stream-stream join drops 9.7s → 6.5s at sf0.1
-    going 32 → 8). The result set is partitioning-invariant; a real
-    deployment sizes this to key cardinality × arrival rate.
-    """
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-
-
-# ---------------------------------------------------------------------------
-# A1 — hash group-by with count + max (news_agg, combine_sources.py:71-77)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "group_agg_count_max",
-    """
-    SELECT user_id,
-           count(*) AS n_events,
-           max(ts) AS latest_ts
-    FROM events
-    GROUP BY user_id
-    """,
-    doc="A1: groupBy(key).agg(count, max) — the news_agg shape.",
-)
-def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("user_id").agg(
-        F.count("*").alias("n_events"), F.max("ts").alias("latest_ts")
-    )
-
-
-# ---------------------------------------------------------------------------
-# J1/J2 — broadcast left equi-joins fact×dim×dim (combine_sources.py:80-91)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "enrich_join",
-    """
-    SELECT o.o_orderkey,
-           o.o_orderdate,
-           o.o_totalprice,
-           c.c_name,
-           c.c_mktsegment,
-           n.n_name AS nation_name
-    FROM orders o
-    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-    """,
-    doc="J1/J2: fact LEFT JOIN two broadcast dims — stocks⋈company⋈news_agg.",
-)
-def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    return (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
-        )
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
-        .select(
-            "o_orderkey",
-            "o_orderdate",
-            "o_totalprice",
-            "c_name",
-            "c_mktsegment",
-            F.col("n_name").alias("nation_name"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# P4 — range predicate pushed to the scan (format_to_parquet.py:141)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "range_filter_scan",
-    """
-    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-    """,
-    doc="P4: range filter on the scan (news >= 2020-01-01 analog); "
-    "Catalyst pushes it to parquet row groups.",
-)
-def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.filter(
-        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-
-
-# ---------------------------------------------------------------------------
-# P7 — derived-column projection (combine_sources.py:94-98)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "derived_projection",
-    f"""
-    SELECT l_orderkey,
-           l_linenumber,
-           {sql_dround("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
-           {sql_dround("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}
-             AS charge
-    FROM lineitem
-    """,
-    doc="P7: arithmetic derived columns — daily_range/daily_change_pct "
-    "analog. Rounded at the true decimal scale (2+2 and 2+2+2 digits).",
-)
-def q_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        dround(revenue, 4).alias("revenue"),
-        dround(revenue * (1 + F.col("l_tax")), 6).alias("charge"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# F1/F2/F4/F6/F9 — the scalar function kit, oracle-checked in one query
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "scalar_kit",
-    """
-    WITH e AS (
-      SELECT event_id, ts, event_type,
-             (date_trunc('day', ts))::DATE AS day
-      FROM events WHERE event_id < 100
-    ), b AS (
-      SELECT *,
-             list_filter([day + i::INT FOR i IN range(1, 15)],
-                         d -> isodow(d) <= 5)[1:5] AS bdays
-      FROM e
-    )
-    SELECT event_id,
-           strftime(ts, '%Y-%m-%d') AS iso_day,
-           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_instant,
-           make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000)
-             AS ts_roundtrip,
-           concat(event_type, '. ', strftime(ts, '%Y-%m-%d')) AS tagline,
-           bdays[1] AS bday_1, bdays[3] AS bday_3, bdays[5] AS bday_5
-    FROM b
-    """,
-    doc="F1/F2/F4/F6/F9 in one oracle-checked projection: ISO date and "
-    "instant formatting (yahoo_stocks.py:32, to_elasticsearch.py:96-98), "
-    "epoch-seconds round-trip through timestamp_seconds "
-    "(finnhub_news.py:91-92), string concat (finnhub_news.py:98), and the "
-    "pd.date_range(freq='B') business-day generator "
-    "(arima_forecast.py:71-73) — all pure codegen expressions, no UDF.",
-)
-def q_scalar_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.functions.scalars import (  # noqa: PLC0415
-        business_days,
-        day_bucket,
-        epoch_to_utc_ts,
-        iso_date,
-        iso_instant,
-    )
-
-    events = load_table(spark, sf_dir, "events")
-    e = events.filter(F.col("event_id") < 100)
-    day = F.to_date(day_bucket(F.col("ts")))
-    bdays = business_days(day, 5)
-    return e.select(
-        "event_id",
-        iso_date("ts").alias("iso_day"),
-        iso_instant("ts").alias("iso_instant"),
-        epoch_to_utc_ts(F.unix_timestamp(F.col("ts"))).alias("ts_roundtrip"),
-        F.concat_ws(". ", F.col("event_type"), iso_date("ts")).alias("tagline"),
-        F.element_at(bdays, 1).alias("bday_1"),
-        F.element_at(bdays, 3).alias("bday_3"),
-        F.element_at(bdays, 5).alias("bday_5"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# W1 — last value per group (Kibana "Last value", kibana_saved_objects:6,9)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "last_value_per_group",
-    """
-    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
-           value AS last_value
-    FROM (
-      SELECT *, row_number() OVER (
-               ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-      QUALIFY row_number() OVER (
-               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-    )
-    """,
-    doc="W1: latest row per group by time, deterministic tiebreak on id.",
-)
-def q_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    latest = last_row_per_group(
-        events, ["user_id"], "ts", tiebreak_cols=["event_id"]
-    )
-    return latest.select(
-        "user_id",
-        F.col("ts").alias("last_ts"),
-        F.col("event_type").alias("last_event_type"),
-        F.col("value").alias("last_value"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# W2/W3 — lag differences + percent return (Kibana export (1).ndjson:4)
-# ---------------------------------------------------------------------------
-
-_DAILY_CTE = f"""
-    WITH daily AS (
-      SELECT user_id,
-             date_trunc('day', ts) AS day,
-             {sql_dround("sum(value)", 2)} AS daily_value
-      FROM events
-      GROUP BY user_id, date_trunc('day', ts)
-    )
-"""
-
-
-def _daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared first stage: per-(user, day) value sum, dround(2).
-
-    ``value`` carries 2 decimals, so the sum's true value sits on the
-    centi-grid — dround lands both engines in the same bin and the
-    outputs are bit-identical doubles downstream.
-    """
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(dround(F.sum("value"), 2).alias("daily_value"))
-
-
-@_register(
-    "daily_lag_returns",
-    _DAILY_CTE
-    + """
-    SELECT user_id, day, daily_value,
-           daily_value - lag(daily_value) OVER w AS delta,
-           (daily_value - lag(daily_value) OVER w)
-                 / nullif(lag(daily_value) OVER w, 0) * 100 AS pct_change
-    FROM daily
-    WINDOW w AS (PARTITION BY user_id ORDER BY day)
-    """,
-    doc="W2/W3: day-over-day differences and percent return per group — "
-    "the Lens differences/shift formula. delta/pct are exact IEEE ops "
-    "on bit-identical rounded inputs; no further rounding needed.",
-)
-def q_lag_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_values(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("day")
-    prev = F.lag("daily_value", 1).over(w)
-    return daily.select(
-        "user_id",
-        "day",
-        "daily_value",
-        (F.col("daily_value") - prev).alias("delta"),
-        (
-            (F.col("daily_value") - prev) / F.nullif(prev, F.lit(0)) * 100
-        ).alias("pct_change"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# W1+W2+W4/O2 — the flagship Top/Flop query (kibana_saved_objects.ndjson:6):
-# per group, latest day-over-day delta; rank groups, keep top 10.
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "top_flop",
-    _DAILY_CTE
-    + """
-    , deltas AS (
-      SELECT user_id, day, daily_value,
-             daily_value - lag(daily_value) OVER (
-               PARTITION BY user_id ORDER BY day) AS delta
-      FROM daily
-    ), latest AS (
-      SELECT user_id, day AS last_day, daily_value AS last_value, delta
-      FROM deltas
-      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY day DESC) = 1
-    )
-    SELECT user_id, last_day, last_value, delta
-    FROM latest
-    ORDER BY delta DESC NULLS LAST, user_id ASC
-    LIMIT 10
-    """,
-    doc="Flagship Top/Flop: last_value of the daily delta per group, "
-    "top-10 by that metric (Lens terms ordered by last_value of "
-    "daily_change_pct, size 10).",
-)
-def q_top_flop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_values(spark, sf_dir)
-    deltas = lag_delta(
-        daily, ["user_id"], "day", "daily_value", delta_name="delta",
-        pct_name=None,
-    )
-    latest = last_row_per_group(deltas, ["user_id"], "day").select(
-        "user_id",
-        F.col("day").alias("last_day"),
-        F.col("daily_value").alias("last_value"),
-        "delta",
-    )
-    return top_k(latest, "delta", 10, tiebreak_cols=["user_id"])
-
-
-# ---------------------------------------------------------------------------
-# O2 — top-k terms with ES "Other" bucket (kibana_saved_objects.ndjson:7-9)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "topk_other_bucket",
-    f"""
-    WITH agged AS (
-      SELECT o_orderpriority,
-             {sql_dround("sum(o_totalprice)", 2)} AS total_price
-      FROM orders
-      GROUP BY o_orderpriority
-    ), ranked AS (
-      SELECT *, row_number() OVER (
-               ORDER BY total_price DESC, o_orderpriority ASC) AS rnk
-      FROM agged
-    )
-    SELECT CASE WHEN rnk <= 3 THEN o_orderpriority ELSE 'Other' END
-             AS o_orderpriority,
-           {sql_dround("sum(total_price)", 2)} AS total_price
-    FROM ranked
-    GROUP BY 1
-    """,
-    doc="O2: terms(size=3, otherBucket=true) — treemap/donut Other bucket.",
-)
-def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    out = top_k_with_other(
-        orders,
-        "o_orderpriority",
-        dround(F.sum("o_totalprice"), 2),
-        "total_price",
-        k=3,
-    )
-    return out.select(
-        "o_orderpriority", dround("total_price", 2).alias("total_price")
-    )
-
-
-# ---------------------------------------------------------------------------
-# A6 — distinct count per day bucket (Kibana "Buzz médiatique")
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "distinct_count_per_day",
-    """
-    SELECT date_trunc('day', l_shipdate) AS ship_day,
-           count(DISTINCT l_partkey) AS n_parts,
-           count(*) AS n_rows
-    FROM lineitem
-    GROUP BY 1
-    """,
-    doc="A6: exact distinct count per time bucket (unique_count analog).",
-)
-def q_distinct_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.date_trunc("day", "l_shipdate").alias("ship_day")).agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.count("*").alias("n_rows"),
-    )
-
-
-@_register(
-    "approx_distinct_per_day",
-    """
-    SELECT date_trunc('day', l_shipdate) AS ship_day,
-           count(DISTINCT l_partkey) AS n_parts,
-           TRUE AS within_bounds
-    FROM lineitem
-    GROUP BY 1
-    """,
-    doc="A6 (approximate): approx_count_distinct — the faithful mapping of "
-    "ES cardinality (HLL). The sketch estimate itself has no exact "
-    "cross-engine oracle, so the checked contract is the HLL++ error "
-    "bound: per bucket, |estimate − exact| ≤ 3·rsd·exact + 6 "
-    "(rsd=0.02; 3σ of the advertised relative standard deviation, "
-    "plus a small absolute slack because Spark's HLL++ has no "
-    "sparse/exact regime at tiny cardinalities). The oracle asserts "
-    "the bound boolean AND the exact count, so an estimator "
-    "regression fails the hash, not just an eyeball.",
-)
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rsd = 0.02
-    li = load_table(spark, sf_dir, "lineitem")
-    # Dedup (day, partkey) FIRST, then run BOTH aggregates over the
-    # distinct pairs: the HLL sketch only depends on the distinct
-    # value set, so the estimate is identical — but this avoids the
-    # Expand operator Spark plans when countDistinct and
-    # approx_count_distinct share one aggregate (which doubles the
-    # shuffled rows; measured 5.3 s -> ~1 s at sf0.1).
-    pairs = li.select(
-        F.date_trunc("day", "l_shipdate").alias("ship_day"), "l_partkey"
-    ).distinct()
-    return (
-        pairs.groupBy("ship_day")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd).alias("est"),
-            F.count(F.lit(1)).alias("n_parts"),
-        )
-        .select(
-            "ship_day",
-            "n_parts",
-            # 3·rsd relative term + a small absolute slack: Spark's
-            # HLL++ is dense-register only (no sparse/exact regime for
-            # tiny cardinalities), so per-bucket counts of ~20 can be
-            # off by a few even with a fine sketch (measured max |err|
-            # = 3 at rsd=0.02 on this data; slack = 2× that). At real
-            # bucket cardinalities the relative term dominates.
-            (
-                F.abs(F.col("est") - F.col("n_parts"))
-                <= F.lit(3 * rsd) * F.col("n_parts") + F.lit(6)
-            ).alias("within_bounds"),
-        )
-    )
-
-
-_DQ_SQL_RULES = [
-    ("not_null_l_orderkey", "l_orderkey IS NOT NULL"),
-    ("range_l_discount",
-     "l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.1"),
-    ("range_l_quantity",
-     "l_quantity IS NOT NULL AND l_quantity >= 1 AND l_quantity <= 50"),
-    ("one_of_l_returnflag",
-     "l_returnflag IS NOT NULL AND l_returnflag IN ('A', 'N', 'R')"),
-]
-
-
-@_register(
-    "dq_violations",
-    "\nUNION ALL\n".join(
-        f"""
-    SELECT '{name}' AS rule,
-           count(*) AS n_rows,
-           count(*) FILTER (WHERE NOT ({ok})) AS n_violations,
-           count(*) FILTER (WHERE NOT ({ok}))::DOUBLE / count(*)
-             AS violation_rate
-    FROM lineitem
-    """
-        for name, ok in _DQ_SQL_RULES
-    ),
-    doc="Data-quality gate: a declarative rule suite (not-null, "
-    "ranges, domain membership) compiled into ONE aggregation pass — "
-    "each rule is a count_if conditional aggregate, so a 100-rule "
-    "suite over 100 TB costs one scan with map-side partials, not one "
-    "scan per rule (operators/quality.py). The reference only "
-    "sanitizes nulls ad hoc at indexing time "
-    "(to_elasticsearch.py:83-109).",
-)
-def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.quality import (
-        check,
-        in_range,
-        not_null,
-        one_of,
-    )
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return check(
-        li,
-        [
-            not_null("l_orderkey"),
-            in_range("l_discount", 0.0, 0.1),
-            in_range("l_quantity", 1, 50),
-            one_of("l_returnflag", ["A", "N", "R"]),
-        ],
-    )
-
-
-@_register(
-    "hll_partial_rollup",
-    """
-    SELECT date_trunc('month', l_shipdate) AS ship_month,
-           count(DISTINCT l_partkey) AS distinct_parts_exact,
-           TRUE AS hll_ok
-    FROM lineitem GROUP BY 1
-    ORDER BY 1
-    """,
-    doc="Mergeable-sketch pre-aggregation (the 100 TB dashboard "
-    "pattern): per-DAY datasketches HLL sketches of the part key, "
-    "unioned up to month level, then estimated — distinct-count "
-    "rollups become partial-aggregable, so the daily sketch table is "
-    "computed once and every coarser bucket is a cheap union instead "
-    "of a re-scan (exact count-distinct cannot merge). Gated the way "
-    "every approximation in the pack is: the merged estimate must sit "
-    "within ±1.5% + 6 of the exact month distinct (lgK=16 RSE "
-    "≈0.4%, so the bound is ≳3σ) — NOT exact equality, which held at "
-    "sf0.01 only because the sketch was still in its exact "
-    "small-cardinality mode and silently broke one scale factor up "
-    "(caught by the sf0.1 parity sweep; the exact count rides along "
-    "as the hash-pinned value).",
-)
-def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    # One scan + one dedup exchange feeds BOTH the sketch ladder and
-    # the exact gate: (month, day, part) pairs are deduped once, the
-    # daily sketches aggregate the deduped pairs (HLL is duplicate-
-    # insensitive, so sketching pairs == sketching raw rows), and the
-    # exact month distinct re-aggregates the same pairs (partial-agg
-    # over ~|distinct| rows, not the raw table — the r4 version's
-    # second full countDistinct scan doubled the query's cost). The
-    # two branches share the dedup exchange byte-for-byte, so AQE
-    # plans it as a ReusedExchange: the lineitem scan runs once.
-    pairs = li.select(
-        F.date_trunc("month", "l_shipdate").alias("ship_month"),
-        F.date_trunc("day", "l_shipdate").alias("ship_day"),
-        "l_partkey",
-    ).distinct()
-    daily = pairs.groupBy("ship_month", "ship_day").agg(
-        F.hll_sketch_agg("l_partkey", F.lit(16)).alias("sk")
-    )
-    merged = daily.groupBy("ship_month").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
-    )
-    exact = pairs.groupBy("ship_month").agg(
-        F.countDistinct("l_partkey").alias("distinct_parts_exact")
-    )
-    return (
-        exact.join(merged, "ship_month")
-        .select(
-            "ship_month",
-            "distinct_parts_exact",
-            (
-                F.abs(F.col("est") - F.col("distinct_parts_exact"))
-                <= 0.015 * F.col("distinct_parts_exact") + 6
-            ).alias("hll_ok"),
-        )
-        .orderBy("ship_month")
-    )
-
-
-@_register(
-    "bitmap_distinct_rollup",
-    """
-    SELECT date_trunc('month', l_shipdate) AS ship_month,
-           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
-    FROM lineitem GROUP BY 1 ORDER BY 1
-    """,
-    doc="EXACT mergeable distinct rollup — the exactness-preserving "
-    "sibling of hll_partial_rollup, same 100 TB dashboard pattern: "
-    "plain count(DISTINCT) cannot partial-aggregate (re-scan per "
-    "granularity), but Spark 4's bitmap family can — per (month, "
-    "day, 32k-bucket) roaring-style bitmaps (bitmap_construct_agg "
-    "of bitmap_bit_position), OR-merged up to month level "
-    "(bitmap_or_agg), then summed bitmap_count == the exact "
-    "distinct, hash-pinned against count(DISTINCT) — no error "
-    "bound needed, unlike the HLL twin. The daily bitmap table is "
-    "computed once; every coarser bucket is a cheap bitwise OR. "
-    "Trade vs HLL: bitmaps are exact but sized O(distinct/8 bytes) "
-    "per bucket — right when keys are dense ints (TPC-H part keys); "
-    "HLL wins on sparse 64-bit ids.",
-)
-def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    li.select(
-        F.date_trunc("month", "l_shipdate").alias("ship_month"),
-        F.date_trunc("day", "l_shipdate").alias("ship_day"),
-        "l_partkey",
-    ).createOrReplaceTempView("__bm_li")
-    # the bitmap agg family is SQL-only surface in Spark 4
-    return spark.sql(
-        """
-        WITH daily AS (
-          SELECT ship_month, ship_day,
-                 bitmap_bucket_number(l_partkey) AS bkt,
-                 bitmap_construct_agg(bitmap_bit_position(l_partkey))
-                   AS bm
-          FROM __bm_li
-          GROUP BY ship_month, ship_day, bkt
-        ),
-        monthly AS (
-          SELECT ship_month, bkt, bitmap_or_agg(bm) AS bm
-          FROM daily GROUP BY ship_month, bkt
-        )
-        SELECT ship_month,
-               CAST(sum(bitmap_count(bm)) AS BIGINT) AS distinct_parts
-        FROM monthly GROUP BY ship_month ORDER BY ship_month
-        """
-    )
-
-
-# ---------------------------------------------------------------------------
-# O1 — multi-key desc sort + limit feed (saved search, kibana_saved_objects:5)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "sort_limit_feed",
-    """
-    SELECT event_id, ts, user_id, event_type, value, props
-    FROM events
-    ORDER BY ts DESC, event_id DESC
-    LIMIT 50
-    """,
-    doc="O1: latest-news-feed sort/limit, 6-column projection, "
-    "deterministic tiebreak.",
-)
-def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
-        .limit(50)
-    )
-
-
-# ---------------------------------------------------------------------------
-# U1 — unionByName (arima_forecast.py:99,150 actual ∪ forecast)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "union_split",
-    """
-    SELECT o_orderkey, o_orderstatus, o_totalprice, 'finished' AS bucket
-    FROM orders WHERE o_orderstatus = 'F'
-    UNION ALL
-    SELECT o_orderkey, o_orderstatus, o_totalprice, 'open' AS bucket
-    FROM orders WHERE o_orderstatus = 'O'
-    """,
-    doc="U1: vertical union of two labeled branches (actual ∪ forecast shape).",
-)
-def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    finished = orders.filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit("finished").alias("bucket")
-    )
-    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
-        F.lit("open").alias("bucket"), "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    return finished.unionByName(open_)
-
-
-# ---------------------------------------------------------------------------
-# A5/F5 — time-bucketed average (Kibana trend panels)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "date_bucket_avg",
-    f"""
-    SELECT date_trunc('day', ts) AS day,
-           event_type,
-           {sql_dround("sum(value)", 2)} / count(*) AS avg_value,
-           count(*) AS n
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="A5/F5: date_trunc bucket × term bucket → average metric. The "
-    "average is dround(sum)/count: the rounded sum is bit-identical "
-    "across engines, so the quotient is too — avg() of doubles is "
-    "order-sensitive and can land on either side of any rounding bin.",
-)
-def q_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(
-        (dround(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
-        F.count("*").alias("n"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# S1+P1-P4+A1+J1/J2+P6/P7 — the full bronze→silver→gold ETL, end to end
-# over reference-shaped JSONL fixtures (driver-oracle-checked)
-# ---------------------------------------------------------------------------
-
-_BRONZE = "/root/repo/tests/fixtures/bronze"
-
-
-@_register(
-    "etl_gold_contract",
-    f"""
-    WITH stocks AS (
-      SELECT symbol,
-             CAST(date AS DATE) AS date,
-             open, high, low, close, volume,
-             CAST(fetched_at AS TIMESTAMP) AS fetched_at_utc
-      FROM read_json('{_BRONZE}/stocks.jsonl',
-                     format='newline_delimited',
-                     columns={{'symbol':'VARCHAR','date':'VARCHAR',
-                              'open':'DOUBLE','high':'DOUBLE',
-                              'low':'DOUBLE','close':'DOUBLE',
-                              'volume':'BIGINT','fetched_at':'VARCHAR'}})
-    ),
-    company AS (
-      SELECT symbol, name, sector, industry, market_cap
-      FROM read_json('{_BRONZE}/company_info.jsonl',
-                     format='newline_delimited',
-                     columns={{'symbol':'VARCHAR','name':'VARCHAR',
-                              'sector':'VARCHAR','industry':'VARCHAR',
-                              'country':'VARCHAR','market_cap':'BIGINT',
-                              'currency':'VARCHAR','fetched_at':'VARCHAR'}})
-    ),
-    news AS (  -- dedup by id: clones agree on (id, symbol, pub_date)
-      SELECT DISTINCT id, symbol, CAST(pub_date AS TIMESTAMP) AS pub_date_utc
-      FROM read_json('{_BRONZE}/news.jsonl',
-                     format='newline_delimited',
-                     columns={{'id':'VARCHAR','symbol':'VARCHAR',
-                              'pub_date':'VARCHAR'}})
-      WHERE CAST(pub_date AS TIMESTAMP) >= TIMESTAMP '2020-01-01'
-    ),
-    news_agg AS (
-      SELECT symbol, count(*) AS news_count,
-             max(pub_date_utc) AS latest_news_date
-      FROM news GROUP BY symbol
-    )
-    SELECT s.symbol, c.name, c.sector, c.industry, s.date,
-           s.open, s.high, s.low, s.close, s.volume, c.market_cap,
-           s.high - s.low AS daily_range,
-           CASE WHEN s.open <> 0
-                THEN (s.close - s.open) / s.open * 100 END AS daily_change_pct,
-           n.news_count, n.latest_news_date, s.fetched_at_utc
-    FROM stocks s
-    LEFT JOIN company c USING (symbol)
-    LEFT JOIN news_agg n USING (symbol)
-    """,
-    doc="The reference's whole relational pipeline as ONE checked query: "
-    "schema-enforced JSONL scan (S1) of reference-shaped bronze "
-    "fixtures → typed casts + UTC parse + date normalization (P1-P3) "
-    "→ >=2020 range filter + dedup-by-id (P4/S11) → per-symbol news "
-    "rollup (A1) → two broadcast left joins + derived metrics + the "
-    "16-column gold contract (J1/J2, P6/P7 — combine_sources.py:"
-    "101-118). Planted edges: JPM has no dim row, WMT no news (left-"
-    "join null survival), pre-2020 artifacts dropped, duplicate ids "
-    "collapsed.",
-)
-def q_etl_gold_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.etl import (
-        aggregate_news,
-        combine,
-        format_company,
-        format_news,
-        format_stocks,
-    )
-    from yahoofinancedatalake_spark.schemas import (
-        COMPANY_RAW,
-        NEWS_RAW,
-        STOCKS_RAW,
-    )
-    from yahoofinancedatalake_spark.sources.json_source import read_jsonl
-
-    stocks = format_stocks(read_jsonl(spark, f"{_BRONZE}/stocks.jsonl", STOCKS_RAW))
-    company = format_company(
-        read_jsonl(spark, f"{_BRONZE}/company_info.jsonl", COMPANY_RAW)
-    )
-    news = format_news(read_jsonl(spark, f"{_BRONZE}/news.jsonl", NEWS_RAW))
-    return combine(stocks, company, aggregate_news(news))
-
-
-# ---------------------------------------------------------------------------
-# A3 — trailing rolling mean over a rows frame (arima_forecast.py:61-63)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "rolling_mean_30",
-    f"""
-    WITH daily AS (
-      SELECT user_id,
-             date_trunc('day', ts) AS day,
-             {sql_dround("sum(value)", 2)} / count(*) AS v
-      FROM events
-      GROUP BY 1, 2
-    )
-    SELECT user_id,
-           day,
-           v,
-           {sql_dround("sum(v) OVER w", 4)} / count(v) OVER w
-             AS rolling_avg_30
-    FROM daily
-    WINDOW w AS (PARTITION BY user_id ORDER BY day
-                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
-    """,
-    doc="A3: trailing 30-row mean via ROWS BETWEEN 29 PRECEDING AND "
-    "CURRENT ROW — the reference's 'average recent sentiment (last 30 "
-    "days)' (arima_forecast.py:61-63) as a window, one shuffle on the "
-    "group key. dround(sum)/count on BOTH engines: sliding-window sum "
-    "accumulation order differs between Spark and DuckDB, the rounded "
-    "numerator pins the quotient.",
-)
-def q_rolling_mean_30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.windows import rolling_mean
-
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg((dround(F.sum("value"), 2) / F.count("*")).alias("v"))
-    return rolling_mean(
-        daily,
-        ["user_id"],
-        "day",
-        "v",
-        n_rows=30,
-        out_col="rolling_avg_30",
-        deterministic_round=4,
-    )
-
-
-# ---------------------------------------------------------------------------
-# A1 (multi-agg) — pricing summary, the classic scan→agg shape
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "pricing_summary",
-    f"""
-    SELECT l_returnflag,
-           l_linestatus,
-           sum(l_quantity) AS sum_qty,
-           {sql_dround("sum(l_extendedprice)", 2)} AS sum_base_price,
-           {sql_dround("sum(l_extendedprice * (1 - l_discount))", 4)}
-             AS sum_disc_price,
-           sum(l_quantity) / count(*) AS avg_qty,
-           {sql_dround("sum(l_discount)", 2)} / count(*) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    doc="A1 multi-agg over a pushed-down range filter (TPC-H Q1 shape). "
-    "sum_qty is exact (integral doubles); money sums dround-ed at their "
-    "true decimal scale; averages are exact-or-rounded-sum / count so "
-    "both engines divide bit-identical numerators.",
-)
-def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
-            (dround(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# A7 — min per bucket (Kibana "Actualité du cours" min(pub_date_utc))
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "min_per_group",
-    """
-    SELECT event_type, min(ts) AS first_ts, count(*) AS n
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="A7: min timestamp per term bucket.",
-)
-def q_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.min("ts").alias("first_ts"), F.count("*").alias("n")
-    )
-
-
-# ---------------------------------------------------------------------------
-# P10 — exists / not-null predicate (Kibana exists filter)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "exists_filter",
-    """
-    SELECT lang, count(*) AS n_docs
-    FROM documents
-    WHERE text IS NOT NULL AND n_chars >= 200
-    GROUP BY lang
-    """,
-    doc="P10: exists(field) + threshold filter, then bucket count.",
-)
-def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.filter(F.col("text").isNotNull() & (F.col("n_chars") >= 200))
-        .groupBy("lang")
-        .count()
-        .withColumnRenamed("count", "n_docs")
-    )
-
-
-# ---------------------------------------------------------------------------
-# P11 — negated range predicate (Kibana negate:true range filter)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "negated_range",
-    """
-    SELECT event_type, count(*) AS n
-    FROM events
-    WHERE ts NOT BETWEEN TIMESTAMP '2024-01-10 00:00:00'
-                     AND TIMESTAMP '2024-01-20 23:59:59'
-    GROUP BY event_type
-    """,
-    doc="P11: NOT BETWEEN time-range filter, then bucket count.",
-)
-def q_negated_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
-    hi = F.lit("2024-01-20 23:59:59").cast("timestamp")
-    return (
-        events.filter(~F.col("ts").between(lo, hi))
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# P12 — full-text-ish containment (ES text fields / KQL bar)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "text_contains",
-    """
-    SELECT source, count(*) AS n_matching
-    FROM documents
-    WHERE text LIKE '%spark%'
-    GROUP BY source
-    """,
-    doc="P12: substring containment as the SQL-core stand-in for full-text "
-    "search (scoring/relevance documented as out of scope).",
-)
-def q_text_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.filter(F.col("text").contains("spark"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n_matching"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — sentiment scoring (X1) expressed as codegen'd lexicon math
-# ---------------------------------------------------------------------------
-
-
-def _sql_wordlist(words: list[str]) -> str:
-    return ", ".join(f"'{w}'" for w in words)
-
-
-@_register(
-    "sentiment_docs",
-    f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
-               x -> x <> '') AS tokens
-      FROM documents
-    ), counts AS (
-      SELECT doc_id,
-             len(list_filter(tokens,
-                 x -> x IN ({_sql_wordlist(POSITIVE_WORDS)}))) AS pos,
-             len(list_filter(tokens,
-                 x -> x IN ({_sql_wordlist(NEGATIVE_WORDS)}))) AS neg,
-             greatest(len(tokens), 1) AS n
-      FROM toks
-    )
-    SELECT doc_id,
-           score AS sentiment_score,
-           CASE WHEN score >= 0.05 THEN 'positive'
-                WHEN score <= -0.05 THEN 'negative'
-                ELSE 'neutral' END AS sentiment_label
-    FROM (
-      SELECT doc_id,
-             {sql_dround(f"greatest(-1.0, least(1.0, (pos - neg)::DOUBLE / n * {SCALE}))", 4)}
-               AS score
-      FROM counts
-    )
-    """,
-    doc="X1: deterministic lexicon sentiment + F10 threshold labels "
-    "(finnhub_news.py:27-51) — JVM-side expression, no Python in the "
-    "hot path; the pandas_udf variant is functions/sentiment.py.",
-)
-def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    score = sentiment_score_expr("text")
-    return docs.select(
-        "doc_id",
-        score.alias("sentiment_score"),
-        sentiment_label(score).alias("sentiment_label"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — text analysis over `documents`
-# ---------------------------------------------------------------------------
-
-
-#: GPT-2-style BPE pre-tokenizer pattern (simplified, lowercase input):
-#: contractions, then optionally-space-prefixed letter / digit /
-#: punctuation runs, then residual whitespace. Pure alternation +
-#: character classes — identical semantics in Java regex (Spark) and
-#: RE2 (DuckDB).
-_BPE_RE = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+"
-
-
-@_register(
-    "token_count",
-    f"""
-    SELECT doc_id,
-           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-               x -> x <> '')) AS n_tokens,
-           len(regexp_extract_all(lower(text), '{_BPE_RE.replace("'", "''")}'))
-             AS n_bpe_tokens,
-           n_chars
-    FROM documents
-    """,
-    doc="Text analysis: token counts per document — whitespace tokens "
-    "plus a GPT-2-style BPE pre-tokenizer count (contractions, "
-    "space-prefixed letter/digit/punctuation runs — the standard "
-    "cost estimate for LLM training data budgeting). Both engines "
-    "evaluate the same RE2/Java-compatible pattern.",
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    toks = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
-    )
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_RE)).alias(
-            "n_bpe_tokens"
-        ),
-        "n_chars",
-    )
-
-
-_STOPWORDS = "the a an and of to in is it for on with as at by".split()
-
-
-@_register(
-    "text_quality",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, n_chars,
-             list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
-               x -> x <> '') AS tokens
-      FROM documents
-    )
-    SELECT doc_id,
-           len(tokens) AS n_tokens,
-           {sql_dround(f"len(list_filter(tokens, x -> x IN ({_sql_wordlist(_STOPWORDS)})))::DOUBLE / greatest(len(tokens), 1)", 4)}
-             AS stopword_ratio,
-           {sql_dround("n_chars::DOUBLE / greatest(len(tokens), 1)", 4)}
-             AS avg_token_len,
-           (len(tokens) >= 20 AND n_chars >= 100) AS passes_length_gate
-    FROM toks
-    """,
-    doc="Text analysis: quality signals — stopword ratio, average token "
-    "length, length gate (pretraining-style heuristic filter).",
-)
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"[^a-z0-9']+"),
-        lambda t: t != "",
-    )
-    d = docs.select("doc_id", "n_chars", toks.alias("tokens"))
-    n = F.greatest(F.size("tokens"), F.lit(1))
-    stop_hits = F.size(F.filter(F.col("tokens"), lambda t: t.isin(*_STOPWORDS)))
-    return d.select(
-        "doc_id",
-        F.size("tokens").alias("n_tokens"),
-        dround(stop_hits.cast("double") / n, 4).alias("stopword_ratio"),
-        dround(F.col("n_chars").cast("double") / n, 4).alias("avg_token_len"),
-        ((F.size("tokens") >= 20) & (F.col("n_chars") >= 100)).alias(
-            "passes_length_gate"
-        ),
-    )
-
-
-@_register(
-    "lang_id",
-    """
-    SELECT doc_id,
-           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-                WHEN regexp_matches(lower(text),
-                     '\\b(der|die|das|und|nicht)\\b') THEN 'de'
-                WHEN regexp_matches(lower(text),
-                     '\\b(le|la|les|et|une)\\b') THEN 'fr'
-                WHEN regexp_matches(lower(text),
-                     '\\b(el|los|las|una|que)\\b') THEN 'es'
-                ELSE 'en' END AS lang_guess,
-           lang AS lang_label
-    FROM documents
-    """,
-    doc="Text analysis: marker-based language ID heuristic (CJK codepoints "
-    "+ stopword markers), compared against the dataset label.",
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    lower = F.lower(F.col("text"))
-    guess = (
-        F.when(F.col("text").rlike("[一-鿿]"), F.lit("zh"))
-        .when(lower.rlike(r"\b(der|die|das|und|nicht)\b"), F.lit("de"))
-        .when(lower.rlike(r"\b(le|la|les|et|une)\b"), F.lit("fr"))
-        .when(lower.rlike(r"\b(el|los|las|una|que)\b"), F.lit("es"))
-        .otherwise(F.lit("en"))
-    )
-    return docs.select(
-        "doc_id", guess.alias("lang_guess"), F.col("lang").alias("lang_label")
-    )
-
-
-@_register(
-    "doc_fingerprint",
-    """
-    SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-             AS fingerprint
-    FROM documents
-    """,
-    doc="Text analysis: normalized-content fingerprint (md5 over "
-    "lowercased, whitespace-collapsed text) — the exact-dedup key.",
-)
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
-
-
-# ---------------------------------------------------------------------------
-# Extensions — exact deduplication over `documents`
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "dedup_exact",
-    """
-    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-             AS fingerprint,
-           min(doc_id) AS kept_doc_id,
-           count(*) AS dup_count
-    FROM documents
-    GROUP BY 1
-    """,
-    doc="Dedup (exact): hash-groupBy on the normalized fingerprint; keep "
-    "min doc_id per group. One shuffle on the hash — at 100 TB this is "
-    "the standard exact-dedup plan.",
-)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return (
-        docs.select(F.md5(normalized).alias("fingerprint"), "doc_id")
-        .groupBy("fingerprint")
-        .agg(
-            F.min("doc_id").alias("kept_doc_id"),
-            F.count("*").alias("dup_count"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extended time-series / relational operators (beyond the reference's set)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "asof_purchase_value",
-    """
-    SELECT a.event_id, a.user_id, a.ts,
-           b.ts AS matched_ts, b.value AS purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'click') a
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-      ON a.user_id = b.user_id AND b.ts <= a.ts
-    """,
-    doc="Point-in-time (as-of) join: every click gets the user's most "
-    "recent prior purchase value. Spark lacks ASOF JOIN; the plan is "
-    "the union + running last(ignorenulls) window form — ONE hash "
-    "exchange on the key, no per-key nested loop (operators/asof.py). "
-    "Oracle: DuckDB's native ASOF LEFT JOIN.",
-)
-def q_asof_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.asof import asof_join
-
-    events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    return asof_join(
-        clicks, purchases, on=["user_id"], ts_col="ts", value_cols=["value"]
-    ).withColumnRenamed("value", "purchase_value")
-
-
-@_register(
-    "range_join_events",
-    """
-    SELECT p.event_id, p.user_id, p.ts,
-           s.ts AS signup_ts, s.event_id AS signup_event_id
-    FROM (SELECT * FROM events WHERE event_type = 'click') p
-    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-      ON p.user_id = s.user_id
-     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 3 DAY
-    """,
-    doc="Interval (range) join: clicks landing inside each signup's "
-    "3-day activation window, per user. Spark plans a bare non-equi "
-    "condition as BroadcastNestedLoopJoin; operators/asof.py bins "
-    "intervals into fixed epoch buckets so the join is an equi-join "
-    "on (user, bucket) + exact range verify — linear, shuffle on the "
-    "bucket key. Oracle: DuckDB evaluates the range predicate "
-    "directly (its IEJoin handles non-equi natively).",
-)
-def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.asof import range_join_binned
-
-    events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    signups = (
-        events.filter(F.col("event_type") == "signup")
-        .select(
-            F.col("user_id"),
-            F.col("ts").alias("signup_ts"),
-            F.col("event_id").alias("signup_event_id"),
-        )
-        .withColumn("window_end", F.col("signup_ts") + F.expr("INTERVAL 3 DAYS"))
-    )
-    return range_join_binned(
-        clicks,
-        signups,
-        point_ts="ts",
-        interval_start="signup_ts",
-        interval_end="window_end",
-        bucket_seconds=3 * 86400,
-        on=["user_id"],
-    ).select("event_id", "user_id", "ts", "signup_ts", "signup_event_id")
-
-
-@_register(
-    "user_sessions",
-    f"""
-    WITH l AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), s AS (
-      SELECT *, sum(new_s) OVER (
-        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-      FROM l
-    )
-    SELECT user_id,
-           min(ts) AS session_start,
-           max(ts) + INTERVAL 30 MINUTE AS session_end,
-           count(*) AS n_events,
-           {sql_dround("sum(value)", 2)} AS session_value
-    FROM s GROUP BY user_id, sid
-    """,
-    doc="Sessionization: per-user sessions with a 30-minute inactivity "
-    "gap via Spark's native session_window aggregation (merging "
-    "event-time windows — the same operator the streaming path uses "
-    "with state). Oracle: the classic gaps-and-islands SQL (lag + "
-    "running sum of session starts).",
-)
-def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            "user_id", F.session_window("ts", "30 minutes").alias("w")
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            dround(F.sum("value"), 2).alias("session_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "session_value",
-        )
-    )
-
-
-_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-@_register(
-    "pivot_event_counts",
-    f"""
-    SELECT date_trunc('day', ts) AS day,
-           {", ".join(
-               f"count(*) FILTER (event_type = '{t}') AS {t}"
-               for t in _EVENT_TYPES
-           )}
-    FROM events GROUP BY 1
-    """,
-    doc="Pivot: daily event counts spread into one column per event "
-    "type (Kibana 'breakdown by' table as columns). Spark "
-    "groupBy().pivot() with explicit values — no extra pass to "
-    "discover the pivot domain, map-side partial aggregation intact. "
-    "Oracle: conditional FILTER aggregates.",
-)
-def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .pivot("event_type", _EVENT_TYPES)
-        .count()
-        .na.fill(0, _EVENT_TYPES)
-    )
-
-
-_UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount"]
-
-
-@_register(
-    "unpivot_measures",
-    "\nUNION ALL\n".join(
-        f"""
-    SELECT l_orderkey, l_linenumber,
-           '{m}' AS measure, {m}::DOUBLE AS value
-    FROM lineitem WHERE l_orderkey < 100
-    """
-        for m in _UNPIVOT_MEASURES
-    ),
-    doc="Unpivot (melt): wide measure columns reshaped to long "
-    "(measure, value) rows — the inverse of pivot and the standard "
-    "reshape before per-measure normalization in a training-data "
-    "pipeline. Spark native `unpivot` (Generate, no join, no "
-    "shuffle); oracle is the equivalent UNION ALL.",
-)
-def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
-    li = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        *[F.col(m).cast("double").alias(m) for m in _UNPIVOT_MEASURES],
-    )
-    return li.unpivot(
-        ["l_orderkey", "l_linenumber"], _UNPIVOT_MEASURES, "measure", "value"
-    )
-
-
-@_register(
-    "rollup_order_totals",
-    f"""
-    SELECT c.c_mktsegment, o.o_orderpriority,
-           count(*) AS n_orders,
-           {sql_dround("sum(o.o_totalprice)", 2)} AS total_price
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY ROLLUP (c.c_mktsegment, o.o_orderpriority)
-    """,
-    doc="Multi-level aggregation: ROLLUP over (segment, priority) — "
-    "subtotals per segment and a grand total in one pass (partial "
-    "aggregation covers all grouping sets; null marks the rolled-up "
-    "level on both engines).",
-)
-def q_rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
-    )
-    return joined.rollup("c_mktsegment", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"),
-        dround(F.sum("o_totalprice"), 2).alias("total_price"),
-    )
-
-
-@_register(
-    "percentiles_price",
-    f"""
-    SELECT l_returnflag,
-           {sql_dround("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
-           {sql_dround("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95,
-           {sql_dround("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="Exact interpolated percentiles per group (Kibana percentile "
-    "panel analog): Spark `percentile` and DuckDB `quantile_cont` "
-    "share the (n-1)*q linear-interpolation definition. The "
-    "approx-sketch twin for 100 TB is `approx_percentile` (same call "
-    "shape, rank error eps) — exact here so the oracle can check "
-    "values.",
-)
-def q_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    pct = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in (0.5, 0.95, 0.99)]))
-    return li.groupBy("l_returnflag").agg(
-        dround(F.element_at(pct, 1), 4).alias("p50"),
-        dround(F.element_at(pct, 2), 4).alias("p95"),
-        dround(F.element_at(pct, 3), 4).alias("p99"),
-    )
-
-
-@_register(
-    "anti_join_inactive",
-    """
-    SELECT c_custkey, c_name, c_mktsegment
-    FROM customer c
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders o
-      WHERE o.o_custkey = c.c_custkey
-        AND o.o_orderpriority = '1-URGENT')
-    """,
-    doc="Anti join: customers with no urgent-priority orders "
-    "(left_anti — the NOT EXISTS plan; the filter on the probe side "
-    "pushes to its scan; broadcast the build side when small, else "
-    "shuffle-hash on the key).",
-)
-def q_anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-# ---------------------------------------------------------------------------
-# Extensions — embedding similarity search over `embeddings`
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "cosine_topk",
-    f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < 3
-    ), pairs AS (
-      SELECT q.query_id,
-             e.vec_id AS neighbor_id,
-             {sql_dround(
-                 "list_dot_product(q.qv, e.embedding::DOUBLE[])"
-                 " / (sqrt(list_dot_product(q.qv, q.qv))"
-                 " * sqrt(list_dot_product(e.embedding::DOUBLE[],"
-                 " e.embedding::DOUBLE[])))", 4)}
-               AS cosine
-      FROM q CROSS JOIN embeddings e
-      WHERE e.vec_id <> q.query_id
-    )
-    SELECT query_id, neighbor_id, cosine
-    FROM pairs
-    QUALIFY row_number() OVER (
-      PARTITION BY query_id
-      ORDER BY cosine DESC, neighbor_id ASC) <= 5
-    """,
-    doc="Similarity search: brute-force cosine top-5 for 3 query vectors. "
-    "Query side is broadcast; the corpus scan is embarrassingly "
-    "parallel — the 100 TB baseline an IVF/LSH variant is judged "
-    "against (see operators/similarity.py).",
-    parts=8,
-)
-def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (
-        brute_force_cosine_topk,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)  # single-row-group file → parallelize the hot compute
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    return brute_force_cosine_topk(
-        queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — the dedup ladder over `documents` (SURVEY.md §7.8)
-# ---------------------------------------------------------------------------
-
-# DuckDB mirror of operators.dedup.shingles (word n-grams, distinct,
-# whole-text fallback for short docs, empty for empty docs).
-_SQL_SHINGLES = """
-    toks AS (
-      SELECT doc_id,
-             list_filter(
-               string_split(
-                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
-               t -> t <> '') AS w
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id,
-             CASE
-               WHEN len(w) >= 3 THEN list_distinct(
-                 [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])
-               WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
-               ELSE []
-             END AS s
-      FROM toks
-    )
-"""
-
-
-@_register(
-    "minhash_near_dup",
-    f"""
-    WITH {_SQL_SHINGLES}
-    SELECT a.doc_id AS id_a,
-           b.doc_id AS id_b,
-           len(list_intersect(a.s, b.s))::DOUBLE
-             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE jaccard >= 0.9
-    """,
-    doc="MinHash+LSH near-dup detection, verified by exact n-gram "
-    "Jaccard >= 0.9. Spark plan: one-UDF vectorized minhash signature "
-    "(siphash tokens + rotate/xor window combine, numpy fold) → "
-    "8-band bucket join (one shuffle on the bucket key, no crossJoin) "
-    "→ exact Jaccard on candidates only, over hashed shingle sets "
-    "(value equals the string-shingle Jaccard modulo ~2e-64 hash "
-    "collisions). The oracle is the O(n²) string-shingle ground "
-    "truth — at sf0.01 every planted pair (j≈0.98) is caught by "
-    "banding with miss prob ~1e-9 per pair, and the data is fixed.",
-)
-def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.dedup import (
-        hashed_ngram_jaccard,
-        minhash_lsh_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    cand = minhash_lsh_pairs(
-        docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    )
-    return hashed_ngram_jaccard(
-        cand, docs, "doc_id", "text", shingle_n=3
-    ).filter(F.col("jaccard") >= 0.9)
-
-
-@_register(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH {_SQL_SHINGLES}
-    SELECT a.doc_id AS id_a,
-           b.doc_id AS id_b,
-           len(list_intersect(a.s, b.s))::DOUBLE
-             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE a.doc_id < 40 AND b.doc_id < 40
-    """,
-    doc="Exact word-3-gram Jaccard similarity for every pair in a "
-    "40-doc block — the verify kernel of the dedup ladder, "
-    "value-checked against DuckDB's list algebra.",
-)
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.dedup import ngram_jaccard
-
-    docs = load_table(spark, sf_dir, "documents")
-    block = docs.filter(F.col("doc_id") < 40)
-    ids = block.select(F.col("doc_id").alias("id_a"))
-    pairs = ids.join(
-        block.select(F.col("doc_id").alias("id_b")),
-        F.col("id_a") < F.col("id_b"),
-    )
-    return ngram_jaccard(pairs, docs, "doc_id", "text", shingle_n=3)
-
-
-@_register(
-    "simhash_near_dup",
-    None,  # xxhash64-based fingerprint has no SQL twin → rows-only check
-    doc="SimHash near-dup pairs: 64-bit fingerprint, 1-bit multi-probe "
-    "blocking (5 chunks of ~13 bits for Hamming <= 9: some chunk "
-    "differs by <= 1 bit, so exact-value x 1-bit-flip probes give "
-    "exact recall at the stated radius; equi-join, no crossJoin — "
-    "13-bit buckets stay sparse where 6-bit pigeonhole chunks "
-    "measured 1.9M candidate pairs for 254 true ones at sf0.1), "
-    "exact bit_count(xor) verify. Operating point: every planted "
-    "sf0.01 near-dup sits at Hamming <= 8 (measured). Rows-only: the "
-    "fingerprint hash family is not expressible in ANSI SQL; pytest "
-    "asserts every planted pair is recovered (tests/test_dedup.py).",
-    parts=8,
-)
-def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.dedup import simhash_near_dup_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    return simhash_near_dup_pairs(
-        docs, "text", "doc_id", max_hamming=9, shingle_n=2
-    )
-
-
-@_register(
-    "incremental_dedup_gate",
-    "SELECT 'incremental_equals_full' AS metric, TRUE AS passed",
-    doc="Incremental LSH dedup equivalence under the DRIVER gate (was "
-    "pytest-only): documents split deterministically (xxhash64 of "
-    "doc_id, 80/20) into history and a daily batch; history lands "
-    "its (id, band, bucket) index once (minhash_band_table) and the "
-    "increment is deduped against it WITHOUT re-shingling history "
-    "(incremental_minhash_pairs: O(batch) hash + indexed bucket "
-    "join — the shape that turns daily dedup at 100 TB from "
-    "O(corpus) into O(batch)). Gate: the incremental pair set must "
-    "EQUAL the full recompute over history ∪ batch minus known "
-    "old×old pairs — asserted as an empty symmetric difference "
-    "(two exceptAlls unioned into one lazy count; pair tables are "
-    "candidate-sized, hundreds of rows). passed=TRUE hash-matches "
-    "the constant oracle only if the sets are identical.",
-    parts=8,
-)
-def q_incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.dedup import (
-        incremental_minhash_pairs,
-        minhash_band_table,
-        minhash_lsh_pairs,
-    )
-
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10))
-    hist = docs.filter(bucket < 8)
-    batch = docs.filter(bucket >= 8)
-    index = minhash_band_table(hist, "text", "doc_id")
-    inc = incremental_minhash_pairs(batch, index, "text", "doc_id")
-    full = minhash_lsh_pairs(docs, "text", "doc_id")
-    old_ids = hist.select("doc_id")
-    # expected = full pairs minus the already-known old×old pairs:
-    # keep a pair iff either endpoint is NOT in history (broadcast
-    # semi-join flags, no collect)
-    a_old = old_ids.select(F.col("doc_id").alias("id_a"))
-    b_old = old_ids.select(F.col("doc_id").alias("id_b"))
-    expected = full.join(
-        F.broadcast(a_old.withColumn("__ha", F.lit(1))), "id_a", "left"
-    ).join(
-        F.broadcast(b_old.withColumn("__hb", F.lit(1))), "id_b", "left"
-    ).filter(
-        F.col("__ha").isNull() | F.col("__hb").isNull()
-    ).select("id_a", "id_b")
-    sym_diff = expected.exceptAll(inc).unionByName(
-        inc.exceptAll(expected)
-    )
-    return sym_diff.agg(
-        F.count(F.lit(1)).alias("__n")
-    ).select(
-        F.lit("incremental_equals_full").alias("metric"),
-        (F.col("__n") == 0).alias("passed"),
-    )
-
-
-@_register(
-    "dedup_clusters",
-    f"""
-    WITH RECURSIVE {_SQL_SHINGLES},
-    jac AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-            / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.9
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM jac
-      UNION SELECT id_b, id_a FROM jac
-    ),
-    reach AS (
-      SELECT a AS node, a AS comp FROM edges
-      UNION
-      SELECT e.b, r.comp FROM reach r JOIN edges e ON r.node = e.a
-    )
-    SELECT node AS doc_id, min(comp) AS cluster_id
-    FROM reach GROUP BY node
-    """,
-    doc="Dedup clusters: near-dup PAIRS (minhash-LSH + Jaccard >= 0.9 "
-    "verify) closed into connected components, component = min doc_id "
-    "— the keep-list step (keep doc_id == cluster_id) that handles "
-    "transitive near-duplication A~B~C. Spark side is distributed "
-    "min-label propagation (join + groupBy-min per round, O(diameter) "
-    "rounds, only a changed-count per round reaches the driver); the "
-    "oracle closes the same pair graph with a recursive CTE.",
-    parts=8,
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.dedup import (
-        connected_components,
-        hashed_ngram_jaccard,
-        minhash_lsh_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    cand = minhash_lsh_pairs(
-        docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    )
-    pairs = hashed_ngram_jaccard(cand, docs, "doc_id", "text", 3).filter(
-        F.col("jaccard") >= 0.9
-    )
-    cc = connected_components(pairs.select("id_a", "id_b"))
-    return cc.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — embedding near-dup + ANN top-k over `embeddings`
-# ---------------------------------------------------------------------------
-
-from yahoofinancedatalake_spark.operators.similarity import (  # noqa: E402
-    random_hyperplanes as _random_hyperplanes,
-)
-
-_ND_PLANES = _random_hyperplanes(dim=64, n_planes=16, seed=7)
-_ND_PLANES_SQL = ", ".join(
-    "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
-    for plane in _ND_PLANES
-)
-
-
-@_register(
-    "embedding_near_dup",
-    f"""
-    WITH sig AS (
-      SELECT vec_id,
-             embedding::DOUBLE[] AS v,
-             [CASE WHEN list_dot_product(embedding::DOUBLE[], p) >= 0
-                   THEN '1' ELSE '0' END
-              FOR p IN [{_ND_PLANES_SQL}]] AS bits
-      FROM embeddings
-    ),
-    banded AS (
-      SELECT vec_id, band,
-             array_to_string(bits[band * 4 + 1 : band * 4 + 4], '') AS bb
-      FROM sig, range(4) AS t(band)
-    ),
-    cand AS (
-      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-      FROM banded l
-      JOIN banded r ON l.band = r.band AND l.bb = r.bb
-                    AND l.vec_id < r.vec_id
-    )
-    SELECT id_a, id_b,
-           {sql_dround(
-               "list_dot_product(a.v, b.v)"
-               " / (sqrt(list_dot_product(a.v, a.v))"
-               " * sqrt(list_dot_product(b.v, b.v)))", 4)} AS cosine
-    FROM cand
-    JOIN sig a ON cand.id_a = a.vec_id
-    JOIN sig b ON cand.id_b = b.vec_id
-    WHERE cosine >= 0.45
-    """,
-    doc="Embedding near-dup pairs: sign-LSH blocking (16 hyperplanes, "
-    "4 bands — the bucket join is linear, no crossJoin) + vectorized "
-    "exact cosine verify >= 0.45 on the deduped id-only candidates "
-    "(the 64-double payload never rides the band explode or bucket "
-    "shuffle). 4-bit bands are deliberate: the testdata's strongest "
-    "pairs sit at cosine ≈ 0.5 where sign agreement is only ~2/3 per "
-    "plane, so wider bands collapse recall (measured: 6-bit bands "
-    "find 2 of 14 threshold pairs vs 6 for 4-bit); at a production "
-    "near-dup threshold (0.9+) wider bands are the right trade. The "
-    "oracle mirrors the SAME blocking with the same hyperplane "
-    "literals; sign margins and threshold gaps dwarf cross-engine "
-    "summation jitter (~1e-15), so decisions are identical on the "
-    "fixed testdata.",
-    parts=8,
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import lsh_near_dup_pairs
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)  # single-row-group file → parallelize the hot compute
-    return lsh_near_dup_pairs(
-        emb, threshold=0.45, dim=64, n_planes=16, n_bands=4, seed=7
-    )
-
-
-@_register(
-    "ann_topk",
-    None,  # approximate by construction → rows-only; recall tested in pytest
-    doc="Approximate nearest neighbors: sign-LSH banded candidate join "
-    "then exact cosine re-rank, top-5 per query. The 100 TB scale path "
-    "for similarity search (bucket shuffle instead of full scan per "
-    "query); recall vs brute force asserted in tests/test_similarity.py.",
-    parts=8,
-)
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import lsh_cosine_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)  # single-row-group file → parallelize the hot compute
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    return lsh_cosine_topk(
-        queries, emb, k=5, dim=64, n_planes=24, n_bands=12, seed=7
-    )
-
-
-@_register(
-    "ivf_topk",
-    None,  # approximate by construction → rows-only; recall tested in pytest
-    doc="Approximate nearest neighbors via an IVF index: k-means coarse "
-    "quantizer trained on a deterministic bounded sample, corpus "
-    "posted under its 2 nearest of 8 clusters (FAISS-style "
-    "replication — lifts recall on weakly-clustered data), queries "
-    "probe their 5 nearest clusters → candidate equi-join on cluster "
-    "id, exact cosine re-rank. The FAISS-style alternative scale "
-    "path to ann_topk's sign-LSH; recall@5 ≥ 0.95 enforced by the "
-    "ivf_recall CORRECTNESS gate and tests/test_similarity.py.",
-    parts=8,
-)
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import ivf_cosine_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)  # single-row-group file → parallelize the hot compute
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    return ivf_cosine_topk(
-        queries, emb, k=5, n_centroids=8, n_probe=5, n_assign=2, seed=11,
-        cache_key=sf_dir,
-    )
-
-
-@_register(
-    "multimodal_features",
-    None,  # binary payloads + registered codec → not ANSI-SQL-expressible
-    doc="Multimodal pipeline end-to-end: documents re-landed as a media "
-    "table (binary payload + typed metadata), metadata filter "
-    "width >= 64 prunes BEFORE any payload touch (codegen, no "
-    "deserialize), then Arrow-batched mapInPandas decode+featurize "
-    "(deterministic fake codec — the container ships no "
-    "image/audio libs; plumbing, schema, and batch shapes are the "
-    "real contract), JVM-side resize planning, and per-frame "
-    "sampling for videos. No fan_out here by design: the stub codec "
-    "is cheaper than a repartition exchange, so pipelining the whole "
-    "flow in the scan tasks wins — with a REAL codec registered, "
-    "insert fan_out before extract_features (cost model: "
-    "compute-per-row >> shuffle-per-row, see multimodal.py). "
-    "Rows-only: feature values are pytest-checked against the codec "
-    "stub (tests/test_multimodal.py).",
-    parts=8,
-)
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.multimodal import (
-        extract_features,
-        fake_decoder,
-        register_decoder,
-        resize_metadata,
-        sample_frames,
-    )
-
-    for kind in ("image", "audio", "video"):
-        register_decoder(kind, fake_decoder)
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.encode("text", "utf-8").alias("content"),
-        F.lit("raw").alias("format"),
-        (F.col("doc_id") % 480 + 32).cast("int").alias("width"),
-        (F.col("doc_id") % 360 + 24).cast("int").alias("height"),
-        F.when(F.col("doc_id") % 3 == 2, (F.col("doc_id") % 90 + 10))
-        .cast("int")
-        .alias("n_frames"),
-        F.when(F.col("doc_id") % 3 == 1, F.lit(16000)).cast("int")
-        .alias("sample_rate"),
-    )
-    # metadata-only pruning: never deserializes the payload
-    sized = resize_metadata(media.filter(F.col("width") >= 64), max_side=128)
-    feats = extract_features(sized)
-    frames = (
-        sample_frames(sized, every_nth=10)
-        .groupBy("media_id")
-        .agg(F.count("*").alias("n_sampled_frames"))
-    )
-    mean_feat = dround(
-        F.aggregate(
-            F.col("feature"), F.lit(0.0), lambda a, v: a + v
-        ) / F.greatest(F.size("feature"), F.lit(1)),
-        6,
-    )
-    return (
-        feats.join(
-            sized.select("media_id", "resized_width", "resized_height"),
-            "media_id",
-        )
-        .join(frames, "media_id", "left")
-        .select(
-            "media_id",
-            "kind",
-            "n_bytes",
-            mean_feat.alias("feature_mean"),
-            "resized_width",
-            "resized_height",
-            F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# X2 — grouped time-series forecast (arima_forecast.py:32-108 re-expressed
-# as groupBy().applyInPandas; deterministic numpy backend in-container)
-# ---------------------------------------------------------------------------
-
-
-#: 97.5th normal quantile, printed at full double precision so the
-#: oracle SQL uses the bit-identical constant as forecast/grouped.py.
-_Z95_SQL = "1.959963984540054"
-
-
-@_register(
-    "forecast_events",
-    f"""
-    WITH daily AS (
-      SELECT user_id::VARCHAR AS group_key,
-             date_trunc('day', ts) AS day,
-             avg(value) AS v
-      FROM events
-      GROUP BY 1, 2
-    ), full_series AS (
-      SELECT group_key, day, v,
-             count(*) OVER (PARTITION BY group_key) AS n_full,
-             row_number() OVER (PARTITION BY group_key ORDER BY day DESC)
-               AS rn_desc
-      FROM daily
-    ), train AS (
-      SELECT group_key, day, v,
-             row_number() OVER (PARTITION BY group_key ORDER BY day) - 1 AS t,
-             count(*) OVER (PARTITION BY group_key) AS n
-      FROM full_series
-      WHERE n_full >= 10 AND rn_desc <= 252
-    ), means AS (
-      SELECT group_key, max(n) AS n, avg(t::DOUBLE) AS tbar, avg(v) AS ybar
-      FROM train GROUP BY group_key
-    ), beta AS (
-      SELECT tr.group_key, max(m.tbar) AS tbar, max(m.ybar) AS ybar,
-             sum((tr.t - m.tbar) * (tr.v - m.ybar))
-               / sum((tr.t - m.tbar) * (tr.t - m.tbar)) AS b1
-      FROM train tr JOIN means m USING (group_key)
-      GROUP BY tr.group_key
-    ), beta2 AS (
-      SELECT group_key, b1, ybar - b1 * tbar AS b0 FROM beta
-    ), resid AS (
-      SELECT tr.group_key, tr.t, tr.day, tr.v, tr.n,
-             tr.v - (b.b0 + b.b1 * tr.t) AS r
-      FROM train tr JOIN beta2 b USING (group_key)
-    ), lagged AS (
-      SELECT group_key, r,
-             lag(r) OVER (PARTITION BY group_key ORDER BY t) AS rp
-      FROM resid
-    ), arstats AS (
-      SELECT group_key, sum(r * rp) AS num, sum(rp * rp) AS den
-      FROM lagged WHERE rp IS NOT NULL GROUP BY group_key
-    ), sig AS (
-      SELECT group_key,
-             stddev_samp(r) AS sigma,
-             max(n) AS n,
-             max(CASE WHEN t = n - 1 THEN r END) AS r_last,
-             max(day) AS last_day
-      FROM resid GROUP BY group_key
-    ), grp AS (
-      SELECT b.group_key, s.n, b.b0, b.b1,
-             CASE WHEN a.den > 0
-                  THEN least(greatest(a.num / a.den, -0.99), 0.99)
-                  ELSE 0.0 END AS phi,
-             s.sigma, s.r_last, s.last_day
-      FROM beta2 b
-      JOIN arstats a USING (group_key)
-      JOIN sig s USING (group_key)
-    ), fut AS (
-      SELECT g.group_key,
-             (g.last_day::DATE + h.h::INT) AS day,
-             g.b0 + g.b1 * (g.n - 1 + h.h) + pow(g.phi, h.h) * g.r_last
-               AS pred,
-             {_Z95_SQL} * g.sigma * sqrt(
-               CASE WHEN g.phi * g.phi = 1.0 THEN h.h::DOUBLE
-                    ELSE (1.0 - pow(g.phi * g.phi, h.h))
-                         / (1.0 - g.phi * g.phi) END) AS half
-      FROM grp g CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
-    )
-    SELECT group_key, day::DATE AS day,
-           {sql_dround("v", 4)} AS predicted,
-           {sql_dround("v", 4)} AS confidence_lower,
-           {sql_dround("v", 4)} AS confidence_upper,
-           NULL::DOUBLE AS exog,
-           'actual' AS kind
-    FROM full_series WHERE n_full >= 10 AND rn_desc <= 90
-    UNION ALL
-    SELECT group_key, day,
-           {sql_dround("pred", 4)} AS predicted,
-           {sql_dround("pred - half", 4)} AS confidence_lower,
-           {sql_dround("pred + half", 4)} AS confidence_upper,
-           NULL::DOUBLE AS exog,
-           'forecast' AS kind
-    FROM fut
-    """,
-    doc="X2: per-group forecast table function. Daily mean value per "
-    "user → groupBy(user).applyInPandas(trend+AR(1) forecaster) → "
-    "history rows + 7 forecast rows with 95% CI. Parallel across "
-    "groups (the reference loops symbols on the driver, "
-    "arima_forecast.py:135-144). ORACLE-CHECKED, not rows-only: the "
-    "fallback forecaster is closed-form centered OLS + AR(1) with "
-    "geometric decay/variance (forecast/grouped.py:_fallback_forecast)"
-    ", so the DuckDB oracle replays the IDENTICAL formulas — "
-    "covariance sums, lag-1 residual regression, phi clamp, "
-    "stddev_samp CI — as plain SQL windows/aggregates; outputs are "
-    "dround(4)-stabilized on both sides (sum-order fp noise is "
-    "~1e-12 relative, far inside the bin). Property tests in "
-    "tests/test_forecast.py.",
-)
-def q_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.forecast import forecast_by_group
-
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.avg("value").alias("v"))
-    out = forecast_by_group(
-        daily, "user_id", "day", "v", horizon=7, min_points=10,
-        future_freq="D",  # synthetic events are calendar-daily
-        backend="closed_form",  # pinned: the oracle replays THIS model
-    )
-    return out.select(
-        "group_key",
-        "day",
-        dround(F.col("predicted"), 4).alias("predicted"),
-        dround(F.col("confidence_lower"), 4).alias("confidence_lower"),
-        dround(F.col("confidence_upper"), 4).alias("confidence_upper"),
-        "exog",
-        "kind",
-    )
-
-
-@_register(
-    "forecast_with_exog",
-    f"""
-    WITH values_d AS (
-      SELECT user_id::VARCHAR AS group_key,
-             date_trunc('day', ts) AS day, avg(value) AS v
-      FROM events WHERE event_type = 'view' GROUP BY 1, 2
-    ), signal_d AS (
-      SELECT user_id::VARCHAR AS group_key,
-             date_trunc('day', ts) AS day, avg(value) AS sig
-      FROM events WHERE event_type = 'click' GROUP BY 1, 2
-    ), aligned AS (
-      SELECT v.group_key, v.day, v.v, s.sig
-      FROM values_d v LEFT JOIN signal_d s USING (group_key, day)
-    ), full_series AS (
-      SELECT group_key, day, v, sig,
-             count(*) OVER (PARTITION BY group_key) AS n_full,
-             row_number() OVER (PARTITION BY group_key ORDER BY day DESC)
-               AS rn_desc
-      FROM aligned
-    ), train AS (
-      SELECT group_key, day, v, sig, coalesce(sig, 0.0) AS x,
-             row_number() OVER (PARTITION BY group_key ORDER BY day) - 1 AS t,
-             row_number() OVER (PARTITION BY group_key ORDER BY day DESC)
-               AS rn_t,
-             count(*) OVER (PARTITION BY group_key) AS n
-      FROM full_series
-      WHERE n_full >= 10 AND rn_desc <= 252
-    ), means AS (
-      SELECT group_key, max(n) AS n, avg(t::DOUBLE) AS tbar,
-             avg(v) AS ybar, avg(x) AS xbar
-      FROM train GROUP BY group_key
-    ), sums AS (
-      SELECT tr.group_key,
-             max(m.tbar) AS tbar, max(m.ybar) AS ybar, max(m.xbar) AS xbar,
-             sum((tr.t - m.tbar) * (tr.t - m.tbar)) AS stt,
-             sum((tr.t - m.tbar) * (tr.v - m.ybar)) AS sty,
-             sum((tr.x - m.xbar) * (tr.x - m.xbar)) AS sxx,
-             sum((tr.t - m.tbar) * (tr.x - m.xbar)) AS stx,
-             sum((tr.x - m.xbar) * (tr.v - m.ybar)) AS sxy
-      FROM train tr JOIN means m USING (group_key)
-      GROUP BY tr.group_key
-    ), beta AS (
-      SELECT group_key, tbar, ybar, xbar,
-             CASE WHEN stt * sxx - stx * stx <> 0.0
-                  THEN (sty * sxx - sxy * stx) / (stt * sxx - stx * stx)
-                  WHEN stt > 0.0 THEN sty / stt ELSE 0.0 END AS b1,
-             CASE WHEN stt * sxx - stx * stx <> 0.0
-                  THEN (sxy * stt - sty * stx) / (stt * sxx - stx * stx)
-                  ELSE 0.0 END AS b2
-      FROM sums
-    ), beta2 AS (
-      SELECT group_key, b1, b2, ybar - b1 * tbar - b2 * xbar AS b0 FROM beta
-    ), recent_c AS (
-      SELECT group_key, coalesce(avg(sig), 0.0) AS recent
-      FROM train WHERE rn_t <= 30 GROUP BY group_key
-    ), resid AS (
-      SELECT tr.group_key, tr.t, tr.day, tr.n,
-             tr.v - (b.b0 + b.b1 * tr.t + b.b2 * tr.x) AS r
-      FROM train tr JOIN beta2 b USING (group_key)
-    ), lagged AS (
-      SELECT group_key, r,
-             lag(r) OVER (PARTITION BY group_key ORDER BY t) AS rp
-      FROM resid
-    ), arstats AS (
-      SELECT group_key, sum(r * rp) AS num, sum(rp * rp) AS den
-      FROM lagged WHERE rp IS NOT NULL GROUP BY group_key
-    ), sig_s AS (
-      SELECT group_key,
-             stddev_samp(r) AS sigma,
-             max(n) AS n,
-             max(CASE WHEN t = n - 1 THEN r END) AS r_last,
-             max(day) AS last_day
-      FROM resid GROUP BY group_key
-    ), grp AS (
-      SELECT b.group_key, s.n, b.b0, b.b1, b.b2, rc.recent,
-             CASE WHEN a.den > 0
-                  THEN least(greatest(a.num / a.den, -0.99), 0.99)
-                  ELSE 0.0 END AS phi,
-             s.sigma, s.r_last, s.last_day
-      FROM beta2 b
-      JOIN arstats a USING (group_key)
-      JOIN sig_s s USING (group_key)
-      JOIN recent_c rc USING (group_key)
-    ), fut AS (
-      SELECT g.group_key,
-             (g.last_day::DATE + h.h::INT) AS day,
-             g.b0 + g.b1 * (g.n - 1 + h.h) + pow(g.phi, h.h) * g.r_last
-               + g.b2 * g.recent AS pred,
-             g.recent,
-             {_Z95_SQL} * g.sigma * sqrt(
-               CASE WHEN g.phi * g.phi = 1.0 THEN h.h::DOUBLE
-                    ELSE (1.0 - pow(g.phi * g.phi, h.h))
-                         / (1.0 - g.phi * g.phi) END) AS half
-      FROM grp g CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
-    )
-    SELECT group_key, day::DATE AS day,
-           {sql_dround("v", 4)} AS predicted,
-           {sql_dround("v", 4)} AS confidence_lower,
-           {sql_dround("v", 4)} AS confidence_upper,
-           floor((coalesce(sig, 0.0)) * 10000 + 0.5 + 1e-6) / 10000.0 AS exog,
-           'actual' AS kind
-    FROM full_series WHERE n_full >= 10 AND rn_desc <= 90
-    UNION ALL
-    SELECT group_key, day,
-           {sql_dround("pred", 4)} AS predicted,
-           {sql_dround("pred - half", 4)} AS confidence_lower,
-           {sql_dround("pred + half", 4)} AS confidence_upper,
-           floor((recent) * 10000 + 0.5 + 1e-6) / 10000.0 AS exog,
-           'forecast' AS kind
-    FROM fut
-    """,
-    doc="X2+J3: forecast with an exogenous daily regressor. The "
-    "'view'-event daily mean is the value series; the sparser "
-    "'click'-event daily mean is the exog signal, exact-date aligned "
-    "with neutral fill (arima_forecast.py:47) and trailing-30 "
-    "null-skipping mean as the future exog (:61-63). Exercises "
-    "align_daily_signal (J3) + the exog path of forecast_by_group. "
-    "ORACLE-CHECKED like forecast_events: the closed-form two-"
-    "regressor fit (2x2 determinant solve on centered covariance "
-    "sums) is replayed in SQL, including the null-skipping trailing-"
-    "30 future-exog mean and the exog output contract (fit-filled 0 "
-    "on actual rows, `recent` on forecast rows). Property tests in "
-    "tests/test_forecast.py.",
-)
-def q_forecast_with_exog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.forecast import forecast_by_group
-    from yahoofinancedatalake_spark.operators.etl import align_daily_signal
-
-    events = load_table(spark, sf_dir, "events")
-    daily = (
-        events.filter(F.col("event_type") == "view")
-        .groupBy(F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(F.avg("value").alias("v"))
-    )
-    signal = (
-        events.filter(F.col("event_type") == "click")
-        .groupBy(F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(F.avg("value").alias("sig"))
-    )
-    aligned = align_daily_signal(
-        daily, signal, "user_id", "day", "sig", neutral_fill=False
-    )
-    out = forecast_by_group(
-        aligned, "user_id", "day", "v", horizon=7, min_points=10,
-        exog_col="sig", future_freq="D",
-        backend="closed_form",  # pinned: the oracle replays THIS model
-    )
-    return out.select(
-        "group_key",
-        "day",
-        dround(F.col("predicted"), 4).alias("predicted"),
-        dround(F.col("confidence_lower"), 4).alias("confidence_lower"),
-        dround(F.col("confidence_upper"), 4).alias("confidence_upper"),
-        dround(F.col("exog"), 4).alias("exog"),
-        "kind",
-    )
-
-
-@_register(
-    "sarimax_seasonal_forecast",
-    # rows-only: the CSS-SARIMAX fit (Nelder-Mead over the 6 ARMA
-    # parameters) is an iterative optimizer no SQL oracle can replay;
-    # the gate booleans in the output are the contract instead, and
-    # tests/test_sarimax_css.py property-gates the model itself.
-    None,
-    doc="The reference's exact model family — SARIMAX(2,1,2)(1,1,1,5) "
-    "(arima_forecast.py:50-58) — fit per event_type by the numpy CSS "
-    "backend (forecast/sarimax_css.py) through the same "
-    "applyInPandas table function as every other forecast. Output is "
-    "one self-gating row per group: actual/forecast row counts, CI "
-    "ordering (lower <= predicted <= upper on every forecast row), "
-    "and finiteness — computed Spark-side from the forecast table "
-    "(monotone CI widening is asserted in the pytest property gates, "
-    "where row order is unambiguous). One exchange on the group key; "
-    "each task fits only its own ~720-point series (fit measured "
-    "~0.2s), so 10^6 symbols parallelize flat at 100 TB.",
-)
-def q_sarimax_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.forecast import forecast_by_group
-
-    events = load_table(spark, sf_dir, "events")
-    # hourly buckets: the test events span only 30 calendar days at
-    # every SF, and a 30-point series is below the seasonal model's
-    # minimum-observation guard (which would silently exercise the
-    # closed-form fallback instead) — ~720 hourly points per type
-    # puts every group firmly on the CSS-SARIMAX path
-    hourly = events.groupBy(
-        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("day")
-    ).agg(F.avg("value").alias("v"))
-    out = forecast_by_group(
-        hourly, "event_type", "day", "v", horizon=10, min_points=10,
-        future_freq="h", backend="sarimax_css",
-    )
-    fc = out.filter(F.col("kind") == "forecast")
-    gates = fc.groupBy("group_key").agg(
-        F.count(F.lit(1)).alias("n_forecast"),
-        F.min(
-            (F.col("confidence_lower") <= F.col("predicted"))
-            & (F.col("predicted") <= F.col("confidence_upper"))
-        ).alias("ci_ok"),
-        F.min(
-            ~F.isnan("predicted") & F.col("predicted").isNotNull()
-        ).alias("finite_ok"),
-    )
-    n_actual = (
-        out.filter(F.col("kind") == "actual")
-        .groupBy("group_key")
-        .agg(F.count(F.lit(1)).alias("n_actual"))
-    )
-    return (
-        gates.join(n_actual, "group_key")
-        .select(
-            "group_key", "n_actual", "n_forecast",
-            "ci_ok", "finite_ok",
-        )
-        .orderBy("group_key")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — ranked full-text search (the rest of P12)
-# ---------------------------------------------------------------------------
-
-#: The fixed "saved search" terms (the engine twin of the reference's
-#: Kibana saved searches over analyzed ES text fields,
-#: kibana_saved_objects.ndjson:5,10).
-_SEARCH_TERMS = ["spark", "merge", "vector"]
-
-
-@_register(
-    "text_search_rank",
-    f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
-               x -> x <> '') AS tokens
-      FROM documents
-    ), ex AS (
-      SELECT doc_id, unnest(tokens) AS term FROM toks
-    ), tf AS (
-      SELECT doc_id, term, count(*) AS tf
-      FROM ex
-      WHERE term IN ({_sql_wordlist(_SEARCH_TERMS)})
-      GROUP BY doc_id, term
-    ), n AS (
-      SELECT count(*) AS n_docs FROM documents
-    ), idf AS (
-      SELECT term,
-             CAST(floor(
-               (ln((n_docs + 1) / (count(DISTINCT doc_id) + 1)) + 1)
-               * 1000000 + 0.5) AS BIGINT) AS idf_fix
-      FROM tf, n
-      GROUP BY term, n_docs
-    ), scores AS (
-      SELECT tf.doc_id,
-             count(*) AS n_terms,
-             sum(tf.tf * idf.idf_fix)::DOUBLE / 1000000.0 AS score
-      FROM tf JOIN idf USING (term)
-      GROUP BY tf.doc_id
-    )
-    SELECT doc_id, n_terms, score
-    FROM scores
-    ORDER BY score DESC, doc_id ASC
-    LIMIT 20
-    """,
-    doc="P12 (ranked): tokenized multi-term text search with tf·idf "
-    "relevance scoring and deterministic top-20 — the engine twin of "
-    "the reference's analyzed ES text fields + saved searches "
-    "(to_elasticsearch.py:122-129, kibana_saved_objects.ndjson:5,10), "
-    "where users RANK news by match quality rather than filter. "
-    "Shape: token explode → filter to query terms (pushed below the "
-    "shuffle) → (doc, term) tf hash-agg → idf from a term-count "
-    "aggregate (3 rows, broadcast) → per-doc score sum → top-k. "
-    "Cross-engine determinism: idf is smoothed ln((N+1)/(df+1))+1 "
-    "fixed-pointed at 1e-6 (floor(x·1e6+0.5) as BIGINT), so the "
-    "per-doc score is an exact INTEGER sum — summation order can "
-    "never flip a bit; ties broken by doc_id. At 100 TB the only "
-    "wide exchange is the (doc_id, term) aggregate over rows already "
-    "filtered to query terms; idf stays dimension-sized.",
-    parts=8,
-)
-def q_text_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize tokenize
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9']+"),
-        lambda t: t != "",
-    )
-    ex = docs.select("doc_id", F.explode(toks).alias("term")).filter(
-        F.col("term").isin(_SEARCH_TERMS)
-    )
-    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # idf needs (n_docs, df_term) — both computed in ONE single-row
-    # aggregate over docs (map-side partials, no countDistinct
-    # shuffle, no 1-row scalar join: Catalyst folds a literal-key
-    # join into a BroadcastNestedLoopJoin), then exploded to one
-    # (term, idf_fix) row per search term.
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        *[
-            F.sum(F.array_contains(toks, t).cast("long")).alias(f"__df_{i}")
-            for i, t in enumerate(_SEARCH_TERMS)
-        ],
-    )
-    idf = stats.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("term"),
-                        F.floor(
-                            (
-                                F.log(
-                                    (F.col("n_docs") + 1)
-                                    / (F.col(f"__df_{i}") + 1)
-                                )
-                                + 1
-                            )
-                            * 1000000
-                            + 0.5
-                        )
-                        .cast("long")
-                        .alias("idf_fix"),
-                    )
-                    for i, t in enumerate(_SEARCH_TERMS)
-                ]
-            )
-        ).alias("s")
-    ).select("s.term", "s.idf_fix")
-    scores = (
-        tf.join(F.broadcast(idf), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_terms"),
-            (
-                F.sum(F.col("tf") * F.col("idf_fix")).cast("double")
-                / F.lit(1000000.0)
-            ).alias("score"),
-        )
-    )
-    return scores.orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    ).limit(20)
-
-
-# ---------------------------------------------------------------------------
-# Extensions — ANN recall as a CORRECTNESS gate (not just a bench metric)
-# ---------------------------------------------------------------------------
-
-
-def _recall_gate(
-    truth: DataFrame, approx: DataFrame, metric: str, threshold: float
-) -> DataFrame:
-    """One-row (metric, passed) frame: recall of ``approx`` against
-    ``truth`` on (query_id, neighbor_id) membership ≥ ``threshold``.
-    Shape: mark each truth pair found/missing with ONE left join, then
-    ONE aggregate computes both counts — no driver-side math and no
-    1-row crossJoin (which would plan as BroadcastNestedLoopJoin and
-    trip the scale-killer plan gate)."""
-    t = truth.select("query_id", "neighbor_id")
-    a = approx.select(
-        "query_id", "neighbor_id", F.lit(1).alias("__hit")
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    return (
-        t.join(a, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_truth"),
-            F.count("__hit").alias("n_hits"),
-        )
-        .select(
-            F.lit(metric).alias("metric"),
-            (
-                F.col("n_hits").cast("double")
-                >= F.lit(threshold) * F.col("n_truth")
-            ).alias("passed"),
-        )
-    )
-
-
-def _ann_queries(spark: SparkSession, sf_dir: str, n_queries: int = 20):
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)
-    # 20 queries × k=5 = 100 (query, neighbor) pairs — enough that the
-    # recall gate is statistically meaningful, not one-miss-brittle
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    return emb, queries
-
-
-@_register(
-    "ann_recall",
-    "SELECT 'lsh_recall_at_5' AS metric, TRUE AS passed",
-    doc="ANN quality as a correctness gate: recall@5 of the sign-LSH "
-    "index (ann_topk's exact configuration) against brute-force "
-    "cosine ground truth must be ≥ 0.99 — an approximation "
-    "regression now fails the driver's hash check instead of only "
-    "moving a bench number. Computed fully distributed (semi-join "
-    "membership + counts). The 0.99 bar is calibrated for the "
-    "sf0.01+ corpora the gates run at (1.00 measured at sf0.01 and "
-    "sf0.1); on the 200-vector sf0.001 smoke corpus the 12-band "
-    "tables are too sparse to clear it and the gate correctly "
-    "reports the config unfit — run ANN gates at sf0.01 or larger.",
-    parts=8,
-)
-def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (
-        brute_force_cosine_topk,
-        lsh_cosine_topk,
-    )
-
-    emb, queries = _ann_queries(spark, sf_dir)
-    truth = brute_force_cosine_topk(
-        queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
-    )
-    approx = lsh_cosine_topk(
-        queries, emb, k=5, dim=64, n_planes=24, n_bands=12, seed=7
-    )
-    return _recall_gate(truth, approx, "lsh_recall_at_5", 0.99)
-
-
-@_register(
-    "ivf_recall",
-    "SELECT 'ivf_recall_at_5' AS metric, TRUE AS passed",
-    doc="ANN quality gate for the IVF index (ivf_topk's exact "
-    "configuration, incl. the 2-way corpus replication): recall@5 vs "
-    "brute-force cosine ≥ 0.95 over 20 queries (looser than LSH — "
-    "probing is a recall/coverage knob, and the synthetic embeddings "
-    "cluster weakly).",
-    parts=8,
-)
-def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (
-        brute_force_cosine_topk,
-        ivf_cosine_topk,
-    )
-
-    emb, queries = _ann_queries(spark, sf_dir)
-    truth = brute_force_cosine_topk(
-        queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
-    )
-    approx = ivf_cosine_topk(
-        queries, emb, k=5, n_centroids=8, n_probe=5, n_assign=2, seed=11,
-        cache_key=sf_dir,
-    )
-    return _recall_gate(truth, approx, "ivf_recall_at_5", 0.95)
-
-
-# ---------------------------------------------------------------------------
-# Extensions — streaming under the driver's correctness gate
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "stream_daily_avg_batch_eq",
-    f"""
-    SELECT date_trunc('day', ts) AS day,
-           event_type,
-           {sql_dround("sum(value)", 2)} / count(*) AS avg_value,
-           count(*) AS n
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="Streaming end-to-end under the ORACLE gate: events re-landed "
-    "as micro-batchable parquet, read with readStream, tumbling "
-    "1-day event-time window × type average (streaming/ops.py "
-    "stream_daily_avg — the same dround(sum)/count determinism trick "
-    "as the batch twin), availableNow trigger to a memory sink; the "
-    "materialized result is hash-compared against plain batch SQL. "
-    "Proves the streaming plan computes the batch answer, under the "
-    "driver's own session.",
-)
-def q_stream_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
-        stream_daily_avg,
-    )
-
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    work = tempfile.mkdtemp(prefix="stream_eq_")
-    src = f"{work}/events"
-    batch.repartition(4).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
-    name = f"s_daily_avg_eq_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle(spark, 8):
-        q = (
-            stream_daily_avg(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q)
-    return spark.table(name)
-
-
-@_register(
-    "stream_sessions_batch_eq",
-    f"""
-    WITH l AS (
-      SELECT user_id, ts, value,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_s
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), s AS (
-      SELECT *, sum(new_s) OVER (
-        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-      FROM l
-    )
-    SELECT user_id,
-           min(ts) AS session_start,
-           max(ts) + INTERVAL 30 MINUTE AS session_end,
-           count(*) AS n_events,
-           {sql_dround("sum(value)", 2)} AS session_value
-    FROM s GROUP BY user_id, sid
-    """,
-    doc="Stateful streaming sessionization under the ORACLE gate: the "
-    "same merging session_window aggregation as the batch "
-    "user_sessions query, but executed by the streaming engine "
-    "(readStream over re-landed parquet, watermark, availableNow to "
-    "a memory sink) and hash-compared against the gaps-and-islands "
-    "SQL oracle. Proves session-merge state (the hardest streaming "
-    "state shape: windows that MERGE as late events bridge gaps) "
-    "computes exactly the batch answer.",
-)
-def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
-        stream_sessions,
-    )
-
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    work = tempfile.mkdtemp(prefix="stream_sess_eq_")
-    src = f"{work}/events"
-    batch.repartition(4).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
-    name = f"s_sessions_eq_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle(spark, 8):
-        q = (
-            stream_sessions(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q)
-    return spark.table(name)
-
-
-# ---------------------------------------------------------------------------
-# Extensions — semi-structured JSON extraction (events.props)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "json_extract_agg",
-    """
-    SELECT event_type,
-           count(*) AS n,
-           CAST(sum(k) AS BIGINT) AS sum_k,
-           sum(k)::DOUBLE / count(*) AS avg_k
-    FROM (
-      SELECT event_type,
-             json_extract_string(props, '$.k')::INT AS k
-      FROM events
-    )
-    GROUP BY event_type
-    """,
-    doc="Semi-structured extraction: events carry a JSON `props` payload "
-    "(the engine analog of the reference's raw-JSON bronze zone, "
-    "scripts/ingestion/*.py) — extract a typed field JVM-side with "
-    "get_json_object and aggregate. At 100 TB the JSON parse runs "
-    "inside the scan stage (no extra pass) and only the extracted "
-    "int rides the shuffle. avg is an exact IEEE quotient of an "
-    "integer sum — cross-engine deterministic without rounding.",
-)
-def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("sum_k"),
-            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — deterministic train/val/test split + stratified sampling
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "train_split_assign",
-    """
-    SELECT CASE WHEN h < 'cd' THEN 'train'
-                WHEN h < 'e6' THEN 'val'
-                ELSE 'test' END AS split,
-           count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS sum_chars
-    FROM (
-      SELECT substr(md5(doc_id::VARCHAR), 1, 2) AS h, n_chars
-      FROM documents
-    )
-    GROUP BY 1
-    """,
-    doc="Training-data op: deterministic ~80/10/10 train/val/test split "
-    "by md5(doc_id) — the standard content-hash split that stays "
-    "stable across runs, engines, and re-partitioning (no rand(): "
-    "retries reproduce the same assignment). The first hex byte "
-    "partitions [0,256) at 205/230 ('cd'/'e6'); lowercase-hex "
-    "lexicographic compare == numeric compare on both engines. At "
-    "100 TB the split is a free map-side expression — no shuffle "
-    "beyond the 3-group count.",
-)
-def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
-    )
-    return (
-        docs.select(split.alias("split"), "n_chars")
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-        )
-    )
-
-
-@_register(
-    "stratified_sample",
-    """
-    SELECT doc_id, lang
-    FROM (
-      SELECT doc_id, lang,
-             substr(md5(doc_id::VARCHAR || ':' || lang), 1, 2) AS h
-      FROM documents
-    )
-    WHERE h < CASE WHEN lang = 'en' THEN '0d' ELSE '33' END
-    ORDER BY doc_id
-    """,
-    doc="Training-data op: deterministic stratified sampling — per-"
-    "stratum rates (majority 'en' downsampled to ~5% = 13/256, "
-    "minority langs kept at ~20% = 51/256) via the same md5 "
-    "content-hash gate as train_split_assign, the standard recipe "
-    "for rebalancing language mix in a pretraining corpus. "
-    "Deterministic membership: re-runs, retries, and both engines "
-    "select the identical row set. Map-side filter only — at 100 TB "
-    "this is a free scan predicate.",
-)
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    h = F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))),
-        1,
-        2,
-    )
-    thresh = F.when(F.col("lang") == "en", "0d").otherwise("33")
-    return (
-        docs.select("doc_id", "lang", h.alias("h"))
-        .filter(F.col("h") < thresh)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — PII redaction (training-data scrubbing)
-# ---------------------------------------------------------------------------
-
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-_PHONE_RE = "\\+1-555-[0-9]{4}"
-
-
-@_register(
-    "pii_redaction",
-    f"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(synth, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
-           len(regexp_extract_all(synth, '{_EMAIL_RE}')) AS n_emails,
-           len(regexp_extract_all(synth, '{_PHONE_RE}')) AS n_phones
-    FROM (
-      SELECT doc_id,
-             substr(text, 1, 40) || ' contact user' || doc_id::VARCHAR
-               || '@example.com or +1-555-'
-               || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS synth
-      FROM documents
-    )
-    ORDER BY doc_id
-    """,
-    doc="Training-data op: PII scrubbing — regex redaction of emails "
-    "and phone numbers with per-doc redaction counts (the audit "
-    "column a compliance pipeline keeps). The synthetic PII suffix "
-    "is deterministic from doc_id (the corpus itself contains none), "
-    "so both engines scrub the identical strings; patterns restricted "
-    "to the regex subset with identical semantics in Java regex and "
-    "RE2. Pure map-side codegen expressions — at 100 TB redaction "
-    "adds zero shuffles, and regexp_count doubles as the DQ metric.",
-)
-def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    synth = F.concat(
-        F.substring("text", 1, 40),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com or +1-555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-    )
-    base = docs.select("doc_id", synth.alias("synth"))
-    return base.select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_replace("synth", _EMAIL_RE, "<EMAIL>"),
-            _PHONE_RE,
-            "<PHONE>",
-        ).alias("redacted"),
-        F.regexp_count("synth", F.lit(_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count("synth", F.lit(_PHONE_RE)).alias("n_phones"),
-    ).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# Extensions — fuzzy term match (ES `fuzziness` analog)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "fuzzy_match",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
-               x -> x <> '') AS tokens
-      FROM documents
-    ), ex AS (
-      SELECT doc_id, unnest(tokens) AS term FROM toks
-    )
-    SELECT doc_id,
-           count(*) AS n_fuzzy,
-           CAST(sum(CASE WHEN term = 'stream' THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_exact
-    FROM ex
-    WHERE length(term) BETWEEN 5 AND 7
-      AND levenshtein(term, 'stream') <= 1
-    GROUP BY doc_id
-    ORDER BY n_fuzzy DESC, doc_id ASC
-    LIMIT 20
-    """,
-    doc="Fuzzy term matching — the engine twin of ES `fuzziness: 1` "
-    "(the reference serves analyzed text fields to Kibana's query "
-    "bar, to_elasticsearch.py:122-129): tokens within Levenshtein "
-    "distance 1 of the query term, counted per doc, exact hits "
-    "tallied separately, top-20 with deterministic tiebreak. The "
-    "cheap length-window predicate (|len-6| <= 1, a necessary "
-    "condition for distance <= 1) runs BEFORE the O(m*n) distance "
-    "so codegen prunes most tokens for free — the same shape an ES "
-    "fuzzy automaton achieves with length-bounded term expansion.",
-    parts=8,
-)
-def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    # Length window applied INSIDE the array filter, before explode:
-    # only 5-7-char tokens are ever emitted as rows, so the explode
-    # (the row-multiplying step) carries ~an order of magnitude fewer
-    # rows into the levenshtein filter. Same predicate set as the
-    # oracle — just evaluated pre-explode instead of post.
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9']+"),
-        lambda t: (F.length(t) >= 5) & (F.length(t) <= 7),
-    )
-    ex = docs.select("doc_id", F.explode(toks).alias("term"))
-    return (
-        ex.filter(F.levenshtein("term", F.lit("stream")) <= 1)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_fuzzy"),
-            F.sum(
-                F.when(F.col("term") == "stream", 1).otherwise(0)
-            ).alias("n_exact"),
-        )
-        .orderBy(F.col("n_fuzzy").desc(), F.col("doc_id").asc())
-        .limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — repetition quality (Gopher-style) + BM25 ranking
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "repetition_quality",
-    f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
-               x -> x <> '') AS tokens
-      FROM documents
-    ), base AS (
-      SELECT doc_id, tokens, len(tokens) AS n_toks
-      FROM toks WHERE len(tokens) >= 2
-    ), wc AS (
-      SELECT doc_id, n_toks, max(c) AS mw
-      FROM (
-        SELECT doc_id, n_toks, w, count(*) AS c
-        FROM (SELECT doc_id, n_toks, unnest(tokens) AS w FROM base)
-        GROUP BY doc_id, n_toks, w
-      )
-      GROUP BY doc_id, n_toks
-    ), bc AS (
-      SELECT doc_id, max(c) AS mb
-      FROM (
-        SELECT doc_id, b, count(*) AS c
-        FROM (
-          SELECT doc_id,
-                 unnest([tokens[i] || ' ' || tokens[i+1]
-                         FOR i IN range(1, len(tokens))]) AS b
-          FROM base
-        )
-        GROUP BY doc_id, b
-      )
-      GROUP BY doc_id
-    )
-    SELECT wc.doc_id,
-           n_toks,
-           {sql_dround("mw::DOUBLE / n_toks", 4)} AS top_word_frac,
-           {sql_dround("mb::DOUBLE / (n_toks - 1)", 4)} AS top_bigram_frac
-    FROM wc JOIN bc ON wc.doc_id = bc.doc_id
-    ORDER BY wc.doc_id
-    """,
-    doc="Training-data op: Gopher-style repetition quality signals — "
-    "the fraction of tokens taken by the most frequent word and the "
-    "fraction of bigrams taken by the most frequent bigram (Rae et "
-    "al. 2021 use these to drop boilerplate/spam docs). Bigrams are "
-    "built JVM-side by zipping the token array with its own tail "
-    "(zip_with over two slices) — no Python. Shape per doc: two "
-    "(doc, gram) hash-aggs with map-side partials feeding a per-doc "
-    "max — at 100 TB the gram agg is the only wide exchange and "
-    "keys are (doc_id, gram), so no hot reducer.",
-    parts=8,
-)
-def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9']+"),
-        lambda t: t != "",
-    )
-    base = (
-        docs.select("doc_id", toks.alias("toks"))
-        .withColumn("n_toks", F.size("toks"))
-        .filter(F.col("n_toks") >= 2)
-    )
-    words = base.select("doc_id", "n_toks", F.explode("toks").alias("w"))
-    wc = (
-        words.groupBy("doc_id", "n_toks", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n_toks")
-        .agg(F.max("c").alias("mw"))
-    )
-    bigrams = base.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("toks", 1, F.size("toks") - 1),
-                F.slice("toks", 2, F.size("toks") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("b"),
-    )
-    bc = (
-        bigrams.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("mb"))
-    )
-    return (
-        wc.join(bc, "doc_id")
-        .select(
-            "doc_id",
-            "n_toks",
-            dround(
-                F.col("mw").cast("double") / F.col("n_toks"), 4
-            ).alias("top_word_frac"),
-            dround(
-                F.col("mb").cast("double") / (F.col("n_toks") - 1), 4
-            ).alias("top_bigram_frac"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-#: BM25 constants (the standard Robertson defaults).
-_BM25_K1 = 1.2
-_BM25_B = 0.75
-
-
-@_register(
-    "bm25_rank",
-    f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
-               x -> x <> '') AS tokens
-      FROM documents
-    ), stats AS (
-      SELECT count(*) AS n_docs,
-             sum(len(tokens)) AS sum_dl,
-             {", ".join(
-                 f"sum(CASE WHEN list_contains(tokens, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
-                 for i, t in enumerate(_SEARCH_TERMS)
-             )}
-      FROM toks
-    ), idf AS (
-      {" UNION ALL ".join(
-          f"SELECT '{t}' AS term, "
-          f"CAST(floor((ln((n_docs + 1) / (df_{i} + 1)) + 1) * 1000000 + 0.5) AS BIGINT) AS idf_fix, "
-          f"sum_dl::DOUBLE / n_docs AS avgdl FROM stats"
-          for i, t in enumerate(_SEARCH_TERMS)
-      )}
-    ), tf AS (
-      SELECT doc_id, dl, term, count(*) AS tf
-      FROM (
-        SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term
-        FROM toks
-      )
-      WHERE term IN ({{_terms}})
-      GROUP BY doc_id, dl, term
-    ), scored AS (
-      SELECT tf.doc_id,
-             count(*) AS n_terms,
-             sum(CAST(floor(
-               idf.idf_fix * (tf.tf * ({_BM25_K1} + 1.0))
-                 / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                    + {_BM25_B} * (tf.dl / idf.avgdl)))
-               + 0.5) AS BIGINT)) AS score_fix
-      FROM tf JOIN idf USING (term)
-      GROUP BY tf.doc_id
-    )
-    SELECT doc_id, n_terms, score_fix::DOUBLE / 1000000.0 AS score
-    FROM scored
-    ORDER BY score DESC, doc_id ASC
-    LIMIT 20
-    """.replace("{_terms}", _sql_wordlist(_SEARCH_TERMS)),
-    doc="BM25-lite ranked retrieval — the saturation-and-length-"
-    "normalized upgrade of text_search_rank (k1=1.2, b=0.75, smoothed "
-    "idf): the engine twin of ES's default relevance scoring over the "
-    "reference's analyzed text fields (to_elasticsearch.py:122-129). "
-    "Cross-engine determinism: idf is fixed-pointed to an integer, "
-    "the per-(doc,term) BM25 contribution is computed with an "
-    "IDENTICAL expression tree on both engines (pure IEEE ops on "
-    "integer inputs) and fixed-pointed BEFORE the per-doc sum, so "
-    "the aggregate is an exact integer sum — summation order can "
-    "never flip a bit. Shape: one single-row corpus-stats aggregate "
-    "(n_docs, total length, per-term df — map-side partials), "
-    "exploded to a 3-row broadcast idf table; the only wide exchange "
-    "is the (doc, term) tf agg over rows pre-filtered to query terms.",
-    parts=8,
-)
-def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9']+"),
-        lambda t: t != "",
-    )
-    base = docs.select("doc_id", toks.alias("toks"))
-    ex = base.select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-    ).filter(F.col("term").isin(_SEARCH_TERMS))
-    tf = ex.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("toks")).alias("sum_dl"),
-        *[
-            F.sum(F.array_contains("toks", t).cast("long")).alias(f"__df_{i}")
-            for i, t in enumerate(_SEARCH_TERMS)
-        ],
-    )
-    idf = stats.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("term"),
-                        F.floor(
-                            (
-                                F.log(
-                                    (F.col("n_docs") + 1)
-                                    / (F.col(f"__df_{i}") + 1)
-                                )
-                                + 1
-                            )
-                            * 1000000
-                            + 0.5
-                        )
-                        .cast("long")
-                        .alias("idf_fix"),
-                        (
-                            F.col("sum_dl").cast("double") / F.col("n_docs")
-                        ).alias("avgdl"),
-                    )
-                    for i, t in enumerate(_SEARCH_TERMS)
-                ]
-            )
-        ).alias("s")
-    ).select("s.term", "s.idf_fix", "s.avgdl")
-    k1, b = _BM25_K1, _BM25_B
-    contrib = F.floor(
-        F.col("idf_fix")
-        * (F.col("tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (
-                F.lit(1.0 - b)
-                + F.lit(b) * (F.col("dl") / F.col("avgdl"))
-            )
-        )
-        + 0.5
-    ).cast("long")
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum(contrib).alias("score_fix"),
-        )
-        .select(
-            "doc_id",
-            "n_terms",
-            (F.col("score_fix").cast("double") / F.lit(1000000.0)).alias(
-                "score"
-            ),
-        )
-    )
-    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
-        20
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — distribution windows (percent_rank)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "percent_rank_daily",
-    f"""
-    SELECT day, event_type, v,
-           percent_rank() OVER (PARTITION BY event_type ORDER BY v) AS pr
-    FROM (
-      SELECT date_trunc('day', ts) AS day,
-             event_type,
-             {sql_dround("sum(value)", 2)} AS v
-      FROM events
-      GROUP BY 1, 2
-    )
-    ORDER BY event_type, day
-    """,
-    doc="Distribution window: where does each day's total sit within "
-    "its event type's history — percent_rank over the (already "
-    "dround-deterministic) daily sums, the Kibana-percentiles "
-    "companion that turns a raw series into a percentile series. "
-    "percent_rank = (rank-1)/(n-1) is an exact rational on both "
-    "engines and rank handles rounding-induced ties identically. "
-    "Plan: one keyed agg, then a per-event_type window — partitions "
-    "by the 5-value type column at gate scale but by (type) only; "
-    "at 100 TB partition the window by (type, year) to bound state.",
-)
-def q_percent_rank_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(dround(F.sum("value"), 2).alias("v"))
-    w = Window.partitionBy("event_type").orderBy("v")
-    return daily.select(
-        "day", "event_type", "v", F.percent_rank().over(w).alias("pr")
-    ).orderBy("event_type", "day")
-
-
-@_register(
-    "percent_rank_yearly",
-    f"""
-    SELECT day, yr, event_type, v,
-           percent_rank() OVER (
-             PARTITION BY event_type, yr ORDER BY v) AS pr
-    FROM (
-      SELECT date_trunc('day', ts) AS day,
-             year(ts) AS yr,
-             event_type,
-             {sql_dround("sum(value)", 2)} AS v
-      FROM events
-      GROUP BY 1, 2, 3
-    )
-    ORDER BY event_type, day
-    """,
-    doc="The bounded-state form of percent_rank_daily for 100 TB: the "
-    "window partitions by (event_type, year) instead of the 5-value "
-    "event_type alone, so each window partition holds ≤366 daily "
-    "rows per (type, year) no matter how many years of history the "
-    "table accumulates — window state stays O(days-per-year), and "
-    "the partition count grows with the data instead of being "
-    "capped at the type cardinality (the r3 verdict's named "
-    "hardening). Same deterministic dround'd sums; percentile is "
-    "now within-year, which is also the analytically honest frame "
-    "for a series with year-over-year drift.",
-)
-def q_percent_rank_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day"),
-        F.year("ts").alias("yr"),
-        "event_type",
-    ).agg(dround(F.sum("value"), 2).alias("v"))
-    w = Window.partitionBy("event_type", "yr").orderBy("v")
-    return daily.select(
-        "day", "yr", "event_type", "v", F.percent_rank().over(w).alias("pr")
-    ).orderBy("event_type", "day")
-
-
-# ---------------------------------------------------------------------------
-# Extensions — training-data prep: chunking, decontamination, packing
-# ---------------------------------------------------------------------------
-
-#: Chunking window / stride (tokens) — 25% overlap, the common RAG /
-#: pretraining-chunk shape.
-_CHUNK_W = 32
-_CHUNK_S = 24
-
-_WORD_TOKS_SQL = (
-    "list_filter(regexp_split_to_array(lower(trim(text)), "
-    "'[^a-z0-9'']+'), x -> x <> '')"
-)
-
-
-def _word_toks() -> Column:
-    """Lowercase word tokens — the shared cross-engine tokenization
-    (same pattern as fuzzy_match / repetition_quality)."""
-    return F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9']+"),
-        lambda t: t != "",
-    )
-
-
-@_register(
-    "span_dedup_c4",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS w FROM documents
-    ), spans AS (
-      SELECT doc_id,
-             unnest([array_to_string(w[i:i+9], ' ')
-                     FOR i IN range(1, len(w) + 1, 10)]) AS span
-      FROM toks WHERE len(w) > 0
-    ), freq AS (
-      SELECT md5(span) AS h, count(*) AS occ
-      FROM spans GROUP BY 1
-    )
-    SELECT s.doc_id,
-           CAST(count(*) AS BIGINT) AS n_spans,
-           CAST(sum(CASE WHEN f.occ < 2 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           CAST(sum(CASE WHEN f.occ < 2 THEN length(s.span)
-                         ELSE 0 END) AS BIGINT) AS kept_chars
-    FROM spans s JOIN freq f ON md5(s.span) = f.h
-    GROUP BY s.doc_id
-    ORDER BY s.doc_id
-    """,
-    doc="Training-data op: C4-style corpus-frequency span removal — "
-    "the third member of the corpus-dedup family, with semantics "
-    "neither neighbor has (chunk_dedup KEEPS the first occurrence of "
-    "a duplicated chunk; contamination_ngrams removes docs hitting "
-    "an external benchmark; this REMOVES every occurrence of any "
-    "span frequent in the corpus itself — C4's boilerplate rule, "
-    "arXiv:1910.10683 §2.2 'we discarded any line that appeared "
-    "more than three times'). Lines don't exist in this corpus, so "
-    "the unit is non-overlapping 10-word spans, and the removal "
-    "threshold is >=2 occurrences so the testdata's planted "
-    "pair-level duplication actually exercises the removal path "
-    "(both are parameters of the rule, not the shape). Plan: spans "
-    "carry only (doc_id, md5, length) — the text never shuffles — "
-    "and the exploded span table is persisted so the corpus is "
-    "scanned+exploded ONCE while feeding both the frequency "
-    "aggregate and the count-back join (at 100 TB the persist is a "
-    "landed table). The frequency side is a groupBy count with "
-    "MAP-SIDE partial aggregation, so a boilerplate mega-span "
-    "('all rights reserved …' x 100M occurrences) collapses per "
-    "task before its exchange; the count-back join's probe side "
-    "does see the hot hash, which is exactly what AQE's skew-join "
-    "splitting handles. A window-count formulation was rejected "
-    "for 100 TB: windows have NO partial aggregation and no skew "
-    "splitting, so the mega-span would pile onto one task. "
-    "Per-doc audit output (spans kept / chars surviving) "
-    "is the number a prep run reports.",
-    parts=8,
-)
-def q_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    toks = docs.select("doc_id", _word_toks().alias("w")).filter(
-        F.size("w") > 0
-    )
-    n_spans = F.ceil(F.size("w") / F.lit(10.0)).cast("int")
-    spans = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.array_join(
-                    F.slice("w", i * 10 + 1, 10), " "
-                ),
-            )
-        ).alias("span"),
-    ).select(
-        "doc_id",
-        F.md5("span").alias("h"),
-        F.length("span").alias("span_len"),
-    ).persist()
-    freq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
-    return (
-        spans.join(freq, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(
-                F.when(F.col("occ") < 2, 1).otherwise(0)
-            ).alias("n_kept"),
-            F.sum(
-                F.when(F.col("occ") < 2, F.col("span_len")).otherwise(0)
-            ).cast("bigint").alias("kept_chars"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "doc_chunking",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
-    ), base AS (
-      SELECT doc_id, tokens, len(tokens) AS n
-      FROM toks WHERE len(tokens) >= 1
-    ), ex AS (
-      SELECT doc_id, tokens, n,
-             unnest(generate_series(0, n - 1, {_CHUNK_S})) AS st
-      FROM base
-    )
-    SELECT doc_id,
-           st // {_CHUNK_S} AS chunk_id,
-           st AS chunk_start,
-           least({_CHUNK_W}, n - st) AS n_chunk_tokens,
-           array_to_string(tokens[st + 1 : st + {_CHUNK_W}], ' ')
-             AS chunk_text
-    FROM ex
-    """,
-    doc="Training-data op: split every document into overlapping "
-    f"token-window chunks ({_CHUNK_W}-token window, {_CHUNK_S}-token "
-    "stride = 25% overlap) — the standard pre-embedding / "
-    "pretraining chunker. Entirely JVM-side: sequence() generates "
-    "chunk starts, explode multiplies rows, slice+array_join "
-    "materialize each chunk's text. At 100 TB this is a narrow "
-    "map-side transform — zero shuffles, output partitioning "
-    "inherits the scan, and chunk_text is the ONLY wide column "
-    "produced (ids/offsets ride along for free).",
-)
-def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    base = (
-        docs.select("doc_id", _word_toks().alias("toks"))
-        .withColumn("n", F.size("toks"))
-        .filter(F.col("n") >= 1)
-    )
-    ex = base.select(
-        "doc_id",
-        "toks",
-        "n",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
-        ).alias("st"),
-    )
-    return ex.select(
-        "doc_id",
-        (F.col("st") / _CHUNK_S).cast("long").alias("chunk_id"),
-        F.col("st").cast("long").alias("chunk_start"),
-        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("st"))
-        .cast("long")
-        .alias("n_chunk_tokens"),
-        F.array_join(
-            F.slice(F.col("toks"), F.col("st") + 1, F.lit(_CHUNK_W)), " "
-        ).alias("chunk_text"),
-    )
-
-
-#: Decontamination n-gram size. The published recipes use 8-13-gram
-#: overlap on real corpora; the synthetic documents table has almost no
-#: verbatim 8-gram overlap (1 doc at sf0.01), so the gate runs the same
-#: pipeline at n=4 where the check exercises a real result set
-#: (13 docs at sf0.01). The operator is the constant's only consumer —
-#: production would set 8+.
-_CONTAM_N = 4
-
-
-@_register(
-    "contamination_ngrams",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
-    ), base AS (
-      SELECT doc_id, tokens, len(tokens) AS n
-      FROM toks WHERE len(tokens) >= {_CONTAM_N}
-    ), ex AS (
-      SELECT doc_id, tokens,
-             unnest(generate_series(0, n - {_CONTAM_N})) AS i
-      FROM base
-    ), grams AS (
-      SELECT doc_id,
-             md5(array_to_string(tokens[i + 1 : i + {_CONTAM_N}], ' '))
-               AS g
-      FROM ex
-    ), ev AS (
-      SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0
-    ), tr AS (
-      SELECT * FROM grams WHERE doc_id % 37 <> 0
-    )
-    SELECT tr.doc_id, count(DISTINCT tr.g) AS n_shared_grams
-    FROM tr JOIN ev USING (g)
-    GROUP BY tr.doc_id
-    ORDER BY tr.doc_id
-    """,
-    doc="Training-data op: benchmark decontamination by n-gram overlap "
-    "(the GPT-3/PaLM appendix recipe: a train doc is contaminated if "
-    "it shares any n-gram with the eval set — here docs with "
-    "doc_id % 37 = 0 stand in for the benchmark; n=_CONTAM_N). Each "
-    "side derives identical lowercase word n-grams; only the md5 of each "
-    "gram rides the shuffle, and the check is an EQUI-join on that "
-    "hash (never text×text) followed by a per-doc distinct count. "
-    "At 100 TB: eval grams are tiny (benchmarks are small) → "
-    "broadcast; the train side stays map-local until the final "
-    "per-doc agg.",
-    parts=8,
-)
-def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    base = (
-        docs.select("doc_id", _word_toks().alias("toks"))
-        .withColumn("n", F.size("toks"))
-        .filter(F.col("n") >= _CONTAM_N)
-    )
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n") - _CONTAM_N),
-                lambda i: F.array_join(
-                    F.slice(F.col("toks"), i + 1, F.lit(_CONTAM_N)), " "
-                ),
-            )
-        ).alias("gram"),
-    ).select("doc_id", F.md5("gram").alias("g"))
-    ev = (
-        grams.filter(F.col("doc_id") % 37 == 0).select("g").distinct()
-    )
-    tr = grams.filter(F.col("doc_id") % 37 != 0)
-    return (
-        tr.join(F.broadcast(ev), "g")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_shared_grams"))
-        .orderBy("doc_id")
-    )
-
-
-#: Sequence-packing context budget (tokens).
-_PACK_BUDGET = 512
-
-
-@_register(
-    "sequence_packing",
-    f"""
-    WITH t AS (
-      SELECT doc_id, source,
-             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                 x -> x <> '')) AS n_tok
-      FROM documents
-    ), c AS (
-      SELECT *,
-             sum(n_tok) OVER (
-               PARTITION BY source ORDER BY doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum
-      FROM t
-    )
-    SELECT source,
-           CAST(floor((cum - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
-           count(*) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
-           min(doc_id) AS first_doc,
-           max(doc_id) AS last_doc
-    FROM c
-    GROUP BY source, bin
-    ORDER BY source, bin
-    """,
-    doc="Training-data op: deterministic sequence packing — assign "
-    f"whole documents to {_PACK_BUDGET}-token context bins in stable "
-    "doc_id order, bin = floor(tokens-before-this-doc / budget) (the "
-    "contiguous-fill approximation of first-fit; no RNG, no driver "
-    "loop). Packing is PARTITIONED BY source, which is the 100 TB "
-    "shape: each shard packs independently under one window, state "
-    "is a running sum, and no global coordination exists — exactly "
-    "how packing shards out on a real cluster. Output is the bin "
-    "manifest (doc span + fill), the thing a downstream batch "
-    "assembler consumes.",
-)
-def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(
-        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-    )
-    t = docs.select("doc_id", "source", n_tok.alias("n_tok"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
-    return (
-        c.withColumn(
-            "bin",
-            F.floor(
-                (F.col("cum") - F.col("n_tok")) / F.lit(_PACK_BUDGET)
-            ).cast("bigint"),
-        )
-        .groupBy("source", "bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("bin_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-        .orderBy("source", "bin")
-    )
-
-
-@_register(
-    "corpus_top_bigrams",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
-    ), base AS (
-      SELECT doc_id, tokens FROM toks WHERE len(tokens) >= 2
-    ), bg AS (
-      SELECT unnest([tokens[i] || ' ' || tokens[i+1]
-                     FOR i IN range(1, len(tokens))]) AS b
-      FROM base
-    )
-    SELECT b, count(*) AS c
-    FROM bg
-    GROUP BY b
-    ORDER BY c DESC, b ASC
-    LIMIT 20
-    """,
-    doc="Training-data op: corpus-level top-20 bigram frequency table "
-    "(vocabulary/boilerplate audit — the corpus-wide companion of "
-    "the per-doc repetition_quality signals). Bigrams built JVM-side "
-    "with zip_with over two slices of the token array, partial "
-    "(map-side) counts combine before the single wide exchange on "
-    "the gram key, and the global top-20 is a TakeOrdered, not a "
-    "full sort. Deterministic tiebreak: count desc, gram asc.",
-    parts=8,
-)
-def q_corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    base = docs.select(_word_toks().alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    bigrams = base.select(
-        F.explode(
-            F.zip_with(
-                F.slice("toks", 1, F.size("toks") - 1),
-                F.slice("toks", 2, F.size("toks") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("b")
-    )
-    return (
-        bigrams.groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("b").asc())
-        .limit(20)
-    )
-
-
-@_register(
-    "stream_dedup_batch_eq",
-    """
-    SELECT event_id, ts, user_id, event_type, value FROM events
-    """,
-    doc="Watermarked streaming dedup under the ORACLE gate: events are "
-    "re-landed TWICE (two parquet copies of every row), read with "
-    "readStream, and dropDuplicatesWithinWatermark(event_id) must "
-    "collapse the duplicates exactly back to the original table — "
-    "hash-compared against plain SELECT of the source. The copies "
-    "are bit-identical rows, so the result is deterministic no "
-    "matter which copy survives. Dedup state is bounded by the "
-    "watermark horizon (ids seen per window, not per stream "
-    "lifetime) — the S11 dedup-by-id sink's streaming twin.",
-)
-def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
-        stream_dedup_by_id,
-    )
-
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    work = tempfile.mkdtemp(prefix="stream_dedup_eq_")
-    src = f"{work}/events"
-    batch.repartition(4).write.mode("overwrite").parquet(src)
-    batch.repartition(4).write.mode("append").parquet(src)  # duplicates
-    stream = spark.readStream.schema(batch.schema).parquet(src)
-    name = f"s_dedup_eq_{uuid.uuid4().hex[:8]}"
-    # Watermark wider than the data's whole time span: the 8 files fit
-    # one availableNow batch today, but if a future driver splits them,
-    # no row may be late-dropped instead of dedup-dropped — lateness
-    # would make the batch split visible in the result. The production
-    # knob stays the horizon (see stream_dedup_by_id); the GATE must be
-    # batching-invariant.
-    with _scoped_shuffle(spark, 8):
-        q = (
-            stream_dedup_by_id(stream, ["event_id"], watermark="3650 days")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q)
-    return spark.table(name)
-
-
-@_register(
-    "stream_lake_dedup_batch_eq",
-    """
-    SELECT event_id, ts, user_id, event_type, value
-    FROM events WHERE event_id % 4 <> 0
-    """,
-    doc="Stream-static ANTI-join dedup under the ORACLE gate — the "
-    "daily-ingest twin of incremental_dedup_gate: new events arrive "
-    "as a stream and every id already LANDED in the lake (a static "
-    "keyed table, here every fourth event_id) is dropped by a "
-    "left_anti join before the batch lands. Complements "
-    "stream_dedup_batch_eq (within-stream dropDuplicates, watermark-"
-    "bounded state): against-history dedup keeps NO stream state at "
-    "all — the static side is just a (re-broadcast or shuffled) "
-    "relation, so the operator scales with the micro-batch, not the "
-    "stream lifetime. At 100 TB the landed-id table is the bucketed "
-    "band/key index the lake already maintains.",
-)
-def q_stream_lake_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    work = tempfile.mkdtemp(prefix="stream_lake_dedup_")
-    src = f"{work}/events"
-    batch.repartition(4).write.mode("overwrite").parquet(src)
-    landed = batch.filter(F.col("event_id") % 4 == 0).select("event_id")
-    stream = spark.readStream.schema(batch.schema).parquet(src)
-    name = f"s_lake_dedup_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle(spark, 8):
-        q = (
-            stream.join(landed, "event_id", "left_anti")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q)
-    return spark.table(name)
-
-
-@_register(
-    "stream_upsert_batch_eq",
-    """
-    SELECT event_id, ts, user_id, event_type,
-           CASE WHEN event_id % 5 = 0 THEN value * 2.0 ELSE value END
-             AS value
-    FROM events
-    """,
-    doc="Streaming serving-sink leg under the ORACLE gate: the events "
-    "table is seeded into a keyed parquet serving table "
-    "(upsert_rows, _id semantics of the reference's ES indexer — "
-    "to_elasticsearch.py:78), an update batch (value doubled for "
-    "every fifth event_id) is streamed through the foreachBatch "
-    "upsert sink, and then the SAME batch is re-delivered under a "
-    "fresh checkpoint — the at-least-once failure replay. The final "
-    "table must hash-equal base-overridden-by-updates: keyed upsert "
-    "is idempotent, so replay upgrades at-least-once delivery to "
-    "exactly-once table state. Write amplification stays O(touched "
-    "partitions) — untouched event_type partitions are never "
-    "rewritten.",
-)
-def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.sources.parquet_io import (  # noqa: PLC0415
-        upsert_rows,
-    )
-    from yahoofinancedatalake_spark.streaming.sinks import (  # noqa: PLC0415
-        foreach_batch_upsert,
-    )
-
-    base = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    work = tempfile.mkdtemp(prefix="stream_upsert_eq_")
-    table = f"{work}/serving"
-    with _scoped_shuffle(spark, 8):
-        upsert_rows(spark, base, table, ["event_id"], "event_type")
-        updates = base.filter(F.col("event_id") % 5 == 0).withColumn(
-            "value", F.col("value") * 2.0
-        )
-        src = f"{work}/updates"
-        updates.repartition(4).write.mode("overwrite").parquet(src)
-        for ck in ("ck_deliver", "ck_redeliver"):
-            stream = spark.readStream.schema(base.schema).parquet(src)
-            q = (
-                foreach_batch_upsert(
-                    stream, table, ["event_id"], "event_type", f"{work}/{ck}"
-                )
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await_stream(q)
-    return spark.read.parquet(table).select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-
-
-@_register(
-    "stream_attribution_batch_eq",
-    """
-    SELECT p.user_id,
-           p.event_id AS purchase_id,
-           p.ts AS purchase_ts,
-           v.event_id AS view_id,
-           v.ts AS view_ts,
-           p.value AS purchase_value
-    FROM (SELECT user_id, ts, event_id, value FROM events
-          WHERE event_type = 'purchase') p
-    JOIN (SELECT user_id, ts, event_id FROM events
-          WHERE event_type = 'view') v
-      ON p.user_id = v.user_id
-     AND v.ts <= p.ts
-     AND v.ts >= p.ts - INTERVAL 1 HOUR
-    """,
-    doc="Stream-stream join under the ORACLE gate: purchases and views "
-    "re-landed as two readStreams over the same parquet, inner-joined "
-    "on user with a 1-hour attribution window (view at-or-before the "
-    "purchase), availableNow to a memory sink, hash-compared against "
-    "the plain batch self-join. Both sides carry watermarks and the "
-    "time-bounded condition evicts each side's state as the other's "
-    "watermark passes — the bounded-state stream-stream shape, now "
-    "driver-verified end-to-end (previously pytest-only).",
-)
-def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
-        stream_stream_attribution,
-    )
-
-    # Land only the two event types the join consumes: both streams
-    # re-read this file, so halving it halves both scans (and mirrors
-    # the production shape, where each stream IS its own topic/table
-    # rather than a filter over the firehose).
-    batch = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .filter(F.col("event_type").isin("purchase", "view"))
-    )
-    work = tempfile.mkdtemp(prefix="stream_attr_eq_")
-    src = f"{work}/events"
-    batch.repartition(4).write.mode("overwrite").parquet(src)
-
-    def side(event_type: str, id_alias: str, keep_value: bool):
-        cols = [
-            "user_id",
-            "ts",
-            F.col("event_id").alias(id_alias),
-        ]
-        if keep_value:
-            cols.append(F.col("value").alias("purchase_value"))
-        return (
-            spark.readStream.schema(batch.schema)
-            .parquet(src)
-            .filter(F.col("event_type") == event_type)
-            .select(*cols)
-        )
-
-    joined = stream_stream_attribution(
-        side("purchase", "purchase_id", True),
-        side("view", "view_id", False),
-        key_col="user_id",
-        ts_col="ts",
-        within="INTERVAL 1 HOUR",
-    ).select(
-        F.col("l_key").alias("user_id"),
-        "purchase_id",
-        F.col("l_ts").alias("purchase_ts"),
-        "view_id",
-        F.col("r_ts").alias("view_ts"),
-        "purchase_value",
-    )
-    name = f"s_attr_eq_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle(spark, 8):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q)
-    return spark.table(name)
-
-
-@_register(
-    "stream_custom_state_batch_eq",
-    """
-    SELECT user_id,
-           arg_max(value, ts) AS last_value,
-           max(ts) AS last_ts,
-           count(*) AS n_events
-    FROM events
-    GROUP BY user_id
-    """,
-    doc="Custom stateful streaming operator under the ORACLE gate: "
-    "running_last_state (applyInPandasWithState — explicit per-key "
-    "GroupState carrying last_value/last_ts/n_events, the escape "
-    "hatch for semantics built-in aggregates can't express) over "
-    "re-landed events, availableNow, update mode to a memory sink; "
-    "hash-compared against batch arg_max/max/count. Deterministic "
-    "because (user_id, ts) pairs are unique in the data, so the "
-    "running-last choice can never tie. The W1 last-value semantics "
-    "done three ways — batch window, streaming max_by, and explicit "
-    "state — all provably equal.",
-)
-def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
-        running_last_state,
-    )
-
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    work = tempfile.mkdtemp(prefix="stream_state_eq_")
-    src = f"{work}/events"
-    batch.repartition(4).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
-    name = f"s_state_eq_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle(spark, 8):
-        q = (
-            running_last_state(stream, evict_idle=False)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q)
-    # update-mode memory sink appends the per-batch updated rows; the
-    # single-batch availableNow run emits each key once, but guard the
-    # multi-batch case deterministically: the LAST update per key is
-    # the final state (n_events is monotone, so max_by(struct) on
-    # n_events picks it without any batch-id bookkeeping).
-    t = spark.table(name)
-    return t.groupBy("user_id").agg(
-        F.max_by("last_value", "n_events").alias("last_value"),
-        F.max_by("last_ts", "n_events").alias("last_ts"),
-        F.max("n_events").alias("n_events"),
-    )
-
-
-@_register(
-    "unigram_logprob_quality",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
-    ), words AS (
-      SELECT doc_id, unnest(tokens) AS w
-      FROM toks WHERE len(tokens) >= 1
-    ), freq AS (
-      SELECT w, count(*) AS c FROM words GROUP BY w
-    ), tot AS (
-      SELECT sum(c) AS n FROM freq
-    ), scored AS (
-      SELECT words.doc_id,
-             {sql_dround("ln(freq.c / tot.n)", 4)} AS lp
-      FROM words JOIN freq USING (w) CROSS JOIN tot
-    )
-    SELECT doc_id,
-           count(*) AS n_tokens,
-           {sql_dround("sum(lp)", 4)} / count(*) AS mean_logprob
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY doc_id
-    """,
-    doc="Training-data op: unigram language-model quality score — each "
-    "doc's mean log-probability under the corpus's own unigram "
-    "distribution (the CCNet/KenLM filtering recipe with the "
-    "simplest possible LM: boilerplate and in-distribution text "
-    "score high, gibberish and outlier docs score low and get "
-    "culled). Per-token log-probs are dround(4)-fixed BEFORE the "
-    "per-doc sum so both engines add identical doubles; the mean is "
-    "an exact IEEE quotient. Plan: one token agg builds the "
-    "frequency table (the 'LM'), a single-row total broadcasts, and "
-    "the token→freq equi-join feeds a per-doc agg — at 100 TB the "
-    "frequency table is vocabulary-sized (millions of rows, "
-    "broadcastable or bucketed), never corpus-sized.",
-    parts=8,
-)
-def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    base = docs.select("doc_id", _word_toks().alias("toks")).filter(
-        F.size("toks") >= 1
-    )
-    words = base.select("doc_id", F.explode("toks").alias("w"))
-    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    # fold the single-row total into the frequency table via a
-    # constant-key EQUI-join (BroadcastHashJoin): a bare crossJoin of a
-    # 1-row frame plans as BroadcastNestedLoopJoin, which the plan
-    # suite rightly treats as a scale killer. The key must be DERIVED
-    # FROM DATA (hash mod 1 == 0 on both sides) — a literal key on
-    # both sides constant-folds the join condition away and the plan
-    # degenerates right back to the nested loop.
-    tot = freq.agg(F.sum("c").alias("n")).withColumn("__k", _const_key(F.col("n")))
-    freq_n = (
-        freq.withColumn("__k", _const_key(F.col("w")))
-        .join(F.broadcast(tot), "__k")
-        .drop("__k")
-    )
-    scored = words.join(freq_n, "w").select(
-        "doc_id",
-        dround(F.log(F.col("c") / F.col("n")), 4).alias("lp"),
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (dround(F.sum("lp"), 4) / F.count(F.lit(1))).alias(
-                "mean_logprob"
-            ),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "approx_quantile_gate",
-    "SELECT 'approx_median_rank_error' AS metric, TRUE AS passed",
-    doc="Approximate-quantile error gate (the A6 companion: distinct "
-    "count has exact/approx+bounds twins, quantiles get the same "
-    "treatment): percentile_approx(value, 0.5, accuracy=100) per "
-    "event_type must land within the Greenwald-Khanna rank "
-    "guarantee — |rank(approx) - N/2| <= eps*N with eps = "
-    "1/accuracy — checked fully distributed: rank of the approx "
-    "answer is ONE count aggregation against the data, never a "
-    "sort. At 100 TB the approx sketch is mergeable map-side "
-    "(that's why it exists); the exact median would need a global "
-    "sort or two passes.",
-)
-def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    acc = 100
-    approx = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", F.lit(0.5), F.lit(acc)).alias("apx"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    ranks = (
-        ev.join(F.broadcast(approx), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.when(F.col("value") <= F.col("apx"), 1).otherwise(0)
-            ).alias("rank_apx"),
-            F.max("n").alias("n"),
-        )
-    )
-    ok = (
-        F.abs(F.col("rank_apx") - F.col("n") / 2.0)
-        <= F.col("n") / F.lit(float(acc))
-    )
-    return ranks.agg(
-        F.lit("approx_median_rank_error").alias("metric"),
-        F.min(ok.cast("boolean")).alias("passed"),
-    )
-
-
-@_register(
-    "gap_fill_daily",
-    f"""
-    WITH daily AS (
-      SELECT event_type,
-             date_trunc('day', ts) AS day,
-             {sql_dround("sum(value)", 2)} AS v
-      FROM events
-      WHERE day(ts) % 7 <> 3
-      GROUP BY 1, 2
-    ), span AS (
-      SELECT event_type, min(day) AS lo, max(day) AS hi
-      FROM daily GROUP BY event_type
-    ), cal AS (
-      SELECT event_type, unnest(generate_series(lo, hi,
-             INTERVAL 1 DAY)) AS day
-      FROM span
-    ), joined AS (
-      SELECT cal.event_type, cal.day, daily.v,
-             count(daily.v) OVER (
-               PARTITION BY cal.event_type ORDER BY cal.day
-               ROWS UNBOUNDED PRECEDING) AS grp
-      FROM cal LEFT JOIN daily USING (event_type, day)
-    )
-    SELECT event_type, day,
-           coalesce(v, max(v) OVER (
-             PARTITION BY event_type, grp)) AS v_filled,
-           (v IS NULL) AS was_gap
-    FROM joined
-    ORDER BY event_type, day
-    """,
-    doc="Time-series regularization: reindex each event type's daily "
-    "series onto its full calendar span (sequence + explode builds "
-    "the calendar JVM-side) and forward-fill gaps with the last "
-    "observed value — last(ignoreNulls) over an unbounded-preceding "
-    "window, the standard Spark gap-fill idiom (the reference's "
-    "OHLCV series assume trading-day continuity; an engine must "
-    "MAKE a series regular before lag/rolling ops are meaningful). "
-    "Oracle replays the fill with the count-over-nulls grouping "
-    "trick. Plan: one agg, a per-type span agg (broadcast), calendar "
-    "explode is linear in days, and the fill window partitions by "
-    "type — at 100 TB partition by (type, year) like "
-    "percent_rank_yearly.",
-)
-def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    # the synthetic events cover every day, so a deterministic subset
-    # of days (day-of-month ≡ 3 mod 7) is dropped on BOTH sides to
-    # create real gaps — otherwise the fill path would go unexercised
-    daily = (
-        ev.filter(F.dayofmonth("ts") % 7 != 3)
-        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
-        .agg(dround(F.sum("value"), 2).alias("v"))
-    )
-    span = daily.groupBy("event_type").agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
-    )
-    cal = span.select(
-        "event_type",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
-        ).alias("day"),
-    )
-    joined = cal.join(daily, ["event_type", "day"], "left")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return joined.select(
-        "event_type",
-        "day",
-        F.coalesce(
-            "v", F.last("v", ignorenulls=True).over(w)
-        ).alias("v_filled"),
-        F.col("v").isNull().alias("was_gap"),
-    ).orderBy("event_type", "day")
-
-
-@_register(
-    "cohort_retention",
-    """
-    WITH firsts AS (
-      SELECT user_id,
-             min(date_trunc('week', ts)) AS cohort
-      FROM events GROUP BY user_id
-    ), activity AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS w
-      FROM events
-    )
-    SELECT f.cohort,
-           datediff('day', f.cohort, a.w) // 7 AS week_offset,
-           count(DISTINCT a.user_id) AS active_users
-    FROM activity a JOIN firsts f USING (user_id)
-    GROUP BY 1, 2
-    ORDER BY cohort, week_offset
-    """,
-    doc="Cohort retention: users bucketed by first-seen month, counted "
-    "active per (cohort, weeks-since-cohort) — the standard "
-    "retention triangle behind every product dashboard (and the "
-    "engine form of Kibana's unique-count-over-time panels). Plan: "
-    "the firsts table is one keyed agg, activity is a distinct "
-    "projection, the join is a user_id equi-join and the final agg "
-    "keys on (cohort, offset) — three shuffles total, all on "
-    "high-cardinality or composite keys, no hot reducer. At 100 TB "
-    "firsts is users-sized; bucket both sides by user_id at write "
-    "time and the join goes exchange-free.",
-)
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = F.date_trunc("week", "ts")
-    firsts = ev.groupBy("user_id").agg(F.min(w).alias("cohort"))
-    activity = ev.select("user_id", w.alias("w")).distinct()
-    off = F.floor(F.datediff("w", "cohort") / 7).cast("bigint")
-    return (
-        activity.join(firsts, "user_id")
-        .groupBy("cohort", off.alias("week_offset"))
-        .agg(F.countDistinct("user_id").alias("active_users"))
-        .orderBy("cohort", "week_offset")
-    )
-
-
-@_register(
-    "funnel_stages",
-    """
-    WITH per_user AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
-             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-             min(CASE WHEN event_type = 'purchase' THEN ts END)
-               AS t_purchase
-      FROM events GROUP BY user_id
-    )
-    SELECT count(*) AS n_users,
-           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS stage_signup,
-           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-                    THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
-           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-                         AND t_purchase > t_view
-                    THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
-    FROM per_user
-    """,
-    doc="Funnel analysis: users progressing signup → view → purchase "
-    "in strict time order, counted per stage (the product-analytics "
-    "staple next to cohort_retention; Kibana models it as filter "
-    "ratios). Conditional-min aggregation — ONE pass computes each "
-    "user's first event per stage, one tiny agg derives the funnel; "
-    "no joins, no window, no per-stage scans. NULL semantics do the "
-    "ordering work: t_view > t_signup is NULL-false when either "
-    "stage is missing, identically in both engines. At 100 TB: a "
-    "single user-keyed shuffle, then a scalar aggregate.",
-)
-def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-
-    def first_ts(t: str) -> Column:
-        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
-
-    per_user = ev.groupBy("user_id").agg(
-        first_ts("signup").alias("t_signup"),
-        first_ts("view").alias("t_view"),
-        first_ts("purchase").alias("t_purchase"),
-    )
-    reached_signup = F.col("t_signup").isNotNull()
-    reached_view = reached_signup & (F.col("t_view") > F.col("t_signup"))
-    reached_purchase = reached_view & (
-        F.col("t_purchase") > F.col("t_view")
-    )
-    return per_user.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum(reached_signup.cast("long")).alias("stage_signup"),
-        F.sum(reached_view.cast("long")).alias("stage_view"),
-        F.sum(reached_purchase.cast("long")).alias("stage_purchase"),
-    )
-
-
-@_register(
-    "value_histogram",
-    """
-    WITH b AS (
-      SELECT event_type,
-             CAST(floor(value / 50.0) AS BIGINT) AS bucket
-      FROM events
-    )
-    SELECT event_type, bucket,
-           (bucket * 50.0)::DOUBLE AS bucket_lo,
-           count(*) AS n
-    FROM b
-    GROUP BY event_type, bucket
-    ORDER BY event_type, bucket
-    """,
-    doc="Fixed-width histogram per event type (width_bucket semantics, "
-    "width 50): the Kibana-histogram-panel twin and the profiling "
-    "primitive behind skew detection and bin-packed sampling. "
-    "floor(value/width) is exact IEEE on both engines for these "
-    "magnitudes — no dround needed; one keyed agg on (type, bucket), "
-    "map-side combine makes the shuffle carry at most "
-    "types x buckets rows regardless of input size.",
-)
-def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    bucket = F.floor(F.col("value") / 50.0).cast("bigint")
-    return (
-        ev.select("event_type", bucket.alias("bucket"))
-        .groupBy("event_type", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "event_type",
-            "bucket",
-            (F.col("bucket") * 50.0).alias("bucket_lo"),
-            "n",
-        )
-        .orderBy("event_type", "bucket")
-    )
-
-
-@_register(
-    "label_centroids",
-    f"""
-    WITH comp AS (
-      SELECT label, pos,
-             {sql_dround("embedding[pos]", 4)} AS x
-      FROM (
-        SELECT label, embedding,
-               unnest(generate_series(1, len(embedding))) AS pos
-        FROM embeddings
-      )
-    )
-    SELECT label, pos,
-           count(*) AS n,
-           {sql_dround("sum(x)", 2)} / count(*) AS centroid
-    FROM comp
-    GROUP BY label, pos
-    ORDER BY label, pos
-    """,
-    doc="Embedding-space monitoring: per-label centroid, one row per "
-    "(label, dimension) — the drift/quality signal a training "
-    "pipeline tracks per class (centroid shift between snapshots = "
-    "distribution drift; it is also the k-means update step the IVF "
-    "trainer runs driver-side on a bounded sample, here executed "
-    "fully distributed). posexplode flattens vectors to (label, pos, "
-    "component); components are dround(4)-fixed BEFORE the sum "
-    "(the engine's fixed-point-before-sum determinism rule), the "
-    "mean is an exact IEEE quotient. One shuffle on the composite "
-    "(label, pos) key — dims x labels reducers, no hot key, and the "
-    "map-side combine means the exchange carries partial sums, not "
-    "components.",
-    parts=8,
-)
-def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)
-    comp = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos0", "x0"
-        ),
-    ).select(
-        "label",
-        # 1-based to match DuckDB list subscripts
-        (F.col("pos0") + 1).alias("pos"),
-        dround(F.col("x0"), 4).alias("x"),
-    )
-    return (
-        comp.groupBy("label", "pos")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (dround(F.sum("x"), 2) / F.count(F.lit(1))).alias("centroid"),
-        )
-        .orderBy("label", "pos")
-    )
-
-
-@_register(
-    "key_skew_profile",
-    """
-    WITH counts AS (
-      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
-    ), tot AS (
-      SELECT sum(n) AS total, max(n) AS mx FROM counts
-    )
-    SELECT c.user_id,
-           c.n,
-           c.n / t.total AS share,
-           c.n / t.mx AS rel_to_heaviest
-    FROM counts c, tot t
-    ORDER BY c.n DESC, c.user_id ASC
-    LIMIT 10
-    """,
-    doc="Skew diagnostics: the top-10 heaviest join/agg keys with "
-    "their share of total rows and size relative to the heaviest — "
-    "the measurement you run BEFORE reaching for salted_join or AQE "
-    "skew hints (a key with share >> 1/parallelism is the hot "
-    "reducer). Key counts combine map-side; the single-row totals "
-    "fold back in via the data-derived constant-key broadcast hash "
-    "join (same trick as unigram_logprob_quality — a literal key "
-    "constant-folds into a nested loop); top-10 is a TakeOrdered. "
-    "share is an exact IEEE quotient of two longs on both engines.",
-)
-def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.agg(
-        F.sum("n").alias("total"), F.max("n").alias("mx")
-    ).withColumn("__k", _const_key(F.col("total")))
-    joined = counts.withColumn("__k", _const_key(F.col("user_id"))).join(
-        F.broadcast(tot), "__k"
-    )
-    return (
-        joined.select(
-            "user_id",
-            "n",
-            (F.col("n") / F.col("total")).alias("share"),
-            (F.col("n") / F.col("mx")).alias("rel_to_heaviest"),
-        )
-        .orderBy(F.col("n").desc(), F.col("user_id").asc())
-        .limit(10)
-    )
-
-
-#: Columns profiled by column_profile (orders table).
-_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-
-
-@_register(
-    "column_profile",
-    " UNION ALL ".join(
-        f"""
-    SELECT '{c}' AS col,
-           count(*) AS n,
-           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_null,
-           count(DISTINCT {c}) AS n_distinct
-    FROM orders
-    """
-        for c in _PROFILE_COLS
-    )
-    + " ORDER BY col",
-    doc="Data profiling: per-column row/null/distinct counts for the "
-    "orders table, computed in ONE aggregation pass (a struct per "
-    "column inside a single agg, unpivoted to rows afterwards) — "
-    "the engine form of DESCRIBE/profile jobs that otherwise scan "
-    "once per column. The oracle is the naive per-column UNION ALL; "
-    "matching it proves the fused single-pass form. At 100 TB one "
-    "pass vs N passes is the whole point; exact distinct counts "
-    "shuffle per column — swap approx_count_distinct in where the "
-    "±2% HLL bound is acceptable (see approx_distinct_per_day).",
-)
-def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            F.countDistinct(c).alias(f"__dist_{c}"),
-        ]
-    one = orders.agg(*aggs)
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("col"),
-                    F.col(f"__n_{c}").alias("n"),
-                    F.col(f"__null_{c}").alias("n_null"),
-                    F.col(f"__dist_{c}").alias("n_distinct"),
-                )
-                for c in _PROFILE_COLS
-            ]
-        )
-    ).alias("r")
-    return one.select(rows).select(
-        "r.col", "r.n", "r.n_null", "r.n_distinct"
-    ).orderBy("col")
-
-
-@_register(
-    "snapshot_diff",
-    """
-    WITH a AS (
-      SELECT o_orderkey, o_totalprice FROM orders
-    ), b AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 7 = 0
-                  THEN o_totalprice + 1.0
-                  ELSE o_totalprice END AS o_totalprice
-      FROM orders WHERE o_orderkey % 11 <> 0
-    )
-    SELECT CASE
-             WHEN b.o_orderkey IS NULL THEN 'removed'
-             WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
-             ELSE 'unchanged'
-           END AS status,
-           count(*) AS n
-    FROM a LEFT JOIN b USING (o_orderkey)
-    GROUP BY status
-    ORDER BY status
-    """,
-    doc="Snapshot diff (CDC-style validation): compare two keyed table "
-    "snapshots and count unchanged/changed/removed rows — the check "
-    "run after every migration, backfill, or upsert batch (the "
-    "reference's daily full re-index has no such guard; an engine "
-    "needs one). Snapshot B is derived deterministically from A on "
-    "both engines (every 11th key deleted, every 7th price bumped). "
-    "Plan: one equi-join on the key + one tiny agg; at 100 TB both "
-    "snapshots bucket by key at write time and the join goes "
-    "exchange-free — diffing cost is a co-partitioned scan, not a "
-    "shuffle of history.",
-)
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    a = orders.select("o_orderkey", "o_totalprice")
-    b = orders.filter(F.col("o_orderkey") % 11 != 0).select(
-        "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("b_totalprice"),
-    )
-    joined = a.join(b, "o_orderkey", "left")
-    status = (
-        F.when(F.col("b_totalprice").isNull(), "removed")
-        .when(F.col("o_totalprice") != F.col("b_totalprice"), "changed")
-        .otherwise("unchanged")
-    )
-    return (
-        joined.select(status.alias("status"))
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("status")
-    )
-
-
-@_register(
-    "cube_event_stats",
-    f"""
-    SELECT event_type,
-           dayofweek(ts) + 1 AS dow,
-           count(*) AS n,
-           {sql_dround("sum(value)", 2)} AS total_value
-    FROM events
-    GROUP BY CUBE (event_type, dayofweek(ts) + 1)
-    ORDER BY event_type, dow
-    """,
-    doc="Grouping-sets completeness: CUBE over (event_type, "
-    "day-of-week) — all four grouping sets (both, each alone, grand "
-    "total) in one pass, the companion to rollup_order_totals' "
-    "ROLLUP (the two cover everything GROUPING SETS can express). "
-    "Compiles to the same grouping-set Expand as ROLLUP (x4 here), "
-    "partial aggregation combines map-side, and sums are "
-    "dround-fixed. DOW convention differs across engines — Spark "
-    "dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6 — so the "
-    "oracle adds 1.",
-)
-def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.cube("event_type", F.dayofweek("ts").alias("dow"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            dround(F.sum("value"), 2).alias("total_value"),
-        )
-        .orderBy("event_type", "dow")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — scale primitives under the oracle gate
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "salted_join_eq",
-    """
-    SELECT l.l_orderkey,
-           l.l_linenumber,
-           l.l_partkey AS partkey,
-           p.p_name
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    """,
-    doc="Skew-salted join under the ORACLE gate: salted_join splits "
-    "each (potentially hot) part key over 8 deterministic salt "
-    "buckets (xxhash64 of the row's unique (orderkey, linenumber) "
-    "discriminator — no rand(), task retries re-execute "
-    "identically) and replicates the part side 8x, and the result "
-    "must hash-equal the plain SQL equi-join — salting is a "
-    "physical-plan lever with ZERO semantic effect, now proven "
-    "per-row rather than asserted in unit tests. At 100 TB this is "
-    "the manual escape hatch when AQE's skew rule can't fire "
-    "(shuffle-hash joins, skewed agg side).",
-)
-def q_salted_join_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.skew import salted_join  # noqa: PLC0415
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", F.col("l_partkey").alias("partkey")
-    )
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("partkey"), "p_name"
-    )
-    return salted_join(
-        li,
-        part,
-        on=["partkey"],
-        n_salts=8,
-        how="inner",
-        salt_cols=["l_orderkey", "l_linenumber"],
-    )
-
-
-@_register(
-    "upsert_rows_eq",
-    """
-    SELECT o_orderkey,
-           o_custkey,
-           o_totalprice,
-           year(o_orderdate) AS yr
-    FROM orders
-    """,
-    doc="Row-level keyed upsert under the ORACLE gate (S10, the ES "
-    "_id = {symbol}_{date} analog, reference "
-    "to_elasticsearch.py:78): a serving table is seeded with "
-    "deliberately stale rows (o_totalprice = -1 for every 7th key), "
-    "the correct rows are upserted by key, and the final on-disk "
-    "table must hash-equal a plain SELECT of the source — proving "
-    "replace-by-key semantics AND survivor preservation through the "
-    "anti-join + touched-partition rewrite, at O(touched "
-    "partitions) write cost (untouched year partitions are never "
-    "read or rewritten).",
-)
-def q_upsert_rows_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.sources.parquet_io import (  # noqa: PLC0415
-        upsert_rows,
-        write_parquet,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    full = orders.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
-        F.year("o_orderdate").alias("yr"),
-    )
-    stale = full.withColumn(
-        "o_totalprice",
-        F.when(F.col("o_orderkey") % 7 == 0, F.lit(-1.0)).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-    updates = full.filter(F.col("o_orderkey") % 7 == 0)
-    work = tempfile.mkdtemp(prefix="upsert_eq_")
-    path = f"{work}/orders_serving"
-    write_parquet(stale, path, partition_by=["yr"])
-    upsert_rows(spark, updates, path, ["o_orderkey"], "yr")
-    return spark.read.parquet(path).select(
-        "o_orderkey", "o_custkey", "o_totalprice", F.col("yr").cast("bigint").alias("yr")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extensions — market/technical analytics (round 5)
-#
-# The reference is a *finance* lake (daily OHLCV bars + indicators:
-# arima_forecast.py computes rolling means; the Kibana dashboards chart
-# price series, kibana_saved_objects.ndjson). This family adds the
-# standard technical-analysis kit a finance engine is expected to ship
-# — candlestick resampling, VWAP, drawdown, Bollinger bands, RSI,
-# EWMA, z-score anomalies, cross-series correlation — each as one
-# declarative window/agg plan over the synthetic tick stream
-# (`events`, value as price) or `lineitem` (price × quantity).
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "ohlc_weekly",
-    """
-    WITH t AS (
-      SELECT event_type,
-             date_trunc('week', ts) AS week,
-             value, ts, event_id,
-             row_number() OVER (PARTITION BY event_type, date_trunc('week', ts)
-                                ORDER BY ts, event_id) AS rn_a,
-             row_number() OVER (PARTITION BY event_type, date_trunc('week', ts)
-                                ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM events
-    )
-    SELECT event_type, week,
-           max(CASE WHEN rn_a = 1 THEN value END) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           max(CASE WHEN rn_d = 1 THEN value END) AS close,
-           count(*) AS n_ticks
-    FROM t GROUP BY 1, 2
-    """,
-    doc="OHLC candlestick resampling: tick stream → weekly bars "
-    "(open = first by (ts, event_id), close = last, high/low/count). "
-    "The reference stores daily OHLCV bars (yahoo_stocks.py:30-39); "
-    "this is the downsample that produces coarser bars from finer "
-    "ones. Plan: one shuffle on (type, week); both row_number passes "
-    "and the final groupBy reuse the same hash partitioning, so the "
-    "window sorts and the aggregation add no further exchange. "
-    "Deterministic: first/last picked by total order (ts, event_id), "
-    "no float summation anywhere — raw doubles pass through.",
-)
-def q_ohlc_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    week = F.date_trunc("week", F.col("ts"))
-    wa = Window.partitionBy("event_type", "week").orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", "week").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        events.withColumn("week", week)
-        .withColumn("rn_a", F.row_number().over(wa))
-        .withColumn("rn_d", F.row_number().over(wd))
-        .groupBy("event_type", "week")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
-            F.count("*").alias("n_ticks"),
-        )
-    )
-
-
-@_register(
-    "vwap_monthly",
-    f"""
-    SELECT l_returnflag,
-           date_trunc('month', l_shipdate) AS ship_month,
-           ({sql_dround("sum(l_extendedprice)", 2)})
-             / ({sql_dround("sum(l_quantity)", 2)}) AS vwap,
-           count(*) AS n_items
-    FROM lineitem
-    GROUP BY 1, 2
-    """,
-    doc="VWAP (volume-weighted average price): Σ(price·qty)/Σ(qty) "
-    "per (flag, ship-month) — l_extendedprice is already the "
-    "price-times-quantity extension. One hash aggregation with "
-    "map-side partials; both sums dround'd before the quotient so "
-    "the ratio is an exact IEEE op on bit-identical inputs.",
-)
-def q_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("ship_month")
-    ).agg(
-        (
-            dround(F.sum("l_extendedprice"), 2) / dround(F.sum("l_quantity"), 2)
-        ).alias("vwap"),
-        F.count("*").alias("n_items"),
-    )
-
-
-@_register(
-    "max_drawdown",
-    f"""
-    WITH t AS (
-      SELECT event_type, value,
-             max(value) OVER (PARTITION BY event_type
-                              ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS run_max
-      FROM events
-    )
-    SELECT event_type,
-           {sql_dround("min(value / run_max - 1.0)", 6)} AS max_drawdown,
-           max(value) AS peak,
-           count(*) AS n
-    FROM t GROUP BY 1
-    """,
-    doc="Maximum drawdown: running peak per series (value > 0 "
-    "always), drawdown = value/peak − 1, min over the series — THE "
-    "risk metric for a price series. One window (running max needs "
-    "no frame recompute) + one aggregation on the same partitioning "
-    "(no second exchange). min() is order-insensitive and the "
-    "quotient runs on raw bit-identical doubles, so only the final "
-    "value is dround'd.",
-)
-def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        events.withColumn("run_max", F.max("value").over(w))
-        .groupBy("event_type")
-        .agg(
-            dround(
-                F.min(F.col("value") / F.col("run_max") - F.lit(1.0)), 6
-            ).alias("max_drawdown"),
-            F.max("value").alias("peak"),
-            F.count("*").alias("n"),
-        )
-    )
-
-
-@_register(
-    "bollinger_breakouts",
-    f"""
-    WITH t AS (
-      SELECT event_type, value,
-             row_number() OVER w AS rn,
-             {sql_dround("sum(value) OVER w20", 2)} AS s1,
-             {sql_dround("sum(value * value) OVER w20", 2)} AS s2
-      FROM events
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
-             w20 AS (PARTITION BY event_type ORDER BY ts, event_id
-                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-    ), b AS (
-      SELECT event_type, value,
-             s1 / 20.0 AS mean,
-             sqrt(greatest((s2 - s1 * s1 / 20.0) / 19.0, 0.0)) AS sd
-      FROM t WHERE rn >= 20
-    )
-    SELECT event_type,
-           count(*) AS n_windows,
-           CAST(sum(CASE WHEN value > mean + 2.0 * sd
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_up,
-           CAST(sum(CASE WHEN value < mean - 2.0 * sd
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_down
-    FROM b GROUP BY 1
-    """,
-    doc="Bollinger bands: 20-row rolling mean ± 2σ, count band "
-    "breakouts per series. Variance from rolling SUM and SUM-of-"
-    "squares (both dround'd: Spark recomputes sliding frames "
-    "left-to-right while DuckDB uses a segment tree — different "
-    "summation order, same 2-decimal lattice, so the de-knife-edged "
-    "rounding makes them bit-identical); mean/σ/band edges are then "
-    "exact IEEE arithmetic on identical inputs. One window sort, "
-    "aggregation on the same keys.",
-)
-def q_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    wn = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    w20 = wn.rowsBetween(-19, 0)
-    s1 = dround(F.sum("value").over(w20), 2)
-    s2 = dround(F.sum(F.col("value") * F.col("value")).over(w20), 2)
-    mean = F.col("s1") / F.lit(20.0)
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.lit(20.0)) / F.lit(19.0)
-    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
-    return (
-        events.select(
-            "event_type",
-            "value",
-            F.row_number().over(wn).alias("rn"),
-            s1.alias("s1"),
-            s2.alias("s2"),
-        )
-        .filter(F.col("rn") >= 20)
-        .select(
-            "event_type",
-            "value",
-            mean.alias("mean"),
-            sd.alias("sd"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(
-                F.when(
-                    F.col("value") > F.col("mean") + F.lit(2.0) * F.col("sd"), 1
-                ).otherwise(0)
-            ).alias("n_breakout_up"),
-            F.sum(
-                F.when(
-                    F.col("value") < F.col("mean") - F.lit(2.0) * F.col("sd"), 1
-                ).otherwise(0)
-            ).alias("n_breakout_down"),
-        )
-    )
-
-
-@_register(
-    "rsi_14",
-    f"""
-    WITH d AS (
-      SELECT event_type, ts, event_id,
-             value - lag(value) OVER w AS diff,
-             row_number() OVER w AS rn
-      FROM events
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-    ), g AS (
-      SELECT event_type, rn,
-             {sql_dround(
-                 "sum(CASE WHEN diff > 0 THEN diff ELSE 0.0 END) OVER w14", 2)}
-               AS gain,
-             {sql_dround(
-                 "sum(CASE WHEN diff < 0 THEN -diff ELSE 0.0 END) OVER w14", 2)}
-               AS loss
-      FROM d
-      WINDOW w14 AS (PARTITION BY event_type ORDER BY ts, event_id
-                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-    ), r AS (
-      SELECT event_type,
-             CASE WHEN gain + loss > 0.0
-                  THEN 100.0 * gain / (gain + loss) ELSE 50.0 END AS rsi
-      FROM g WHERE rn >= 15
-    )
-    SELECT event_type,
-           count(*) AS n,
-           CAST(sum(CASE WHEN rsi > 70.0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_overbought,
-           CAST(sum(CASE WHEN rsi < 30.0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_oversold,
-           {sql_dround("sum(rsi)", 4)} / count(*) AS avg_rsi
-    FROM r GROUP BY 1
-    """,
-    doc="RSI(14) (Cutler's simple-average form): per-series lag "
-    "diff → gain/loss split → 14-row rolling sums (dround'd — same "
-    "sliding-frame summation-order argument as bollinger_breakouts) "
-    "→ RSI = 100·gain/(gain+loss) on bit-identical inputs → "
-    "overbought/oversold census per series. Two window passes over "
-    "one partitioning, then an aggregation on the same keys.",
-)
-def q_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    wn = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    w14 = wn.rowsBetween(-13, 0)
-    diff = F.col("value") - F.lag("value").over(wn)
-    d = events.select(
-        "event_type",
-        "ts",
-        "event_id",
-        diff.alias("diff"),
-        F.row_number().over(wn).alias("rn"),
-    )
-    gain = dround(
-        F.sum(
-            F.when(F.col("diff") > 0, F.col("diff")).otherwise(F.lit(0.0))
-        ).over(w14),
-        2,
-    )
-    loss = dround(
-        F.sum(
-            F.when(F.col("diff") < 0, -F.col("diff")).otherwise(F.lit(0.0))
-        ).over(w14),
-        2,
-    )
-    rsi = F.when(
-        F.col("gain") + F.col("loss") > 0,
-        F.lit(100.0) * F.col("gain") / (F.col("gain") + F.col("loss")),
-    ).otherwise(F.lit(50.0))
-    return (
-        d.select(
-            "event_type", "rn", gain.alias("gain"), loss.alias("loss")
-        )
-        .filter(F.col("rn") >= 15)
-        .select("event_type", rsi.alias("rsi"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("rsi") > 70.0, 1).otherwise(0)).alias(
-                "n_overbought"
-            ),
-            F.sum(F.when(F.col("rsi") < 30.0, 1).otherwise(0)).alias(
-                "n_oversold"
-            ),
-            (dround(F.sum("rsi"), 4) / F.count("*")).alias("avg_rsi"),
-        )
-    )
-
-
-#: EWMA decay (span-ish 9): weight w^j on the j-th lag, 30-tap FIR cut.
-_EWMA_W = 0.8
-_EWMA_TAPS = 30
-
-
-def _ewma_sql_terms() -> tuple[str, str]:
-    num = ["value"]
-    den = ["1.0"]
-    for j in range(1, _EWMA_TAPS):
-        wj = repr(_EWMA_W**j)
-        num.append(f"{wj} * coalesce(lag(value, {j}) OVER w, 0.0)")
-        den.append(
-            f"CASE WHEN lag(value, {j}) OVER w IS NULL THEN 0.0 ELSE {wj} END"
-        )
-    return " + ".join(num), " + ".join(den)
-
-
-_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
-
-
-@_register(
-    "ewma_smooth",
-    f"""
-    SELECT event_id, event_type, ts, value,
-           {sql_dround(f"({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL})", 6)} AS ewma
-    FROM events
-    WHERE event_type = 'purchase'
-    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-    """,
-    doc="EWMA price smoothing as a 30-tap FIR filter: "
-    "ewma_t = Σ w^j·x_(t−j) / Σ w^j over available lags (w=0.8) — "
-    "the truncated exponential moving average, renormalized at the "
-    "series head. All 30 lags come out of ONE window sort; the "
-    "weighted sum is a fixed left-associated expression tree of "
-    "exact double literals over raw values, so both engines compute "
-    "bit-identical results (no segment-tree summation here). "
-    "Truncation error ≤ 0.8^30 ≈ 1.2e-3 relative — below the 1e-6 "
-    "output rounding only when prices are O(1), hence the exact "
-    "same 30-tap cut on both sides (it's part of the operator's "
-    "definition, not an approximation of the oracle).",
-)
-def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce  # noqa: PLC0415
-    from operator import add  # noqa: PLC0415
-
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    wn = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    num_terms = [F.col("value")]
-    den_terms = [F.lit(1.0)]
-    for j in range(1, _EWMA_TAPS):
-        wj = _EWMA_W**j
-        lagj = F.lag("value", j).over(wn)
-        num_terms.append(F.lit(wj) * F.coalesce(lagj, F.lit(0.0)))
-        den_terms.append(
-            F.when(lagj.isNull(), F.lit(0.0)).otherwise(F.lit(wj))
-        )
-    ewma = reduce(add, num_terms) / reduce(add, den_terms)
-    return events.select(
-        "event_id", "event_type", "ts", "value", dround(ewma, 6).alias("ewma")
-    )
-
-
-@_register(
-    "zscore_anomalies",
-    f"""
-    WITH s AS (
-      SELECT event_type,
-             count(*) AS n,
-             {sql_dround("sum(value)", 2)} AS s1,
-             {sql_dround("sum(value * value)", 2)} AS s2
-      FROM events GROUP BY 1
-    ), z AS (
-      SELECT e.event_id, e.event_type, e.value,
-             (e.value - s.s1 / s.n)
-               / sqrt(greatest((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1), 0.0))
-               AS zval
-      FROM events e JOIN s USING (event_type)
-    )
-    SELECT event_id, event_type, value,
-           {sql_dround("zval", 4)} AS z
-    FROM z WHERE abs(zval) > 2.5
-    """,
-    doc="Z-score outlier detection: per-series mean/σ from ONE "
-    "aggregation (sum + sum-of-squares, dround'd), broadcast back "
-    "onto the stream, emit |z| > 2.5 rows — the anomaly-detection "
-    "primitive for metric streams. The stats side is 5 rows → "
-    "broadcast hash join, no second shuffle of the fact; z is exact "
-    "IEEE arithmetic on identical inputs on both engines.",
-)
-def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    stats = events.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        dround(F.sum("value"), 2).alias("s1"),
-        dround(F.sum(F.col("value") * F.col("value")), 2).alias("s2"),
-    )
-    mean = F.col("s1") / F.col("n")
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
-        F.col("n") - F.lit(1)
-    )
-    z = (F.col("value") - mean) / F.sqrt(F.greatest(var, F.lit(0.0)))
-    return (
-        events.join(F.broadcast(stats), "event_type")
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            z.alias("zval"),
-        )
-        .filter(F.abs(F.col("zval")) > 2.5)
-        .select(
-            "event_id", "event_type", "value", dround(F.col("zval"), 4).alias("z")
-        )
-    )
-
-
-@_register(
-    "scd2_segments",
-    """
-    WITH marked AS (
-      SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER w AS prev_type
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), changes AS (
-      SELECT user_id, event_type, ts
-      FROM marked
-      WHERE prev_type IS NULL OR prev_type <> event_type
-    )
-    SELECT user_id,
-           event_type AS segment,
-           ts AS valid_from,
-           lead(ts) OVER w2 AS valid_to,
-           (lead(ts) OVER w2 IS NULL) AS is_current
-    FROM changes
-    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
-    """,
-    doc="SCD Type-2 history build: change-detection (drop rows equal "
-    "to their predecessor) then effective ranges via lead() — "
-    "valid_from/valid_to/is_current, the slowly-changing-dimension "
-    "shape every lake serves. Two window passes over ONE hash "
-    "partitioning on user_id (the second sort is over the already-"
-    "filtered change rows); no joins. At 100 TB this is the "
-    "standard merge-into-SCD2 read side; the write side is "
-    "sources/parquet_io.py:upsert_rows.",
-)
-def q_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = events.select(
-        "user_id",
-        "event_type",
-        "ts",
-        F.lag("event_type").over(w).alias("prev_type"),
-    )
-    changes = marked.filter(
-        F.col("prev_type").isNull()
-        | (F.col("prev_type") != F.col("event_type"))
-    )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
-    return changes.select(
-        "user_id",
-        F.col("event_type").alias("segment"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
-    )
-
-
-@_register(
-    "event_transitions",
-    """
-    WITH seq AS (
-      SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
-      FROM events
-    ), pairs AS (
-      SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
-      FROM seq WHERE prev_type IS NOT NULL
-      GROUP BY 1, 2
-    )
-    SELECT prev_type, next_type, n_transitions,
-           n_transitions::DOUBLE
-             / sum(n_transitions) OVER (PARTITION BY prev_type) AS pct
-    FROM pairs
-    """,
-    doc="Markov transition matrix of user journeys: lag(event_type) "
-    "per user → (prev, next) counts → row-normalized transition "
-    "probabilities (exact bigint/bigint IEEE quotient, no rounding "
-    "needed). One window sort on user_id, one aggregation, one "
-    "window over the 25-row matrix. The behavioral-analytics "
-    "companion to funnel_stages.",
-)
-def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        events.select(
-            "user_id",
-            F.col("event_type").alias("next_type"),
-            F.lag("event_type").over(w).alias("prev_type"),
-        )
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "next_type")
-        .agg(F.count("*").alias("n_transitions"))
-    )
-    wt = Window.partitionBy("prev_type")
-    return pairs.select(
-        "prev_type",
-        "next_type",
-        "n_transitions",
-        (
-            F.col("n_transitions").cast("double")
-            / F.sum("n_transitions").over(wt)
-        ).alias("pct"),
-    )
-
-
-@_register(
-    "pairwise_correlation",
-    f"""
-    WITH daily AS (
-      SELECT event_type, date_trunc('day', ts) AS day,
-             {sql_dround("sum(value)", 2)} / count(*) AS v
-      FROM events GROUP BY 1, 2
-    ), j AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             a.v AS x, b.v AS y
-      FROM daily a JOIN daily b
-        ON a.day = b.day AND a.event_type < b.event_type
-    ), sums AS (
-      SELECT type_a, type_b, count(*) AS n,
-             {sql_dround("sum(x)", 4)} AS sx,
-             {sql_dround("sum(y)", 4)} AS sy,
-             {sql_dround("sum(x * y)", 4)} AS sxy,
-             {sql_dround("sum(x * x)", 4)} AS sxx,
-             {sql_dround("sum(y * y)", 4)} AS syy
-      FROM j GROUP BY 1, 2
-    )
-    SELECT type_a, type_b, n,
-           {sql_dround(
-               "(n * sxy - sx * sy)"
-               " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)}
-             AS corr
-    FROM sums
-    """,
-    doc="Cross-series correlation matrix: daily mean per series "
-    "(dround'd like date_bucket_avg), equi-join on day (type_a < "
-    "type_b gives each unordered pair once), Pearson r from dround'd "
-    "component sums (n, Σx, Σy, Σxy, Σx², Σy²) so the final formula "
-    "is exact IEEE on bit-identical inputs. The co-movement signal "
-    "behind pairs trading / portfolio risk. Plan: groupBy on "
-    "(type, day) → join keyed on day (150 distinct days — broadcast-"
-    "able) → 10-row aggregation; no window, no crossJoin.",
-)
-def q_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg((dround(F.sum("value"), 2) / F.count("*")).alias("v"))
-    a = daily.select(
-        F.col("event_type").alias("type_a"),
-        F.col("day").alias("day"),
-        F.col("v").alias("x"),
-    )
-    b = daily.select(
-        F.col("event_type").alias("type_b"),
-        F.col("day").alias("day_b"),
-        F.col("v").alias("y"),
-    )
-    j = a.join(
-        b,
-        (F.col("day") == F.col("day_b")) & (F.col("type_a") < F.col("type_b")),
-    )
-    sums = j.groupBy("type_a", "type_b").agg(
-        F.count("*").alias("n"),
-        dround(F.sum("x"), 4).alias("sx"),
-        dround(F.sum("y"), 4).alias("sy"),
-        dround(F.sum(F.col("x") * F.col("y")), 4).alias("sxy"),
-        dround(F.sum(F.col("x") * F.col("x")), 4).alias("sxx"),
-        dround(F.sum(F.col("y") * F.col("y")), 4).alias("syy"),
-    )
-    corr = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    return sums.select(
-        "type_a", "type_b", "n", dround(corr, 6).alias("corr")
-    )
-
-
-@_register(
-    "minhash_accuracy",
-    "SELECT 'minhash_jaccard_max_abs_err' AS metric, TRUE AS passed",
-    doc="MinHash estimator accuracy as a correctness gate (the "
-    "approximation-gate companion of ann_recall/ivf_recall, for the "
-    "dedup ladder): on the LSH candidate pairs whose EXACT hashed-"
-    "shingle Jaccard is ≥ 0.9, the MEAN absolute error of the "
-    "signature estimate (matching-component fraction, k=32) must be "
-    "≤ 0.08, and at least one such pair must exist. For J ≈ 0.9-1.0 "
-    "the per-pair binomial se = sqrt(J(1-J)/32) ≤ 0.053 gives "
-    "E|err| ≈ 0.8·se ≈ 0.04, so 0.08 is ~2× the expected value — "
-    "and, unlike a max-err gate, the mean CONCENTRATES as the pair "
-    "count grows with scale (a max over N pairs is a 3σ+ order "
-    "statistic that must eventually fail at some N: measured, the "
-    "worst sf0.1 pair sits at 3.8σ while the mean is ~0.04 at every "
-    "SF). A broken hash family or banding regression pushes the "
-    "mean toward ~0.5 and fails "
-    "the driver's hash check instead of silently shifting dedup "
-    "output. Fully distributed: signatures ride the existing "
-    "candidate join; one final 1-row aggregation. The candidate set "
-    "(~0.1%% of all pairs) is persisted and every exact-verify scan "
-    "(gram hashes, signatures) runs over a broadcast semi-join onto "
-    "candidate docs only — the full corpus is shingled exactly once, "
-    "inside the LSH pass. At 100 TB: the cached candidates are a "
-    "temp table, the verify side touches only near-dup docs.",
-    parts=8,
-)
-def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.dedup import (
-        hashed_ngram_jaccard,
-        minhash_lsh_pairs,
-        minhash_signature,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    cand = minhash_lsh_pairs(
-        docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    ).persist()
-    cand_ids = (
-        cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
-        .dropDuplicates(["doc_id"])
-    )
-    cdocs = docs.join(F.broadcast(cand_ids), "doc_id")
-    exact = hashed_ngram_jaccard(cand, cdocs, "doc_id", "text", shingle_n=3)
-    sigs = cdocs.select(
-        F.col("doc_id"),
-        minhash_signature(F.col("text"), 32, 42, 3).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / F.lit(32.0)
-    )
-    scored = (
-        exact.filter(F.col("jaccard") >= 0.9)
-        .join(sa, "id_a")
-        .join(sb, "id_b")
-        .select((F.abs(est - F.col("jaccard"))).alias("err"))
-    )
-    return scored.agg(
-        F.count(F.lit(1)).alias("n_pairs"), F.avg("err").alias("mean_err")
-    ).select(
-        F.lit("minhash_jaccard_max_abs_err").alias("metric"),
-        (
-            (F.col("n_pairs") >= 1) & (F.col("mean_err") <= 0.08)
-        ).alias("passed"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Multi-way analytic joins — the TPC-H Q3/Q5 shapes (J1/J2 stretched to
-# the plans Catalyst must reorder + broadcast at 100 TB)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "segment_top_orders",
-    f"""
-    SELECT o.o_orderkey,
-           o.o_orderdate,
-           {sql_dround("sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
-             AS revenue
-    FROM customer c
-    JOIN orders o ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
-    GROUP BY o.o_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-    doc="TPC-H Q3 shape (shipping-priority): 3-way selective join "
-    "customer⋈orders⋈lineitem with filters on all three tables, "
-    "grouped revenue, total-order top-10. The scale contract: both "
-    "dimension-side filters are pushed into the scans, the filtered "
-    "customer side broadcasts (plan-tested), the only wide exchange "
-    "is the (orderkey) aggregation, and the top-10 is "
-    "TakeOrderedAndProject — never a global sort of the aggregate. "
-    "Revenue dround-ed at its true decimal scale (4), so "
-    "summation-order noise cannot flip a rank "
-    "(same convention as pricing_summary).",
-)
-def q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cutoff = F.lit("1998-07-01").cast("timestamp")
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") < cutoff)
-        .select("o_orderkey", "o_custkey", "o_orderdate")
-    )
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") > cutoff)
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-    )
-    agg = (
-        li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
-            li.l_orderkey == orders.o_orderkey,
-        )
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
-    )
-    return agg.orderBy(
-        F.col("revenue").desc(), F.col("o_orderkey").asc()
-    ).limit(10)
-
-
-@_register(
-    "region_nation_revenue",
-    f"""
-    SELECT n.n_name,
-           {sql_dround("sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
-             AS revenue,
-           count(*) AS n_items
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                   AND s.s_nationkey = c.c_nationkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY n.n_name
-    ORDER BY revenue DESC, n_name ASC
-    """,
-    doc="TPC-H Q5 shape (local-supplier volume): 6-way join "
-    "lineitem⋈orders⋈customer⋈supplier⋈nation⋈region with the "
-    "correlated s_nationkey = c_nationkey condition and a pushed "
-    "one-year o_orderdate range. The 100 TB plan: region/nation/"
-    "supplier/customer all broadcast (plan-tested — the only "
-    "shuffle-heavy side is the fact lineitem⋈orders equi-join), "
-    "region filter prunes 4/5 of nations BEFORE the fact join via "
-    "the broadcast, and the 5-row output aggregation is map-side "
-    "partial. Catalyst picks the join order from sizes — declared, "
-    "not hand-scheduled.",
-)
-def q_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "ASIA"
-    )
-    asia_nations = nation.join(
-        F.broadcast(region),
-        nation.n_regionkey == region.r_regionkey,
-    ).select("n_nationkey", "n_name")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey")
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(
-            F.broadcast(supp),
-            (li.l_suppkey == supp.s_suppkey)
-            & (supp.s_nationkey == cust.c_nationkey),
-        )
-        .join(
-            F.broadcast(asia_nations),
-            cust.c_nationkey == F.col("n_nationkey"),
-        )
-    )
-    return (
-        joined.groupBy("n_name")
-        .agg(
-            dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-data ops — corpus rebalancing (temperature sampling) and
-# exact-k deterministic per-group sampling
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "temperature_sampling",
-    """
-    WITH counts AS (
-      SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
-    ), rates AS (
-      SELECT lang, n_total,
-             pow((SELECT min(n_total) FROM counts)::DOUBLE / n_total, 0.7)
-               AS rate
-      FROM counts
-    ), gated AS (
-      SELECT d.lang, r.n_total, r.rate,
-             CASE WHEN substr(md5(d.doc_id::VARCHAR || ':' || d.lang), 1, 4)
-                    < CASE WHEN floor(r.rate * 65536) >= 65536 THEN 'g'
-                           ELSE lower(lpad(hex(CAST(floor(r.rate * 65536)
-                                                    AS BIGINT)), 4, '0'))
-                      END
-                  THEN 1 ELSE 0 END AS kept
-      FROM documents d JOIN rates r USING (lang)
-    )
-    SELECT lang, n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
-           CAST(floor(rate * 65536) AS BIGINT) AS rate_u16
-    FROM gated
-    GROUP BY lang, n_total, rate_u16
-    ORDER BY lang
-    """,
-    doc="Training-data op: temperature-based language rebalancing "
-    "(the multilingual-pretraining alpha-sampling recipe — sampling "
-    "rate per language ∝ (n_min/n_l)^(1-alpha), alpha=0.3, so the "
-    "rarest language keeps everything and the head is downsampled "
-    "toward balance). Membership is the same deterministic md5 "
-    "content-hash gate as train_split_assign — but the CUTOFF is "
-    "data-derived: the per-language rate becomes a 4-hex-digit "
-    "string compared against the hash prefix (lexicographic == "
-    "numeric for equal-length lowercase hex), so both engines "
-    "select the identical row set with no floating-point compare. "
-    "At 100 TB: the rate table is a per-language broadcast "
-    "(5 rows), the gate a map-side expression — one count-shuffle "
-    "total.",
-    parts=8,
-)
-def q_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
-    w_all = Window.partitionBy()
-    rates = counts.select(
-        "lang",
-        "n_total",
-        F.pow(
-            F.min("n_total").over(w_all).cast("double") / F.col("n_total"),
-            F.lit(0.7),
-        ).alias("rate"),
-    ).withColumn(
-        "rate_u16", F.floor(F.col("rate") * 65536).cast("bigint")
-    )
-    # rate ≥ 1 → cutoff 'g' (sorts above every hex prefix): without
-    # this, floor(1.0·65536) = '10000' gets TRUNCATED by lpad(4) to
-    # '1000' and the rarest language silently keeps 1/16 of its rows
-    cutoff = F.when(F.col("rate_u16") >= 65536, F.lit("g")).otherwise(
-        F.lower(F.lpad(F.hex(F.col("rate_u16")), 4, "0"))
-    )
-    h = F.substring(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
-                       F.col("lang"))), 1, 4
-    )
-    gated = docs.join(F.broadcast(rates), "lang").select(
-        "lang",
-        "n_total",
-        "rate_u16",
-        F.when(h < cutoff, 1).otherwise(0).alias("kept"),
-    )
-    return (
-        gated.groupBy("lang", "n_total", "rate_u16")
-        .agg(F.sum("kept").alias("n_kept"))
-        .select("lang", "n_total", "n_kept", "rate_u16")
-        .orderBy("lang")
-    )
-
-
-@_register(
-    "group_topk_sample",
-    """
-    SELECT lang, doc_id, n_chars
-    FROM (
-      SELECT lang, doc_id, n_chars,
-             row_number() OVER (
-               PARTITION BY lang
-               ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
-      FROM documents
-    )
-    WHERE rn <= 10
-    ORDER BY lang, doc_id
-    """,
-    doc="Training-data op: exact-k deterministic per-stratum sample "
-    "(k=10 docs per language) — the eval-set/inspection-sample "
-    "companion of stratified_sample's fractional gate. Ordering by "
-    "md5(doc_id) is a uniform pseudo-random permutation that every "
-    "engine and every rerun agrees on (no rand(), no seed state); "
-    "row_number ≤ k takes exactly k per group. The window "
-    "partitions by the stratum key, so per-reducer state is one "
-    "stratum — at 100 TB this is the standard single-shuffle "
-    "per-key reservoir replacement (k rows of state per key, "
-    "skew-safe for any realistic language count).",
-    parts=8,
-)
-def q_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
-    )
-    return (
-        docs.select("lang", "doc_id", "n_chars")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-        .orderBy("lang", "doc_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Product-quantization ANN — pq_topk + its recall gate
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "pq_topk",
-    None,  # k-means codebooks → not ANSI-SQL-expressible; quality gated
-    # by pq_recall below
-    doc="ANN via product quantization with exact re-rank (FAISS "
-    "IndexPQ shape): per-subspace codebooks trained on the same "
-    "size-capped sample as IVF, corpus encoded to m=16 5-bit codes "
-    "(10 bytes vs 256 — a 25× compression; at 100 TB the codes "
-    "table is ~4 TB and scan-resident where raw vectors are not), "
-    "ADC lookup-table scan via mapInPandas keeping only (query, id, "
-    "score) triples, then exact cosine re-rank of the top-256 "
-    "candidates. Third index family next to sign-LSH (ann_topk) "
-    "and IVF (ivf_topk) — PQ compresses the scan, IVF prunes it, "
-    "and the two compose as IVF+PQ in a production deployment.",
-    parts=8,
-)
-def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import pq_cosine_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    return pq_cosine_topk(
-        queries, emb, k=5, m=16, ks=32, rerank=256, seed=11,
-        cache_key=sf_dir,
-    )
-
-
-@_register(
-    "pq_recall",
-    "SELECT 'pq_recall_at_5' AS metric, TRUE AS passed",
-    doc="ANN quality gate for the PQ index (pq_topk's exact "
-    "configuration): recall@5 vs brute-force cosine ≥ 0.95 over 20 "
-    "queries. Measured 1.00 at sf0.01 AND sf0.1 (m=16 subspaces × "
-    "ks=32 centroids, rerank=256) — the margin comes from the exact "
-    "re-rank stage: ADC only has to land true neighbors in the "
-    "top-256, not rank them.",
-    parts=8,
-)
-def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (
-        brute_force_cosine_topk,
-        pq_cosine_topk,
-    )
-
-    emb, queries = _ann_queries(spark, sf_dir)
-    truth = brute_force_cosine_topk(
-        queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
-    )
-    approx = pq_cosine_topk(
-        queries, emb, k=5, m=16, ks=32, rerank=256, seed=11,
-        cache_key=sf_dir,
-    )
-    return _recall_gate(truth, approx, "pq_recall_at_5", 0.95)
-
-
-# ---------------------------------------------------------------------------
-# Relational coverage widening — EXISTS semi-join between facts (Q4),
-# conditional market share (Q8), left-join distribution (Q13),
-# cumulative windows, per-year deciles, arg-max per group
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "late_shipment_priority",
-    """
-    SELECT o_orderpriority, count(*) AS n_orders
-    FROM orders o
-    WHERE EXISTS (
-      SELECT 1 FROM lineitem l
-      WHERE l.l_orderkey = o.o_orderkey
-        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-    )
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-    doc="TPC-H Q4 shape: orders with at least one line shipped more "
-    "than 60 days after order date, counted per priority — an EXISTS "
-    "between two FACT tables (unlike exists_filter's dim probe), "
-    "which must plan as a shuffled LEFT SEMI equi-join on orderkey: "
-    "each order counted once no matter how many late lines, no "
-    "row-multiplying inner join then distinct. At 100 TB both sides "
-    "bucket by orderkey and the semi-join is co-partitioned.",
-)
-def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
-    )
-    late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
-        "left_semi",
-    )
-    return (
-        late.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_orderpriority")
-    )
-
-
-@_register(
-    "nation_market_share",
-    f"""
-    SELECT year(o.o_orderdate) AS o_year,
-           {sql_dround("sum(CASE WHEN s.s_nationkey = 8 "
-                       "THEN l.l_extendedprice * (1 - l.l_discount) "
-                       "ELSE 0 END)", 4)} AS nation_rev,
-           {sql_dround("sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
-             AS total_rev
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY o_year
-    ORDER BY o_year
-    """,
-    doc="TPC-H Q8 shape (market share): for orders by ASIA-region "
-    "customers, the yearly revenue supplied by one nation "
-    "(s_nationkey=8) next to the total — conditional aggregation "
-    "(CASE inside sum) over a 6-way join, the numerator and "
-    "denominator computed in ONE pass instead of two query runs. "
-    "Share = nation_rev/total_rev is left to the consumer: a ratio "
-    "of two dround-ed sums is engine-exact, a rounded ratio of raw "
-    "sums is not. All dims broadcast; the only wide exchange is "
-    "lineitem⋈orders + the per-year agg.",
-)
-def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "ASIA"
-    )
-    asia = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select("n_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(asia), cust.c_nationkey == F.col("n_nationkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-    )
-    return (
-        joined.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            dround(
-                F.sum(F.when(F.col("s_nationkey") == 8, rev).otherwise(0.0)),
-                4,
-            ).alias("nation_rev"),
-            dround(F.sum(rev), 4).alias("total_rev"),
-        )
-        .orderBy("o_year")
-    )
-
-
-@_register(
-    "customer_order_distribution",
-    """
-    SELECT n_orders, count(*) AS n_customers
-    FROM (
-      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
-      FROM customer c
-      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_custkey
-    )
-    GROUP BY n_orders
-    ORDER BY n_orders
-    """,
-    doc="TPC-H Q13 shape (customer distribution): LEFT OUTER join so "
-    "order-less customers survive as n_orders=0, then a second "
-    "aggregation histograms customers by order count. The two-level "
-    "agg is the canonical distribution query; count(o_orderkey) — "
-    "not count(*) — is what makes the null-extended rows count 0. "
-    "At 100 TB the first agg shuffles on custkey (or is free if "
-    "orders is bucketed by custkey), the second on the tiny "
-    "n_orders domain.",
-)
-def q_customer_order_distribution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-    return (
-        per_cust.groupBy("n_orders")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("n_orders")
-    )
-
-
-@_register(
-    "running_revenue_by_customer",
-    f"""
-    SELECT o_custkey, o_orderdate, o_orderkey,
-           {sql_dround(
-               "sum(o_totalprice) OVER ("
-               "PARTITION BY o_custkey "
-               "ORDER BY o_orderdate, o_orderkey "
-               "ROWS UNBOUNDED PRECEDING)", 2)} AS running_total
-    FROM orders
-    WHERE o_custkey < 100
-    ORDER BY o_custkey, o_orderdate, o_orderkey
-    """,
-    doc="Cumulative window: per-customer running revenue over order "
-    "history — the lifetime-value curve. ROWS UNBOUNDED PRECEDING "
-    "with a total ordering (date, orderkey) makes the prefix-sum "
-    "sequence identical on both engines, so dround(2) on each "
-    "cumulative value is bit-stable. Partitioned by customer → "
-    "bounded per-reducer state; the o_custkey < 100 filter is "
-    "pushed to the scan (the full-table form is the same plan).",
-)
-def q_running_revenue_by_customer(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        orders.filter(F.col("o_custkey") < 100)
-        .select(
-            "o_custkey",
-            "o_orderdate",
-            "o_orderkey",
-            dround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-        )
-        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
-    )
-
-
-@_register(
-    "order_deciles_yearly",
-    f"""
-    SELECT o_year, decile,
-           count(*) AS n_orders,
-           {sql_dround("min(o_totalprice)", 2)} AS min_price,
-           {sql_dround("max(o_totalprice)", 2)} AS max_price
-    FROM (
-      SELECT year(o_orderdate) AS o_year, o_totalprice,
-             ntile(10) OVER (
-               PARTITION BY year(o_orderdate)
-               ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
-      FROM orders
-    )
-    GROUP BY o_year, decile
-    ORDER BY o_year, decile
-    """,
-    doc="NTILE deciles of order value per year — the rank-bucketing "
-    "window next to percent_rank. Partitioned by year so per-reducer "
-    "state is one year of one partition, never the global sort a "
-    "bare ntile() would need (the same bounded-state argument as "
-    "percent_rank_yearly); tie-broken by orderkey so both engines "
-    "assign identical bucket membership on equal prices. At true "
-    "100 TB scale exact global deciles give way to "
-    "percentile_approx cutoffs (approx_quantile_gate covers that "
-    "path); this is the exact form at bounded partition size.",
-)
-def q_order_deciles_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy(F.year("o_orderdate")).orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
-    )
-    return (
-        orders.select(
-            F.year("o_orderdate").alias("o_year"),
-            "o_totalprice",
-            F.ntile(10).over(w).alias("decile"),
-        )
-        .groupBy("o_year", "decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dround(F.min("o_totalprice"), 2).alias("min_price"),
-            dround(F.max("o_totalprice"), 2).alias("max_price"),
-        )
-        .orderBy("o_year", "decile")
-    )
-
-
-@_register(
-    "top_lineitem_per_order",
-    """
-    SELECT l_orderkey,
-           arg_max(l_partkey, l_extendedprice * 1000 + l_linenumber)
-             AS top_partkey,
-           arg_max(l_linenumber, l_extendedprice * 1000 + l_linenumber)
-             AS top_linenumber
-    FROM lineitem
-    WHERE l_orderkey < 4000
-    GROUP BY l_orderkey
-    ORDER BY l_orderkey
-    """,
-    doc="Arg-max per group via max_by — the single-pass alternative "
-    "to last_value_per_group's window+filter (one hash aggregate, "
-    "no sort, no row_number): the highest-value line of each order "
-    "with its part. The ordering key embeds the tie-break "
-    "numerically (price·1000 + linenumber: prices step by ≥0.01 → "
-    "key gaps ≥10 dominate the ≤7 linenumber term, and both engines "
-    "compute the identical IEEE double), because neither engine's "
-    "arg_max/max_by accepts a composite sort value portably. "
-    "Map-side partial max_by makes this the cheapest "
-    "greatest-per-group shape at 100 TB.",
-)
-def q_top_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") < 4000
-    )
-    key = F.col("l_extendedprice") * 1000 + F.col("l_linenumber")
-    return (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.max_by("l_partkey", key).alias("top_partkey"),
-            F.max_by("l_linenumber", key).alias("top_linenumber"),
-        )
-        .orderBy("l_orderkey")
-    )
-
-
-@_register(
-    "ivfpq_topk",
-    None,  # k-means coarse quantizer + PQ codebooks → not SQL-expressible
-    doc="IVF+PQ composed ANN (FAISS IndexIVFPQ, by_residual=false): "
-    "IVF prunes the scan to n_probe/n_centroids of the corpus, PQ "
-    "compresses what flows through the candidate equi-join to the "
-    "m-byte code array (plain ivf_topk ships raw vectors through "
-    "its join), ADC lookup-table scoring on the joined candidates, "
-    "exact cosine re-rank of the top-256. The production-shape "
-    "composition of the two index families; quality gated by "
-    "ivfpq_recall.",
-    parts=8,
-)
-def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (
-        ivfpq_cosine_topk,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    return ivfpq_cosine_topk(queries, emb, k=5, seed=11, cache_key=sf_dir)
-
-
-@_register(
-    "ivfpq_recall",
-    "SELECT 'ivfpq_recall_at_5' AS metric, TRUE AS passed",
-    doc="ANN quality gate for the composed IVF+PQ index (ivfpq_topk's "
-    "exact configuration: 8 centroids, n_probe=5, n_assign=2, m=16, "
-    "ks=32, rerank=256): recall@5 vs brute-force cosine ≥ 0.95 over "
-    "20 queries. Measured 1.00 at sf0.01, 0.99 at sf0.1 — the "
-    "2-way spilled assignment recovers what single-cluster pruning "
-    "loses on weakly-clustered data (0.86 without it), and the "
-    "exact re-rank absorbs PQ quantization error.",
-    parts=8,
-)
-def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (
-        brute_force_cosine_topk,
-        ivfpq_cosine_topk,
-    )
-
-    emb, queries = _ann_queries(spark, sf_dir)
-    truth = brute_force_cosine_topk(
-        queries, emb, k=5, id_col="vec_id", vec_col="embedding", round_to=4
-    )
-    approx = ivfpq_cosine_topk(queries, emb, k=5, seed=11, cache_key=sf_dir)
-    return _recall_gate(truth, approx, "ivfpq_recall_at_5", 0.95)
-
-
-@_register(
-    "stream_enrich_batch_eq",
-    f"""
-    SELECT n.n_name,
-           count(*) AS n_events,
-           {sql_dround("sum(e.value)", 2)} / count(*) AS avg_value
-    FROM events e
-    JOIN nation n ON e.user_id % 25 = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-    doc="Sixth streaming rung under the ORACLE gate — stream-static "
-    "broadcast enrichment (the last ladder rung that was "
-    "pytest-only): events re-landed as micro-batchable parquet, "
-    "read with readStream, joined per micro-batch against the "
-    "static nation dimension (streaming/ops.py stream_enrich — the "
-    "dim is re-read each batch, so slowly-changing dimensions pick "
-    "up updates without a restart), aggregated per nation with the "
-    "dround(sum)/count determinism trick, availableNow to a memory "
-    "sink, hash-compared against the plain batch join+agg SQL. "
-    "The join key (user_id %% 25) stands in for the usual "
-    "fact-to-dim foreign key.",
-)
-def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.functions.scalars import (  # noqa: PLC0415
-        dround as _dr,
-    )
-    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
-        stream_enrich,
-    )
-
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "value"
-    )
-    dim = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    work = tempfile.mkdtemp(prefix="stream_enrich_eq_")
-    src = f"{work}/events"
-    batch.repartition(4).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
-    keyed = stream.withColumn(
-        "n_nationkey", F.pmod(F.col("user_id"), F.lit(25))
-    )
-    enriched = stream_enrich(keyed, dim, ["n_nationkey"], how="inner")
-    agg = enriched.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (_dr(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
-    ).select("n_name", "n_events", "avg_value")
-    name = f"s_enrich_eq_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle(spark, 8):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q)
-    return spark.table(name)
-
-
-@_register(
-    "training_order_shard",
-    """
-    SELECT shard, count(*) AS n_docs, min(pos) AS first_pos,
-           max(pos) AS last_pos,
-           CAST(sum(n_chars) AS BIGINT) AS sum_chars
-    FROM (
-      SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
-               AS shard,
-             row_number() OVER (
-               PARTITION BY
-                 (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
-               ORDER BY h, doc_id) - 1 AS pos,
-             n_chars
-      FROM (
-        SELECT doc_id, n_chars,
-               md5(doc_id::VARCHAR || ':order') AS h
-        FROM documents
-      )
-    )
-    GROUP BY shard
-    ORDER BY shard
-    """,
-    doc="Training-data op: deterministic global shuffle into ordered "
-    "shards — the write-training-shards step after packing. Every "
-    "doc gets an md5 position (salted with ':order' so the "
-    "permutation is independent of the split/sampling hashes), the "
-    "first hex digit mod 8 picks the shard, and row_number within "
-    "the shard gives the read order: a uniform pseudo-random "
-    "permutation that every rerun, engine, and partitioning "
-    "reproduces bit-identically (no rand(), no seed state, no "
-    "global sort — the only shuffle is the 8-way shard exchange, "
-    "and within-shard order is a per-reducer local sort). The "
-    "oracle checks the shard histogram + position bounds; the md5 "
-    "digit is uniform so shards balance to ~n/8.",
-    parts=8,
-)
-def q_training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":order")))
-    shard = F.conv(F.substring(h, 1, 1), 16, 10).cast("int") % 8
-    w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    positioned = (
-        docs.select("doc_id", "n_chars", h.alias("h"))
-        .withColumn("shard", shard)
-        .withColumn("pos", F.row_number().over(w) - 1)
-    )
-    return (
-        positioned.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("pos").alias("first_pos"),
-            F.max("pos").alias("last_pos"),
-            F.sum("n_chars").alias("sum_chars"),
-        )
-        .orderBy("shard")
-    )
-
-
-@_register(
-    "doc_keywords",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
-               x -> x <> '') AS tokens
-      FROM documents
-    ), ex AS (
-      SELECT doc_id, unnest(tokens) AS term FROM toks
-    ), tf AS (
-      SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term
-    ), n AS (
-      SELECT count(*) AS n_docs FROM documents
-    ), idf AS (
-      SELECT term,
-             CAST(floor(
-               (ln((n_docs + 1) / (count(DISTINCT doc_id) + 1)) + 1)
-               * 1000000 + 0.5) AS BIGINT) AS idf_fix
-      FROM tf, n
-      GROUP BY term, n_docs
-    ), ranked AS (
-      SELECT tf.doc_id, tf.term,
-             (tf.tf * idf.idf_fix)::DOUBLE / 1000000.0 AS score,
-             row_number() OVER (
-               PARTITION BY tf.doc_id
-               ORDER BY tf.tf * idf.idf_fix DESC, tf.term ASC) AS rank
-      FROM tf JOIN idf USING (term)
-    )
-    SELECT doc_id, rank, term, score
-    FROM ranked WHERE rank <= 3 AND doc_id < 100
-    ORDER BY doc_id, rank
-    """,
-    doc="Keyword extraction: top-3 tf·idf terms PER DOCUMENT — the "
-    "doc-centric complement of text_search_rank's query-centric "
-    "ranking (tagging/labeling for corpus browsing, the engine twin "
-    "of ES significant-terms). Full-vocabulary idf: (term, df) is a "
-    "vocabulary-sized aggregate that broadcasts into the tf join; "
-    "scores are exact integer products of fixed-point idf (order-"
-    "proof), per-doc rank tie-broken by term. At 100 TB the "
-    "(doc,term) tf aggregate is the only corpus-sized exchange and "
-    "the per-doc window state is bounded by a doc's distinct terms. "
-    "doc_id < 100 bounds the driver-checked output, not the compute.",
-    parts=8,
-)
-def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), "[^a-z0-9']+"),
-        lambda t: t != "",
-    )
-    ex = docs.select("doc_id", F.explode(toks).alias("term"))
-    # (doc, term) tf feeds BOTH the idf aggregate and the final score
-    # join — persist the (small, vocab×docs-bounded) table so the
-    # tokenize-explode-agg subtree runs once, not once per branch; at
-    # 100 TB this is the materialized term-frequency table an
-    # inverted-index build would land anyway
-    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
-    # fold the 1-row corpus count into the vocab table via the
-    # data-derived constant-key equi-join (see unigram_logprob_quality:
-    # a bare 1-row crossJoin plans as BroadcastNestedLoopJoin)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
-        "__k", _const_key(F.col("n_docs"))
-    )
-    idf = (
-        tf.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .withColumn("__k", _const_key(F.col("term")))
-        .join(F.broadcast(n_docs), "__k")
-        .drop("__k")
-        .select(
-            "term",
-            F.floor(
-                (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1)
-                * 1000000
-                + 0.5
-            ).cast("long").alias("idf_fix"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        (F.col("tf") * F.col("idf_fix")).desc(), F.col("term").asc()
-    )
-    return (
-        tf.join(F.broadcast(idf), "term")
-        .withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 100))
-        .select(
-            "doc_id",
-            "rank",
-            "term",
-            (
-                (F.col("tf") * F.col("idf_fix")).cast("double") / 1000000.0
-            ).alias("score"),
-        )
-        .orderBy("doc_id", "rank")
-    )
-
-
-@_register(
-    "period_reconcile_full_outer",
-    """
-    WITH p1 AS (
-      SELECT user_id, count(*) AS n1 FROM events
-      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
-      GROUP BY user_id
-    ), p2 AS (
-      SELECT user_id, count(*) AS n2 FROM events
-      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
-      GROUP BY user_id
-    )
-    SELECT coalesce(p1.user_id, p2.user_id) AS user_id,
-           coalesce(n1, 0) AS n_before,
-           coalesce(n2, 0) AS n_after,
-           CASE WHEN n1 IS NULL THEN 'new'
-                WHEN n2 IS NULL THEN 'churned'
-                ELSE 'retained' END AS status
-    FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id
-    ORDER BY user_id
-    """,
-    doc="FULL OUTER join — the one join type the pack lacked: "
-    "reconcile per-user activity across two periods, classifying "
-    "users as new/churned/retained with coalesced counts. The "
-    "canonical two-snapshot reconciliation (same family as "
-    "snapshot_diff, which compares VALUES on matched keys; this "
-    "compares KEY MEMBERSHIP). Full outer cannot broadcast either "
-    "side by definition — it plans as a shuffled sort-merge join on "
-    "user_id, which is the correct 100 TB shape; both inputs are "
-    "pre-aggregated so the join moves one row per (user, period), "
-    "not raw events.",
-)
-def q_period_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    cut = F.lit("2024-01-16").cast("timestamp")
-    p1 = (
-        events.filter(F.col("ts") < cut)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n1"))
-    )
-    p2 = (
-        events.filter(F.col("ts") >= cut)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n2"))
-    )
-    joined = p1.join(p2, "user_id", "full_outer")
-    status = (
-        F.when(F.col("n1").isNull(), "new")
-        .when(F.col("n2").isNull(), "churned")
-        .otherwise("retained")
-    )
-    return joined.select(
-        "user_id",
-        F.coalesce("n1", F.lit(0)).alias("n_before"),
-        F.coalesce("n2", F.lit(0)).alias("n_after"),
-        status.alias("status"),
-    ).orderBy("user_id")
-
-
-@_register(
-    "rolling_correlation_14d",
-    f"""
-    WITH daily AS (
-      SELECT date_trunc('day', ts) AS day,
-             {sql_dround("sum(CASE WHEN event_type = 'view' "
-                         "THEN value ELSE 0 END)", 2)} AS x,
-             {sql_dround("sum(CASE WHEN event_type = 'purchase' "
-                         "THEN value ELSE 0 END)", 2)} AS y
-      FROM events
-      GROUP BY 1
-    ), win AS (
-      SELECT day,
-             count(*) OVER w AS n,
-             {sql_dround("sum(x) OVER w", 2)} AS sx,
-             {sql_dround("sum(y) OVER w", 2)} AS sy,
-             {sql_dround("sum(x * x) OVER w", 4)} AS sxx,
-             {sql_dround("sum(y * y) OVER w", 4)} AS syy,
-             {sql_dround("sum(x * y) OVER w", 4)} AS sxy
-      FROM daily
-      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-    )
-    SELECT day,
-           n,
-           {sql_dround(
-               "(n * sxy - sx * sy) / "
-               "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)}
-             AS corr_14
-    FROM win
-    WHERE n = 14
-    ORDER BY day
-    """,
-    doc="Rolling 14-day Pearson correlation between the daily view "
-    "and purchase value series — the co-movement monitor "
-    "(pairwise_correlation gives one global number; this gives its "
-    "evolution). One aggregation to daily grain, then ALL six "
-    "sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) from a single "
-    "14-row window pass — never a self-join of the series against "
-    "itself. Determinism: the daily inputs are dround-ed first "
-    "(bit-identical on both engines), window sums re-dround at "
-    "their true scale, and the closed-form corr is a quotient of "
-    "identical doubles. The global-window state is 14 rows; at "
-    "100 TB this partitions by symbol/entity exactly like "
-    "rolling_mean_30.",
-    parts=8,
-)
-def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    daily = (
-        events.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(
-            dround(
-                F.sum(
-                    F.when(F.col("event_type") == "view", F.col("value"))
-                    .otherwise(0.0)
-                ), 2,
-            ).alias("x"),
-            dround(
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "purchase", F.col("value")
-                    ).otherwise(0.0)
-                ), 2,
-            ).alias("y"),
-        )
-    )
-    w = Window.orderBy("day").rowsBetween(-13, 0)
-    win = daily.select(
-        "day",
-        F.count(F.lit(1)).over(w).alias("n"),
-        dround(F.sum("x").over(w), 2).alias("sx"),
-        dround(F.sum("y").over(w), 2).alias("sy"),
-        dround(F.sum(F.col("x") * F.col("x")).over(w), 4).alias("sxx"),
-        dround(F.sum(F.col("y") * F.col("y")).over(w), 4).alias("syy"),
-        dround(F.sum(F.col("x") * F.col("y")).over(w), 4).alias("sxy"),
-    )
-    corr = (
-        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    ) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    return (
-        win.filter(F.col("n") == 14)
-        .select("day", "n", dround(corr, 6).alias("corr_14"))
-        .orderBy("day")
-    )
-
-
-@_register(
-    "mad_anomalies",
-    f"""
-    WITH med AS (
-      SELECT event_type,
-             {sql_dround("quantile_cont(value, 0.5)", 4)} AS m
-      FROM events GROUP BY event_type
-    ), dev AS (
-      SELECT e.event_type,
-             {sql_dround("abs(e.value - med.m)", 4)} AS adev
-      FROM events e JOIN med USING (event_type)
-    ), mad AS (
-      SELECT event_type,
-             {sql_dround("quantile_cont(adev, 0.5)", 4)} AS mad
-      FROM dev GROUP BY event_type
-    )
-    SELECT d.event_type,
-           count(*) AS n,
-           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * mad.mad
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM dev d JOIN mad USING (event_type)
-    GROUP BY d.event_type
-    ORDER BY d.event_type
-    """,
-    doc="Robust anomaly counting via MAD (median absolute deviation): "
-    "per-type median, median of absolute deviations, then the "
-    "|x - m| > 3·1.4826·MAD outlier rule — the robust twin of "
-    "zscore_anomalies (one planted spike shifts a mean/stddev gate; "
-    "the median pair shrugs it off). Two exact-percentile passes "
-    "with the tiny per-type medians broadcast back into the scan "
-    "between them; both medians dround-ed before the comparison so "
-    "the outlier threshold is the identical double on both engines. "
-    "At 100 TB the exact percentile swaps for percentile_approx "
-    "(approx_quantile_gate bounds that error).",
-    parts=8,
-)
-def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events").select(
-        "event_type", "value"
-    )
-    med = events.groupBy("event_type").agg(
-        dround(F.percentile("value", F.lit(0.5)), 4).alias("m")
-    )
-    dev = events.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        dround(F.abs(F.col("value") - F.col("m")), 4).alias("adev"),
-    )
-    mad = dev.groupBy("event_type").agg(
-        dround(F.percentile("adev", F.lit(0.5)), 4).alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (
-                    F.col("adev") > 3 * 1.4826 * F.col("mad")
-                ).cast("long")
-            ).alias("n_outliers"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@_register(
-    "cms_heavy_hitters",
-    """
-    WITH ex AS (
-      SELECT user_id, t.i,
-             ('0x' || substr(md5(user_id::VARCHAR || ':' || t.i), 1, 4)
-             )::INTEGER % 256 AS bucket
-      FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) t
-    ), counters AS (
-      SELECT i, bucket, count(*) AS c FROM ex GROUP BY i, bucket
-    ), truth AS (
-      SELECT user_id, count(*) AS n_true
-      FROM events GROUP BY user_id
-      ORDER BY n_true DESC, user_id ASC LIMIT 10
-    ), probes AS (
-      SELECT truth.user_id, truth.n_true, t.i,
-             ('0x' || substr(md5(truth.user_id::VARCHAR || ':' || t.i),
-                             1, 4))::INTEGER % 256 AS bucket
-      FROM truth, (SELECT unnest([0, 1, 2, 3]) AS i) t
-    )
-    SELECT p.user_id, p.n_true, min(c.c) AS n_est
-    FROM probes p JOIN counters c ON p.i = c.i AND p.bucket = c.bucket
-    GROUP BY p.user_id, p.n_true
-    ORDER BY p.n_true DESC, p.user_id ASC
-    """,
-    doc="Count-Min sketch heavy hitters — the frequency-estimation "
-    "member of the mergeable-sketch family next to HLL "
-    "(hll_partial_rollup) and GK quantiles (approx_quantile_gate): "
-    "a d=4 × w=256 counter grid (md5-derived buckets, so BOTH "
-    "engines build the bit-identical sketch and the oracle checks "
-    "the ESTIMATES exactly, not just a pass flag), probed for the "
-    "exact top-10 users. CMS guarantees n_est ≥ n_true always and "
-    "n_est ≤ n_true + e·N/w w.h.p. — the sketch is 1024 counters "
-    "regardless of user cardinality, merges by cell-wise addition "
-    "(partial aggregation IS the merge), and at 100 TB replaces a "
-    "full (user, count) table wherever only heavy hitters matter.",
-    parts=8,
-)
-def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events").select("user_id")
-    d_rows = F.array(*[F.lit(i) for i in range(4)])
-
-    def bucket(uid_col, i_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            uid_col.cast("string"), F.lit(":"),
-                            i_col.cast("string"),
-                        )
-                    ), 1, 4,
-                ), 16, 10,
-            ).cast("int") % 256
-        )
-
-    ex = events.select(
-        "user_id", F.explode(d_rows).alias("i")
-    ).select("i", bucket(F.col("user_id"), F.col("i")).alias("bucket"))
-    counters = ex.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    truth = (
-        events.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_true"))
-        .orderBy(F.col("n_true").desc(), F.col("user_id").asc())
-        .limit(10)
-    )
-    probes = truth.select(
-        "user_id", "n_true", F.explode(d_rows).alias("i")
-    ).withColumn("bucket", bucket(F.col("user_id"), F.col("i")))
-    return (
-        probes.join(F.broadcast(counters), ["i", "bucket"])
-        .groupBy("user_id", "n_true")
-        .agg(F.min("c").alias("n_est"))
-        .orderBy(F.col("n_true").desc(), F.col("user_id").asc())
-    )
-
-
-@_register(
-    "sentiment_distribution",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, lang,
-             list_filter(
-               regexp_split_to_array(lower(trim(text)), '[^a-z0-9'']+'),
-               x -> x <> '') AS tokens
-      FROM documents
-    ), scored AS (
-      SELECT lang,
-             {sql_dround(
-                 "greatest(-1.0, least(1.0, "
-                 "(len(list_filter(tokens, "
-                 f"x -> x IN ({_sql_wordlist(POSITIVE_WORDS)}))) - "
-                 "len(list_filter(tokens, "
-                 f"x -> x IN ({_sql_wordlist(NEGATIVE_WORDS)}))))::DOUBLE "
-                 f"/ greatest(len(tokens), 1) * {SCALE}))", 4)} AS score
-      FROM toks
-    )
-    SELECT CASE WHEN score >= 0.05 THEN 'positive'
-                WHEN score <= -0.05 THEN 'negative'
-                ELSE 'neutral' END AS sentiment_label,
-           lang,
-           count(*) AS n_docs
-    FROM scored
-    GROUP BY 1, 2
-    ORDER BY sentiment_label, lang
-    """,
-    doc="The 'Distribution des sentiments' Lens panel (reference "
-    "kibana_saved_objects.ndjson): corpus sentiment histogram, here "
-    "split per language — label × lang counts in one aggregation "
-    "over the same JVM-side lexicon expression sentiment_docs "
-    "verifies per-doc. Map-side partial agg over a 15-cell output "
-    "domain; at 100 TB this is a free second aggregation on the "
-    "already-scored stream.",
-    parts=8,
-)
-def q_sentiment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    score = sentiment_score_expr("text")
-    return (
-        docs.select(sentiment_label(score).alias("sentiment_label"), "lang")
-        .groupBy("sentiment_label", "lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("sentiment_label", "lang")
-    )
-
-
-@_register(
-    "array_hof_kit",
-    f"""
-    SELECT vec_id,
-           len(embedding) AS dim,
-           {sql_dround("list_aggregate(embedding, 'min')::DOUBLE", 4)}
-             AS vmin,
-           {sql_dround("list_aggregate(embedding, 'max')::DOUBLE", 4)}
-             AS vmax,
-           len(list_filter(embedding, x -> x > 0)) AS n_pos,
-           {sql_dround(
-               "sqrt(list_aggregate(list_transform(embedding, "
-               "x -> x::DOUBLE * x::DOUBLE), 'sum'))", 4)} AS l2,
-           {sql_dround(
-               "list_aggregate(list_transform("
-               "list_zip(embedding, list_reverse(embedding)), "
-               "p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')", 4)}
-             AS self_rev_dot
-    FROM embeddings
-    WHERE vec_id < 50
-    ORDER BY vec_id
-    """,
-    doc="Array higher-order-function kit, exercised explicitly as a "
-    "checked surface (the HOFs the similarity/dedup operators use "
-    "internally): size, aggregate-min/max, lambda filter-count, "
-    "transform+aggregate (L2 norm), and zip_with against the "
-    "reversed self (Spark zip_with == DuckDB list_zip + transform). "
-    "All JVM-side expressions — HOFs evaluate interpreted (no "
-    "codegen), which is why the BULK vector math lives in "
-    "Arrow-batched numpy kernels; this kit covers the API surface "
-    "where per-row HOF cost is fine. Map-side only, zero shuffles "
-    "beyond the pushed vec_id filter.",
-    parts=8,
-)
-def q_array_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < 50
-    )
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return emb.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        dround(F.array_min(vd), 4).alias("vmin"),
-        dround(F.array_max(vd), 4).alias("vmax"),
-        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias(
-            "n_pos"
-        ),
-        dround(
-            F.sqrt(
-                F.aggregate(
-                    F.transform(vd, lambda x: x * x),
-                    F.lit(0.0),
-                    lambda a, v: a + v,
-                )
-            ), 4,
-        ).alias("l2"),
-        dround(
-            F.aggregate(
-                F.zip_with(vd, F.reverse(vd), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            ), 4,
-        ).alias("self_rev_dot"),
-    ).orderBy("vec_id")
-
-
-@_register(
-    "variant_shred_agg",
-    """
-    SELECT event_type,
-           count(k) AS n_with_k,
-           CAST(sum(k) AS BIGINT) AS sum_k,
-           min(k) AS min_k,
-           max(k) AS max_k
-    FROM (
-      SELECT event_type,
-             CAST(json_extract(props, '$.k') AS INTEGER) AS k
-      FROM events
-    )
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    doc="Schemaless JSON via Spark 4's VARIANT type: parse_json into "
-    "a variant column, try_variant_get the field, aggregate — the "
-    "no-schema-declared complement of json_extract_agg's "
-    "from_json(schema) path. VARIANT stores shredded binary JSON "
-    "(field access without re-parsing text per extraction, the "
-    "Snowflake/Delta variant design Spark 4 adopted), and "
-    "try_variant_get degrades missing/mistyped fields to null "
-    "(count(k) skips them) instead of failing the batch. At 100 TB "
-    "parse once → extract many is the difference between one "
-    "tokenizer pass and one per field.",
-)
-def q_variant_shred_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    return (
-        events.select(
-            "event_type",
-            F.try_variant_get(v, "$.k", "int").alias("k"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count("k").alias("n_with_k"),
-            F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@_register(
-    "simhash_accuracy",
-    "SELECT 'simhash_mean_hamming' AS metric, TRUE AS passed",
-    doc="SimHash estimator accuracy as a correctness gate — the last "
-    "approximation family without one (minhash_accuracy, "
-    "ann/ivf/pq/ivfpq_recall cover the others): on candidate pairs "
-    "whose exact hashed-shingle Jaccard is ≥ 0.9, the MEAN 64-bit "
-    "simhash Hamming distance must be ≤ 8, and at least one such "
-    "pair must exist. Measured mean ≈ 3 at sf0.01 AND sf0.1 "
-    "(worst single pair 11); independent random hashes average 32, "
-    "so a broken hash family or bit-packing regression fails "
-    "decisively — and a MEAN stays stable as the pair count grows "
-    "where a max-gate is an order statistic that eventually trips "
-    "(the minhash_accuracy lesson). Same candidate-only scan shape: "
-    "the full corpus is shingled once in the LSH pass, verify "
-    "hashes run on a broadcast semi-join of candidate docs.",
-    parts=8,
-)
-def q_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.dedup import (
-        hamming64,
-        hashed_ngram_jaccard,
-        minhash_lsh_pairs,
-        simhash64,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    cand = minhash_lsh_pairs(
-        docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    ).persist()
-    cand_ids = (
-        cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
-        .dropDuplicates(["doc_id"])
-    )
-    cdocs = docs.join(F.broadcast(cand_ids), "doc_id")
-    exact = hashed_ngram_jaccard(cand, cdocs, "doc_id", "text", shingle_n=3)
-    sh = cdocs.select(
-        "doc_id", simhash64(F.col("text"), 2).alias("sh")
-    ).filter(F.col("sh").isNotNull())
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    scored = (
-        exact.filter(F.col("jaccard") >= 0.9)
-        .join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(hamming64(F.col("sh_a"), F.col("sh_b")).alias("d"))
-    )
-    return scored.agg(
-        F.count(F.lit(1)).alias("n_pairs"), F.avg("d").alias("mean_d")
-    ).select(
-        F.lit("simhash_mean_hamming").alias("metric"),
-        ((F.col("n_pairs") >= 1) & (F.col("mean_d") <= 8.0)).alias("passed"),
-    )
-
-
-@_register(
-    "media_audio_features",
-    None,  # FFT band energies → not ANSI-SQL-expressible; rows-only
-    doc="REAL audio decode under the driver gate: 64 deterministic "
-    "PCM WAV payloads are synthesized from the events table "
-    "(sine frequency keyed by event value — genuine RIFF bytes, "
-    "not a fake codec), landed as a media frame, and pushed "
-    "through the actual mapInPandas decode pipeline with the "
-    "stdlib WAV codec (multimodal.wav_feature_decoder: RIFF chunk "
-    "parse → 12-dim duration/rms/zcr/spectral-band features). "
-    "Complements multimodal_features (which checks batch shapes "
-    "with the fake codec) by executing a real byte-level decoder "
-    "distributed; output is the per-asset feature dimensionality "
-    "and loudness ordering, stable across runs.",
-    parts=8,
-)
-def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import struct  # noqa: PLC0415
-
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.operators import (  # noqa: PLC0415
-        multimodal as mm,
-    )
-
-    events = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") < 64)
-        .select("event_id", "value")
-    )
-
-    def synth(batches):
-        rate = 4000
-        for pdf in batches:
-            payloads = []
-            for _, row in pdf.iterrows():
-                freq = 100.0 + (abs(float(row["value"])) % 50.0) * 20.0
-                n = rate // 4
-                sig = 0.4 * np.sin(
-                    2 * np.pi * freq * np.arange(n) / rate
-                )
-                pcm = (sig * 32767).astype("<i2").tobytes()
-                hdr = (
-                    b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
-                    + b"fmt " + struct.pack(
-                        "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
-                    )
-                    + b"data" + struct.pack("<I", len(pcm))
-                )
-                payloads.append(hdr + pcm)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["event_id"],
-                    "kind": "audio",
-                    "content": payloads,
-                    "format": "wav",
-                }
-            )
-
-    media = events.mapInPandas(
-        synth,
-        schema="media_id long, kind string, content binary, format string",
-    )
-    old = dict(mm._DECODERS)
-    try:
-        mm.register_decoder("audio", mm.wav_feature_decoder)
-        feats = mm.extract_features(media)
-    finally:
-        mm._DECODERS.clear()
-        mm._DECODERS.update(old)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        F.size("feature").alias("n_features"),
-        dround(F.element_at("feature", 4), 4).alias("rms"),
-    ).orderBy("media_id")
-
-
-@_register(
-    "dedup_clusters_star",
-    QUERIES["dedup_clusters"].oracle,  # same recursive-CTE ground truth
-    doc="Dedup clusters via alternating large-star/small-star "
-    "contraction (operators/dedup.connected_components_star) — the "
-    "O(log n)-round algorithm, driver-verified against the SAME "
-    "recursive-CTE oracle as the O(diameter) min-label propagation "
-    "in dedup_clusters. Same pair graph, same min-id component "
-    "labels, different round complexity: on a long-chain graph "
-    "propagation needs diameter rounds (capped at max_iter) while "
-    "star contraction halves every tree height per alternation — "
-    "the 100 TB choice when cluster topology is unknown.",
-    parts=8,
-)
-def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.dedup import (
-        connected_components_star,
-        hashed_ngram_jaccard,
-        minhash_lsh_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    cand = minhash_lsh_pairs(
-        docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    )
-    pairs = hashed_ngram_jaccard(cand, docs, "doc_id", "text", 3).filter(
-        F.col("jaccard") >= 0.9
-    )
-    cc = connected_components_star(pairs.select("id_a", "id_b"))
-    return cc.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-4 fourth wave — the remaining classic TPC-H plan shapes
-# (agg-derived semi-join, disjunctive pushdown, semi+anti chain,
-# scalar-subquery threshold), the Python UDTF / grouped-agg
-# pandas-UDF API surfaces, seasonal decomposition, a bigram LM, and
-# distributed image resize.
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "large_order_customers",
-    f"""
-    WITH big AS (
-      SELECT l_orderkey, sum(l_quantity) AS qty
-      FROM lineitem GROUP BY l_orderkey
-      HAVING sum(l_quantity) > 250
-    )
-    SELECT c.c_name, o.o_orderkey,
-           {sql_dround('o.o_totalprice', 2)} AS total_price,
-           {sql_dround('big.qty', 2)} AS total_qty
-    FROM orders o
-    JOIN big ON big.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    ORDER BY total_price DESC, o.o_orderkey
-    LIMIT 20
-    """,
-    doc="TPC-H Q18 shape (large-volume customers): orders whose line "
-    "quantities sum past a threshold, joined back to customers, "
-    "top-20 by price. The classic agg-derived semi-join — the "
-    "HAVING aggregate IS the filter set, computed once and joined, "
-    "never an IN-subquery that re-aggregates. At 100 TB the "
-    "lineitem agg shuffles on orderkey (free if bucketed), the "
-    "surviving set is tiny so AQE converts the orders join to a "
-    "broadcast at runtime, and the top-20 is a "
-    "TakeOrderedAndProject, never a global sort.",
-)
-def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity"
-    )
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 250)
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name"
-    )
-    return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select(
-            "c_name",
-            "o_orderkey",
-            dround(F.col("o_totalprice"), 2).alias("total_price"),
-            dround(F.col("qty"), 2).alias("total_qty"),
-        )
-        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
-        .limit(20)
-    )
-
-
-@_register(
-    "disjunctive_parts_revenue",
-    """
-    SELECT count(*) AS n_lines,
-           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
-                          * 100 + 0.5) AS BIGINT))
-                AS BIGINT) AS revenue_cents
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_size BETWEEN 1 AND 10
-           AND l.l_quantity BETWEEN 1 AND 11)
-       OR (p.p_size BETWEEN 11 AND 25
-           AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_size BETWEEN 26 AND 50
-           AND l.l_quantity BETWEEN 20 AND 30)
-    """,
-    doc="TPC-H Q19 shape (disjunctive predicates): revenue over an "
-    "OR-of-ANDs condition spanning BOTH join sides. The per-side "
-    "halves of each disjunct are still pushdown-able — Catalyst "
-    "derives l_quantity BETWEEN 1 AND 30 and p_size BETWEEN 1 AND "
-    "50 as scan-level filters from the OR, so neither table is read "
-    "in full — while the cross-side conjunctions evaluate after the "
-    "broadcast join. Revenue is summed as exact integer cents "
-    "(floor(x·100+0.5) per line before the sum) so the single-row "
-    "answer is bit-identical regardless of partition sum order.",
-)
-def q_disjunctive_parts_revenue(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
-    ps, lq = F.col("p_size"), F.col("l_quantity")
-    cond = (
-        (ps.between(1, 10) & lq.between(1, 11))
-        | (ps.between(11, 25) & lq.between(10, 20))
-        | (ps.between(26, 50) & lq.between(20, 30))
-    )
-    cents = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-    ).cast("long")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .filter(cond)
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(cents).alias("revenue_cents"),
-        )
-    )
-
-
-@_register(
-    "solo_late_supplier",
-    """
-    WITH late AS (
-      SELECT DISTINCT l.l_orderkey, l.l_suppkey
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      WHERE o.o_orderstatus = 'F'
-        AND l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
-    ), cand AS (
-      SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
-      WHERE EXISTS (
-        SELECT 1 FROM lineitem l2
-        WHERE l2.l_orderkey = l1.l_orderkey
-          AND l2.l_suppkey <> l1.l_suppkey)
-        AND NOT EXISTS (
-        SELECT 1 FROM late l3
-        WHERE l3.l_orderkey = l1.l_orderkey
-          AND l3.l_suppkey <> l1.l_suppkey)
-    )
-    SELECT s.s_name, count(*) AS numwait
-    FROM cand JOIN supplier s ON s.s_suppkey = cand.l_suppkey
-    GROUP BY s.s_name
-    ORDER BY numwait DESC, s.s_name
-    LIMIT 20
-    """,
-    doc="TPC-H Q21 shape (suppliers who kept orders waiting): in "
-    "finalized multi-supplier orders, the suppliers who were the "
-    "ONLY late one — a semi-join (another supplier participated) "
-    "chained with an anti-join (no OTHER supplier was late) on the "
-    "same equi-key with a suppkey inequality as residual. This is "
-    "the hardest classic join chain: both subqueries plan as "
-    "LeftSemi/LeftAnti on orderkey, never a count-then-filter "
-    "re-aggregation. At 100 TB everything co-partitions on "
-    "orderkey (one bucketed layout serves all three legs) and the "
-    "supplier dim broadcasts into the final count.",
-)
-def q_solo_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderstatus"
-    )
-    late = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(
-            (F.col("o_orderstatus") == "F")
-            & (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
-            )
-        )
-        .select("l_orderkey", "l_suppkey")
-        .dropDuplicates(["l_orderkey", "l_suppkey"])
-    )
-    a = late.alias("a")
-    other = li.select("l_orderkey", "l_suppkey").alias("b")
-    has_other = a.join(
-        other,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        "left_semi",
-    ).alias("a")
-    no_other_late = has_other.join(
-        late.alias("c"),
-        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
-        "left_anti",
-    )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name"
-    )
-    return (
-        no_other_late.join(
-            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
-        )
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), F.col("s_name"))
-        .limit(20)
-    )
-
-
-@_register(
-    "idle_customer_balance",
-    """
-    WITH thresh AS (
-      SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
-             / (100.0 * count(*)) AS ab
-      FROM customer WHERE c_acctbal > 0.0
-    ), cutoff AS (
-      SELECT max(o_orderdate) - INTERVAL 180 DAY AS cut FROM orders
-    )
-    SELECT c.c_nationkey, count(*) AS n_custs,
-           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
-                AS BIGINT) AS total_bal_cents
-    FROM customer c CROSS JOIN thresh
-    WHERE c.c_acctbal > thresh.ab
-      AND NOT EXISTS (
-        SELECT 1 FROM orders o CROSS JOIN cutoff
-        WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= cutoff.cut)
-    GROUP BY c.c_nationkey
-    ORDER BY c.c_nationkey
-    """,
-    doc="TPC-H Q22 shape (idle high-balance customers): customers "
-    "above the average positive balance with NO order in the last "
-    "180 days of history, grouped by nation. Two data-derived "
-    "scalars — the balance threshold and the recency cutoff — fold "
-    "in via the constant-key broadcast equi-join (a bare 1-row "
-    "crossJoin would plan BroadcastNestedLoopJoin), and the "
-    "recency check is an anti-join against the pre-filtered recent "
-    "orders. The threshold is an exact integer-cents quotient and "
-    "balances aggregate as exact cents, so membership at the "
-    "boundary can never differ between engines. At 100 TB the "
-    "anti-join shuffles on custkey; everything else is map-side.",
-)
-def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_acctbal"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate"
-    )
-    cents = lambda c: F.floor(c * 100 + 0.5).cast("long")  # noqa: E731
-    thresh = (
-        cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(
-            (
-                F.sum(cents(F.col("c_acctbal")))
-                / (100.0 * F.count(F.lit(1)))
-            ).alias("ab")
-        )
-        .withColumn("__k", _const_key(F.col("ab")))
-    )
-    cutoff = orders.agg(
-        (F.max("o_orderdate") - F.expr("INTERVAL 180 DAYS")).alias("cut")
-    ).withColumn("__k", _const_key(F.col("cut")))
-    recent = (
-        orders.withColumn("__k", _const_key(F.col("o_custkey")))
-        .join(F.broadcast(cutoff), "__k")
-        .filter(F.col("o_orderdate") >= F.col("cut"))
-        .select("o_custkey")
-    )
-    rich = (
-        cust.withColumn("__k", _const_key(F.col("c_custkey")))
-        .join(F.broadcast(thresh), "__k")
-        .filter(F.col("c_acctbal") > F.col("ab"))
-        .select("c_custkey", "c_nationkey", "c_acctbal")
-    )
-    idle = rich.join(
-        recent, rich.c_custkey == recent.o_custkey, "left_anti"
-    )
-    return (
-        idle.groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_custs"),
-            F.sum(cents(F.col("c_acctbal"))).alias("total_bal_cents"),
-        )
-        .orderBy("c_nationkey")
-    )
-
-
-@_register(
-    "udtf_word_index",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS t FROM documents
-    ), ex AS (
-      SELECT doc_id, unnest(t) AS word,
-             unnest(generate_series(0, len(t) - 1)) AS pos
-      FROM toks WHERE len(t) > 0
-    )
-    SELECT doc_id, word, min(pos) AS first_pos, count(*) AS n_occ
-    FROM ex
-    WHERE doc_id < 100
-    GROUP BY doc_id, word
-    ORDER BY doc_id, word
-    """,
-    doc="Python UDTF surface (§2.9 completed: UDF + UDAF + UDTF): a "
-    "user-defined TABLE function builds a per-document mini inverted "
-    "index — one input row expands to one row per distinct word with "
-    "its first position and occurrence count — consumed via SQL "
-    "LATERAL. UDTFs are the extension point for row-expanding logic "
-    "a built-in generator can't express (stateful parse, per-row "
-    "emission decisions); this one is deliberately SQL-replayable so "
-    "the driver's oracle can hash-check the full output. The UDTF "
-    "evaluates per-partition in one Python worker pass — no shuffle "
-    "is introduced by the expansion itself; the doc_id < 100 filter "
-    "bounds driver output, not the compute.",
-    parts=8,
-)
-def q_udtf_word_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re  # noqa: PLC0415
-
-    from pyspark.sql.functions import udtf  # noqa: PLC0415
-
-    @udtf(returnType="word string, first_pos int, n_occ long")
-    class WordIndex:
-        """Per-doc inverted-index rows from one text value.
-
-        Tokenization mirrors ``_word_toks`` exactly (lowercase, strip,
-        split on runs of non-[a-z0-9']) so the DuckDB oracle can
-        replay it with ``regexp_split_to_array``.
-        """
-
-        def eval(self, text: str):  # noqa: D102
-            toks = [
-                t
-                for t in re.split(r"[^a-z0-9']+", (text or "").strip().lower())
-                if t
-            ]
-            seen: dict = {}
-            for i, t in enumerate(toks):
-                if t in seen:
-                    seen[t][1] += 1
-                else:
-                    seen[t] = [i, 1]
-            for word, (first, n) in seen.items():
-                yield word, first, n
-
-    spark.udtf.register("word_index", WordIndex)
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < 100
-    )
-    docs.createOrReplaceTempView("__udtf_docs")
-    return spark.sql(
-        """
-        SELECT d.doc_id, w.word, w.first_pos, w.n_occ
-        FROM __udtf_docs d, LATERAL word_index(d.text) w
-        ORDER BY d.doc_id, w.word
-        """
-    )
-
-
-@_register(
-    "trimmed_mean_udaf",
-    """
-    WITH ranked AS (
-      SELECT event_type, value, event_id,
-             percent_rank() OVER (
-               PARTITION BY event_type
-               ORDER BY value, event_id) AS pr
-      FROM events
-    )
-    SELECT event_type,
-           count(*) AS n_kept,
-           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
-             / (10000.0 * count(*)) AS trimmed_mean
-    FROM ranked
-    WHERE pr >= 0.1 AND pr <= 0.9
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    doc="Grouped-aggregate pandas UDF (the UDAF leg of §2.9 — "
-    "applyInPandas covers grouped-MAP, this covers grouped-AGG): a "
-    "10%-trimmed mean of event values per type, the robust-mean "
-    "recipe a built-in can't express in one aggregate. The whole "
-    "group arrives as Arrow series; ranking ties break on event_id "
-    "so the kept set is deterministic, and the mean is an exact "
-    "integer fixed-point quotient — bit-identical to the SQL "
-    "window+filter replay. Grouped-agg UDFs need the full group in "
-    "one worker (no partial aggregation) — fine for bounded group "
-    "counts like event types; unbounded-cardinality keys should "
-    "pre-aggregate instead.",
-    parts=8,
-)
-def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
-
-    def kept_mask(v, eid):
-        # exact mirror of the SQL percent_rank()-window semantics,
-        # INCLUDING the degenerate groups: a 1-row group has pr=0
-        # (DuckDB defines percent_rank of a single row as 0) and a
-        # 2-row group has pr=[0,1] — both trim to empty, and such
-        # groups must VANISH like the oracle's WHERE clause makes
-        # them (the caller filters n_kept=0 rows out after the agg)
-        order = np.lexsort((eid.to_numpy(), v.to_numpy()))
-        n = len(order)
-        if n == 1:
-            return np.zeros(1, dtype=bool), order
-        pr = np.arange(n) / (n - 1)
-        keep = (pr >= 0.1) & (pr <= 0.9)
-        return keep, order
-
-    def trimmed_mean(v, eid):
-        keep, order = kept_mask(v, eid)
-        vv = v.to_numpy()[order][keep]
-        if len(vv) == 0:
-            return None
-        cents = np.floor(vv * 10000 + 0.5).astype("int64").sum()
-        return float(cents) / (10000.0 * len(vv))
-
-    def trimmed_count(v, eid):
-        keep, _ = kept_mask(v, eid)
-        return int(keep.sum())
-
-    trimmed_mean.__annotations__ = {
-        "v": pd.Series, "eid": pd.Series, "return": float
-    }
-    trimmed_count.__annotations__ = {
-        "v": pd.Series, "eid": pd.Series, "return": int
-    }
-    mean_udaf = pandas_udf(trimmed_mean, "double")
-    count_udaf = pandas_udf(trimmed_count, "long")
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "value", "event_id"
-    )
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            count_udaf(F.col("value"), F.col("event_id")).alias("n_kept"),
-            mean_udaf(F.col("value"), F.col("event_id")).alias(
-                "trimmed_mean"
-            ),
-        )
-        # oracle's WHERE pr BETWEEN .1 AND .9 makes fully-trimmed
-        # groups (1- and 2-row) disappear; mirror that here
-        .filter(F.col("n_kept") > 0)
-        .orderBy("event_type")
-    )
-
-
-@_register(
-    "seasonal_decompose",
-    f"""
-    WITH daily AS (
-      SELECT event_type, date_trunc('day', ts) AS day,
-             sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
-               / (10000.0 * count(*)) AS v
-      FROM events GROUP BY 1, 2
-    ), tr AS (
-      SELECT *,
-             avg(CAST(floor(v * 10000 + 0.5) AS BIGINT)) OVER (
-               PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-               / 10000.0 AS trend
-      FROM daily
-    ), se AS (
-      SELECT *,
-             avg(CAST(floor((v - trend) * 1000000 + 0.5) AS BIGINT)) OVER (
-               PARTITION BY event_type, dayofweek(day))
-               / 1000000.0 AS seasonal
-      FROM tr
-    )
-    SELECT event_type, day,
-           {sql_dround('v', 4)} AS daily,
-           {sql_dround('trend', 4)} AS trend,
-           {sql_dround('seasonal', 4)} AS seasonal,
-           {sql_dround('v - trend - seasonal', 4)} AS resid
-    FROM se
-    ORDER BY event_type, day
-    """,
-    doc="Classical additive seasonal decomposition (the moving-average "
-    "half of STL) per series: trend = centered 7-day rolling mean of "
-    "the daily aggregate, seasonal = day-of-week mean of the "
-    "detrended values, residual = remainder — the anomaly-detection "
-    "preprocessor for any daily KPI. Three aggregation levels, each "
-    "fixed-pointed before its sum (daily cents, trend and seasonal "
-    "as integer-lattice averages) so every engine adds exact "
-    "integers and divides identical doubles. Day-of-week is only a "
-    "PARTITION key, so Spark's 1=Sunday vs DuckDB's 0=Sunday origin "
-    "difference is immaterial (same equivalence classes). At 100 TB "
-    "the daily agg is the only corpus-sized shuffle; the windows "
-    "run over per-type day counts (bounded state).",
-)
-def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
-    )
-    fix = lambda c, s: F.floor(c * s + 0.5).cast("long")  # noqa: E731
-    daily = ev.groupBy("event_type", "day").agg(
-        (
-            F.sum(fix(F.col("value"), 10000))
-            / (10000.0 * F.count(F.lit(1)))
-        ).alias("v")
-    )
-    w_tr = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-3, 3)
-    )
-    tr = daily.withColumn(
-        "trend", F.avg(fix(F.col("v"), 10000)).over(w_tr) / 10000.0
-    )
-    w_se = Window.partitionBy("event_type", F.dayofweek("day"))
-    se = tr.withColumn(
-        "seasonal",
-        F.avg(fix(F.col("v") - F.col("trend"), 1000000)).over(w_se)
-        / 1000000.0,
-    )
-    return se.select(
-        "event_type",
-        "day",
-        dround(F.col("v"), 4).alias("daily"),
-        dround(F.col("trend"), 4).alias("trend"),
-        dround(F.col("seasonal"), 4).alias("seasonal"),
-        dround(
-            F.col("v") - F.col("trend") - F.col("seasonal"), 4
-        ).alias("resid"),
-    ).orderBy("event_type", "day")
-
-
-@_register(
-    "bigram_logprob_quality",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS t FROM documents
-    ), base AS (
-      SELECT doc_id, t FROM toks WHERE len(t) >= 2
-    ), bg AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               generate_series(1, len(t) - 1), i -> t[i])) AS w1,
-             unnest(list_transform(
-               generate_series(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i + 1])) AS b
-      FROM base
-    ), bc AS (
-      SELECT b, count(*) AS bc FROM bg GROUP BY b
-    ), uc AS (
-      SELECT w1, count(*) AS uc FROM bg GROUP BY w1
-    ), vocab AS (
-      SELECT count(DISTINCT w) AS v
-      FROM (SELECT unnest(t) AS w FROM toks)
-    ), scored AS (
-      SELECT bg.doc_id,
-             {sql_dround('ln((bc.bc + 1.0) / (uc.uc + vocab.v))', 6)} AS lp
-      FROM bg JOIN bc USING (b) JOIN uc USING (w1) CROSS JOIN vocab
-    )
-    SELECT doc_id, count(*) AS n_bigrams,
-           {sql_dround('sum(lp)', 6)} / count(*) AS mean_logprob
-    FROM scored GROUP BY doc_id ORDER BY doc_id
-    """,
-    doc="Bigram language-model quality score with add-one smoothing — "
-    "the conditional-probability upgrade of unigram_logprob_quality "
-    "(one rung up the CCNet/KenLM ladder): each doc's mean "
-    "ln P(w_i | w_{{i-1}}) under the corpus's own bigram counts. "
-    "Bigrams build JVM-side (zip_with over sliced token arrays, no "
-    "Python), context counts come from the same bigram rows, and "
-    "the vocabulary size folds in via the data-derived constant-key "
-    "broadcast. Per-position log-probs are dround(6)-fixed BEFORE "
-    "the per-doc sum. At 100 TB both count tables are "
-    "vocabulary-bounded (distinct bigrams ≪ corpus positions) — "
-    "broadcastable or bucketed — and the only corpus-sized "
-    "exchanges are the two count aggregations.",
-    parts=8,
-)
-def q_bigram_logprob_quality(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    base = docs.select("doc_id", _word_toks().alias("t")).filter(
-        F.size("t") >= 2
-    )
-    bgrows = base.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("t", 1, F.size("t") - 1),
-                F.slice("t", 2, F.size("t") - 1),
-                lambda a, b: F.struct(
-                    a.alias("w1"),
-                    F.concat(a, F.lit(" "), b).alias("b"),
-                ),
-            )
-        ).alias("x"),
-    ).select("doc_id", F.col("x.w1").alias("w1"), F.col("x.b").alias("b"))
-    bc = bgrows.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
-    uc = bgrows.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
-    vocab = (
-        docs.select("doc_id", _word_toks().alias("t"))
-        .select(F.explode("t").alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
-        .withColumn("__k", _const_key(F.col("v")))
-    )
-    uc_v = (
-        uc.withColumn("__k", _const_key(F.col("w1")))
-        .join(F.broadcast(vocab), "__k")
-        .drop("__k")
-    )
-    scored = (
-        bgrows.join(uc_v, "w1")
-        .join(bc, "b")
-        .select(
-            "doc_id",
-            dround(
-                F.log((F.col("bc") + 1.0) / (F.col("uc") + F.col("v"))), 6
-            ).alias("lp"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (dround(F.sum("lp"), 6) / F.count(F.lit(1))).alias(
-                "mean_logprob"
-            ),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "media_image_resize",
-    None,  # byte-level pixel resample → not ANSI-SQL-expressible
-    doc="Distributed image resize under the driver gate — the "
-    "byte-touching half of the multimodal resize path "
-    "(resize_metadata plans target dims JVM-side; this executes "
-    "the resample): 48 genuine 24-bit BMP payloads are synthesized "
-    "from the events table (gradient + stripe pattern keyed by "
-    "event value), decoded with the stdlib BMP codec, downscaled "
-    "by exact nearest-neighbor sampling (multimodal.resize_nearest) "
-    "inside one mapInPandas pass, and reduced to per-asset "
-    "dimensions + mean-luma stats. Payloads never leave the "
-    "executor: the map emits only small numeric rows, the shape a "
-    "100 TB thumbnail/feature job must have. Deterministic end to "
-    "end (integer source-index sampling), so row values are stable "
-    "across runs; correctness of the kernel itself is pinned "
-    "against a pure-numpy reference in tests/test_multimodal.py.",
-    parts=8,
-)
-def q_media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import struct  # noqa: PLC0415
-
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.operators import (  # noqa: PLC0415
-        multimodal as mm,
-    )
-
-    events = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") < 48)
-        .select("event_id", "value")
-    )
-
-    def synth_bmp(w, h, seed_val):
-        # deterministic gradient + vertical stripe keyed by the value
-        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
-        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
-        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
-        b = np.where(
-            (xx + int(abs(seed_val)) % w) % 4 < 2, 255, 0
-        ).astype(np.uint8)
-        px = np.stack([r, g, b], axis=-1)  # RGB
-        row_bytes = (w * 3 + 3) & ~3
-        pad = row_bytes - w * 3
-        body = b"".join(
-            px[y, :, ::-1].tobytes() + b"\x00" * pad  # BGR rows
-            for y in range(h - 1, -1, -1)  # bottom-up
-        )
-        hdr = (
-            b"BM"
-            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
-            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
-                          len(body), 2835, 2835, 0, 0)
-        )
-        return hdr + body
-
-    def pipeline(batches):
-        for pdf in batches:
-            out = []
-            for mid, val in zip(pdf["event_id"], pdf["value"]):
-                payload = synth_bmp(12, 9, float(val))
-                px = mm.bmp_decode(payload)
-                small = mm.resize_nearest(px, 6)
-                luma = (
-                    0.2126 * px[..., 0].astype(np.float64)
-                    + 0.7152 * px[..., 1]
-                    + 0.0722 * px[..., 2]
-                )
-                sl = (
-                    0.2126 * small[..., 0].astype(np.float64)
-                    + 0.7152 * small[..., 1]
-                    + 0.0722 * small[..., 2]
-                )
-                out.append(
-                    (
-                        int(mid),
-                        px.shape[1],
-                        px.shape[0],
-                        small.shape[1],
-                        small.shape[0],
-                        float(np.floor(luma.mean() * 100 + 0.5) / 100),
-                        float(np.floor(sl.mean() * 100 + 0.5) / 100),
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id", "width", "height",
-                    "resized_width", "resized_height",
-                    "luma_full", "luma_resized",
-                ],
-            )
-
-    return events.mapInPandas(
-        pipeline,
-        schema=(
-            "media_id long, width int, height int, resized_width int, "
-            "resized_height int, luma_full double, luma_resized double"
-        ),
-    ).orderBy("media_id")
-
-
-@_register(
-    "sliding_distinct_users_7d",
-    """
-    WITH days AS (
-      SELECT DISTINCT event_type, date_trunc('day', ts) AS day
-      FROM events
-    ), tri AS (
-      SELECT DISTINCT event_type, user_id,
-             date_trunc('day', ts) AS day
-      FROM events
-    ), contrib AS (
-      SELECT DISTINCT t.event_type, t.user_id, d.day AS window_end
-      FROM tri t JOIN days d
-        ON d.event_type = t.event_type
-       AND d.day BETWEEN t.day AND t.day + INTERVAL 6 DAY
-    )
-    SELECT event_type, window_end, count(DISTINCT user_id) AS n_users
-    FROM contrib
-    GROUP BY event_type, window_end
-    ORDER BY event_type, window_end
-    """,
-    doc="Trailing-7-day distinct active users per type per day — the "
-    "sliding-window COUNT DISTINCT that window functions cannot "
-    "express (DISTINCT isn't frame-mergeable). The scale-correct "
-    "plan: dedup events to (type, user, day) triples FIRST (the "
-    "corpus-sized shuffle happens on the small deduped key set), "
-    "then each triple explodes to the ≤7 window-ends it feeds — a "
-    "bounded 7× fan-out of the TRIPLES, not the events — and a "
-    "semi-join against observed days prunes phantom window ends. "
-    "Contrast with hll_partial_rollup, which answers the same "
-    "question approximately with mergeable sketches and no fan-out; "
-    "this is the exact twin. The DuckDB oracle states the semantics "
-    "as a range join; the engine form is the explode (equi-joins "
-    "only — a range join would re-scan per window).",
-)
-def q_sliding_distinct_users_7d(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "user_id",
-        F.date_trunc("day", "ts").alias("day"),
-    )
-    tri = ev.dropDuplicates(["event_type", "user_id", "day"])
-    days = ev.select("event_type", "day").dropDuplicates()
-    contrib = tri.select(
-        "event_type",
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("day"),
-                F.col("day") + F.expr("INTERVAL 6 DAYS"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("window_end"),
-    ).join(
-        days.withColumnRenamed("day", "window_end"),
-        ["event_type", "window_end"],
-        "left_semi",
-    )
-    return (
-        contrib.groupBy("event_type", "window_end")
-        .agg(F.countDistinct("user_id").alias("n_users"))
-        .orderBy("event_type", "window_end")
-    )
-
-
-@_register(
-    "chunk_dedup",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
-    ), base AS (
-      SELECT doc_id, tokens, len(tokens) AS n
-      FROM toks WHERE len(tokens) >= 1
-    ), chunks AS (
-      SELECT doc_id,
-             unnest(generate_series(0, n - 1, {_CHUNK_S})) AS st,
-             tokens, n
-      FROM base
-    ), hashed AS (
-      SELECT doc_id, st,
-             md5(array_to_string(
-               tokens[st + 1 : st + {_CHUNK_W}], ' ')) AS h
-      FROM chunks
-    ), ranked AS (
-      SELECT doc_id, st, h,
-             row_number() OVER (
-               PARTITION BY h ORDER BY doc_id, st) AS rn
-      FROM hashed
-    )
-    SELECT doc_id,
-           count(*) AS n_chunks,
-           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_kept,
-           {sql_dround(
-               "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)"
-               " * 1.0 / count(*)", 4)} AS kept_frac
-    FROM ranked
-    GROUP BY doc_id
-    ORDER BY doc_id
-    """,
-    doc="Chunk-level exact dedup across documents — the "
-    "paragraph-dedup recipe (RefinedWeb/CCNet drop repeated "
-    "paragraphs CORPUS-wide, not just whole-doc dups) applied to "
-    "the engine's token-window chunks: hash every chunk, keep the "
-    "first occurrence per hash (deterministic (doc_id, offset) "
-    "order), report each doc's surviving fraction — the signal that "
-    "flags boilerplate-heavy sources before training. Plan: chunks "
-    "build map-side (same zero-shuffle shape as doc_chunking), the "
-    "only corpus-sized exchange is the hash window, whose per-key "
-    "state is the duplicate multiplicity. At 100 TB the md5 (16 "
-    "bytes) replaces chunk text through the shuffle.",
-    parts=8,
-)
-def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    base = (
-        docs.select("doc_id", _word_toks().alias("toks"))
-        .withColumn("n", F.size("toks"))
-        .filter(F.col("n") >= 1)
-    )
-    hashed = base.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_S))
-        ).alias("st"),
-        "toks",
-    ).select(
-        "doc_id",
-        "st",
-        F.md5(
-            F.array_join(
-                F.slice(F.col("toks"), F.col("st") + 1, F.lit(_CHUNK_W)),
-                " ",
-            )
-        ).alias("h"),
-    )
-    w = Window.partitionBy("h").orderBy("doc_id", "st")
-    ranked = hashed.withColumn("rn", F.row_number().over(w))
-    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
-    return (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            kept.alias("n_kept"),
-            dround(
-                kept * F.lit(1.0) / F.count(F.lit(1)), 4
-            ).alias("kept_frac"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "asof_forward_attribution",
-    """
-    SELECT a.event_id, a.user_id, a.ts,
-           b.ts AS matched_ts, b.value AS next_purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'view') a
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
-      ON a.user_id = b.user_id AND b.ts >= a.ts
-    """,
-    doc="Forward as-of join: every view gets the user's NEXT purchase "
-    "(value + timestamp) — the attribution question asked "
-    "forward in time, completing the merge_asof direction family "
-    "(asof_purchase_value covers backward; nearest is "
-    "pandas-cross-checked in tests/test_asof.py). Same one-exchange "
-    "union + running-window plan, with the frame flipped to "
-    "[current, +inf) and the tie order inverted so an equal-ts "
-    "purchase still matches (inclusive). Oracle: DuckDB ASOF LEFT "
-    "JOIN with the >= inequality, which selects the nearest "
-    "FOLLOWING right row.",
-)
-def q_asof_forward_attribution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.asof import asof_join
-
-    events = load_table(spark, sf_dir, "events")
-    views = events.filter(F.col("event_type") == "view").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    return asof_join(
-        views,
-        purchases,
-        on=["user_id"],
-        ts_col="ts",
-        value_cols=["value"],
-        direction="forward",
-    ).withColumnRenamed("value", "next_purchase_value")
-
-
-@_register(
-    "char_entropy_quality",
-    f"""
-    WITH ch AS (
-      SELECT doc_id, unnest(string_split(text, '')) AS c
-      FROM documents WHERE text <> ''
-    ), cnt AS (
-      SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
-    ), tot AS (
-      SELECT doc_id, k,
-             sum(k) OVER (PARTITION BY doc_id) AS n
-      FROM cnt
-    )
-    SELECT doc_id,
-           CAST(max(n) AS BIGINT) AS n_chars_counted,
-           {sql_dround(
-               "sum(" + sql_dround(
-                   "-(k * 1.0 / n) * ln(k * 1.0 / n)", 6) + ")", 4)}
-             AS entropy
-    FROM tot
-    GROUP BY doc_id
-    ORDER BY doc_id
-    """,
-    doc="Character-level Shannon entropy per document — the "
-    "third independent quality axis next to the LM scores "
-    "(distributional fit) and repetition fractions (local "
-    "structure): encrypted/binary-ish junk scores near the uniform "
-    "maximum, single-character spam near zero, natural text in a "
-    "narrow band — a cheap screen both tails fail. Per-class "
-    "-p·ln p terms are dround(6)-fixed before the per-doc sum "
-    "(p = k/n is an exact integer quotient in both engines). Plan: "
-    "one (doc, char) count — alphabet-bounded per doc — and a "
-    "doc-partitioned window; a single exchange on doc_id at any "
-    "scale.",
-    parts=8,
-)
-def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    # empty-string text filtered on BOTH sides: DuckDB's
-    # string_split('','') yields [''] (a phantom 1-char doc) where
-    # Spark's split produces only removable empties — excluding
-    # empty docs up front keeps the engines aligned AND entropy
-    # well-defined
-    ch = (
-        docs.filter(F.col("text") != "")
-        .select(
-            "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
-        )
-        .filter(F.col("c") != "")
-    )
-    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
-    w = Window.partitionBy("doc_id")
-    tot = cnt.withColumn("n", F.sum("k").over(w))
-    p = F.col("k") * 1.0 / F.col("n")
-    term = dround(-p * F.log(p), 6)
-    return (
-        tot.groupBy("doc_id")
-        .agg(
-            F.max("n").cast("long").alias("n_chars_counted"),
-            dround(F.sum(term), 4).alias("entropy"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "top_revenue_suppliers",
-    """
-    WITH rev AS (
-      SELECT l_suppkey,
-             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
-                            * 100 + 0.5) AS BIGINT))
-                  AS BIGINT) AS total_cents
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1996-04-01'
-      GROUP BY l_suppkey
-    ), mx AS (
-      SELECT max(total_cents) AS m FROM rev
-    )
-    SELECT s.s_suppkey, s.s_name, rev.total_cents
-    FROM rev CROSS JOIN mx
-    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
-    WHERE rev.total_cents = mx.m
-    ORDER BY s.s_suppkey
-    """,
-    doc="TPC-H Q15 shape (top supplier): quarterly revenue per "
-    "supplier, then ONLY the supplier(s) achieving the maximum — "
-    "the aggregate-of-aggregate pattern where the inner result is "
-    "consumed twice (once to find the max, once to filter). The "
-    "1-row max folds back via the data-derived constant-key "
-    "broadcast; revenue accumulates as exact integer cents so "
-    "'equal to the max' is a well-defined predicate (a float "
-    "revenue tie is engine-dependent at the last ulp — the "
-    "original Q15's VIEW formulation has exactly this trap). At "
-    "100 TB the per-supplier agg is the only corpus-sized "
-    "exchange; rev is supplier-cardinality and re-used, not "
-    "recomputed, in both consumers.",
-)
-def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
-    )
-    cents = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-    ).cast("long")
-    rev = (
-        li.filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1996-04-01")
-        )
-        .groupBy("l_suppkey")
-        .agg(F.sum(cents).alias("total_cents"))
-    )
-    mx = rev.agg(F.max("total_cents").alias("m")).withColumn(
-        "__k", _const_key(F.col("m"))
-    )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name"
-    )
-    return (
-        rev.withColumn("__k", _const_key(F.col("l_suppkey")))
-        .join(F.broadcast(mx), "__k")
-        .filter(F.col("total_cents") == F.col("m"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_cents")
-        .orderBy("s_suppkey")
-    )
-
-
-@_register(
-    "small_quantity_revenue",
-    """
-    WITH pavg AS (
-      SELECT l_partkey, 0.2 * avg(l_quantity) AS threshold
-      FROM lineitem GROUP BY l_partkey
-    )
-    SELECT count(*) AS n_lines,
-           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
-                         AS BIGINT)) AS BIGINT) AS price_cents
-    FROM lineitem l
-    JOIN pavg ON pavg.l_partkey = l.l_partkey
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#1'
-      AND l.l_quantity < pavg.threshold
-    """,
-    doc="TPC-H Q17 shape (small-quantity orders): lines of one brand "
-    "below 20% of their part's average quantity — the correlated "
-    "scalar aggregate (per-part avg) decorrelated into a group-by "
-    "plus self-join, the rewrite Catalyst itself applies to "
-    "correlated subqueries. The avg-based threshold is "
-    "engine-exact without any fixing: quantities are integers, so "
-    "the per-part sum is an exact integer in IEEE double REGARDLESS "
-    "of partition sum order (every intermediate < 2^53), and "
-    "0.2 · (exact/n) is the same double on both engines. At 100 TB "
-    "both lineitem passes bucket by partkey (one co-partitioned "
-    "layout serves the agg and the join); the brand filter "
-    "broadcasts.",
-)
-def q_small_quantity_revenue(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    pavg = li.groupBy("l_partkey").agg(
-        (0.2 * F.avg("l_quantity")).alias("threshold")
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_brand") == "Brand#1"
-    ).select("p_partkey")
-    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    return (
-        li.join(pavg, "l_partkey")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .filter(F.col("l_quantity") < F.col("threshold"))
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(cents).alias("price_cents"),
-        )
-    )
-
-
-@_register(
-    "grouping_sets_custom",
-    """
-    SELECT grouping(event_type) * 2 + grouping(first_half) AS gid,
-           event_type, first_half,
-           count(*) AS n,
-           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
-                AS BIGINT) AS v_fix
-    FROM (
-      SELECT event_type, day(ts) <= 15 AS first_half, value
-      FROM events
-    )
-    GROUP BY GROUPING SETS ((event_type), (first_half), ())
-    ORDER BY gid, event_type, first_half
-    """,
-    doc="Explicit GROUPING SETS — the third member of the family next "
-    "to ROLLUP (rollup_order_totals) and CUBE (cube_event_stats): an "
-    "arbitrary, non-hierarchical set list ((type), (half-month), "
-    "()) that neither shorthand generates, labeled with GROUPING() "
-    "so consumers can tell a grouped-out NULL from a data NULL — "
-    "the detail the raw NULL-filled output loses. One pass, one "
-    "Expand (allowlisted: the Expand IS the operator), identical "
-    "set semantics in both engines. The grand-total row makes the "
-    "single-pass property visible: three aggregation granularities, "
-    "one scan.",
-)
-def q_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        (F.dayofmonth("ts") <= 15).alias("first_half"),
-        "value",
-    )
-    ev.createOrReplaceTempView("__gs_events")
-    # DataFrame API has rollup/cube but no arbitrary grouping sets —
-    # SQL is the surface for the general form
-    return spark.sql(
-        """
-        SELECT grouping(event_type) * 2 + grouping(first_half) AS gid,
-               event_type, first_half,
-               count(*) AS n,
-               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS v_fix
-        FROM __gs_events
-        GROUP BY GROUPING SETS ((event_type), (first_half), ())
-        ORDER BY gid, event_type, first_half
-        """
-    )
-
-
-@_register(
-    "map_hof_kit",
-    """
-    WITH daily AS (
-      SELECT event_type, date_trunc('day', ts) AS day,
-             count(*) AS cnt
-      FROM events GROUP BY 1, 2
-    )
-    SELECT event_type,
-           count(*) AS n_days,
-           CAST(sum(CASE WHEN cnt >= 66 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_busy_days,
-           CAST(sum(cnt) * 2 AS BIGINT) AS doubled_total
-    FROM daily
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    doc="Map higher-order-function kit (completing the HOF surface "
-    "next to array_hof_kit): per type, daily counts are packed into "
-    "a day→count MAP column (map_from_entries over collect_list), "
-    "then interrogated with map_filter (busy days), transform_values "
-    "(doubling), map_values + aggregate (total) — the Spark ops a "
-    "feature-store 'latest map per key' column needs. The DuckDB "
-    "oracle states the same scalars straight off the daily table: "
-    "the map is REPRESENTATION, not semantics, and the hash gate "
-    "proves the round-trip through the map ops loses nothing. "
-    "Map columns stay executor-side; only small scalars leave.",
-    parts=8,
-)
-def q_map_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    )
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    packed = daily.groupBy("event_type").agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("day", "cnt")))
-        ).alias("m")
-    )
-    busy = F.map_filter(F.col("m"), lambda k, v: v >= 66)
-    doubled = F.transform_values(F.col("m"), lambda k, v: v * 2)
-    return packed.select(
-        "event_type",
-        F.size("m").alias("n_days"),
-        F.size(busy).alias("n_busy_days"),
-        F.aggregate(
-            F.map_values(doubled), F.lit(0).cast("long"), lambda a, v: a + v
-        ).alias("doubled_total"),
-    ).orderBy("event_type")
-
-
-@_register(
-    "media_frame_sample",
-    f"""
-    WITH base AS (
-      SELECT event_id AS media_id,
-             32 + (event_id % 5) * 16 AS n_frames
-      FROM events WHERE event_id < 40
-    ), frames AS (
-      SELECT media_id, n_frames,
-             unnest(generate_series(0, n_frames - 1, 10)) AS frame_index
-      FROM base
-    )
-    SELECT media_id, frame_index,
-           least(16, 64 - (frame_index % 64)) AS n_frame_bytes
-    FROM frames
-    ORDER BY media_id, frame_index
-    """,
-    doc="Video frame-sampling plumbing under the driver gate "
-    "(previously pytest-only): every-Nth-frame selection of video "
-    "assets via the mapInPandas path (multimodal.sample_frames) — "
-    "the row explosion happens INSIDE the Arrow batch, so full "
-    "frames never ship through a JVM explode; emitted rows carry "
-    "only (media_id, frame_index, frame_bytes). The frame decode "
-    "itself is the documented stub (deterministic byte slice — "
-    "pyav territory); what the oracle CAN check exactly is the "
-    "sampling contract: which frame indices surface per asset and "
-    "the sampled-frame byte length, replayed by a SQL "
-    "generate_series. Payload synthesized from events metadata "
-    "(n_frames keyed by event_id), 40 assets.",
-    parts=8,
-)
-def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators import (  # noqa: PLC0415
-        multimodal as mm,
-    )
-
-    events = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") < 40)
-        .select(
-            F.col("event_id").alias("media_id"),
-            F.lit("video").alias("kind"),
-            # deterministic fake payload bytes; the decode step is the
-            # documented stub, the SAMPLING contract is what's gated
-            F.encode(
-                F.rpad(
-                    F.concat(F.lit("payload_"), F.col("event_id")), 64, "x"
-                ),
-                "utf-8",
-            ).alias("content"),
-            (32 + (F.col("event_id") % 5) * 16)
-            .cast("int")
-            .alias("n_frames"),
-        )
-    )
-    sampled = mm.sample_frames(events, every_nth=10)
-    return sampled.select(
-        "media_id",
-        "frame_index",
-        F.length("frame_bytes").cast("int").alias("n_frame_bytes"),
-    ).orderBy("media_id", "frame_index")
-
-
-@_register(
-    "important_parts",
-    """
-    WITH pv AS (
-      SELECT l_partkey,
-             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
-                           AS BIGINT)) AS BIGINT) AS value_cents
-      FROM lineitem GROUP BY l_partkey
-    ), tot AS (
-      SELECT sum(value_cents) AS t, count(*) AS n FROM pv
-    )
-    SELECT pv.l_partkey, pv.value_cents
-    FROM pv CROSS JOIN tot
-    WHERE pv.value_cents * tot.n * 2 > 3 * tot.t
-    ORDER BY pv.value_cents DESC, pv.l_partkey
-    """,
-    doc="TPC-H Q11 shape (important stock): parts whose total line "
-    "value exceeds 1.5x the mean per-part value — HAVING against "
-    "scalar aggregates of the same aggregation, the "
-    "fraction-of-total filter every concentration report needs "
-    "(stated relative to the mean so the selectivity is "
-    "scale-free: a fixed global fraction returns nothing once the "
-    "part count outgrows it). "
-    "The per-part aggregate is computed ONCE and consumed twice "
-    "(summed to the total, filtered against it); the 1-row total "
-    "folds back via the constant-key broadcast. The comparison is "
-    "integer cross-multiplication (2·value·n > 3·total) — no "
-    "floating division, so the threshold is exact at any scale. At "
-    "100 TB the partkey agg is the only corpus-sized exchange.",
-)
-def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_extendedprice"
-    )
-    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
-    tot = pv.agg(
-        F.sum("value_cents").alias("t"), F.count(F.lit(1)).alias("n")
-    ).withColumn("__k", _const_key(F.col("t")))
-    return (
-        pv.withColumn("__k", _const_key(F.col("l_partkey")))
-        .join(F.broadcast(tot), "__k")
-        .filter(F.col("value_cents") * F.col("n") * 2 > 3 * F.col("t"))
-        .select("l_partkey", "value_cents")
-        .orderBy(F.col("value_cents").desc(), F.col("l_partkey"))
-    )
-
-
-@_register(
-    "supplier_variety",
-    """
-    SELECT p.p_type, p.p_size % 10 AS size_mod,
-           count(DISTINCT l.l_suppkey) AS n_suppliers
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE NOT EXISTS (
-      SELECT 1 FROM supplier s
-      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0
-    )
-    GROUP BY p.p_type, size_mod
-    ORDER BY p.p_type, size_mod
-    """,
-    doc="TPC-H Q16 shape (supplier variety): distinct suppliers per "
-    "(type, size-class) EXCLUDING a blacklist derived from another "
-    "table (negative-balance suppliers standing in for Q16's "
-    "complaint-pattern NOT IN). The exclusion is an anti-join "
-    "against the tiny filtered dim — never a NOT IN subquery per "
-    "row — and the distinct count shuffles on the composite group "
-    "key. At 100 TB the blacklist broadcasts, part broadcasts, and "
-    "the (group, suppkey) dedup is the only corpus-sized exchange.",
-)
-def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey"
-    )
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_type", (F.col("p_size") % 10).alias("size_mod")
-    )
-    bad = load_table(spark, sf_dir, "supplier").filter(
-        F.col("s_acctbal") < 0
-    ).select("s_suppkey")
-    return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_type", "size_mod")
-        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
-        .orderBy("p_type", "size_mod")
-    )
-
-
-@_register(
-    "datasketches_kit",
-    """
-    SELECT event_type AS item, count(*) AS cnt, TRUE AS hll_ok
-    FROM events GROUP BY event_type
-    ORDER BY cnt DESC, item
-    """,
-    doc="Apache DataSketches SQL surface (Spark 4's sketch family "
-    "beyond approx_count_distinct/percentile_approx): approx_top_k "
-    "heavy hitters and hll_sketch_agg/hll_sketch_estimate distinct "
-    "counting, both MERGEABLE sketches — the property that makes "
-    "them the 100 TB answer (map-side partials union losslessly; "
-    "the exact top-k needs a full groupBy first). Gated exactly "
-    "where exactness is guaranteed: with the tracked-item budget "
-    "above the domain size, approx_top_k's counts ARE exact and "
-    "hash-match the SQL counts (k also covers the domain, so no "
-    "k-boundary tie can be resolved sketch-internally against the "
-    "oracle's lexicographic break); the HLL estimate is "
-    "bounds-checked (±5% of the exact distinct plus an absolute "
-    "slack of 6, computed in the same pass) and "
-    "reported as a boolean the oracle pins TRUE — the same "
-    "gate-the-approximation pattern as approx_distinct_per_day, "
-    "cms_heavy_hitters, and approx_quantile_gate.",
-)
-def q_datasketches_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "user_id"
-    )
-    agg = ev.agg(
-        # k covers the whole (small) domain: a tied count at the
-        # k-boundary is resolved sketch-internally, NOT pinned by the
-        # oracle's lexicographic tie-break — covering the domain makes
-        # the result set tie-free by construction while still gating
-        # the sketch's exact-count guarantee
-        F.expr("approx_top_k(event_type, 10)").alias("topk"),
-        F.expr(
-            "hll_sketch_estimate(hll_sketch_agg(user_id, 12))"
-        ).alias("est"),
-        F.countDistinct("user_id").alias("exact"),
-    )
-    # relative bound + absolute slack, the approx_distinct_per_day
-    # pattern: at tiny cardinalities 5% of exact is < 1 and would
-    # demand bit-exactness from an estimator
-    hll_ok = (
-        F.abs(F.col("est") - F.col("exact"))
-        <= 0.05 * F.col("exact") + 6
-    ).alias("hll_ok")
-    return (
-        agg.select(F.explode("topk").alias("e"), hll_ok)
-        .select(
-            F.col("e.item").alias("item"),
-            F.col("e.count").alias("cnt"),
-            "hll_ok",
-        )
-        .orderBy(F.col("cnt").desc(), F.col("item"))
-    )
-
-
-def _bpe_pieces(spark: SparkSession, sf_dir: str):
-    """Shared BPE pipeline: train merges on the corpus vocabulary
-    (driver-side, vocabulary-sized — see functions/bpe.py), encode
-    every doc distributed. Returns (docs-with-pieces, merges)."""
-    from yahoofinancedatalake_spark.functions.bpe import (  # noqa: PLC0415
-        bpe_encode_udf,
-        corpus_word_freqs,
-        train_bpe,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    base = docs.select("doc_id", _word_toks().alias("toks")).filter(
-        F.size("toks") >= 1
-    )
-    freqs = corpus_word_freqs(base, F.col("toks"))
-    merges = train_bpe(freqs, n_merges=60)
-    enc = bpe_encode_udf(merges)
-    return base.withColumn("pieces", enc(F.col("toks"))), merges
-
-
-@_register(
-    "bpe_token_count",
-    None,  # iterative merge replay → not ANSI-SQL-expressible
-    doc="REAL byte-pair encoding under the driver gate (upgrading "
-    "token_count's BPE-STYLE pre-token regex to the actual merge "
-    "algorithm): 60 merges trained on the corpus's own "
-    "word-frequency table (driver-side on the vocabulary-sized "
-    "aggregate — the IVF-training placement argument; GPT-2's 50k "
-    "merges are trained exactly once on exactly this shape), then "
-    "every document encoded distributed via an Arrow-batched "
-    "encoder with a per-executor word memo (Zipfian reuse → memo "
-    "hit rate ≈ 1). Output: per-doc word count, BPE piece count, "
-    "and the pieces-per-word compression ratio — the token-budget "
-    "number a training-data pipeline actually bills by. "
-    "Deterministic (lexicographic tie-break in training) but "
-    "iterative, hence rows-only; the algebraic invariants are "
-    "hash-gated by bpe_roundtrip_gate and the trainer/encoder pair "
-    "is cross-checked against a pure-python reference in pytest.",
-    parts=8,
-)
-def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    enc, _ = _bpe_pieces(spark, sf_dir)
-    return enc.select(
-        "doc_id",
-        F.size("toks").alias("n_words"),
-        F.size("pieces").alias("n_bpe_tokens"),
-        dround(
-            F.size("pieces") / F.size("toks").cast("double"), 4
-        ).alias("pieces_per_word"),
-    ).orderBy("doc_id")
-
-
-@_register(
-    "bpe_roundtrip_gate",
-    "SELECT 'bpe_roundtrip' AS metric, TRUE AS passed",
-    doc="BPE correctness gate (the approximation-family pattern "
-    "applied to a tokenizer): over EVERY document, (1) lossless "
-    "round-trip — concatenating each doc's BPE pieces and deleting "
-    "the end-of-word sentinels must reproduce exactly the "
-    "concatenation of its words (checked distributed with one "
-    "string comparison per doc), and (2) compression sanity — "
-    "piece count per doc is never below the word count's lower "
-    "bound (one piece per word) nor above characters+words (the "
-    "no-merge ceiling). A tokenizer that drops, duplicates, or "
-    "reorders a single character anywhere in the corpus fails the "
-    "gate; the driver's oracle pins passed=TRUE.",
-    parts=8,
-)
-def q_bpe_roundtrip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.functions.bpe import EOW  # noqa: PLC0415
-
-    enc, _ = _bpe_pieces(spark, sf_dir)
-    joined_words = F.array_join(F.col("toks"), "")
-    rebuilt = F.replace(
-        F.array_join(F.col("pieces"), ""), F.lit(EOW), F.lit("")
-    )
-    n_chars = F.length(joined_words)
-    ok = (
-        (rebuilt == joined_words)
-        & (F.size("pieces") >= F.size("toks"))
-        & (F.size("pieces") <= n_chars + F.size("toks"))
-    )
-    return enc.agg(
-        F.lit("bpe_roundtrip").alias("metric"),
-        F.min(ok.cast("boolean")).alias("passed"),
-    )
-
-
-@_register(
-    "cluster_canonical_docs",
-    None,  # filled in below — composes the dedup_clusters oracle
-    doc="Canonical-document selection per near-dup cluster: the "
-    "keep-LONGEST policy (the common production alternative to "
-    "prep.py's keep-min-id — longer near-dups usually carry the "
-    "superset content), expressed as an arg-max window over the "
-    "connected components joined with doc length. Output: one row "
-    "per multi-member cluster with its canonical doc, member count, "
-    "and the characters the policy keeps vs the cluster total — the "
-    "audit numbers a dedup run reports. Oracle: the SAME recursive-"
-    "CTE component closure as dedup_clusters, wrapped with the "
-    "identical join+argmax — policy change is pure relational "
-    "algebra on top of the verified cluster labels. At 100 TB the "
-    "extra cost over dedup_clusters is one broadcast join against "
-    "doc metadata and a window over cluster-sized groups.",
-    parts=8,
-)
-def q_cluster_canonical_docs(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs_meta = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars"
-    )
-    cc = QUERIES["dedup_clusters"].spark(spark, sf_dir)
-    labeled = cc.join(F.broadcast(docs_meta), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    ranked = labeled.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
-                "canonical_doc_id"
-            ),
-            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
-                "kept_chars"
-            ),
-            F.sum("n_chars").alias("total_chars"),
-        )
-        .filter(F.col("n_members") > 1)
-        .orderBy("cluster_id")
-    )
-
-
-# the oracle wraps dedup_clusters' recursive-CTE closure with the same
-# join + argmax; registered after the fact because it references the
-# already-registered oracle text
-QUERIES["cluster_canonical_docs"] = Query(
-    name="cluster_canonical_docs",
-    spark=QUERIES["cluster_canonical_docs"].spark,
-    doc=QUERIES["cluster_canonical_docs"].doc,
-    oracle=f"""
-    WITH labeled AS (
-      SELECT t.doc_id, t.cluster_id, d.n_chars,
-             row_number() OVER (
-               PARTITION BY t.cluster_id
-               ORDER BY d.n_chars DESC, t.doc_id ASC) AS rn
-      FROM ({QUERIES["dedup_clusters"].oracle}) t
-      JOIN documents d USING (doc_id)
-    )
-    SELECT cluster_id,
-           count(*) AS n_members,
-           max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
-           max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM labeled
-    GROUP BY cluster_id
-    HAVING count(*) > 1
-    ORDER BY cluster_id
-    """,
-)
-
-
-@_register(
-    "set_ops_kit",
-    """
-    WITH p1 AS (
-      SELECT DISTINCT user_id FROM events
-      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
-    ), p2 AS (
-      SELECT DISTINCT user_id FROM events
-      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
-    )
-    SELECT 'both' AS segment, user_id
-    FROM (SELECT user_id FROM p1 INTERSECT SELECT user_id FROM p2)
-    UNION ALL
-    SELECT 'p1_only', user_id
-    FROM (SELECT user_id FROM p1 EXCEPT SELECT user_id FROM p2)
-    UNION ALL
-    SELECT 'p2_only', user_id
-    FROM (SELECT user_id FROM p2 EXCEPT SELECT user_id FROM p1)
-    ORDER BY segment, user_id
-    """,
-    doc="Set operators completing §2.7 (union_split covers UNION): "
-    "INTERSECT and EXCEPT between two periods' user sets, labeled "
-    "into the churn segmentation every retention report starts from "
-    "(retained / churned / new). Spark plans INTERSECT as a "
-    "LeftSemi and EXCEPT as a LeftAnti over the deduped inputs — "
-    "set semantics as joins, shuffling only the distinct keys; "
-    "contrast with period_reconcile_full_outer, which answers the "
-    "same comparison via one FULL OUTER join when per-side "
-    "aggregates are also wanted. At 100 TB all three branches reuse "
-    "the two deduped key sets.",
-)
-def q_set_ops_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    cut = "2024-01-16 00:00:00"
-    p1 = ev.filter(F.col("ts") < cut).select("user_id").distinct()
-    p2 = ev.filter(F.col("ts") >= cut).select("user_id").distinct()
-    both = p1.intersect(p2).select(
-        F.lit("both").alias("segment"), "user_id"
-    )
-    only1 = p1.exceptAll(p2).select(
-        F.lit("p1_only").alias("segment"), "user_id"
-    )
-    only2 = p2.exceptAll(p1).select(
-        F.lit("p2_only").alias("segment"), "user_id"
-    )
-    return both.unionByName(only1).unionByName(only2).orderBy(
-        "segment", "user_id"
-    )
-
-
-# ---------------------------------------------------------------------------
-# X1 (completed r5) — VADER-faithful sentiment rule engine
-# ---------------------------------------------------------------------------
-
-
-def _vader_sql_case(col: str, d: dict[str, float]) -> str:
-    """``CASE <col> WHEN 'w' THEN v ... ELSE NULL END`` from a dict."""
-    whens = " ".join(
-        f"WHEN '{k}' THEN {float(v)!r}" for k, v in d.items()
-    )
-    return f"CASE {col} {whens} ELSE NULL END"
-
-
-def _vader_sql_neg(col: str) -> str:
-    from yahoofinancedatalake_spark.functions.vader import NEGATORS  # noqa: PLC0415
-
-    words = ", ".join(f"'{w}'" for w in sorted(NEGATORS))
-    return f"({col} IN ({words}) OR {col} LIKE '%n''t')"
-
-
-def _vader_oracle_sql() -> str:
-    from yahoofinancedatalake_spark.functions import vader as V  # noqa: PLC0415
-
-    isupper = "(s <> '' AND s = upper(s) AND s <> lower(s))"
-    lexw = _vader_sql_case("w", V.VADER_LEXICON)
-    lex1 = _vader_sql_case("pw1", V.VADER_LEXICON)
-    lex2 = _vader_sql_case("pw2", V.VADER_LEXICON)
-    lex3 = _vader_sql_case("pw3", V.VADER_LEXICON)
-    b1 = _vader_sql_case("pw1", V.BOOSTERS)
-    b2 = _vader_sql_case("pw2", V.BOOSTERS)
-    b3 = _vader_sql_case("pw3", V.BOOSTERS)
-    n1, n2, n3 = (_vader_sql_neg(c) for c in ("pw1", "pw2", "pw3"))
-
-    def s_j(j: int, damp: float) -> str:
-        return f"""CASE WHEN a{j} AND b{j} IS NOT NULL THEN
-            ((CASE WHEN v0 < 0 THEN -b{j} ELSE b{j} END)
-             + CASE WHEN pc{j} AND capdiff
-                    THEN (CASE WHEN v0 > 0 THEN {V.C_INCR} ELSE {-V.C_INCR} END)
-                    ELSE 0.0 END) * {damp}
-          ELSE 0.0 END"""
-
-    qm_n = "(length(text) - length(replace(text, '?', '')))"
-    # the same pre-tokenization idiom merge the engine applies
-    # (functions/vader.py IDIOM_MERGES), generated from the same
-    # tuples: case-preserving capture-group re-emit, global flag
-    tok_src = "text"
-    for seq in V.IDIOM_MERGES:
-        repl = "-".join(f"\\{i}" for i in range(1, len(seq) + 1))
-        tok_src = (
-            f"regexp_replace({tok_src}, '{V.idiom_pattern(seq)}', "
-            f"'{repl}', 'g')"
-        )
-    return f"""
-    WITH base AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0 THEN 'never so good but ' ELSE '' END
-             || replace(replace(coalesce(text, ''), 'slow', 'not slow'),
-                        'fast', 'very FAST')
-             || CASE WHEN doc_id % 11 = 0 THEN ' only kind of good' ELSE '' END
-             || CASE WHEN doc_id % 13 = 0 THEN ' it is THE BOMB' ELSE '' END
-             || CASE WHEN doc_id % 17 = 0 THEN ' yeah right' ELSE '' END
-             || repeat('!', CAST(doc_id % 5 AS INT)) AS text
-      FROM documents
-    ), raw AS (
-      SELECT doc_id, text,
-             list_filter(regexp_split_to_array(trim({tok_src}), '\\s+'),
-                         x -> x <> '') AS toks
-      FROM base
-    ), tok AS (
-      SELECT doc_id,
-             generate_subscripts(toks, 1) AS i,
-             regexp_replace(unnest(toks),
-                '^[^A-Za-z0-9'']+|[^A-Za-z0-9'']+$', '', 'g') AS s
-      FROM raw
-    ), feat AS (
-      SELECT doc_id, i, lower(s) AS w, {isupper} AS c,
-             lag(lower(s), 1) OVER win AS pw1,
-             lag(lower(s), 2) OVER win AS pw2,
-             lag(lower(s), 3) OVER win AS pw3,
-             coalesce(lag({isupper}, 1) OVER win, false) AS pc1,
-             coalesce(lag({isupper}, 2) OVER win, false) AS pc2,
-             coalesce(lag({isupper}, 3) OVER win, false) AS pc3,
-             count(*) OVER (PARTITION BY doc_id) AS n_tok,
-             sum(CASE WHEN {isupper} THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id) AS n_caps,
-             min(CASE WHEN lower(s) = 'but' THEN i END)
-               OVER (PARTITION BY doc_id) AS but_i
-      FROM tok
-      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-    ), lv AS (
-      SELECT doc_id, i, c, pw1, pw2, pw3, pc1, pc2, pc3, but_i,
-             (n_caps > 0 AND n_caps < n_tok) AS capdiff,
-             coalesce({lexw}, 0.0) AS v0,
-             ({lex1}) IS NULL AS nolex1,
-             ({lex2}) IS NULL AS nolex2,
-             ({lex3}) IS NULL AS nolex3,
-             {b1} AS b1, {b2} AS b2, {b3} AS b3
-      FROM feat
-    ), step AS (
-      SELECT doc_id, i, but_i, v0, pw1, pw2, pw3,
-             v0 + CASE WHEN c AND capdiff
-                       THEN CASE WHEN v0 > 0 THEN {V.C_INCR}
-                                 WHEN v0 < 0 THEN {-V.C_INCR}
-                                 ELSE 0.0 END
-                       ELSE 0.0 END AS v1,
-             {s_j(1, V.DAMP[0])} AS s1,
-             {s_j(2, V.DAMP[1])} AS s2,
-             {s_j(3, V.DAMP[2])} AS s3,
-             CASE WHEN a1 AND {n1} THEN {V.N_SCALAR} ELSE 1.0 END AS m1,
-             CASE WHEN a2 AND pw2 = 'never' AND pw1 IN ('so', 'this')
-                    THEN {V.NEVER_SO}
-                  WHEN a2 AND pw2 = 'without' AND pw1 = 'doubt' THEN 1.0
-                  WHEN a2 AND {n2} THEN {V.N_SCALAR}
-                  ELSE 1.0 END AS m2,
-             CASE WHEN a3 AND pw3 = 'never'
-                       AND (pw2 IN ('so', 'this') OR pw1 IN ('so', 'this'))
-                    THEN {V.NEVER_SO}
-                  WHEN a3 AND pw3 = 'without'
-                       AND (pw2 = 'doubt' OR pw1 = 'doubt') THEN 1.0
-                  WHEN a3 AND {n3} THEN {V.N_SCALAR}
-                  ELSE 1.0 END AS m3,
-             CASE WHEN v0 <> 0 AND pw1 = 'least'
-                       AND (pw2 IS NULL OR pw2 NOT IN ('at', 'very'))
-                    THEN {V.N_SCALAR} ELSE 1.0 END AS lm,
-             CASE WHEN but_i IS NOT NULL AND i < but_i THEN {V.BUT_BEFORE}
-                  WHEN but_i IS NOT NULL AND i > but_i THEN {V.BUT_AFTER}
-                  ELSE 1.0 END AS bm
-      FROM (
-        SELECT *,
-               (v0 <> 0 AND pw1 IS NOT NULL AND nolex1) AS a1,
-               (v0 <> 0 AND pw2 IS NOT NULL AND nolex2) AS a2,
-               (v0 <> 0 AND pw3 IS NOT NULL AND nolex3) AS a3
-        FROM lv
-      )
-    ), agg AS (
-      SELECT doc_id,
-             sum((((v1 + s1) * m1 + s2) * m2 + s3) * m3 * lm * bm) AS ssum
-      FROM step GROUP BY doc_id
-    ), fin AS (
-      SELECT b.doc_id,
-             coalesce(a.ssum, 0.0) AS s,
-             least(length(b.text) - length(replace(b.text, '!', '')),
-                   {V.EP_CAP}) * {V.EP_UNIT}
-             + CASE WHEN {qm_n.replace('text', 'b.text')} > 3 THEN {V.QM_CAP}
-                    WHEN {qm_n.replace('text', 'b.text')} > 1
-                      THEN {qm_n.replace('text', 'b.text')} * {V.QM_UNIT}
-                    ELSE 0.0 END AS pe
-      FROM base b LEFT JOIN agg a USING (doc_id)
-    )
-    SELECT doc_id, compound,
-           CASE WHEN compound >= 0.05 THEN 'positive'
-                WHEN compound <= -0.05 THEN 'negative'
-                ELSE 'neutral' END AS sentiment_label
-    FROM (
-      SELECT doc_id,
-             {sql_dround(
-                 "greatest(-1.0, least(1.0, s2 / sqrt(s2 * s2 + "
-                 + str(V.ALPHA) + ")))", 4)} AS compound
-      FROM (
-        SELECT doc_id,
-               CASE WHEN s > 0 THEN s + pe
-                    WHEN s < 0 THEN s - pe
-                    ELSE s END AS s2
-        FROM fin
-      )
-    )
-    """
-
-
-@_register(
-    "vader_sentiment",
-    _vader_oracle_sql(),
-    doc="X1 completed (r4 VERDICT 'What's missing' #3): the VADER "
-    "sentiment rule engine — booster/dampener window with distance "
-    "damping, negation (incl. n't contractions, 'never so/this' and "
-    "'without doubt' specials), 'least' check, ALL-CAPS emphasis under "
-    "cap-mix, but-clause reweighting, !/? amplification, alpha=15 "
-    "normalization (Hutto & Gilbert 2014; finnhub_news.py:27-51) — as "
-    "pure codegen'd array expressions, replayed token-for-token by a "
-    "DuckDB window-lag oracle generated from the same constant dicts. "
-    "The synthetic corpus is deterministically annotated from doc_id "
-    "arithmetic (injected negation, booster+caps, '!' runs, leading "
-    "but-clause) so every rule path is data-exercised in both engines. "
-    "Scale: one narrow projection, no shuffle before the final hash — "
-    "the per-token fold is a sequential array aggregate inside "
-    "whole-stage codegen.",
-    parts=8,
-)
-def q_vader_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.functions.vader import (  # noqa: PLC0415
-        with_vader_compound,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    aug = F.concat(
-        F.when(F.col("doc_id") % 7 == 0, F.lit("never so good but "))
-        .otherwise(F.lit("")),
-        F.replace(
-            F.replace(
-                F.coalesce(F.col("text"), F.lit("")),
-                F.lit("slow"),
-                F.lit("not slow"),
-            ),
-            F.lit("fast"),
-            F.lit("very FAST"),
-        ),
-        # idiom-rule exercise (r6): a dampener idiom, a caps'd
-        # sentiment idiom, and a negative idiom — merged by the
-        # engine's pre-tokenization pass and by the oracle's
-        # generated regexp_replace chain identically
-        F.when(F.col("doc_id") % 11 == 0, F.lit(" only kind of good"))
-        .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 13 == 0, F.lit(" it is THE BOMB"))
-        .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 17 == 0, F.lit(" yeah right"))
-        .otherwise(F.lit("")),
-        F.repeat(F.lit("!"), (F.col("doc_id") % 5).cast("int")),
-    )
-    scored = with_vader_compound(
-        docs.withColumn("_aug", aug),
-        "_aug",
-        compound_col="compound",
-        label_col="sentiment_label",
-    )
-    return scored.select("doc_id", "compound", "sentiment_label")
-
-
-# ---------------------------------------------------------------------------
-# Extension (r5) — nearest-centroid classifier: supervised train+predict
-# fully under the value-hash oracle gate
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "centroid_classifier",
-    f"""
-    WITH tr AS (
-      SELECT label, pos, {sql_dround("embedding[pos]::DOUBLE", 4)} AS x
-      FROM (
-        SELECT label, embedding,
-               unnest(generate_series(1, len(embedding))) AS pos
-        FROM embeddings WHERE vec_id % 5 <> 0
-      )
-    ), cent AS (
-      SELECT label, pos, {sql_dround("sum(x)", 2)} / count(*) AS c
-      FROM tr GROUP BY label, pos
-    ), cnorm AS (
-      SELECT label, sum({sql_dround("c * c", 6)}) AS nc
-      FROM cent GROUP BY label
-    ), te AS (
-      SELECT vec_id, actual, pos, {sql_dround("embedding[pos]::DOUBLE", 4)} AS x
-      FROM (
-        SELECT vec_id, label AS actual, embedding,
-               unnest(generate_series(1, len(embedding))) AS pos
-        FROM embeddings WHERE vec_id % 5 = 0
-      )
-    ), tnorm AS (
-      SELECT vec_id, sum({sql_dround("x * x", 6)}) AS nt
-      FROM te GROUP BY vec_id
-    ), dots AS (
-      SELECT te.vec_id, te.actual, cent.label AS plabel,
-             sum({sql_dround("te.x * cent.c", 6)}) AS dot
-      FROM te JOIN cent USING (pos)
-      GROUP BY te.vec_id, te.actual, cent.label
-    ), sims AS (
-      SELECT d.vec_id, d.actual, d.plabel,
-             {sql_dround("d.dot / sqrt(t.nt * n.nc)", 4)} AS score
-      FROM dots d
-      JOIN tnorm t USING (vec_id)
-      JOIN cnorm n ON n.label = d.plabel
-    )
-    SELECT vec_id, actual AS label, plabel AS pred_label, score
-    FROM sims
-    QUALIFY row_number() OVER (
-      PARTITION BY vec_id ORDER BY score DESC, plabel ASC) = 1
-    """,
-    doc="Supervised nearest-centroid (Rocchio) classifier with the "
-    "ENTIRE train+predict pipeline under the value-hash oracle: "
-    "deterministic 80/20 split on vec_id, per-label mean embedding "
-    "as the fitted model, cosine argmax with (score DESC, label ASC) "
-    "tie-break. Exactly SQL-replayable where an iteratively-fitted "
-    "model is not — the engine's supervised-classification twin of "
-    "label_centroids' monitoring surface. The synthetic corpus's "
-    "labels are uncorrelated with embedding geometry (holdout = the "
-    "0.1 random floor, same as 1-NN), so this gate pins mechanics "
-    "value-exactly; learnability is proven in pytest on planted "
-    "separable clusters. Scale: training shuffles (label x dim) map-"
-    "partial sums; the 10x64 model broadcasts via a constant-key "
-    "BroadcastHashJoin and inference is a codegen'd sequential array "
-    "fold per row — no exchange in the scoring pass at 100 TB.",
-    parts=8,
-)
-def q_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (  # noqa: PLC0415
-        nearest_centroid_classify,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)
-    train = emb.filter(F.col("vec_id") % 5 != 0)
-    test = emb.filter(F.col("vec_id") % 5 == 0)
-    return nearest_centroid_classify(train, test)
-
-
-# ---------------------------------------------------------------------------
-# TPC-H shape completions (r5): Q7 / Q9 / Q10 / Q14 / Q20 forms
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "nation_trade_volume",
-    f"""
-    SELECT sn.n_name AS supp_nation,
-           cn.n_name AS cust_nation,
-           year(l.l_shipdate) AS l_year,
-           {sql_dround("sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
-             AS revenue
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-    WHERE sn.n_name <> cn.n_name
-      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY 1, 2, 3
-    """,
-    doc="TPC-H Q7 shape (volume shipping): cross-nation trade flows — "
-    "supplier nation x customer nation x ship-year revenue over a "
-    "two-year window, excluding domestic flows. 100 TB plan: the two "
-    "nation aliases, supplier and customer broadcast; lineitem⋈orders "
-    "is the only shuffle; the pushed l_shipdate range prunes the fact "
-    "scan; output domain nations² x 2 years aggregates map-side.",
-)
-def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sn = nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    cn = nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-    )
-    return joined.groupBy(
-        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-    ).agg(
-        dround(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue")
-    )
-
-
-@_register(
-    "product_profit_yearly",
-    f"""
-    SELECT n.n_name AS nation,
-           year(l.l_shipdate) AS l_year,
-           {sql_dround(
-               "sum(l.l_extendedprice * (1 - l.l_discount)"
-               " - 0.6 * p.p_retailprice * l.l_quantity)", 4)}
-             AS profit
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE p.p_name LIKE '%rod%'
-    GROUP BY 1, 2
-    """,
-    doc="TPC-H Q9 shape (product-type profit): per supplier-nation, "
-    "per ship-year margin on a part-name family — revenue minus a "
-    "0.6 x retail-price x quantity cost proxy (the synthetic schema "
-    "has no partsupp table, same adaptation as important_parts/Q11). "
-    "part/supplier/nation broadcast; the name filter prunes part "
-    "BEFORE the broadcast so only matching partkeys reach the probe.",
-)
-def q_product_profit_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_shipdate",
-        "l_extendedprice", "l_discount", "l_quantity",
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like("%rod%")
-    ).select("p_partkey", "p_retailprice")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-    )
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("nation", F.year("l_shipdate").alias("l_year"))
-        .agg(dround(F.sum(amount), 4).alias("profit"))
-    )
-
-
-@_register(
-    "returned_item_customers",
-    f"""
-    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           {sql_dround("sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
-             AS revenue
-    FROM customer c
-    JOIN orders o ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
-    GROUP BY 1, 2, 3
-    ORDER BY revenue DESC, c_custkey ASC
-    LIMIT 20
-    """,
-    doc="TPC-H Q10 shape (returned-item reporting): the 20 customers "
-    "who returned the most revenue in one quarter. Revenue per "
-    "customer aggregates map-side after the lineitem⋈orders shuffle "
-    "(returnflag + quarter filters pushed to the scans); top-20 is a "
-    "TakeOrderedAndProject with the custkey tie-break, never a "
-    "global sort.",
-)
-def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
-    ).select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
-    )
-    nat = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", F.col("n_name").alias("nation")
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "nation")
-        .agg(
-            dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-    )
-
-
-@_register(
-    "promo_revenue_monthly",
-    f"""
-    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
-           {sql_dround(
-               "100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN "
-               "l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) "
-               "/ sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
-             AS promo_share_pct
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY 1
-    """,
-    doc="TPC-H Q14 shape (promotion effect): the PROMO-type share of "
-    "revenue per ship-month across one year — the conditional-"
-    "aggregate-over-total ratio form. One broadcast (part) + one "
-    "map-side-combined aggregation over 12 output rows; both sums "
-    "ride the same shuffled bytes.",
-)
-def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-    ).select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
-        .agg(
-            dround(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
-                "promo_share_pct"
-            )
-        )
-    )
-
-
-@_register(
-    "excess_rod_suppliers",
-    f"""
-    WITH per_supp AS (
-      SELECT s.s_suppkey, s.s_name,
-             {sql_dround("sum(l.l_quantity)", 4)} AS rod_qty
-      FROM lineitem l
-      JOIN part p ON l.l_partkey = p.p_partkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      WHERE p.p_name LIKE '%rod%'
-        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      GROUP BY 1, 2
-    ), thresh AS (
-      SELECT {sql_dround("avg(rod_qty)", 4)} AS avg_qty FROM per_supp
-    )
-    SELECT ps.s_suppkey, ps.s_name, ps.rod_qty, t.avg_qty
-    FROM per_supp ps, thresh t
-    WHERE ps.rod_qty > t.avg_qty
-    """,
-    doc="TPC-H Q20 shape (excess-inventory suppliers), adapted to the "
-    "partsupp-less synthetic schema: suppliers whose shipped quantity "
-    "of a part-name family in one year exceeds the cross-supplier "
-    "average — the aggregate-vs-aggregate-of-aggregates HAVING form. "
-    "Both sides of the comparison are dround-fixed so the knife-edge "
-    "supplier-equal-to-average case cannot flip across engines. The "
-    "1-row threshold folds back via the data-derived constant-key "
-    "BroadcastHashJoin (a bare crossJoin would plan BNLJ).",
-    parts=8,
-)
-def q_excess_rod_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-    ).select("l_partkey", "l_suppkey", "l_quantity")
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like("%rod%")
-    ).select("p_partkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    per_supp = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .groupBy("s_suppkey", "s_name")
-        .agg(dround(F.sum("l_quantity"), 4).alias("rod_qty"))
-    )
-    thresh = per_supp.agg(
-        dround(F.avg("rod_qty"), 4).alias("avg_qty")
-    ).withColumn("__k", _const_key(F.col("avg_qty")))
-    return (
-        per_supp.withColumn("__k", _const_key(F.col("s_suppkey")))
-        .join(F.broadcast(thresh), "__k")
-        .filter(F.col("rod_qty") > F.col("avg_qty"))
-        .select("s_suppkey", "s_name", "rod_qty", "avg_qty")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Streaming rung 9 (r5): sliding-window distinct users
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "stream_sliding_distinct_batch_eq",
-    """
-    WITH tri AS (
-      SELECT DISTINCT event_type, user_id,
-             date_trunc('day', ts) AS day
-      FROM events
-    ), contrib AS (
-      SELECT DISTINCT event_type, user_id,
-             day - k.k * INTERVAL 1 DAY AS window_start
-      FROM tri, (SELECT unnest(generate_series(0, 6)) AS k) k
-    )
-    SELECT event_type, window_start, count(DISTINCT user_id) AS n_users
-    FROM contrib
-    GROUP BY 1, 2
-    """,
-    doc="Streaming rung 9 under the ORACLE gate: trailing-7-day "
-    "distinct active users per type per sliding window position — "
-    "the sliding COUNT DISTINCT streaming aggregation cannot express "
-    "(count(DISTINCT) is unsupported on streams, DISTINCT is not "
-    "frame-mergeable). The streaming plan makes the window expansion "
-    "STATELESS (each triple explodes to its <= 7 window starts) so "
-    "the distinct becomes one dropDuplicates at (type, user, "
-    "window_start) granularity followed by a plain window count — "
-    "expand-then-dedup, because dedup-at-day-then-count counts a "
-    "user once per active day (measured wrong on the first "
-    "prototype). Re-landed parquet, availableNow replay, complete "
-    "mode to a memory sink, hash-compared against the batch "
-    "generate_series oracle. Sibling of the exact batch twin "
-    "sliding_distinct_users_7d (which also prunes phantom window "
-    "ends) and the mergeable-sketch answer hll_partial_rollup.",
-    parts=8,
-)
-def q_stream_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
-        stream_sliding_distinct,
-    )
-
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    work = tempfile.mkdtemp(prefix="stream_slide_eq_")
-    src = f"{work}/events"
-    batch.repartition(4).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
-    name = f"s_slide_eq_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle(spark, 8):
-        q = (
-            stream_sliding_distinct(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q)
-    return spark.table(name)
-
-
-@_register(
-    "revenue_delta_q6",
-    f"""
-    SELECT {sql_dround(
-        "sum(l_extendedprice * l_discount)", 4)} AS revenue_delta,
-           count(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    doc="TPC-H Q6 shape (forecast revenue change): the pure scan-and-"
-    "aggregate — three pushed predicates (year range, discount band, "
-    "quantity cap), no join, one global sum. The plan IS the "
-    "benchmark: every filter must reach the parquet scan "
-    "(PushedFilters), the aggregation is a two-phase partial, and "
-    "the exchange carries exactly one row per task.",
-    parts=8,
-)
-def q_revenue_delta_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-        & F.col("l_discount").between(0.05, 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    return li.agg(
-        dround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-            "revenue_delta"
-        ),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-@_register(
-    "cheapest_supplier_per_part",
-    f"""
-    WITH offers AS (
-      SELECT l.l_partkey, l.l_suppkey,
-             {sql_dround("min(l.l_extendedprice / l.l_quantity)", 4)}
-               AS unit_price
-      FROM lineitem l
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      JOIN nation n ON s.s_nationkey = n.n_nationkey
-      JOIN region r ON n.n_regionkey = r.r_regionkey
-      WHERE r.r_name = 'ASIA' AND l.l_quantity > 0
-      GROUP BY 1, 2
-    )
-    SELECT p.p_partkey, p.p_name, o.l_suppkey AS s_suppkey, o.unit_price
-    FROM offers o
-    JOIN part p ON o.l_partkey = p.p_partkey
-    WHERE p.p_size >= 30
-    QUALIFY row_number() OVER (
-      PARTITION BY o.l_partkey
-      ORDER BY o.unit_price ASC, o.l_suppkey ASC) = 1
-    """,
-    doc="TPC-H Q2 shape (minimum-cost supplier): for each large part, "
-    "the ASIA-region supplier offering the lowest observed unit "
-    "price — the correlated-min subquery form, executed as an argmin "
-    "window over per-(part, supplier) offers (the schema has no "
-    "partsupp; lineitem unit prices stand in, same adaptation as "
-    "Q9/Q11/Q16/Q20). Region/nation/supplier/part broadcast; the "
-    "one shuffle is the (part, supplier) offer aggregation, and the "
-    "argmin rides the same partitioning with a deterministic "
-    "suppkey tie-break.",
-    parts=8,
-)
-def q_cheapest_supplier_per_part(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "ASIA"
-    )
-    nat = load_table(spark, sf_dir, "nation").join(
-        F.broadcast(region),
-        F.col("n_regionkey") == F.col("r_regionkey"),
-    ).select("n_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").join(
-        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("s_suppkey")
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_quantity") > 0
-    ).select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_size") >= 30
-    ).select("p_partkey", "p_name")
-    offers = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(
-            dround(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
-            ).alias("unit_price")
-        )
-    )
-    w = Window.partitionBy("l_partkey").orderBy(
-        F.col("unit_price").asc(), F.col("l_suppkey").asc()
-    )
-    return (
-        offers.join(F.broadcast(part), offers.l_partkey == part.p_partkey)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "p_partkey",
-            "p_name",
-            F.col("l_suppkey").alias("s_suppkey"),
-            "unit_price",
-        )
-    )
-
-
-@_register(
-    "late_lines_by_flag",
-    """
-    SELECT l.l_returnflag,
-           count(*) FILTER (
-             WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-           ) AS high_line_count,
-           count(*) FILTER (
-             WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-           ) AS low_line_count
-    FROM orders o
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
-      AND l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
-    GROUP BY l.l_returnflag
-    ORDER BY l.l_returnflag
-    """,
-    doc="TPC-H Q12 shape (shipping-mode line counts), adapted to the "
-    "schema: l_returnflag stands in for the absent l_shipmode, and "
-    "'shipped >30 days after order date' stands in for the absent "
-    "commit/receipt-date lateness predicate (same adaptation family "
-    "as Q2/Q9/Q11). The shape under test: a fact-fact equi-join on "
-    "orderkey carrying a residual NON-equi predicate "
-    "(shipdate > orderdate + 30d) — Catalyst must keep the hash "
-    "join on the equi key and apply the comparison as a post-join "
-    "filter, never degrade to a nested-loop — plus the pivoted "
-    "conditional counts (count-FILTER, Spark count(when)), which "
-    "map-side combine into 3 groups so the final exchange is 3 "
-    "rows. The one-year shipdate range is pushed into the lineitem "
-    "scan. At 100 TB both facts bucket by orderkey and the join is "
-    "co-partitioned, identical to late_shipment_priority's layout.",
-)
-def q_late_lines_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
-        )
-        .select("l_orderkey", "l_returnflag", "l_shipdate")
-    )
-    # The non-equi lateness predicate needs o_orderdate, so it rides
-    # the join as a residual condition next to the equi key.
-    orders_full = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(
-            orders_full,
-            (li.l_orderkey == orders_full.o_orderkey)
-            & (
-                li.l_shipdate
-                > orders_full.o_orderdate + F.expr("INTERVAL 30 DAYS")
-            ),
-        )
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.when(high, 1)).alias("high_line_count"),
-            F.count(F.when(~high, 1)).alias("low_line_count"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Extension (r5): distributed Lloyd k-means rounds under the oracle gate
-# ---------------------------------------------------------------------------
-
-
-def _kmeans_oracle_sql(k: int = 5, rounds: int = 2) -> str:
-    sq = sql_dround("(c.x - t.c) * (c.x - t.c)", 6)
-    parts = [
-        f"""
-    WITH comp AS (
-      SELECT vid, pos, {sql_dround("embedding[pos]::DOUBLE", 4)} AS x
-      FROM (
-        SELECT vec_id AS vid, embedding,
-               unnest(generate_series(1, len(embedding))) AS pos
-        FROM embeddings
-      )
-    ), seeds AS (
-      SELECT vid, rn - 1 AS cluster FROM (
-        SELECT vid, row_number() OVER (ORDER BY vid ASC) AS rn
-        FROM (SELECT DISTINCT vec_id AS vid FROM embeddings)
-      ) WHERE rn <= {k}
-    ), c0 AS (
-      SELECT s.cluster, c.pos, c.x AS c, CAST(0 AS BIGINT) AS n_members
-      FROM comp c JOIN seeds s USING (vid)
-    )"""
-    ]
-    prev = "c0"
-    for i in range(1, rounds + 1):
-        parts.append(f""", d{i} AS (
-      SELECT c.vid, t.cluster,
-             {sql_dround(f"sum({sq})", 4)} AS d
-      FROM comp c JOIN {prev} t USING (pos)
-      GROUP BY c.vid, t.cluster
-    ), a{i} AS (
-      SELECT vid, cluster FROM (
-        SELECT vid, cluster, row_number() OVER (
-          PARTITION BY vid ORDER BY d ASC, cluster ASC) AS rn
-        FROM d{i}
-      ) WHERE rn = 1
-    ), c{i} AS (
-      SELECT a.cluster, c.pos,
-             {sql_dround("sum(c.x)", 2)} / count(*) AS c,
-             count(*) AS n_members
-      FROM comp c JOIN a{i} a USING (vid)
-      GROUP BY a.cluster, c.pos
-    )""")
-        prev = f"c{i}"
-    parts.append(f"""
-    SELECT cluster, pos, c AS centroid, n_members FROM {prev}
-    """)
-    return "".join(parts)
-
-
-@_register(
-    "kmeans_lloyd_gate",
-    _kmeans_oracle_sql(),
-    doc="Distributed Lloyd k-means (k=5, 2 rounds) with EVERY "
-    "iteration under the value-hash oracle: deterministic seeding "
-    "(the k smallest ids' vectors), assignment as a squared-L2 "
-    "argmin window with a cluster tie-break, update as fixed-point "
-    "group means — the iterative-algorithm pattern as pure "
-    "DataFrame ops, exactly replayed by a generated chain of "
-    "per-round SQL CTEs. Contrast with the FAISS-placement "
-    "driver-side trainer the IVF index uses (capped sample, "
-    "kmeans_centroids): THIS is the full-corpus refinement shape — "
-    "per round one (vec, cluster) distance aggregation against "
-    "broadcast centroids and one (cluster, pos) mean, both "
-    "map-side combined, no driver collect anywhere.",
-    parts=8,
-)
-def q_kmeans_lloyd_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (  # noqa: PLC0415
-        kmeans_lloyd_rounds,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)
-    return kmeans_lloyd_rounds(emb, k=5, rounds=2)
-
-
-def _semantic_dedup_oracle_sql(
-    k: int = 8, rounds: int = 1, tau: float = 0.45
-) -> str:
-    """Replay of semantic_dedup: the kmeans CTE chain up to the
-    post-``rounds`` centroids, one more assignment argmin against
-    them, then within-cluster exact-cosine pairs and the
-    keep-smallest-id survivor rule."""
-    sq = sql_dround("(c.x - t.c) * (c.x - t.c)", 6)
-    parts = [f"""
-    WITH comp AS (
-      SELECT vid, pos, {sql_dround("embedding[pos]::DOUBLE", 4)} AS x
-      FROM (
-        SELECT vec_id AS vid, embedding,
-               unnest(generate_series(1, len(embedding))) AS pos
-        FROM embeddings
-      )
-    ), seeds AS (
-      SELECT vid, rn - 1 AS cluster FROM (
-        SELECT vid, row_number() OVER (ORDER BY vid ASC) AS rn
-        FROM (SELECT DISTINCT vec_id AS vid FROM embeddings)
-      ) WHERE rn <= {k}
-    ), c0 AS (
-      SELECT s.cluster, c.pos, c.x AS c
-      FROM comp c JOIN seeds s USING (vid)
-    )"""]
-    prev = "c0"
-    for i in range(1, rounds + 1):
-        parts.append(f""", d{i} AS (
-      SELECT c.vid, t.cluster,
-             {sql_dround(f"sum({sq})", 4)} AS d
-      FROM comp c JOIN {prev} t USING (pos)
-      GROUP BY c.vid, t.cluster
-    ), a{i} AS (
-      SELECT vid, cluster FROM (
-        SELECT vid, cluster, row_number() OVER (
-          PARTITION BY vid ORDER BY d ASC, cluster ASC) AS rn
-        FROM d{i}
-      ) WHERE rn = 1
-    ), c{i} AS (
-      SELECT a.cluster, c.pos,
-             {sql_dround("sum(c.x)", 2)} / count(*) AS c
-      FROM comp c JOIN a{i} a USING (vid)
-      GROUP BY a.cluster, c.pos
-    )""")
-        prev = f"c{i}"
-    cos = sql_dround(
-        "list_dot_product(a.v, b.v)"
-        " / (sqrt(list_dot_product(a.v, a.v))"
-        " * sqrt(list_dot_product(b.v, b.v)))",
-        4,
-    )
-    parts.append(f""", da AS (
-      SELECT c.vid, t.cluster,
-             {sql_dround(f"sum({sq})", 4)} AS d
-      FROM comp c JOIN {prev} t USING (pos)
-      GROUP BY c.vid, t.cluster
-    ), aa AS (
-      SELECT vid, cluster FROM (
-        SELECT vid, cluster, row_number() OVER (
-          PARTITION BY vid ORDER BY d ASC, cluster ASC) AS rn
-        FROM da
-      ) WHERE rn = 1
-    ), vecs AS (
-      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
-    ), prs AS (
-      SELECT la.cluster, la.vid AS id_a, lb.vid AS id_b
-      FROM aa la JOIN aa lb
-        ON la.cluster = lb.cluster AND la.vid < lb.vid
-    ), sims AS (
-      SELECT p.cluster, p.id_a, p.id_b, {cos} AS cos
-      FROM prs p
-      JOIN vecs a ON p.id_a = a.vid
-      JOIN vecs b ON p.id_b = b.vid
-    ), dups AS (
-      SELECT DISTINCT id_b AS vid FROM sims WHERE cos >= {tau}
-    )
-    SELECT aa.cluster,
-           count(*) AS n_members,
-           count(d.vid) AS n_dups,
-           count(*) FILTER (WHERE d.vid IS NULL) AS n_survivors,
-           sum(CASE WHEN d.vid IS NULL THEN aa.vid ELSE 0 END)::BIGINT
-             AS survivor_id_sum
-    FROM aa LEFT JOIN dups d USING (vid)
-    GROUP BY aa.cluster
-    ORDER BY aa.cluster
-    """)
-    return "".join(parts)
-
-
-@_register(
-    "semantic_dedup",
-    _semantic_dedup_oracle_sql(),
-    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): "
-    "k-means clusters the embedding space (k=8, 1 Lloyd round, the "
-    "oracle-replayed kmeans_lloyd_rounds), every vector is assigned "
-    "to its nearest final centroid, and exact-cosine near-dup pairs "
-    "(>= 0.45 on this testdata — its strongest pairs sit near 0.5) "
-    "are found ONLY within clusters: learned-structure blocking in "
-    "the same role as LSH bands, turning all-pairs into per-cluster "
-    "blocks. Survivor rule is deterministic keep-smallest-id so the "
-    "oracle replays decisions exactly. Per-cluster rollup "
-    "(members/dups/survivors/survivor-id checksum) keeps the gated "
-    "output small while hashing every decision. At 100 TB: k scales "
-    "with the corpus (the paper runs k~11k on LAION) so cluster "
-    "blocks stay bounded; the clustered table buckets by cluster id "
-    "and the pair cosine is Arrow-batched on candidates only.",
-    parts=8,
-)
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (  # noqa: PLC0415
-        semantic_dedup,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)
-    return semantic_dedup(emb, k=8, rounds=1, threshold=0.45)
-
-
-def _mmr_oracle_sql(
-    k_candidates: int = 20,
-    k_select: int = 5,
-    lam: float = 0.7,
-    n_queries: int = 3,
-) -> str:
-    """Replay of mmr_rerank: brute-force top-k_candidates retrieval,
-    then the greedy rounds unrolled as CTEs (the kmeans convention)."""
-    rel = sql_dround(
-        "list_dot_product(q.qv, e.embedding::DOUBLE[])"
-        " / (sqrt(list_dot_product(q.qv, q.qv))"
-        " * sqrt(list_dot_product(e.embedding::DOUBLE[],"
-        " e.embedding::DOUBLE[])))",
-        4,
-    )
-    paircos = sql_dround(
-        "list_dot_product(a.v, b.v)"
-        " / (sqrt(list_dot_product(a.v, a.v))"
-        " * sqrt(list_dot_product(b.v, b.v)))",
-        4,
-    )
-    s1_score = sql_dround(f"{lam} * rel", 4)
-    parts = [f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id < {n_queries}
-    ), vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), cand AS (
-      SELECT query_id, neighbor_id, rel FROM (
-        SELECT q.query_id, e.vec_id AS neighbor_id, {rel} AS rel
-        FROM q CROSS JOIN embeddings e
-        WHERE e.vec_id <> q.query_id
-      )
-      QUALIFY row_number() OVER (
-        PARTITION BY query_id
-        ORDER BY rel DESC, neighbor_id ASC) <= {k_candidates}
-    ), s1 AS (
-      SELECT query_id, neighbor_id, 1 AS rank, {s1_score} AS score
-      FROM cand
-      QUALIFY row_number() OVER (
-        PARTITION BY query_id
-        ORDER BY {s1_score} DESC, neighbor_id ASC) = 1
-    ), sel1 AS (SELECT * FROM s1)"""]
-    for r in range(2, k_select + 1):
-        score = sql_dround(f"{lam} * rel - {1.0 - lam} * maxsim", 4)
-        parts.append(f""", rem{r} AS (
-      SELECT c.* FROM cand c
-      LEFT JOIN sel{r - 1} s
-        ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
-      WHERE s.neighbor_id IS NULL
-    ), m{r} AS (
-      SELECT rm.query_id, rm.neighbor_id, rm.rel,
-             max({paircos}) AS maxsim
-      FROM rem{r} rm
-      JOIN sel{r - 1} s ON s.query_id = rm.query_id
-      JOIN vecs a ON a.vec_id = rm.neighbor_id
-      JOIN vecs b ON b.vec_id = s.neighbor_id
-      GROUP BY rm.query_id, rm.neighbor_id, rm.rel
-    ), s{r} AS (
-      SELECT query_id, neighbor_id, {r} AS rank, {score} AS score
-      FROM m{r}
-      QUALIFY row_number() OVER (
-        PARTITION BY query_id
-        ORDER BY {score} DESC, neighbor_id ASC) = 1
-    ), sel{r} AS (
-      SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r}
-    )""")
-    parts.append(f"""
-    SELECT query_id, rank, neighbor_id AS selected_id, score
-    FROM sel{k_select}
-    ORDER BY query_id, rank
-    """)
-    return "".join(parts)
-
-
-@_register(
-    "mmr_rerank",
-    _mmr_oracle_sql(),
-    doc="Maximal Marginal Relevance diversified retrieval (Carbonell "
-    "& Goldstein 1998): exact top-20 cosine retrieval for 3 query "
-    "vectors, then 5 greedy rounds selecting "
-    "argmax[0.7*rel - 0.3*max-sim-to-selected] — the RAG-serving "
-    "diversity op, and the retrieval-side twin of semantic_dedup "
-    "(keep near-dups out of one result list instead of out of the "
-    "corpus). Greedy rounds unroll into SQL CTEs exactly like the "
-    "Lloyd k-means rounds, so every selection decision is under the "
-    "value hash. Scale: iteration state is k_select rows per query "
-    "(broadcast-sized by construction); only the initial retrieval "
-    "touches the corpus (skew-salted two-phase top-k); each round "
-    "is JVM-expression work over <=100 pairs per query.",
-    parts=8,
-)
-def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.similarity import (  # noqa: PLC0415
-        mmr_rerank,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    return mmr_rerank(queries, emb, k_candidates=20, k_select=5, lam=0.7)
-
-
-@_register(
-    "weighted_sample_es",
-    f"""
-    SELECT source, doc_id, n_chars, sample_rank FROM (
-      SELECT source, doc_id, n_chars,
-             row_number() OVER (
-               PARTITION BY source ORDER BY k ASC, doc_id ASC
-             ) AS sample_rank
-      FROM (
-        SELECT source, doc_id, n_chars,
-               {sql_dround(
-                   "-ln(((('0x' || substr(md5(doc_id::VARCHAR"
-                   " || ':' || source), 1, 8))::UBIGINT) + 0.5)"
-                   " / 4294967296.0) / n_chars::DOUBLE", 6)} AS k
-        FROM documents
-        WHERE n_chars > 0
-      )
-    )
-    WHERE sample_rank <= 5
-    ORDER BY source, sample_rank
-    """,
-    doc="Training-data op: deterministic weighted sampling without "
-    "replacement per stratum — the Efraimidis-Spirakis A-ES "
-    "one-pass reservoir (keep the m smallest ``-ln(u)/w`` keys; "
-    "here w = n_chars, so longer documents are proportionally more "
-    "likely to be kept, the standard size/quality-weighted "
-    "subsampling step in corpus mixing). The uniform u is derived "
-    "from md5(doc_id:source) (first 8 hex chars -> integer / 2^32, "
-    "the pack's content-hash idiom), so re-runs, retries, and both "
-    "engines draw the IDENTICAL sample — seeded-rand() sampling "
-    "cannot give that cross-engine determinism guarantee. At 100 TB "
-    "the key is a scan expression and the per-stratum top-m is a "
-    "bounded window (never a global sort): exactly a groupwise "
-    "top-k, the same shape as top_flop's TakeOrderedAndProject "
-    "family.",
-)
-def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("n_chars") > 0
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"),
-                        F.lit(":"),
-                        F.col("source"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        .cast("double")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    k = dround(-F.log(u) / F.col("n_chars").cast("double"), 6)
-    w = Window.partitionBy("source").orderBy(
-        F.col("k").asc(), F.col("doc_id").asc()
-    )
-    return (
-        docs.select("source", "doc_id", "n_chars", k.alias("k"))
-        .withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= 5)
-        .select("source", "doc_id", "n_chars", "sample_rank")
-        .orderBy("source", "sample_rank")
-    )
-
-
-@_register(
-    "label_align_filter",
-    f"""
-    WITH comp AS (
-      SELECT vec_id AS vid, label, pos,
-             {sql_dround("embedding[pos]::DOUBLE", 4)} AS x
-      FROM (
-        SELECT vec_id, label, embedding,
-               unnest(generate_series(1, len(embedding))) AS pos
-        FROM embeddings
-      )
-    ), cent AS (
-      SELECT label, pos, {sql_dround("sum(x)", 2)} / count(*) AS c
-      FROM comp GROUP BY label, pos
-    ), cn AS (
-      SELECT label, sum({sql_dround("c * c", 6)}) AS n2c
-      FROM cent GROUP BY label
-    ), v AS (
-      SELECT comp.vid, comp.label,
-             sum({sql_dround("comp.x * cent.c", 6)}) AS dot,
-             sum({sql_dround("comp.x * comp.x", 6)}) AS n2v
-      FROM comp
-      JOIN cent ON comp.label = cent.label AND comp.pos = cent.pos
-      GROUP BY comp.vid, comp.label
-    ), scored AS (
-      SELECT v.label,
-             {sql_dround("v.dot / sqrt(v.n2v * cn.n2c)", 4)} AS cos
-      FROM v JOIN cn USING (label)
-    )
-    SELECT label,
-           count(*) AS n,
-           count(*) FILTER (WHERE cos < 0.0) AS n_misaligned,
-           {sql_dround(sql_dround("sum(cos)", 4) + " / count(*)", 4)}
-             AS mean_cos
-    FROM scored
-    GROUP BY label
-    ORDER BY label
-    """,
-    doc="Training-data op: label-alignment filtering, the CLIP-score "
-    "filter analog for labeled embeddings — every vector's cosine "
-    "to ITS OWN label's centroid; vectors below threshold (0.0 "
-    "here: ~10% of this testdata, whose labels are intentionally "
-    "noisy) are the mislabeled/noisy-pair candidates a multimodal "
-    "pipeline drops before training. Composes the label_centroids "
-    "aggregation with a component-space cosine (products "
-    "dround(6)-fixed before their sums, the fixed-point rule), so "
-    "the whole filter is two map-side-combined aggregations plus a "
-    "broadcast of the label x dim centroid table — no corpus "
-    "shuffle beyond the (label,pos) partial-sum exchange. Per-label "
-    "rollup (n / n_misaligned / mean alignment) is the "
-    "drift-monitorable gate output.",
-    parts=8,
-)
-def q_label_align_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb = fan_out(emb)
-    comp = emb.select(
-        F.col("vec_id").alias("vid"),
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "pos0", "x0"
-        ),
-    ).select(
-        "vid",
-        "label",
-        (F.col("pos0") + 1).alias("pos"),
-        dround(F.col("x0"), 4).alias("x"),
-    )
-    cent = comp.groupBy("label", "pos").agg(
-        (dround(F.sum("x"), 2) / F.count(F.lit(1))).alias("c")
-    )
-    cn = cent.groupBy("label").agg(
-        F.sum(dround(F.col("c") * F.col("c"), 6)).alias("n2c")
-    )
-    v = (
-        comp.join(F.broadcast(cent), ["label", "pos"])
-        .groupBy("vid", "label")
-        .agg(
-            F.sum(dround(F.col("x") * F.col("c"), 6)).alias("dot"),
-            F.sum(dround(F.col("x") * F.col("x"), 6)).alias("n2v"),
-        )
-    )
-    scored = v.join(F.broadcast(cn), "label").select(
-        "label",
-        dround(
-            F.col("dot") / F.sqrt(F.col("n2v") * F.col("n2c")), 4
-        ).alias("cos"),
-    )
-    return (
-        scored.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(F.col("cos") < 0.0, 1)).alias("n_misaligned"),
-            (dround(F.sum(dround(F.col("cos"), 4)), 4) / F.count(F.lit(1)))
-            .alias("mean_cos_raw"),
-        )
-        .select(
-            "label",
-            "n",
-            "n_misaligned",
-            dround(F.col("mean_cos_raw"), 4).alias("mean_cos"),
-        )
-        .orderBy("label")
-    )
-
-
-def _pagerank_oracle_sql(rounds: int = 2) -> str:
-    """Replay of pagerank_bipartite: per-round contribution sums as
-    chained CTEs (the kmeans/MMR unrolling convention)."""
-    r0 = sql_dround("1.0 / n", 8)
-    contrib = sql_dround("r.rank / r.deg", 8)
-    parts = [f"""
-    WITH pairs AS (
-      SELECT DISTINCT 'u:' || user_id::VARCHAR AS u,
-                      'e:' || event_type AS e
-      FROM events
-    ), edges AS (
-      SELECT u AS src, e AS dst FROM pairs
-      UNION ALL
-      SELECT e AS src, u AS dst FROM pairs
-    ), deg AS (
-      SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
-    ), tot AS (
-      SELECT count(*) AS n FROM deg
-    ), r0 AS (
-      SELECT node, deg, n, {r0} AS rank FROM deg CROSS JOIN tot
-    )"""]
-    prev = "r0"
-    for i in range(1, rounds + 1):
-        newrank = sql_dround("0.15 / d.n + 0.85 * coalesce(c.s, 0)", 8)
-        parts.append(f""", c{i} AS (
-      SELECT e.dst AS node, sum({contrib}) AS s
-      FROM {prev} r JOIN edges e ON e.src = r.node
-      GROUP BY e.dst
-    ), r{i} AS (
-      SELECT d.node, d.deg, d.n, {newrank} AS rank
-      FROM {prev} d LEFT JOIN c{i} c USING (node)
-    )""")
-        prev = f"r{i}"
-    parts.append(f"""
-    SELECT node, rank FROM (
-      SELECT node, rank FROM {prev} WHERE node LIKE 'e:%'
-      UNION ALL
-      SELECT node, rank FROM (
-        SELECT node, rank FROM {prev} WHERE node LIKE 'u:%'
-        ORDER BY rank DESC, node ASC LIMIT 10
-      )
-    )
-    ORDER BY rank DESC, node ASC
-    """)
-    return "".join(parts)
-
-
-@_register(
-    "pagerank_bipartite",
-    _pagerank_oracle_sql(),
-    doc="Graph analytics: 2 power-iteration PageRank rounds (d=0.85) "
-    "over the user <-> event-type bipartite interaction graph "
-    "(distinct (user, type) pairs, edges in both directions so no "
-    "dangling nodes), every round under the value hash via the "
-    "kmeans/MMR CTE-unrolling convention — the third iterative "
-    "family next to Lloyd refinement and connected components. "
-    "Plan per round: ranks join edges on the source key (at 100 TB "
-    "both sides bucket by node id, co-partitioned), contributions "
-    "map-side combine into the destination sum, the 1-row node "
-    "count folds in via the data-derived constant-key "
-    "BroadcastHashJoin — never a driver collect of the rank vector. "
-    "Output: all event-type hubs plus the top-10 user nodes "
-    "(deterministic rank/node tie-break).",
-    parts=8,
-)
-def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    pairs = ev.distinct().select(
-        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
-        F.concat(F.lit("e:"), F.col("event_type")).alias("e"),
-    )
-    edges = pairs.select(
-        F.col("u").alias("src"), F.col("e").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("e").alias("src"), F.col("u").alias("dst"))
-    ).persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    tot = deg.agg(F.count(F.lit(1)).alias("n")).withColumn(
-        "__k", _const_key(F.col("n"))
-    )
-    nodes = (
-        deg.withColumnRenamed("src", "node")
-        .withColumn("__k", _const_key(F.col("node")))
-        .join(F.broadcast(tot), "__k")
-        .drop("__k")
-    )
-    ranks = nodes.select(
-        "node", "deg", "n", dround(F.lit(1.0) / F.col("n"), 8).alias("rank")
-    )
-    for _ in range(2):
-        contrib = ranks.join(
-            edges, ranks.node == edges.src
-        ).select(
-            F.col("dst").alias("dnode"),
-            dround(F.col("rank") / F.col("deg"), 8).alias("c"),
-        )
-        summed = contrib.groupBy("dnode").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(summed, nodes.node == summed.dnode, "left")
-            .select(
-                "node",
-                "deg",
-                "n",
-                dround(
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85)
-                    * F.coalesce(F.col("s"), F.lit(0.0)),
-                    8,
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    edges.unpersist()
-    hubs = ranks.filter(F.col("node").startswith("e:")).select(
-        "node", "rank"
-    )
-    top_users = (
-        ranks.filter(F.col("node").startswith("u:"))
-        .select("node", "rank")
-        .orderBy(F.col("rank").desc(), F.col("node").asc())
-        .limit(10)
-    )
-    return hubs.unionByName(top_users).orderBy(
-        F.col("rank").desc(), F.col("node").asc()
-    )
-
-
-@_register(
-    "rolling_median_15",
-    f"""
-    WITH med AS (
-      SELECT user_id,
-             quantile_cont(value::DOUBLE, 0.5) OVER (
-               PARTITION BY user_id
-               ORDER BY ts NULLS LAST, event_id NULLS LAST
-               ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS m
-      FROM events
-    )
-    SELECT user_id,
-           {sql_dround(sql_dround("sum(" + sql_dround("m", 4) + ")", 2)
-                       + " / count(*)", 4)} AS mean_med,
-           {sql_dround("max(m)", 4)} AS max_med,
-           count(*) AS n
-    FROM med
-    GROUP BY user_id
-    """,
-    doc="Trailing 15-row exact rolling MEDIAN per user — the order-"
-    "statistic window the rolling mean/corr family cannot express "
-    "(median is not algebraic: no partial-aggregate trick exists, "
-    "the frame must be re-ranked per row, which is why engines ship "
-    "it as a dedicated windowed ordered-set aggregate). Spark's "
-    "exact interpolated percentile() and DuckDB's quantile_cont "
-    "agree bit-for-bit on the same frame; every one of the ~N "
-    "windowed medians is pinned through a per-user fixed-point "
-    "summary (medians dround(4)-fixed before the sum — the "
-    "fixed-point-before-sum rule). Frame order is (ts, event_id) — "
-    "ts alone ties. Scale: one user-key exchange, then the window "
-    "sorts partition-locally; state is the 15-row frame.",
-    parts=8,
-)
-def q_rolling_median_15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(
-            F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
-        )
-        .rowsBetween(-14, 0)
-    )
-    med = ev.select(
-        "user_id",
-        F.percentile(F.col("v"), F.lit(0.5)).over(w).alias("m"),
-    )
-    return med.groupBy("user_id").agg(
-        dround(
-            dround(F.sum(dround(F.col("m"), 4)), 2) / F.count(F.lit(1)), 4
-        ).alias("mean_med"),
-        dround(F.max("m"), 4).alias("max_med"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Statistics extensions (r5 final): rank correlation + two-sample KS drift
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "spearman_trend",
-    f"""
-    WITH ranked AS (
-      SELECT event_type,
-             rank() OVER (PARTITION BY event_type ORDER BY ts NULLS LAST)
-               + (count(*) OVER (PARTITION BY event_type, ts) - 1)
-                 / 2.0 AS rx,
-             rank() OVER (PARTITION BY event_type ORDER BY value NULLS LAST)
-               + (count(*) OVER (PARTITION BY event_type, value) - 1)
-                 / 2.0 AS ry
-      FROM events
-    ), sums AS (
-      SELECT event_type,
-             count(*) AS n,
-             {sql_dround("sum(rx)", 2)} AS sx,
-             {sql_dround("sum(ry)", 2)} AS sy,
-             {sql_dround("sum(rx * ry)", 2)} AS sxy,
-             {sql_dround("sum(rx * rx)", 2)} AS sxx,
-             {sql_dround("sum(ry * ry)", 2)} AS syy
-      FROM ranked GROUP BY event_type
-    )
-    SELECT event_type, n,
-           {sql_dround(
-               "(n * sxy - sx * sy)"
-               " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 4)}
-             AS spearman
-    FROM sums
-    """,
-    doc="Spearman rank correlation between event time and value per "
-    "type — monotonic-trend detection, the rank-based sibling of "
-    "pairwise_correlation's Pearson. Tie-corrected AVERAGE ranks "
-    "computed windowless-join-free as rank() + (tie_count - 1)/2 "
-    "(identical tie semantics in both engines), then the closed-form "
-    "Pearson on ranks with fixed-point sums. Ranks are integers "
-    "or .5 halves, so every sum is lattice-valued. Two window passes "
-    "over one (event_type)-partitioned sort, one aggregation.",
-    parts=8,
-)
-def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.col("ts"),
-        F.col("value").cast("double").alias("v"),
-    )
-    # asc_nulls_last pins Spark to DuckDB's ASC default (Spark's asc
-    # is NULLS FIRST) — parity must not depend on the data being
-    # null-free
-    rx = F.rank().over(
-        Window.partitionBy("event_type").orderBy(F.col("ts").asc_nulls_last())
-    ) + (F.count(F.lit(1)).over(Window.partitionBy("event_type", "ts")) - 1) / 2.0
-    ry = F.rank().over(
-        Window.partitionBy("event_type").orderBy(F.col("v").asc_nulls_last())
-    ) + (F.count(F.lit(1)).over(Window.partitionBy("event_type", "v")) - 1) / 2.0
-    ranked = ev.select("event_type", rx.alias("rx"), ry.alias("ry"))
-    sums = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        dround(F.sum("rx"), 2).alias("sx"),
-        dround(F.sum("ry"), 2).alias("sy"),
-        dround(F.sum(F.col("rx") * F.col("ry")), 2).alias("sxy"),
-        dround(F.sum(F.col("rx") * F.col("rx")), 2).alias("sxx"),
-        dround(F.sum(F.col("ry") * F.col("ry")), 2).alias("syy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    return sums.select(
-        "event_type",
-        "n",
-        dround(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            4,
-        ).alias("spearman"),
-    )
-
-
-@_register(
-    "ks_drift_gate",
-    f"""
-    WITH tagged AS (
-      SELECT event_type, value::DOUBLE AS v,
-             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-                  THEN 1 ELSE 0 END AS is_a
-      FROM events
-    ), per_value AS (
-      SELECT event_type, v,
-             sum(is_a) AS a_cnt,
-             sum(1 - is_a) AS b_cnt
-      FROM tagged GROUP BY event_type, v
-    ), cum AS (
-      SELECT event_type, v,
-             sum(a_cnt) OVER w AS cum_a,
-             sum(b_cnt) OVER w AS cum_b,
-             sum(a_cnt) OVER (PARTITION BY event_type) AS n_a,
-             sum(b_cnt) OVER (PARTITION BY event_type) AS n_b
-      FROM per_value
-      WINDOW w AS (PARTITION BY event_type ORDER BY v NULLS LAST
-                   ROWS UNBOUNDED PRECEDING)
-    )
-    SELECT event_type,
-           CAST(max(n_a) AS BIGINT) AS n_a,
-           CAST(max(n_b) AS BIGINT) AS n_b,
-           {sql_dround(
-               "max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b))", 4)}
-             AS ks_stat
-    FROM cum
-    GROUP BY event_type
-    """,
-    doc="Two-sample Kolmogorov-Smirnov drift statistic per event "
-    "type: value distribution of the first half-month vs the rest — "
-    "the distribution-shift monitor a training-data pipeline runs "
-    "between snapshots (the nonparametric sibling of snapshot_diff's "
-    "row-level comparison and column_profile's moments). Exact "
-    "sup-norm CDF distance: ties collapse in a per-(type, value) "
-    "pre-aggregation, the empirical CDFs are cumulative window sums "
-    "over the distinct-value table (tie handling is exact because "
-    "both CDFs step together at a shared value), and the max |F_A - "
-    "F_B| aggregates map-side. Exchange profile: one (type, value) "
-    "shuffle + one (type)-partitioned sort over DISTINCT values — "
-    "the corpus-sized scan never re-sorts raw rows.",
-    parts=8,
-)
-def q_ks_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.col("value").cast("double").alias("v"),
-        F.when(
-            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 1
-        ).otherwise(0).alias("is_a"),
-    )
-    per_value = ev.groupBy("event_type", "v").agg(
-        F.sum("is_a").alias("a_cnt"),
-        F.sum(1 - F.col("is_a")).alias("b_cnt"),
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("v").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("event_type")
-    cum = per_value.select(
-        "event_type",
-        F.sum("a_cnt").over(wcum).alias("cum_a"),
-        F.sum("b_cnt").over(wcum).alias("cum_b"),
-        F.sum("a_cnt").over(wall).alias("n_a"),
-        F.sum("b_cnt").over(wall).alias("n_b"),
-    )
-    return cum.groupBy("event_type").agg(
-        F.max("n_a").cast("bigint").alias("n_a"),
-        F.max("n_b").cast("bigint").alias("n_b"),
-        dround(
-            F.max(
-                F.abs(
-                    F.col("cum_a").cast("double") / F.col("n_a")
-                    - F.col("cum_b").cast("double") / F.col("n_b")
-                )
-            ),
-            4,
-        ).alias("ks_stat"),
-    )
-
-
-# MACD: truncated renormalized FIR EMAs (the ewma_smooth convention —
-# the tap cut is part of the operator definition, identical on both
-# engines, so values are bit-identical left-associated double sums).
-_MACD_TAPS = 40
-_MACD_WF = 11.0 / 13.0   # span-12 EMA decay (1 - 2/(12+1))
-_MACD_WS = 25.0 / 27.0   # span-26 EMA decay
-_MACD_SIG_TAPS = 30
-_MACD_WSIG = 0.8         # span-9 EMA decay (1 - 2/(9+1))
-
-
-def _fir_sql(col: str, w: float, taps: int) -> str:
-    """Renormalized truncated-EMA FIR over window ``w`` in SQL text.
-
-    Weight literals are cast to DOUBLE: DuckDB parses a 16-digit
-    decimal literal as DECIMAL(16,16) and would run the 40-term
-    renormalization sum in fixed-point DECIMAL(18,16), which both
-    overflows and diverges from Spark's IEEE-double sum."""
-    num = [col]
-    den = ["CAST(1.0 AS DOUBLE)"]
-    for j in range(1, taps):
-        wj = f"CAST({w**j!r} AS DOUBLE)"
-        num.append(f"{wj} * coalesce(lag({col}, {j}) OVER w, 0.0)")
-        den.append(
-            f"CASE WHEN lag({col}, {j}) OVER w IS NULL THEN 0.0 ELSE {wj} END"
-        )
-    return f"({' + '.join(num)}) / ({' + '.join(den)})"
-
-
-def _fir_col(col: str, w: float, taps: int, wn) -> Column:
-    """The same FIR as :func:`_fir_sql`, as a Spark expression tree —
-    term-for-term identical association order."""
-    from functools import reduce  # noqa: PLC0415
-    from operator import add  # noqa: PLC0415
-
-    num = [F.col(col)]
-    den = [F.lit(1.0)]
-    for j in range(1, taps):
-        wj = w**j
-        lagj = F.lag(col, j).over(wn)
-        num.append(F.lit(wj) * F.coalesce(lagj, F.lit(0.0)))
-        den.append(F.when(lagj.isNull(), F.lit(0.0)).otherwise(F.lit(wj)))
-    return reduce(add, num) / reduce(add, den)
-
-
-@_register(
-    "macd_crossover",
-    f"""
-    WITH m AS (
-      SELECT event_id, event_type, ts,
-             {sql_dround(
-                 f"({_fir_sql('value', _MACD_WF, _MACD_TAPS)})"
-                 f" - ({_fir_sql('value', _MACD_WS, _MACD_TAPS)})", 6)}
-               AS macd
-      FROM events
-      WHERE event_type = 'purchase'
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-    ), s AS (
-      SELECT event_id, event_type, ts, macd,
-             {sql_dround(
-                 _fir_sql('macd', _MACD_WSIG, _MACD_SIG_TAPS), 6)}
-               AS signal
-      FROM m
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-    ), h AS (
-      SELECT event_id, event_type, ts, macd, signal,
-             {sql_dround("macd - signal", 6)} AS hist
-      FROM s
-    ), x AS (
-      SELECT event_id, ts, macd, signal, hist,
-             lag(hist) OVER (
-               PARTITION BY event_type ORDER BY ts, event_id) AS prev_hist
-      FROM h
-    )
-    SELECT event_id, ts, macd, signal, hist,
-           CASE WHEN hist >= 0 THEN 'bull' ELSE 'bear' END AS direction
-    FROM x
-    WHERE prev_hist IS NOT NULL AND sign(hist) <> sign(prev_hist)
-    ORDER BY ts, event_id
-    """,
-    doc="MACD(12,26,9) crossover detection on the purchase price "
-    "series — the missing classic next to RSI/Bollinger/EWMA in the "
-    "technical-analysis family. Fast and slow EMAs are 40-tap "
-    "renormalized FIR filters, the signal line a 30-tap FIR over the "
-    "dround'd MACD column (the ewma_smooth convention: the tap cut "
-    "IS the operator definition, so both engines sum identical "
-    "left-associated double terms and every value matches "
-    "bit-exactly). Emits only histogram sign-change rows with the "
-    "crossing direction. All 100 lags come out of TWO window sorts "
-    "(one per stage) partitioned by series key — at 100 TB each "
-    "symbol sorts independently, no global sort, state bounded by "
-    "the tap count.",
-    parts=8,
-)
-def q_macd_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    wn = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    m = events.select(
-        "event_id",
-        "event_type",
-        "ts",
-        dround(
-            _fir_col("value", _MACD_WF, _MACD_TAPS, wn)
-            - _fir_col("value", _MACD_WS, _MACD_TAPS, wn),
-            6,
-        ).alias("macd"),
-    )
-    s = m.select(
-        "event_id",
-        "event_type",
-        "ts",
-        "macd",
-        dround(
-            _fir_col("macd", _MACD_WSIG, _MACD_SIG_TAPS, wn), 6
-        ).alias("signal"),
-    )
-    h = s.select(
-        "event_id",
-        "event_type",
-        "ts",
-        "macd",
-        "signal",
-        dround(F.col("macd") - F.col("signal"), 6).alias("hist"),
-    )
-    x = h.withColumn("prev_hist", F.lag("hist").over(wn))
-    return (
-        x.filter(
-            F.col("prev_hist").isNotNull()
-            & (F.signum("hist") != F.signum("prev_hist"))
-        )
-        .select(
-            "event_id",
-            "ts",
-            "macd",
-            "signal",
-            "hist",
-            F.when(F.col("hist") >= 0, F.lit("bull"))
-            .otherwise(F.lit("bear"))
-            .alias("direction"),
-        )
-        .orderBy("ts", "event_id")
-    )
-
-
-@_register(
-    "basket_pairs",
-    """
-    WITH items AS (
-      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-      FROM lineitem
-    ), freq AS (
-      SELECT pk FROM items GROUP BY pk HAVING count(*) >= 2
-    ), pruned AS (
-      SELECT i.ok, i.pk FROM items i JOIN freq f USING (pk)
-    ), pairs AS (
-      SELECT a.pk AS part_a, b.pk AS part_b,
-             CAST(count(*) AS BIGINT) AS support
-      FROM pruned a JOIN pruned b
-        ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY a.pk, b.pk
-      HAVING count(*) >= 2
-    )
-    SELECT part_a, part_b, support
-    FROM pairs
-    ORDER BY support DESC, part_a ASC, part_b ASC
-    LIMIT 20
-    """,
-    doc="Market-basket frequent part pairs (the A-priori L2 pass): "
-    "distinct (order, part) items, the A-priori pruning theorem "
-    "applied first (a part in fewer than min_support orders cannot "
-    "appear in a frequent pair, so infrequent items are semi-joined "
-    "away BEFORE pair generation), then within-order pair expansion "
-    "and a (part_a, part_b) count with min support 2, top-20 "
-    "deterministic. Scale shape: pair expansion is bounded by "
-    "basket size squared per order (TPC-H baskets are <= 7 lines), "
-    "the frequent-item filter is a broadcast semi-join, and the "
-    "pair count combines map-side — the only wide exchange is the "
-    "(part_a, part_b) aggregation.",
-)
-def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    items = li.distinct()
-    freq = (
-        items.groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pk")
-    )
-    pruned = items.join(F.broadcast(freq), "pk")
-    a = pruned.select("ok", F.col("pk").alias("part_a"))
-    b = pruned.select("ok", F.col("pk").alias("part_b"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-        .filter(F.col("support") >= 2)
-    )
-    return pairs.orderBy(
-        F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
-    ).limit(20)
-
-
-@_register(
-    "triangle_count",
-    f"""
-    WITH items AS (
-      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-      FROM lineitem WHERE l_orderkey % 10 = 0
-    ), e AS (
-      SELECT DISTINCT a.pk AS a, b.pk AS b
-      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-    ), deg AS (
-      SELECT node, count(*) AS deg FROM (
-        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
-      ) GROUP BY node
-    ), tri AS (
-      SELECT count(*) AS n_triangles
-      FROM e e1
-      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
-    )
-    SELECT (SELECT count(*) FROM deg) AS n_nodes,
-           (SELECT count(*) FROM e) AS n_edges,
-           (SELECT sum(deg * (deg - 1) // 2)::BIGINT FROM deg)
-             AS n_wedges,
-           n_triangles::BIGINT AS n_triangles,
-           {sql_dround(
-               "CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) > 0"
-               " THEN 3.0 * n_triangles"
-               " / (SELECT sum(deg * (deg - 1) // 2) FROM deg)"
-               " ELSE 0.0 END", 6)} AS global_clustering
-    FROM tri
-    """,
-    doc="Triangle census of the part co-purchase graph (parts linked "
-    "when bought in the same order; a deterministic 10%-of-orders "
-    "key-mod sample keeps the graph comparable across scale "
-    "factors). Spark plan is the degree-ordered orientation (Cohen "
-    "2009 / Suri-Vassilvitskii WWW'11): edges orient from the "
-    "(deg,id)-smaller endpoint, wedges enumerate ONLY at each "
-    "triangle's unique apex, and close against the canonical edge "
-    "list — wedge volume is O(m^1.5) regardless of degree skew, the "
-    "fix for the power-law 'last reducer' at 100 TB. The oracle "
-    "counts the same triangles by the naive a<b<c three-way join "
-    "(orientation-invariant, so implementation and ground truth are "
-    "independent formulations). Output: nodes/edges/wedges/triangles "
-    "+ global clustering coefficient.",
-    parts=8,
-)
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.graph import (  # noqa: PLC0415
-        triangle_stats,
-    )
-
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 10 == 0
-    )
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = items.select("ok", F.col("pk").alias("a"))
-    b = items.select("ok", F.col("pk").alias("b"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    return triangle_stats(edges)
-
-
-@_register(
-    "prefix_filter_jaccard",
-    f"""
-    WITH {_SQL_SHINGLES},
-    ex AS (
-      SELECT doc_id, unnest(s) AS g FROM sh
-    ), sz AS (
-      SELECT doc_id, count(*) AS m FROM ex GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           i::DOUBLE / (sa.m + sb.m - i) AS jaccard
-    FROM inter
-    JOIN sz sa ON id_a = sa.doc_id
-    JOIN sz sb ON id_b = sb.doc_id
-    WHERE i::DOUBLE / (sa.m + sb.m - i) >= 0.8
-    ORDER BY id_a, id_b
-    """,
-    doc="Exact all-pairs shingle Jaccard >= 0.8 via PREFIX FILTERING "
-    "(Chaudhuri/Ganti/Kaushik ICDE'06, Bayardo et al. WWW'07) — the "
-    "loss-FREE third rung of the near-dup ladder next to MinHash "
-    "(probabilistic) and SimHash (radius-bounded): tokens ordered "
-    "rarest-first by document frequency, each doc keeps only its "
-    "first m - ceil(t*m) + 1 tokens as a prefix (integer-exact ceil "
-    "— IEEE ceil(0.8*5)=5 would silently shorten prefixes and lose "
-    "pairs), qualifying pairs provably share a prefix token on both "
-    "sides, and the surviving candidates verify with the exact "
-    "ngram_jaccard kernel. The oracle computes ground truth by the "
-    "full inverted-index join WITHOUT the prefix pruning, so the "
-    "gate checks the losslessness theorem itself, not a shared "
-    "implementation. Plan: token-keyed equi-joins only, per-doc "
-    "window bounded by doc length, no LSH miss probability, no "
-    "crossJoin.",
-    parts=8,
-)
-def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
-        ngram_jaccard,
-        prefix_filter_jaccard_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
-    cand = prefix_filter_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.8, shingle_n=3
-    )
-    return (
-        ngram_jaccard(cand, docs, "doc_id", "text", shingle_n=3)
-        .filter(F.col("jaccard") >= 0.8)
-        .orderBy("id_a", "id_b")
-    )
-
-
-def _z_interleave_sql(gx: str, gy: str, bits: int = 16) -> str:
-    """Bit-interleaved z-value of two ``bits``-wide grid coords, SQL."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({gx} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({gy} >> {i}) & 1) << {2 * i + 1})")
-    return " + ".join(terms)
-
-
-def _zorder_oracle_sql() -> str:
-    z = _z_interleave_sql("gx", "gy")
-    return f"""
-    WITH st AS (
-      SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
-             min(l_suppkey) AS mins, max(l_suppkey) AS maxs,
-             min(l_orderkey) AS mino, max(l_orderkey) AS maxo
-      FROM lineitem
-    ), g AS (
-      SELECT l_partkey AS pk, l_suppkey AS sk,
-             CAST(floor((l_partkey - minp) * 65535.0
-                        / greatest(maxp - minp, 1)) AS BIGINT) AS gx,
-             CAST(floor((l_suppkey - mins) * 65535.0
-                        / greatest(maxs - mins, 1)) AS BIGINT) AS gy,
-             CAST(floor((l_orderkey - mino) * 64.0
-                        / (maxo - mino + 1)) AS BIGINT) AS nf,
-             minp + floor(0.45 * (maxp - minp)) AS pk_lo,
-             minp + floor(0.55 * (maxp - minp)) AS pk_hi,
-             mins + floor(0.45 * (maxs - mins)) AS sk_lo,
-             mins + floor(0.55 * (maxs - mins)) AS sk_hi
-      FROM lineitem CROSS JOIN st
-    ), z AS (
-      SELECT pk, sk, nf, ({z}) >> 26 AS zf,
-             pk_lo, pk_hi, sk_lo, sk_hi
-      FROM g
-    ), zf AS (
-      SELECT zf AS f, min(pk) AS minpk, max(pk) AS maxpk,
-             min(sk) AS minsk, max(sk) AS maxsk,
-             count(*) AS rows_, min(pk_lo) AS pk_lo,
-             min(pk_hi) AS pk_hi, min(sk_lo) AS sk_lo,
-             min(sk_hi) AS sk_hi
-      FROM z GROUP BY zf
-    ), nf AS (
-      SELECT nf AS f, min(pk) AS minpk, max(pk) AS maxpk,
-             min(sk) AS minsk, max(sk) AS maxsk,
-             count(*) AS rows_, min(pk_lo) AS pk_lo,
-             min(pk_hi) AS pk_hi, min(sk_lo) AS sk_lo,
-             min(sk_hi) AS sk_hi
-      FROM z GROUP BY nf
-    )
-    SELECT layout, probe_dim,
-           CAST(files_total AS BIGINT) AS files_total,
-           CAST(files_kept AS BIGINT) AS files_kept,
-           CAST(rows_kept AS BIGINT) AS rows_kept
-    FROM (
-      SELECT 'zorder' AS layout, 'partkey' AS probe_dim,
-             count(*) AS files_total,
-             sum(CASE WHEN minpk <= pk_hi AND maxpk >= pk_lo
-                 THEN 1 ELSE 0 END) AS files_kept,
-             sum(CASE WHEN minpk <= pk_hi AND maxpk >= pk_lo
-                 THEN rows_ ELSE 0 END) AS rows_kept
-      FROM zf
-      UNION ALL
-      SELECT 'zorder', 'suppkey', count(*),
-             sum(CASE WHEN minsk <= sk_hi AND maxsk >= sk_lo
-                 THEN 1 ELSE 0 END),
-             sum(CASE WHEN minsk <= sk_hi AND maxsk >= sk_lo
-                 THEN rows_ ELSE 0 END)
-      FROM zf
-      UNION ALL
-      SELECT 'natural', 'partkey', count(*),
-             sum(CASE WHEN minpk <= pk_hi AND maxpk >= pk_lo
-                 THEN 1 ELSE 0 END),
-             sum(CASE WHEN minpk <= pk_hi AND maxpk >= pk_lo
-                 THEN rows_ ELSE 0 END)
-      FROM nf
-      UNION ALL
-      SELECT 'natural', 'suppkey', count(*),
-             sum(CASE WHEN minsk <= sk_hi AND maxsk >= sk_lo
-                 THEN 1 ELSE 0 END),
-             sum(CASE WHEN minsk <= sk_hi AND maxsk >= sk_lo
-                 THEN rows_ ELSE 0 END)
-      FROM nf
-    )
-    ORDER BY layout, probe_dim
-    """
-
-
-@_register(
-    "zorder_layout",
-    _zorder_oracle_sql(),
-    doc="Z-order data-layout audit — the oracle-gated effectiveness "
-    "measurement for the engine's Morton-curve writer "
-    "(sources/parquet_io.py write_zordered, which range-partitions "
-    "and locally sorts by the same interleave before landing "
-    "files): "
-    "both probe dimensions are min/max-scaled onto a 16-bit grid "
-    "(integer-exact arithmetic from a 1-row stats aggregate folded "
-    "in via the data-derived constant-key broadcast join, never a "
-    "driver collect), bit-interleaved into a 32-bit Morton code, "
-    "and rows are binned into 64 z-files (top 6 code bits) vs 64 "
-    "ingest-order files (orderkey ranges). For a 10%-band probe on "
-    "EACH dimension the query emits per-layout file-skipping "
-    "effectiveness (files kept / rows kept under min-max pruning) — "
-    "demonstrating the z-layout prunes on BOTH columns while the "
-    "ingest layout prunes on neither. The interleave is a plain "
-    "64-term shift/mask expression (whole-stage codegen, no UDF), "
-    "identical in SQL on the oracle side.",
-    parts=8,
-)
-def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("pk"),
-        F.col("l_suppkey").alias("sk"),
-        F.col("l_orderkey").alias("ok"),
-    )
-    stats = (
-        li.agg(
-            F.min("pk").alias("minp"),
-            F.max("pk").alias("maxp"),
-            F.min("sk").alias("mins"),
-            F.max("sk").alias("maxs"),
-            F.min("ok").alias("mino"),
-            F.max("ok").alias("maxo"),
-        )
-        .withColumn("__k", _const_key(F.col("minp")))
-    )
-    t = li.withColumn("__k", _const_key(F.col("pk"))).join(
-        F.broadcast(stats), "__k"
-    )
-    gx = F.floor(
-        (F.col("pk") - F.col("minp"))
-        * F.lit(65535.0)
-        / F.greatest(F.col("maxp") - F.col("minp"), F.lit(1))
-    )
-    gy = F.floor(
-        (F.col("sk") - F.col("mins"))
-        * F.lit(65535.0)
-        / F.greatest(F.col("maxs") - F.col("mins"), F.lit(1))
-    )
-    nf = F.floor(
-        (F.col("ok") - F.col("mino"))
-        * F.lit(64.0)
-        / (F.col("maxo") - F.col("mino") + F.lit(1))
-    )
-    g = t.select(
-        "pk",
-        "sk",
-        gx.alias("gx"),
-        gy.alias("gy"),
-        nf.alias("nf"),
-        (
-            F.col("minp")
-            + F.floor(F.lit(0.45) * (F.col("maxp") - F.col("minp")))
-        ).alias("pk_lo"),
-        (
-            F.col("minp")
-            + F.floor(F.lit(0.55) * (F.col("maxp") - F.col("minp")))
-        ).alias("pk_hi"),
-        (
-            F.col("mins")
-            + F.floor(F.lit(0.45) * (F.col("maxs") - F.col("mins")))
-        ).alias("sk_lo"),
-        (
-            F.col("mins")
-            + F.floor(F.lit(0.55) * (F.col("maxs") - F.col("mins")))
-        ).alias("sk_hi"),
-    )
-    from functools import reduce  # noqa: PLC0415
-    from operator import add  # noqa: PLC0415
-
-    zterms = []
-    for i in range(16):
-        zterms.append(
-            F.shiftleft(
-                F.shiftright(F.col("gx"), i).bitwiseAND(F.lit(1)), 2 * i
-            )
-        )
-        zterms.append(
-            F.shiftleft(
-                F.shiftright(F.col("gy"), i).bitwiseAND(F.lit(1)),
-                2 * i + 1,
-            )
-        )
-    z = g.withColumn("zf", F.shiftright(reduce(add, zterms), 26))
-
-    def files(by: str) -> DataFrame:
-        return z.groupBy(F.col(by).alias("f")).agg(
-            F.min("pk").alias("minpk"),
-            F.max("pk").alias("maxpk"),
-            F.min("sk").alias("minsk"),
-            F.max("sk").alias("maxsk"),
-            F.count(F.lit(1)).alias("rows_"),
-            F.min("pk_lo").alias("pk_lo"),
-            F.min("pk_hi").alias("pk_hi"),
-            F.min("sk_lo").alias("sk_lo"),
-            F.min("sk_hi").alias("sk_hi"),
-        )
-
-    zfiles = files("zf").persist()
-    nfiles = files("nf").persist()
-
-    def probe(fdf: DataFrame, layout: str, dim: str) -> DataFrame:
-        lo, hi, mn, mx = (
-            ("pk_lo", "pk_hi", "minpk", "maxpk")
-            if dim == "partkey"
-            else ("sk_lo", "sk_hi", "minsk", "maxsk")
-        )
-        keep = (F.col(mn) <= F.col(hi)) & (F.col(mx) >= F.col(lo))
-        return fdf.agg(
-            F.count(F.lit(1)).cast("bigint").alias("files_total"),
-            F.sum(F.when(keep, 1).otherwise(0))
-            .cast("bigint")
-            .alias("files_kept"),
-            F.sum(F.when(keep, F.col("rows_")).otherwise(0))
-            .cast("bigint")
-            .alias("rows_kept"),
-        ).select(
-            F.lit(layout).alias("layout"),
-            F.lit(dim).alias("probe_dim"),
-            "files_total",
-            "files_kept",
-            "rows_kept",
-        )
-
-    out = (
-        probe(zfiles, "zorder", "partkey")
-        .unionByName(probe(zfiles, "zorder", "suppkey"))
-        .unionByName(probe(nfiles, "natural", "partkey"))
-        .unionByName(probe(nfiles, "natural", "suppkey"))
-        .orderBy("layout", "probe_dim")
-    )
-    out = out.localCheckpoint(eager=True)
-    zfiles.unpersist()
-    nfiles.unpersist()
-    return out
-
-
-@_register(
-    "incremental_agg_gate",
-    """
-    SELECT event_type,
-           CAST(ts AS DATE) AS d,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-             AS sum_cents,
-           sum(CAST(floor(value * 100) AS BIGINT))::DOUBLE / count(*)
-             AS avg_cents
-    FROM events
-    GROUP BY event_type, CAST(ts AS DATE)
-    ORDER BY event_type, d
-    """,
-    doc="Incremental aggregate maintenance under an EXACT full-"
-    "recompute oracle: the events stream is split by event-id parity "
-    "into a landed history and a late-arriving batch (every "
-    "(type, day) key receives rows from BOTH, so the merge is real, "
-    "not a disjoint union), each side aggregates independently to "
-    "(n, sum) partials, and the partials merge by key — the "
-    "algebraic-decomposition pattern every 100 TB daily pipeline "
-    "uses to avoid re-scanning history (avg does not merge; "
-    "(sum, count) does). Values are integer cents (floor(value*100) "
-    "— floor, never engine-divergent casts or half-rounding) so "
-    "integer associativity makes incremental == full recompute "
-    "EXACTLY, and the oracle is the genuine one-pass recompute, not "
-    "a replay of the two-phase plan. The derived avg is an exact "
-    "int/int IEEE quotient.",
-    parts=8,
-)
-def q_incremental_agg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.col("ts").cast("date").alias("d"),
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        F.col("event_id"),
-    )
-    hist = ev.filter(F.col("event_id") % 2 == 0)
-    batch = ev.filter(F.col("event_id") % 2 == 1)
-
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("event_type", "d").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("cents").cast("bigint").alias("sum_cents"),
-        )
-
-    merged = (
-        partial(hist)
-        .unionByName(partial(batch))
-        .groupBy("event_type", "d")
-        .agg(
-            F.sum("n").cast("bigint").alias("n"),
-            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
-        )
-    )
-    return merged.select(
-        "event_type",
-        "d",
-        "n",
-        "sum_cents",
-        (F.col("sum_cents").cast("double") / F.col("n")).alias("avg_cents"),
-    ).orderBy("event_type", "d")
-
-
-@_register(
-    "session_pattern_match",
-    """
-    WITH seq AS (
-      SELECT user_id,
-             string_agg(substr(event_type, 1, 1), ''
-                        ORDER BY ts, event_id) AS s
-      FROM events
-      GROUP BY user_id
-    )
-    SELECT user_id,
-           CAST(length(s) AS BIGINT) AS seq_len,
-           CAST(len(regexp_extract_all(s, 'v+p')) AS BIGINT)
-             AS n_conversions,
-           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
-             AS n_error_runs
-    FROM seq
-    ORDER BY user_id
-    """,
-    doc="MATCH_RECOGNIZE-style event-sequence pattern matching: each "
-    "user's event history collapses to a compact per-user symbol "
-    "string (first letter of the event type, ordered by (ts, "
-    "event_id) — the alphabet c/e/p/s/v is prefix-distinct), and "
-    "funnel patterns are counted as leftmost non-overlapping regex "
-    "matches: 'v+p' = a view-run converting to purchase, 'ee+' = "
-    "consecutive-error incidents. Deterministic across engines "
-    "because greedy leftmost matching of a backtracking-free "
-    "pattern is engine-invariant. Spark side is pure expressions "
-    "(sort_array over (ts, event_id, symbol) structs -> array_join "
-    "-> regexp_count): ONE shuffle on user_id, per-user state "
-    "bounded by the user's own history — the sequence-analytics "
-    "sibling of event_transitions (which counts only adjacent "
-    "pairs) and funnel_stages (which checks one fixed stage "
-    "order).",
-    parts=8,
-)
-def q_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.struct(
-            F.col("ts"),
-            F.col("event_id"),
-            F.substring("event_type", 1, 1).alias("ch"),
-        ).alias("rec"),
-    )
-    seq = ev.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list("rec")), lambda r: r["ch"]
-            ),
-            "",
-        ).alias("s")
-    )
-    return seq.select(
-        "user_id",
-        F.length("s").cast("bigint").alias("seq_len"),
-        F.regexp_count("s", F.lit("v+p")).cast("bigint").alias(
-            "n_conversions"
-        ),
-        F.regexp_count("s", F.lit("ee+")).cast("bigint").alias(
-            "n_error_runs"
-        ),
-    ).orderBy("user_id")
-
-
-@_register(
-    "orc_roundtrip",
-    """
-    SELECT l_returnflag,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
-                AS BIGINT) AS revenue_cents
-    FROM lineitem
-    WHERE l_quantity <= 10
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-    doc="ORC format round-trip under the value gate: a lineitem "
-    "projection lands as hive-partitioned ORC (partitioned by "
-    "l_returnflag), is read back through Spark's vectorized ORC "
-    "reader with a partition-pruning-eligible layout and a "
-    "pushdown-eligible l_quantity predicate, and must aggregate to "
-    "the EXACT integer-cent totals the oracle computes straight "
-    "from the source Parquet — format-conversion value parity, not "
-    "just row counts. Extends §2.1's source/sink matrix (JSON, "
-    "Parquet, CSV, REST) with the second columnar format; scan "
-    "contracts (pruning, pushdown) carry over unchanged.",
-    parts=8,
-)
-def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.sources.orc_io import (  # noqa: PLC0415
-        read_orc,
-        write_orc,
-    )
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_quantity",
-        F.floor(F.col("l_extendedprice") * 100)
-        .cast("long")
-        .alias("cents"),
-        "l_returnflag",
-    )
-    work = tempfile.mkdtemp(prefix="orc_rt_")
-    path = f"{work}/lineitem_orc"
-    write_orc(li, path, partition_by=["l_returnflag"])
-    back = read_orc(spark, path)
-    return (
-        back.filter(F.col("l_quantity") <= 10)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("cents").cast("bigint").alias("revenue_cents"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@_register(
-    "compact_files_eq",
-    """
-    SELECT o_orderkey, o_custkey,
-           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
-    FROM orders
-    WHERE o_orderkey % 3 = 0
-    ORDER BY o_orderkey
-    """,
-    doc="Small-files compaction under the DRIVER value gate (was "
-    "pytest-only): an orders slice lands fragmented across 64 tiny "
-    "files (the streaming-sink / incremental-upsert accumulation "
-    "pattern), compact_parquet rewrites it to ~target-size files via "
-    "the crash-safe sibling-dir double-rename, and the compacted "
-    "table must hash-match the oracle's view of the ORIGINAL data — "
-    "compaction is pure layout, zero value drift. The gate also "
-    "asserts the file count actually dropped (returned count < 64) "
-    "by failing the read if not. At 100 TB scan task count and "
-    "listing load follow file count; ~128 MB compaction is standard "
-    "lake maintenance.",
-    parts=8,
-)
-def q_compact_files_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.sources.parquet_io import (  # noqa: PLC0415
-        compact_parquet,
-    )
-
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 3 == 0
-    )
-    sl = orders.select(
-        "o_orderkey",
-        "o_custkey",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
-    work = tempfile.mkdtemp(prefix="compact_eq_")
-    path = f"{work}/orders_small_files"
-    sl.repartition(64).write.mode("overwrite").parquet(path)
-    n_after = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
-    if n_after >= 64:
-        raise AssertionError(
-            f"compaction did not reduce file count: {n_after} >= 64"
-        )
-    return spark.read.parquet(path).orderBy("o_orderkey")
-
-
-@_register(
-    "schema_evolution_eq",
-    """
-    SELECT o_orderkey,
-           o_custkey,
-           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
-             AS o_orderstatus
-    FROM orders
-    ORDER BY o_orderkey
-    """,
-    doc="Additive schema evolution under the DRIVER value gate (was "
-    "pytest-only): generation 1 of a bronze dir lands orders WITHOUT "
-    "o_orderstatus (even keys), generation 2 lands it WITH the new "
-    "column (odd keys) — the vendor-added-a-field drift every "
-    "long-lived ingest hits. read_parquet_evolving (mergeSchema) "
-    "must read both generations as one table where gen-1 rows carry "
-    "NULL for the added column, value-hash-equal to the oracle's "
-    "CASE reconstruction from the source table. Renames/retypes "
-    "stay out of scope by design — those are silver migrations, not "
-    "read options.",
-    parts=8,
-)
-def q_schema_evolution_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.sources.parquet_io import (  # noqa: PLC0415
-        read_parquet_evolving,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="evolve_eq_")
-    path = f"{work}/orders_bronze"
-    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_custkey"
-    )
-    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey", "o_custkey", "o_orderstatus"
-    )
-    gen1.write.mode("overwrite").parquet(f"{path}/gen=1")
-    gen2.write.mode("overwrite").parquet(f"{path}/gen=2")
-    return (
-        read_parquet_evolving(spark, path)
-        .select("o_orderkey", "o_custkey", "o_orderstatus")
-        .orderBy("o_orderkey")
-    )
-
-
-def _bfs_oracle_sql(rounds: int = 3) -> str:
-    """Replay of bfs_levels: frontier expansion as chained CTEs (the
-    kmeans/MMR/PageRank unrolling convention)."""
-    parts = ["""
-    WITH items AS (
-      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-      FROM lineitem WHERE l_orderkey % 10 = 0
-    ), eu AS (
-      SELECT DISTINCT a.pk AS a, b.pk AS b
-      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-    ), e AS (
-      SELECT a AS src, b AS dst FROM eu
-      UNION ALL
-      SELECT b AS src, a AS dst FROM eu
-    ), src AS (
-      SELECT min(a) AS s FROM eu
-    ), v0 AS (
-      SELECT s AS node, 0 AS level FROM src
-    )"""]
-    prev = "v0"
-    for i in range(1, rounds + 1):
-        parts.append(f""", f{i} AS (
-      SELECT DISTINCT e.dst AS node
-      FROM {prev} v JOIN e ON e.src = v.node
-      WHERE v.level = {i - 1}
-    ), v{i} AS (
-      SELECT node, level FROM {prev}
-      UNION ALL
-      SELECT f.node, {i} AS level
-      FROM f{i} f
-      WHERE f.node NOT IN (SELECT node FROM {prev})
-    )""")
-        prev = f"v{i}"
-    parts.append(f"""
-    SELECT level,
-           CAST(count(*) AS BIGINT) AS n_nodes,
-           CAST(sum(node) AS BIGINT) AS node_checksum
-    FROM {prev}
-    GROUP BY level
-    ORDER BY level
-    """)
-    return "".join(parts)
-
-
-@_register(
-    "bfs_levels",
-    _bfs_oracle_sql(),
-    doc="Single-source BFS over the part co-purchase graph (source = "
-    "smallest part in the graph, 3 frontier expansions) — the fourth "
-    "iterative family under the CTE-unrolling oracle next to Lloyd "
-    "refinement, PageRank, and star-contraction components. Every "
-    "round is ONE keyed join (frontier ⋈ edges on the source key) "
-    "plus a left-anti join against the visited set — frontier and "
-    "visited stay distributed DataFrames keyed by node (at 100 TB "
-    "both bucket by node id; visited never collects to the driver, "
-    "which is where naive BFS implementations die first). Per-level "
-    "rollup (count + node-id checksum) hashes every reached node "
-    "without emitting the frontier itself.",
-    parts=8,
-)
-def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 10 == 0
-    )
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = items.select("ok", F.col("pk").alias("a"))
-    b = items.select("ok", F.col("pk").alias("b"))
-    eu = (
-        a.join(b, "ok")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    edges = eu.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(
-        eu.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
-    visited = (
-        eu.agg(F.min("a").alias("node"))
-        .withColumn("level", F.lit(0))
-        .localCheckpoint(eager=True)
-    )
-    for i in range(1, 4):
-        frontier = visited.filter(F.col("level") == i - 1)
-        reached = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        fresh = reached.join(
-            visited.select("node"), "node", "left_anti"
-        ).withColumn("level", F.lit(i))
-        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
-    edges.unpersist()
-    return (
-        visited.groupBy("level")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-            F.sum("node").cast("bigint").alias("node_checksum"),
-        )
-        .orderBy("level")
-    )
-
-
-@_register(
-    "interval_concurrency",
-    """
-    WITH g AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id))
-                     > 1800000000
-                  THEN 1 ELSE 0 END AS brk
-      FROM events
-    ), numbered AS (
-      SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS sid
-      FROM g
-    ), sess AS (
-      SELECT user_id, sid, min(ts) AS s_ts, max(ts) AS e_ts
-      FROM numbered GROUP BY user_id, sid
-    ), b AS (
-      SELECT ts, sum(st) AS starts, sum(en) AS ends
-      FROM (
-        SELECT s_ts AS ts, 1 AS st, 0 AS en FROM sess
-        UNION ALL
-        SELECT e_ts AS ts, 0 AS st, 1 AS en FROM sess
-      ) GROUP BY ts
-    ), r AS (
-      SELECT CAST(ts AS DATE) AS day, starts,
-             coalesce(sum(starts - ends) OVER (
-               ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), 0) + starts AS peak
-      FROM b
-    )
-    SELECT day,
-           CAST(max(peak) AS BIGINT) AS peak_concurrency,
-           CAST(sum(starts) AS BIGINT) AS sessions_started
-    FROM r GROUP BY day ORDER BY day
-    """,
-    doc="Sweep-line interval analytics: per-user 30-minute-gap "
-    "sessions become [first-event, last-event] closed intervals, and "
-    "the per-day PEAK number of concurrently-open sessions is "
-    "computed by the classic boundary sweep (+1 at start, -1 at "
-    "end; starts at an instant count before ends, so touching "
-    "sessions overlap). The running sum is a DISTRIBUTED two-phase "
-    "prefix scan, not a single global window: boundaries aggregate "
-    "per timestamp, the within-day running sum is a day-partitioned "
-    "window, and cross-day carry (sessions spanning midnight) folds "
-    "in via a per-day net-offset table that is bounded by the "
-    "calendar (one row per day) and broadcast back — so no stage "
-    "ever sorts more than one day's boundaries in one task, the "
-    "scan scales with days x within-day parallelism at 100 TB. "
-    "The oracle replays the same sweep with a flat global window, "
-    "checking the two-phase decomposition against the direct "
-    "definition.",
-    parts=8,
-)
-def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id"
-    )
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(wu)
-    brk = F.when(
-        prev.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1800000000),
-        1,
-    ).otherwise(0)
-    numbered = ev.withColumn("brk", brk).withColumn(
-        "sid",
-        F.sum("brk").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    sess = numbered.groupBy("user_id", "sid").agg(
-        F.min("ts").alias("s_ts"), F.max("ts").alias("e_ts")
-    )
-    bnd = sess.select(
-        F.col("s_ts").alias("ts"),
-        F.lit(1).alias("st"),
-        F.lit(0).alias("en"),
-    ).unionByName(
-        sess.select(
-            F.col("e_ts").alias("ts"),
-            F.lit(0).alias("st"),
-            F.lit(1).alias("en"),
-        )
-    )
-    b = (
-        bnd.groupBy("ts")
-        .agg(F.sum("st").alias("starts"), F.sum("en").alias("ends"))
-        .withColumn("day", F.to_date("ts"))
-        .withColumn("net", F.col("starts") - F.col("ends"))
-    )
-    wday = (
-        Window.partitionBy("day")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # Per-day net offsets: one row per calendar day, so the global
-    # window here runs over a calendar-bounded table (not the data).
-    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        b.groupBy("day")
-        .agg(F.sum("net").alias("dnet"))
-        .select(
-            "day",
-            F.coalesce(F.sum("dnet").over(wd), F.lit(0)).alias("off"),
-        )
-    )
-    j = b.join(F.broadcast(offsets), "day")
-    peak = F.col("off") + F.coalesce(
-        F.sum("net").over(wday), F.lit(0)
-    ) + F.col("starts")
-    return (
-        j.withColumn("peak", peak)
-        .groupBy("day")
-        .agg(
-            F.max("peak").cast("bigint").alias("peak_concurrency"),
-            F.sum("starts").cast("bigint").alias("sessions_started"),
-        )
-        .orderBy("day")
-    )
-
-
-@_register(
-    "editdist_blocked_join",
-    """
-    SELECT a.c_name AS name_a, b.c_name AS name_b,
-           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-    FROM customer a
-    JOIN customer b
-      ON a.c_name < b.c_name
-     AND levenshtein(a.c_name, b.c_name) <= 1
-    WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
-    ORDER BY name_a, name_b
-    """,
-    doc="Exact edit-distance<=1 similarity self-join via SYMSPELL "
-    "deletion-neighborhood blocking (Garbe's symmetric-delete "
-    "algorithm; same family as FastSS, Bocek et al. 2007): each "
-    "name emits itself plus its |s| single-deletion variants as "
-    "block keys, and the theorem 'lev(a,b)<=1 implies keys(a) "
-    "intersects keys(b)' (equal lengths: deleting the one differing "
-    "position from both gives a shared variant; length-off-by-one: "
-    "the shorter string IS a deletion variant of the longer) makes "
-    "the key-equi-join candidate set a provable superset — "
-    "levenshtein() then verifies exactly. The ORACLE is the naive "
-    "quadratic levenshtein join, so the gate checks the blocking "
-    "theorem itself, not a shared implementation. Scale: candidate "
-    "generation is linear in total string length, the join keys on "
-    "short variant strings (posting lists bounded by alphabet x "
-    "name-pattern collisions), no crossJoin — the O(n^2) "
-    "string-similarity join becomes a token-keyed shuffle, the "
-    "SAME blocking shape a 100 TB entity-resolution pass uses.",
-    parts=8,
-)
-def q_editdist_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select(F.col("c_name").alias("name"))
-        .distinct()
-    )
-    keyed = cust.select(
-        "name",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(F.col("name")),
-                    F.expr(
-                        "transform(sequence(1, length(name)), "
-                        "i -> concat(left(name, i-1), substring(name, i+1)))"
-                    ),
-                )
-            )
-        ).alias("k"),
-    )
-    a = keyed.select(F.col("name").alias("name_a"), "k")
-    b = keyed.select(F.col("name").alias("name_b"), "k")
-    return (
-        a.join(b, "k")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-        .distinct()
-        .withColumn(
-            "dist",
-            F.levenshtein("name_a", "name_b").cast("bigint"),
-        )
-        .filter(F.col("dist") <= 1)
-        .orderBy("name_a", "name_b")
-    )
-
-
-@_register(
-    "pmi_collocations",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
-    ), bg AS (
-      SELECT unnest([tokens[i] || ' ' || tokens[i+1]
-                     FOR i IN range(1, len(tokens))]) AS b
-      FROM toks WHERE len(tokens) >= 2
-    ), bgc AS (
-      SELECT b, count(*) AS c FROM bg GROUP BY b
-    ), words AS (
-      SELECT unnest(tokens) AS w FROM toks WHERE len(tokens) >= 1
-    ), uni AS (
-      SELECT w, count(*) AS cw FROM words GROUP BY w
-    ), nuni AS (
-      SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uni
-    ), nbg AS (
-      SELECT CAST(sum(c) AS DOUBLE) AS nb FROM bgc
-    ), j AS (
-      SELECT bgc.b, bgc.c,
-             {sql_dround(
-                 "ln((CAST(bgc.c AS DOUBLE) / nb)"
-                 " / ((CAST(u1.cw AS DOUBLE) / nu)"
-                 " * (CAST(u2.cw AS DOUBLE) / nu)))", 6)} AS pmi
-      FROM bgc
-      JOIN uni u1 ON u1.w = split_part(bgc.b, ' ', 1)
-      JOIN uni u2 ON u2.w = split_part(bgc.b, ' ', 2)
-      CROSS JOIN nuni CROSS JOIN nbg
-      WHERE bgc.c >= 5
-    )
-    SELECT b, CAST(c AS BIGINT) AS c, pmi
-    FROM j ORDER BY pmi DESC, b ASC LIMIT 20
-    """,
-    doc="Pointwise-mutual-information collocation mining (Church & "
-    "Hanks 1990) — the statistical upgrade of corpus_top_bigrams: "
-    "raw bigram frequency surfaces stopword pairs, PMI = "
-    "ln(p(ab)/(p(a)p(b))) surfaces genuinely associated word pairs "
-    "(the vocabulary-audit signal a training-data pipeline uses to "
-    "find boilerplate phrases and collocation-heavy spam). Both "
-    "engines compute the PMI argument with an identical "
-    "left-associated double expression over bit-identical integer "
-    "counts, dround(6) before the top-20 TakeOrdered (tiebreak: "
-    "gram asc). Plan: one gram agg + one token agg (both map-side "
-    "partial), the two unigram lookups are vocabulary-keyed "
-    "equi-joins (vocab-sized, broadcastable or bucketed at 100 TB, "
-    "never corpus-sized), corpus totals fold in via the "
-    "data-derived constant-key broadcast, top-20 is a TakeOrdered "
-    "not a sort.",
-    parts=8,
-)
-def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    docs = fan_out(docs)
-    toks = docs.select("doc_id", _word_toks().alias("toks"))
-    bigrams = toks.filter(F.size("toks") >= 2).select(
-        F.explode(
-            F.zip_with(
-                F.slice("toks", 1, F.size("toks") - 1),
-                F.slice("toks", 2, F.size("toks") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("b")
-    )
-    bgc = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
-    words = toks.filter(F.size("toks") >= 1).select(
-        F.explode("toks").alias("w")
-    )
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    nuni = (
-        uni.agg(F.sum("cw").cast("double").alias("nu"))
-        .withColumn("__k", _const_key(F.col("nu")))
-    )
-    nbg = (
-        bgc.agg(F.sum("c").cast("double").alias("nb"))
-        .withColumn("__k", _const_key(F.col("nb")))
-    )
-    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
-    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
-    j = (
-        bgc.filter(F.col("c") >= 5)
-        .withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
-        .withColumn("w2", F.split_part(F.col("b"), F.lit(" "), F.lit(2)))
-        .join(u1, "w1")
-        .join(u2, "w2")
-        .withColumn("__k", _const_key(F.col("b")))
-        .join(F.broadcast(nuni), "__k")
-        .join(F.broadcast(nbg), "__k")
-    )
-    pmi = dround(
-        F.log(
-            (F.col("c").cast("double") / F.col("nb"))
-            / (
-                (F.col("cw1").cast("double") / F.col("nu"))
-                * (F.col("cw2").cast("double") / F.col("nu"))
-            )
-        ),
-        6,
-    )
-    return (
-        j.select("b", F.col("c").cast("bigint").alias("c"), pmi.alias("pmi"))
-        .orderBy(F.col("pmi").desc(), F.col("b").asc())
-        .limit(20)
-    )
-
-
-@_register(
-    "dq_expectations",
-    """
-    SELECT 'events_bad_type' AS check_name,
-           CAST(sum(CASE WHEN event_type NOT IN
-                 ('click','error','purchase','signup','view')
-                 OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS violations,
-           CAST(count(*) AS BIGINT) AS checked
-    FROM events
-    UNION ALL
-    SELECT 'events_null_user',
-           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT),
-           CAST(count(*) AS BIGINT)
-    FROM events
-    UNION ALL
-    SELECT 'lineitem_dup_pk',
-           CAST((SELECT count(*) FROM (
-              SELECT l_orderkey, l_linenumber FROM lineitem
-              GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
-             AS BIGINT),
-           CAST(count(*) AS BIGINT)
-    FROM lineitem
-    UNION ALL
-    SELECT 'lineitem_orphan_order',
-           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT),
-           CAST(count(*) AS BIGINT)
-    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-    UNION ALL
-    SELECT 'lineitem_discount_range',
-           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
-                 THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(count(*) AS BIGINT)
-    FROM lineitem
-    UNION ALL
-    SELECT 'lineitem_nonpositive_qty',
-           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
-                AS BIGINT),
-           CAST(count(*) AS BIGINT)
-    FROM lineitem
-    UNION ALL
-    SELECT 'orders_bad_status',
-           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                 OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(count(*) AS BIGINT)
-    FROM orders
-    ORDER BY check_name
-    """,
-    doc="Declarative data-quality expectation suite (the "
-    "Deequ/Great-Expectations operator class): seven expectations — "
-    "enum domain, null, primary-key uniqueness, referential "
-    "integrity, value range — evaluate to "
-    "one (check_name, violations, checked) row each. Plan shape is "
-    "the point at 100 TB: ALL row-local expectations on a table "
-    "fuse into ONE conditional-aggregation scan (events: 2 checks "
-    "1 scan; lineitem row-local: 2 checks 1 scan), the uniqueness "
-    "check is a key-shuffle count with map-side partial aggregation "
-    "(never a global sort), and referential integrity is the "
-    "fact-dim key join counting unmatched probes. Violations "
-    "stream into counters — no violating-row materialization.",
-    parts=8,
-)
-def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-
-    def row(name: str, violations: Column, checked: Column) -> Column:
-        return F.struct(
-            F.lit(name).alias("check_name"),
-            violations.cast("bigint").alias("violations"),
-            checked.cast("bigint").alias("checked"),
-        )
-
-    cnt = F.count(F.lit(1))
-    # events: both row-local expectations in ONE scan
-    ev_checks = ev.agg(
-        F.array(
-            row(
-                "events_bad_type",
-                F.sum(
-                    F.when(
-                        ~F.col("event_type").isin(
-                            "click", "error", "purchase", "signup", "view"
-                        )
-                        | F.col("event_type").isNull(),
-                        1,
-                    ).otherwise(0)
-                ),
-                cnt,
-            ),
-            row(
-                "events_null_user",
-                F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)),
-                cnt,
-            ),
-        ).alias("rows")
-    )
-    # lineitem row-local: one scan
-    li_checks = li.agg(
-        F.array(
-            row(
-                "lineitem_discount_range",
-                F.sum(
-                    F.when(
-                        (F.col("l_discount") < 0)
-                        | (F.col("l_discount") > 0.1),
-                        1,
-                    ).otherwise(0)
-                ),
-                cnt,
-            ),
-            row(
-                "lineitem_nonpositive_qty",
-                F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)),
-                cnt,
-            ),
-        ).alias("rows")
-    )
-    # primary-key uniqueness: key-shuffle, map-side partial agg
-    dup = (
-        li.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(
-            F.array(
-                row(
-                    "lineitem_dup_pk",
-                    F.sum(F.when(F.col("n") > 1, 1).otherwise(0)),
-                    F.sum("n"),
-                )
-            ).alias("rows")
-        )
-    )
-    # referential integrity: unmatched fact->dim probes
-    orphan = (
-        li.select("l_orderkey")
-        .join(
-            orders.select("o_orderkey"),
-            li.l_orderkey == orders.o_orderkey,
-            "left",
-        )
-        .agg(
-            F.array(
-                row(
-                    "lineitem_orphan_order",
-                    F.sum(
-                        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
-                    ),
-                    cnt,
-                )
-            ).alias("rows")
-        )
-    )
-    ord_checks = orders.agg(
-        F.array(
-            row(
-                "orders_bad_status",
-                F.sum(
-                    F.when(
-                        ~F.col("o_orderstatus").isin("O", "F", "P")
-                        | F.col("o_orderstatus").isNull(),
-                        1,
-                    ).otherwise(0)
-                ),
-                cnt,
-            )
-        ).alias("rows")
-    )
-    return (
-        ev_checks.unionByName(li_checks)
-        .unionByName(dup)
-        .unionByName(orphan)
-        .unionByName(ord_checks)
-        .select(F.explode("rows").alias("r"))
-        .select("r.check_name", "r.violations", "r.checked")
-        .orderBy("check_name")
-    )
-
-
-@_register(
-    "heavy_hitters_2pass",
-    """
-    WITH c AS (
-      SELECT o_custkey, count(*) AS cnt
-      FROM orders GROUP BY o_custkey
-    ), t AS (
-      SELECT CAST(sum(cnt) AS BIGINT) AS n,
-             CAST(count(*) AS BIGINT) AS d
-      FROM c
-    )
-    SELECT o_custkey AS custkey, CAST(cnt AS BIGINT) AS cnt
-    FROM c CROSS JOIN t
-    WHERE 10 * cnt * d > 13 * n
-    ORDER BY cnt DESC, custkey
-    """,
-    doc="EXACT heavy-key detection by the classic two-pass sketch "
-    "recipe: pass 1 runs mergeable Misra-Gries (k counters per "
-    "partition, operators/skew.py) whose union provably contains "
-    "every key with global count > N/(k+1); pass 2 exactly counts "
-    "ONLY those candidates (broadcast semi-join against the fact "
-    "table) and keeps keys hotter than 1.3x the mean key load — "
-    "the scale-invariant skew definition (10*cnt*D > 13*N in "
-    "integer arithmetic), with k sized from the dimension "
-    "cardinality so k+1 >= D/1.3 makes the MG guarantee cover the "
-    "threshold. The ORACLE aggregates the full key domain "
-    "directly, so the gate checks the sketch's no-loss guarantee "
-    "plus the exactness of pass 2 — the candidate SET may vary "
-    "with partitioning, the RESULT may not. At 100 TB pass 1 "
-    "touches each row once with O(k) state and no shuffle, pass 2 "
-    "shuffles only candidate-key rows — the full-domain "
-    "aggregation the oracle runs is exactly what this plan "
-    "avoids. Companion of key_skew_profile (which measures "
-    "skew; this returns the culprit keys exactly).",
-    parts=8,
-)
-def q_heavy_hitters_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yahoofinancedatalake_spark.operators.skew import (  # noqa: PLC0415
-        misra_gries_candidates,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    # k from the DIMENSION cardinality (an upper bound on the key
-    # domain D): k+1 >= D/1.3 puts the MG miss threshold N/(k+1)
-    # below the 1.3x-mean detection threshold. Metadata-scale count
-    # (customer is the small dim), not a data collect.
-    n_cust = load_table(spark, sf_dir, "customer").count()
-    k = (10 * n_cust) // 13 + 1
-    cands = misra_gries_candidates(orders, "o_custkey", k)
-    exact = (
-        orders.join(F.broadcast(cands), "o_custkey")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    tot = (
-        orders.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("o_custkey").alias("d"),
-        )
-        .withColumn("__k", _const_key(F.col("n")))
-    )
-    return (
-        exact.withColumn("__k", _const_key(F.col("o_custkey")))
-        .join(F.broadcast(tot), "__k")
-        .filter(
-            F.lit(10) * F.col("cnt") * F.col("d")
-            > F.lit(13) * F.col("n")
-        )
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("cnt").cast("bigint").alias("cnt"),
-        )
-        .orderBy(F.col("cnt").desc(), F.col("custkey"))
-    )
-
-
-@_register(
-    "hybrid_rrf_search",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
-    ), hits AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
-      FROM (SELECT doc_id, unnest(tokens) AS t FROM toks)
-      WHERE t IN ({_sql_wordlist(_SEARCH_TERMS)})
-      GROUP BY doc_id
-    ), lex AS (
-      SELECT doc_id,
-             CAST(row_number() OVER (
-               ORDER BY hits DESC, doc_id ASC) AS BIGINT) AS ra
-      FROM hits
-      QUALIFY ra <= 100
-    ), q AS (
-      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-    ), cos AS (
-      SELECT e.vec_id AS doc_id,
-             {sql_dround(
-                 "list_dot_product(q.qv, e.embedding::DOUBLE[])"
-                 " / (sqrt(list_dot_product(q.qv, q.qv))"
-                 " * sqrt(list_dot_product(e.embedding::DOUBLE[],"
-                 " e.embedding::DOUBLE[])))", 4)} AS c
-      FROM embeddings e CROSS JOIN q
-      WHERE e.vec_id <> 0
-    ), sem AS (
-      SELECT doc_id,
-             CAST(row_number() OVER (
-               ORDER BY c DESC, doc_id ASC) AS BIGINT) AS rb
-      FROM cos
-      QUALIFY rb <= 100
-    )
-    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, ra, rb,
-           coalesce(1.0 / (60 + ra), 0.0)
-             + coalesce(1.0 / (60 + rb), 0.0) AS rrf
-    FROM lex FULL OUTER JOIN sem USING (doc_id)
-    ORDER BY rrf DESC, doc_id ASC
-    LIMIT 15
-    """,
-    doc="Hybrid retrieval with reciprocal-rank fusion (Cormack, "
-    "Clarke & Buettcher SIGIR'09, the standard used by hybrid "
-    "lexical+vector search engines): a lexical top-100 (query-term "
-    "frequency, integer scores) and a semantic top-100 (cosine vs "
-    "the anchor embedding, dround(4) before ranking) fuse as "
-    "sum(1/(60+rank)) with a missing-list contribution of zero. "
-    "Every rank is a row_number over a deterministic (score desc, "
-    "id asc) order, and the RRF score is one fixed two-term IEEE "
-    "sum of exact small-integer quotients — bit-identical across "
-    "engines with no further rounding. Scale: both ranked lists "
-    "are TOP-K-CAPPED (k=100) before fusion — the global ordering "
-    "happens in a TakeOrdered over pre-filtered/scored rows (query-"
-    "term rows only; one corpus scan for cosine), the fusion join "
-    "touches at most 2k rows, exactly how a production RRF stage "
-    "fuses retriever outputs regardless of corpus size.",
-    parts=8,
-)
-def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    hits = (
-        docs.select("doc_id", F.explode(_word_toks()).alias("t"))
-        .filter(F.col("t").isin(_SEARCH_TERMS))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    # top-100 caps: TakeOrderedAndProject keeps the global sort
-    # bounded; row_number then runs over <=100 rows.
-    lex = (
-        hits.orderBy(F.col("hits").desc(), F.col("doc_id").asc())
-        .limit(100)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("hits").desc(), F.col("doc_id")))
-            .cast("bigint")
-            .alias("ra"),
-        )
-    )
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"),
-        _const_key(F.col("vec_id")).alias("__k"),
-    )
-    dot = lambda u, v: F.aggregate(  # noqa: E731
-        F.zip_with(u, v, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = (
-        emb.filter(F.col("vec_id") != 0)
-        .withColumn("__k", _const_key(F.col("vec_id")))
-        .join(F.broadcast(qv), "__k")
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            dround(
-                dot(F.col("qv"), F.col("embedding"))
-                / (
-                    F.sqrt(dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                ),
-                4,
-            ).alias("c"),
-        )
-    )
-    sem = (
-        cos.orderBy(F.col("c").desc(), F.col("doc_id").asc())
-        .limit(100)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("c").desc(), F.col("doc_id")))
-            .cast("bigint")
-            .alias("rb"),
-        )
-    )
-    return (
-        lex.join(sem, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            "ra",
-            "rb",
-            (
-                F.coalesce(1.0 / (F.lit(60) + F.col("ra")), F.lit(0.0))
-                + F.coalesce(1.0 / (F.lit(60) + F.col("rb")), F.lit(0.0))
-            ).alias("rrf"),
-        )
-        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
-        .limit(15)
-    )
-
-
-@_register(
-    "trend_ols_daily",
-    f"""
-    WITH daily AS (
-      SELECT event_type,
-             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                  AS BIGINT) AS x,
-             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
-      FROM events
-      GROUP BY event_type, CAST(ts AS DATE)
-    ), s AS (
-      SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(x * y) AS BIGINT) AS sxy
-      FROM daily GROUP BY event_type
-    )
-    SELECT event_type, n AS n_days,
-           {sql_dround(
-               "CAST(n * sxy - sx * sy AS DOUBLE)"
-               " / CAST(n * sxx - sx * sx AS DOUBLE)", 6)} AS slope,
-           {sql_dround(
-               "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)"
-               " / CAST(n * sxx - sx * sx AS DOUBLE))"
-               " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)", 6)}
-             AS intercept
-    FROM s ORDER BY event_type
-    """,
-    doc="Per-group OLS trend line (daily revenue-cents vs day index, "
-    "one line per event_type) computed from the five CLOSED-FORM "
-    "sufficient statistics (n, sum x, sum y, sum xx, sum xy) — all "
-    "exact BIGINT sums over integer inputs (cents fixed-pointed at "
-    "the grain, day index an integer), so the normal-equation "
-    "slope/intercept are single IEEE quotients of bit-identical "
-    "integers on both engines; dround(6) on output only. The "
-    "statistics family's regression member next to spearman_trend "
-    "(rank correlation) and pairwise_correlation. Scale: two "
-    "map-side-combinable aggregations (day grain, then group "
-    "grain), zero windows, zero sorts — the sufficient-statistic "
-    "formulation is WHY regression distributes: the 100 TB plan "
-    "moves five numbers per group, not the series.",
-    parts=8,
-)
-def q_trend_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            "event_type",
-            F.to_date("ts").alias("day"),
-        )
-        .agg(
-            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("y")
-        )
-        .select(
-            "event_type",
-            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
-            .cast("bigint")
-            .alias("x"),
-            "y",
-        )
-    )
-    s = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    slope_raw = num / den
-    return s.select(
-        "event_type",
-        F.col("n").alias("n_days"),
-        dround(slope_raw, 6).alias("slope"),
-        dround(
-            (
-                F.col("sy").cast("double")
-                - slope_raw * F.col("sx").cast("double")
-            )
-            / F.col("n").cast("double"),
-            6,
-        ).alias("intercept"),
-    ).orderBy("event_type")
-
-
-@_register(
-    "ngram_novelty",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM documents
-    ), bg AS (
-      SELECT doc_id,
-             unnest([tokens[i] || ' ' || tokens[i+1]
-                     FOR i IN range(1, len(tokens))]) AS b
-      FROM toks WHERE len(tokens) >= 2
-    ), f AS (
-      SELECT b, min(doc_id) AS first_doc FROM bg GROUP BY b
-    )
-    SELECT bg.doc_id,
-           CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(CASE WHEN f.first_doc = bg.doc_id
-                 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
-           {sql_dround(
-               "CAST(sum(CASE WHEN f.first_doc = bg.doc_id"
-               " THEN 1 ELSE 0 END) AS DOUBLE)"
-               " / CAST(count(*) AS DOUBLE)", 6)} AS novelty_ratio
-    FROM bg JOIN f USING (b)
-    GROUP BY bg.doc_id
-    ORDER BY bg.doc_id
-    """,
-    doc="Training-data op: per-document n-gram NOVELTY — the fraction "
-    "of a doc's bigram occurrences whose corpus-wide first "
-    "appearance (min doc_id, the ingestion-order tiebreak) is this "
-    "doc. The self-repetition / boilerplate-accumulation signal "
-    "dedup pipelines use to decide whether late-arriving shards "
-    "still contribute new text (high novelty early, asymptoting as "
-    "the corpus saturates — complement of span_dedup_c4, which "
-    "removes the repeats; this measures them). Plan: one gram agg "
-    "(map-side partial) builds the first-occurrence index, one "
-    "gram-keyed equi-join streams each doc's grams past it, one "
-    "per-doc agg — the index is gram-vocabulary-sized at 100 TB "
-    "(bucketable), never corpus-sized, and nothing sorts globally.",
-    parts=8,
-)
-def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    bg = (
-        docs.select("doc_id", _word_toks().alias("toks"))
-        .filter(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    F.slice("toks", 1, F.size("toks") - 1),
-                    F.slice("toks", 2, F.size("toks") - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
-            ).alias("b"),
-        )
-    )
-    first = bg.groupBy("b").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    )
-    return (
-        bg.join(first, "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            novel.cast("bigint").alias("novel"),
-            dround(
-                novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
-            ).alias("novelty_ratio"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "audience_overlap",
-    """
-    WITH ut AS (
-      SELECT DISTINCT user_id, event_type FROM events
-    ), sizes AS (
-      SELECT event_type, CAST(count(*) AS BIGINT) AS n
-      FROM ut GROUP BY event_type
-    ), pairs AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             CAST(count(*) AS BIGINT) AS users
-      FROM ut a JOIN ut b
-        ON a.user_id = b.user_id AND a.event_type < b.event_type
-      GROUP BY 1, 2
-    )
-    SELECT type_a, type_b, users,
-           CAST(users AS DOUBLE)
-             / CAST(sa.n + sb.n - users AS DOUBLE) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON sa.event_type = type_a
-    JOIN sizes sb ON sb.event_type = type_b
-    ORDER BY type_a, type_b
-    """,
-    doc="Audience-overlap matrix: exact pairwise user-set Jaccard "
-    "between event types. The engine side avoids the fact-table "
-    "self-join entirely: ONE shuffle dedups (user, type), one more "
-    "groups each user's type set (bounded by the type vocabulary), "
-    "pairs explode from a per-user sorted-combination expression "
-    "(JVM-side flatten/transform, at most C(|types|,2) rows per "
-    "user), and per-pair counts map-side-combine. The oracle takes "
-    "the textbook self-join formulation, so the gate proves the "
-    "set-algebra rewrite. Jaccard is an exact IEEE quotient of "
-    "bit-identical BIGINTs (no rounding needed). The audience/"
-    "cohort analog of bitmap_distinct_rollup's exact distinct "
-    "machinery at 100 TB: per-user state is the type set, never "
-    "the event history.",
-    parts=8,
-)
-def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    per_user = (
-        ev.select("user_id", "event_type")
-        .distinct()
-        .groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
-    )
-    # all ordered pairs (i<j) from each user's sorted type set
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ts"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ts"), i + 2, F.size("ts")),
-                lambda b: F.struct(
-                    a.alias("type_a"), b.alias("type_b")
-                ),
-            ),
-        )
-    )
-    pairs = (
-        per_user.select(F.explode(pair_expr).alias("p"))
-        .groupBy(
-            F.col("p.type_a").alias("type_a"),
-            F.col("p.type_b").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("users"))
-    )
-    sizes = (
-        ev.select("user_id", "event_type")
-        .distinct()
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    sa = sizes.select(
-        F.col("event_type").alias("type_a"), F.col("n").alias("na")
-    )
-    sb = sizes.select(
-        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
-    )
-    return (
-        pairs.join(F.broadcast(sa), "type_a")
-        .join(F.broadcast(sb), "type_b")
-        .select(
-            "type_a",
-            "type_b",
-            "users",
-            (
-                F.col("users").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("users")).cast(
-                    "double"
-                )
-            ).alias("jaccard"),
-        )
-        .orderBy("type_a", "type_b")
-    )
-
-
-@_register(
-    "pareto_frontier",
-    """
-    SELECT a.p_partkey AS partkey,
-           a.p_retailprice AS price,
-           CAST(a.p_size AS BIGINT) AS size
-    FROM part a
-    WHERE NOT EXISTS (
-      SELECT 1 FROM part b
-      WHERE b.p_retailprice <= a.p_retailprice
-        AND b.p_size >= a.p_size
-        AND (b.p_retailprice < a.p_retailprice
-             OR b.p_size > a.p_size)
-    )
-    ORDER BY price, partkey
-    """,
-    doc="2-D Pareto frontier / skyline (Borzsonyi et al. ICDE'01): "
-    "parts minimizing retail price while maximizing size — a row "
-    "survives iff nothing is at-least-as-cheap AND at-least-as-big "
-    "with one strict. The engine avoids the quadratic dominance "
-    "test entirely: sorted by price, a row survives iff its size "
-    "equals its price-group max AND beats the running size-max of "
-    "all strictly-cheaper prices; that running max is the "
-    "DISTRIBUTED two-phase prefix-MAX scan (64 price buckets from "
-    "min/max stats folded in via the constant-key broadcast, "
-    "bucket-partitioned within-bucket windows over the price-level "
-    "rollup, cross-bucket offsets from a 64-row running max) — "
-    "the interval_concurrency prefix-SUM machinery re-instantiated "
-    "over the MAX monoid, so no stage sorts more than one bucket. "
-    "The ORACLE is the naive NOT EXISTS dominance formulation, "
-    "gating the sweep-line rewrite against the definition.",
-    parts=8,
-)
-def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("partkey"),
-        F.col("p_retailprice").alias("price"),
-        F.col("p_size").cast("bigint").alias("size"),
-    )
-    # price-level rollup: one row per distinct price
-    plevel = parts.groupBy("price").agg(F.max("size").alias("gmax"))
-    # bucket from min/max stats (constant-key broadcast, zorder idiom)
-    stats = plevel.agg(
-        F.min("price").alias("lo"), F.max("price").alias("hi")
-    ).withColumn("__k", _const_key(F.col("lo")))
-    pb = (
-        plevel.withColumn("__k", _const_key(F.col("price")))
-        .join(F.broadcast(stats), "__k")
-        .withColumn(
-            "bucket",
-            F.floor(
-                (F.col("price") - F.col("lo"))
-                * 64
-                / (F.col("hi") - F.col("lo") + 1)
-            ).cast("int"),
-        )
-        .drop("__k", "lo", "hi")
-    )
-    wloc = (
-        Window.partitionBy("bucket")
-        .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # cross-bucket offsets: 64 rows, bounded by the bucket count
-    woff = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        pb.groupBy("bucket")
-        .agg(F.max("gmax").alias("bmax"))
-        .select(
-            "bucket",
-            F.coalesce(F.max("bmax").over(woff), F.lit(-1)).alias("off"),
-        )
-    )
-    m = (
-        pb.withColumn(
-            "loc", F.coalesce(F.max("gmax").over(wloc), F.lit(-1))
-        )
-        .join(F.broadcast(offsets), "bucket")
-        .select(
-            "price",
-            "gmax",
-            F.greatest(F.col("loc"), F.col("off")).alias("m"),
-        )
-    )
-    return (
-        parts.join(m, "price")
-        .filter((F.col("size") == F.col("gmax")) & (F.col("gmax") > F.col("m")))
-        .select("partkey", "price", "size")
-        .orderBy("price", "partkey")
-    )
-
-
-_RECURSIVE_GROWTH_DAILY_SQL = """
-  SELECT event_type,
-         CAST({datediff} AS BIGINT) AS d,
-         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM {events}
-  WHERE CAST({datediff} AS BIGINT) < 90
-  GROUP BY event_type, CAST(ts AS DATE)
-"""
-
-_RECURSIVE_GROWTH_SQL = """
-WITH RECURSIVE daily AS (
-""" + "{daily}" + """
-), rec(event_type, d, cents, idx) AS (
-  SELECT event_type, d, cents, CAST(1.0 AS DOUBLE) AS idx
-  FROM daily WHERE d = 0
-  UNION ALL
-  SELECT /*+ BROADCAST(mo) */ mo.event_type, mo.d, mo.cents,
-         r.idx * (CAST(mo.cents AS DOUBLE) / CAST(r.cents AS DOUBLE))
-  FROM rec r JOIN daily mo
-    ON mo.event_type = r.event_type AND mo.d = r.d + 1
-)
-SELECT event_type, d AS day_index,
-       CAST(floor(idx * 1000000 + 0.5) AS DOUBLE) / 1000000.0
-         AS growth_index
-FROM rec ORDER BY event_type, day_index
-"""
-
-
-@_register(
-    "recursive_compound_growth",
-    _RECURSIVE_GROWTH_SQL.format(
-        daily=_RECURSIVE_GROWTH_DAILY_SQL.format(
-            events="events",
-            datediff=(
-                "datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"
-            ),
-        ),
-    ),
-    doc="WITH RECURSIVE linear recurrence — Spark 4's recursive CTE "
-    "feature under the oracle gate: a per-event-type compounded "
-    "growth index, idx(d) = idx(d-1) * (cents(d)/cents(d-1)), "
-    "seeded at 1.0 on day 0. Sequential IEEE *products* are the "
-    "window functions' blind spot (exp(sum(ln)) re-associates and "
-    "diverges across engines; there is no PRODUCT aggregate), but "
-    "the recursion executes the same left-to-right multiply chain "
-    "on both engines over bit-identical integer-cent ratios, so "
-    "every index value matches exactly. The SAME SQL text runs on "
-    "Spark and DuckDB (only the datediff spelling differs, and Spark "
-    "recurses over a PRE-MATERIALIZED daily rollup: Spark's "
-    "UnionLoop re-evaluates every plan the recursive member "
-    "references on EACH iteration, so an inline `daily` CTE re-scans "
-    "and re-aggregates the full fact table once per day — measured "
-    "9.2 s for 30 steps at sf0.1, vs 5.5 s after localCheckpointing "
-    "the rollup once, the residual being UnionLoop's ~180 ms/step "
-    "job-scheduling floor; at 100 TB the difference is 30 fact "
-    "scans vs one). Depth is additionally bounded at 90 days: each "
-    "step is a "
-    "scheduled micro-job, so the demo pays only for the depth it "
-    "demonstrates. Each step is one broadcastable day-slice "
-    "equi-join over the group cardinality — state never exceeds one "
-    "row per group, the iterative-family pattern "
-    "(kmeans/PageRank/BFS) expressed in declarative SQL instead of "
-    "a driver loop.",
-    parts=8,
-)
-def q_recursive_compound_growth(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "__rec_events"
-    )
-    # materialize the tiny daily rollup ONCE — the recursive member
-    # re-evaluates whatever plan it references per iteration
-    daily = spark.sql(
-        _RECURSIVE_GROWTH_DAILY_SQL.format(
-            events="__rec_events",
-            datediff="datediff(CAST(ts AS DATE), DATE '2024-01-01')",
-        )
-    ).coalesce(1).localCheckpoint()
-    daily.createOrReplaceTempView("__rec_daily")
-    return spark.sql(
-        _RECURSIVE_GROWTH_SQL.format(daily="SELECT * FROM __rec_daily")
-    )
-
-
-@_register(
-    "mannwhitney_drift",
-    """
-    WITH ev AS (
-      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
-      FROM events WHERE event_type IN ('click', 'error')
-    ), r AS (
-      SELECT cents, CAST(SUM(ia) AS BIGINT) AS ca,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM ev GROUP BY cents
-    ), c AS (
-      SELECT ca, cnt,
-             CAST(COALESCE(SUM(cnt) OVER (ORDER BY cents
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-               0) AS BIGINT) AS cb4
-      FROM r
-    ), s AS (
-      SELECT CAST(SUM(ca * (2 * cb4 + cnt + 1)) AS BIGINT) AS r2a,
-             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties,
-             CAST(SUM(ca) AS BIGINT) AS na,
-             CAST(SUM(cnt - ca) AS BIGINT) AS nb
-      FROM c
-    )
-    , v AS (
-      SELECT na, nb, r2a,
-             (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
-             * (CAST(na + nb + 1 AS DOUBLE)
-                - CAST(ties AS DOUBLE)
-                  / (CASE WHEN na + nb > 1
-                     THEN CAST(na + nb AS DOUBLE)
-                          * CAST(na + nb - 1 AS DOUBLE)
-                     ELSE NULL END)) AS var
-      FROM s
-    )
-    SELECT na AS n_click, nb AS n_error,
-           CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,
-           CASE WHEN var > 0 THEN
-             CAST(r2a - na * (na + 1) - na * nb AS DOUBLE)
-             / (2.0 * sqrt(var))
-           ELSE NULL END AS z_score
-    FROM v
-    """,
-    doc="Mann-Whitney U rank-sum drift gate (Mann & Whitney 1947): "
-    "does the `value` distribution of click events differ from "
-    "error events? Complements the ks_drift_gate's sup-CDF distance "
-    "with the rank-sum location test monitoring pipelines pair it "
-    "with. Everything is EXACT integer arithmetic until the last "
-    "scalar: values collapse to integer cents, tied ranks enter via "
-    "the rollup identity 2*R_A = sum(ca*(2*cum_before + cnt + 1)) "
-    "(so no 0.5 average-rank floats ever sum), and the tie "
-    "correction sum(t^3 - t) stays an exact integer (decimal(38,0) "
-    "products — BIGINT saturates at N ~ 3e9); z is then a single "
-    "deterministic double expression over five exact integers — "
-    "bit-identical on both engines, no FP-summation-order exposure. "
-    "Scale: one hash groupBy collapses 100 TB of events to the "
-    "cents-domain rollup; the rank prefix is the pack's two-phase "
-    "bucketed prefix-SUM (no global sort, no single-partition "
-    "window) and the rest is one scalar aggregate.",
-    parts=8,
-)
-def q_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "error"))
-        .select(
-            F.floor(F.col("value") * 100 + 0.5)
-            .cast("bigint")
-            .alias("cents"),
-            F.when(F.col("event_type") == "click", F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("ia"),
-        )
-    )
-    # domain rollup: one row per distinct cents value (map-side combine
-    # absorbs the 100 TB fact scan; output is bounded by the value
-    # domain, not the row count)
-    r = ev.groupBy("cents").agg(
-        F.sum("ia").alias("ca"), F.count(F.lit(1)).alias("cnt")
-    )
-    # two-phase distributed prefix-SUM over the rollup (the
-    # interval_concurrency / pareto_frontier machinery): 64 range
-    # buckets from min/max stats folded in via the constant-key
-    # broadcast, within-bucket windows, 64-row cross-bucket offsets —
-    # no stage sorts more than one bucket.
-    stats = r.agg(
-        F.min("cents").alias("lo"), F.max("cents").alias("hi")
-    ).withColumn("__k", _const_key(F.col("lo")))
-    rb = (
-        r.withColumn("__k", _const_key(F.col("cents")))
-        .join(F.broadcast(stats), "__k")
-        .withColumn(
-            "bucket",
-            F.floor(
-                (F.col("cents") - F.col("lo"))
-                * 64
-                / (F.col("hi") - F.col("lo") + 1)
-            ).cast("int"),
-        )
-        .drop("__k", "lo", "hi")
-    )
-    wloc = (
-        Window.partitionBy("bucket")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    woff = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        rb.groupBy("bucket")
-        .agg(F.sum("cnt").alias("bsum"))
-        .select(
-            "bucket",
-            F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off"),
-        )
-    )
-    c = (
-        rb.withColumn(
-            "loc", F.coalesce(F.sum("cnt").over(wloc), F.lit(0))
-        )
-        .join(F.broadcast(offsets), "bucket")
-        .select(
-            "ca", "cnt", (F.col("loc") + F.col("off")).alias("cb4")
-        )
-    )
-    # Rank-sum products widened to decimal(38,0): ca*(2*cb4+cnt+1) and
-    # cnt^3 approach N^2 / N^3, past BIGINT at N ~ 3e9 / ~2e6 distinct
-    # cents x large counts; the rollup is domain-bounded so the decimal
-    # arithmetic never touches the fact scan.
-    dec38 = "decimal(38,0)"
-    s = c.agg(
-        F.sum(
-            F.col("ca").cast(dec38)
-            * (2 * F.col("cb4") + F.col("cnt") + 1)
-        ).alias("r2a"),
-        F.sum(
-            F.col("cnt").cast(dec38) * F.col("cnt") * F.col("cnt")
-            - F.col("cnt")
-        ).alias("ties"),
-        F.sum("ca").alias("na"),
-        F.sum(F.col("cnt") - F.col("ca")).alias("nb"),
-    )
-    na, nb = F.col("na"), F.col("nb")
-    nad = na.cast(dec38)  # na*(na+1), na*nb exceed BIGINT at na ~ 3e9
-    d = lambda x: x.cast("double")  # noqa: E731
-    # try_divide twice: N <= 1 makes the tie-correction denominator 0,
-    # an all-tied sample makes var == 0 — both degenerate cases yield
-    # a NULL z (the oracle's guarded CASE mirrors it); ANSI mode would
-    # otherwise hard-fail on the division (hypothesis-caught).
-    var = (d(na) * d(nb) / 12.0) * (
-        d(na + nb + 1)
-        - F.try_divide(
-            d(F.col("ties")), d(na + nb) * d(na + nb - 1)
-        )
-    )
-    return s.select(
-        na.alias("n_click"),
-        nb.alias("n_error"),
-        (d(F.col("r2a") - nad * (na + 1)) / 2.0).alias("u_stat"),
-        F.try_divide(
-            d(F.col("r2a") - nad * (na + 1) - nad * nb),
-            2.0 * F.sqrt(var),
-        ).alias("z_score"),
-    )
-
-
-@_register(
-    "benford_digits",
-    """
-    WITH c AS (
-      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
-               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-      FROM lineitem
-    ), d AS (
-      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit
-    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM d)
-    SELECT digit, n,
-           CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS obs_freq,
-           log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford_freq,
-           pow(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)
-                 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
-             / (CAST(tot AS DOUBLE)
-                * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS chi_term
-    FROM d, t ORDER BY digit
-    """,
-    doc="Benford first-significant-digit audit (Benford 1938, the "
-    "classic financial-data anomaly screen): the observed leading "
-    "digit distribution of lineitem extended prices vs the "
-    "log10(1 + 1/d) law, with per-digit chi-square contributions. "
-    "The digit is extracted from the INTEGER-CENTS string form "
-    "(leading digit is scale-invariant, and bigint-to-string is "
-    "identical across engines) — never from floor(log10(x)), whose "
-    "1-ulp libm differences at exact powers of ten flip the digit. "
-    "Scale: one map-side-combined groupBy collapses any fact volume "
-    "to <=9 rows; the total folds back via the constant-key "
-    "broadcast, so nothing global ever sorts or shuffles wide.",
-    parts=8,
-)
-def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.substring(
-            F.floor(F.col("l_extendedprice") * 100 + 0.5)
-            .cast("bigint")
-            .cast("string"),
-            1,
-            1,
-        )
-        .cast("int")
-        .alias("digit")
-    )
-    d = li.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    tot = d.agg(F.sum("n").alias("tot")).withColumn(
-        "__k", _const_key(F.col("tot"))
-    )
-    p = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
-    return (
-        d.withColumn("__k", _const_key(F.col("digit")))
-        .join(F.broadcast(tot), "__k")
-        .select(
-            "digit",
-            "n",
-            (F.col("n").cast("double") / F.col("tot").cast("double"))
-            .alias("obs_freq"),
-            p.alias("benford_freq"),
-            (
-                F.pow(
-                    F.col("n").cast("double")
-                    - F.col("tot").cast("double") * p,
-                    F.lit(2),
-                )
-                / (F.col("tot").cast("double") * p)
-            ).alias("chi_term"),
-        )
-        .orderBy("digit")
-    )
-
-
-@_register(
-    "domain_cap_sample",
-    """
-    SELECT doc_id, source FROM (
-      SELECT doc_id, source,
-             ROW_NUMBER() OVER (PARTITION BY source
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-      FROM documents
-    ) WHERE rk <= 12 ORDER BY source, doc_id
-    """,
-    doc="Per-domain quota sampling — the domain-rebalancing primitive "
-    "of LLM corpus prep (C4/RefinedWeb cap pages per registered "
-    "domain so no crawl-heavy site dominates the mixture): keep the "
-    "12 deterministically-hash-ranked docs per source. The ORACLE is "
-    "the naive per-domain ROW_NUMBER; the ENGINE never runs that "
-    "window over raw rows (a mega-domain would pin its whole history "
-    "into one sort partition at 100 TB). Instead it is an EXACT "
-    "two-pass hash-threshold top-K, the heavy_hitters_2pass idiom "
-    "over the md5 order: pass 1 rolls up per (source, first hex "
-    "nibble) counts (<=16 rows/domain), a cumulative scan over that "
-    "tiny rollup finds the nibble bucket containing the Kth-smallest "
-    "hash, and only rows at-or-below the threshold nibble (~K + "
-    "1/16th of the domain, recursively refinable) enter the final "
-    "rank window — identical output, bounded sort partitions.",
-    parts=8,
-)
-def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = 12
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
-    )
-    docs = docs.withColumn("nib", F.substring("h", 1, 1))
-    # pass 1: tiny per-(source, nibble) rollup + cumulative threshold
-    counts = docs.groupBy("source", "nib").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    wcum = (
-        Window.partitionBy("source")
-        .orderBy("nib")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    thr = (
-        counts.withColumn("cum", F.sum("cnt").over(wcum))
-        .groupBy("source")
-        .agg(
-            F.coalesce(
-                F.min(F.when(F.col("cum") >= k, F.col("nib"))),
-                F.max("nib"),
-            ).alias("thr")
-        )
-    )
-    # pass 2: rank only inside the threshold prefix of each domain
-    wrk = Window.partitionBy("source").orderBy("h", "doc_id")
-    return (
-        docs.join(F.broadcast(thr), "source")
-        .filter(F.col("nib") <= F.col("thr"))
-        .withColumn("rk", F.row_number().over(wrk))
-        .filter(F.col("rk") <= k)
-        .select("doc_id", "source")
-        .orderBy("source", "doc_id")
-    )
-
-
-_CHI2_ORACLE = """
-    WITH ev AS (
-      SELECT event_type,
-             LEAST(9, CAST(floor(value / 50.0) AS INT)) AS vb
-      FROM events
-    ), o AS (
-      SELECT event_type, vb, CAST(COUNT(*) AS BIGINT) AS obs
-      FROM ev GROUP BY event_type, vb
-    ), cells AS (
-      SELECT r.event_type, c.vb, COALESCE(o.obs, 0) AS obs,
-             r.rt, c.ct
-      FROM (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS rt
-            FROM o GROUP BY event_type) r
-      CROSS JOIN (SELECT vb, CAST(SUM(obs) AS BIGINT) AS ct
-                  FROM o GROUP BY vb) c
-      LEFT JOIN o ON o.event_type = r.event_type AND o.vb = c.vb
-    ), tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
-    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
-           CAST(COUNT(DISTINCT vb) AS BIGINT) AS n_cols,
-           CAST((COUNT(DISTINCT event_type) - 1)
-                * (COUNT(DISTINCT vb) - 1) AS BIGINT) AS dof,
-           SUM(CAST((obs * n - rt * ct) AS DOUBLE)
-               * CAST((obs * n - rt * ct) AS DOUBLE)
-               / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
-                  * CAST(ct AS DOUBLE))) AS chi2
-    FROM cells, tot
-    """
-
-
-@_register(
-    "chi2_independence",
-    _CHI2_ORACLE,
-    doc="Chi-square independence test between event type and a "
-    "fixed-width value bucket (Pearson 1900) — the categorical "
-    "drift/association monitor next to ks_drift_gate (continuous) "
-    "and mannwhitney_drift (rank location). Identity used: "
-    "sum((O*N - rt*ct)^2 / (N*rt*ct)) / N == sum((O-E)^2/E) with "
-    "E = rt*ct/N (one N inside the per-cell denominator — the "
-    "identity absorbs it, property-gated against the direct form), "
-    "so every numerator is an EXACT integer product (decimal(38,0) "
-    "— BIGINT saturates once N ~ 3e9 makes rt*ct approach N^2) "
-    "before the single double division per cell (<=50 cells; the "
-    "only FP summation is over those 50 deterministic terms). "
-    "Zero-observed cells are restored via the row-total x col-total "
-    "cross join (they carry E > 0 and must contribute). Scale: the "
-    "fact scan collapses map-side to the contingency table "
-    "(types x 10 buckets); everything after is broadcast-sized.",
-    parts=8,
-)
-def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.least(
-            F.lit(9), F.floor(F.col("value") / 50.0).cast("int")
-        ).alias("vb"),
-    )
-    o = ev.groupBy("event_type", "vb").agg(
-        F.count(F.lit(1)).cast("bigint").alias("obs")
-    )
-    return _chi2_from_cells(o)
-
-
-def _chi2_from_cells(o: DataFrame) -> DataFrame:
-    """Pearson chi-square from an observed contingency table
-    ``(event_type, vb, obs)`` — shared by the batch query and the
-    streaming drift monitor (which maintains the contingency as its
-    streaming state and derives the statistic per trigger)."""
-    rt = o.groupBy("event_type").agg(F.sum("obs").alias("rt"))
-    ct = o.groupBy("vb").agg(F.sum("obs").alias("ct"))
-    n = o.agg(F.sum("obs").alias("n")).withColumn(
-        "__k", _const_key(F.col("n"))
-    )
-    # margin cross product as a const-key EQUI-join (BroadcastHash,
-    # never a BNLJ) — restores the zero-observed cells. The obs side
-    # is re-aliased first: margins and obs share grouping exprIds
-    # (both derive from the same source — a streaming memory-sink
-    # view in the drift-monitor twin), and the raw self-join trips
-    # the analyzer's conflicting-attributes check.
-    ob = o.select(
-        F.col("event_type").alias("__et"),
-        F.col("vb").alias("__vb"),
-        F.col("obs"),
-    )
-    cells = (
-        rt.withColumn("__c", _const_key(F.col("rt")))
-        .join(
-            F.broadcast(ct.withColumn("__c", _const_key(F.col("ct")))),
-            "__c",
-        )
-        .drop("__c")
-        .join(
-            ob,
-            (F.col("event_type") == F.col("__et"))
-            & (F.col("vb") == F.col("__vb")),
-            "left",
-        )
-        .drop("__et", "__vb")
-        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
-        .withColumn("__k", _const_key(F.col("rt")))
-        .join(F.broadcast(n), "__k")
-    )
-    # Exact numerator widened to decimal(38,0): rt*ct approaches N^2,
-    # which exceeds BIGINT once N ~ 3e9 rows (ANSI mode would
-    # hard-fail at the scale the docs advertise). decimal(38,0) is
-    # exact to 1e38 (room for N ~ 1e19) and costs nothing here — the
-    # products run on the <=50-cell contingency table, never on the
-    # fact scan.
-    dec38 = "decimal(38,0)"
-    num = F.col("obs").cast(dec38) * F.col("n") - F.col("rt").cast(
-        dec38
-    ) * F.col("ct")
-    term = (num.cast("double") * num.cast("double")) / (
-        F.col("n").cast("double")
-        * F.col("rt").cast("double")
-        * F.col("ct").cast("double")
-    )
-    stat = cells.agg(F.sum(term).alias("chi2")).withColumn(
-        "__d", _const_key(F.col("chi2"))
-    )
-    # dims from the already-distinct margin rollups (a multi-distinct
-    # agg over cells would plan an Expand; these are plain counts)
-    dims = (
-        rt.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-        .withColumn("__d", _const_key(F.col("n_rows")))
-        .join(
-            F.broadcast(
-                ct.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_cols")
-                ).withColumn("__d", _const_key(F.col("n_cols")))
-            ),
-            "__d",
-        )
-    )
-    return dims.join(F.broadcast(stat), "__d").select(
-        "n_rows",
-        "n_cols",
-        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
-        .cast("bigint")
-        .alias("dof"),
-        "chi2",
-    )
-
-
-@_register(
-    "stream_chi2_drift_batch_eq",
-    _CHI2_ORACLE,
-    doc="Streaming drift monitoring under the ORACLE gate — the tenth "
-    "streaming rung: the chi-square independence monitor run AS a "
-    "streaming job. The stream maintains only the contingency-table "
-    "sufficient statistics (streaming/ops.py "
-    "stream_value_contingency: a complete-mode groupBy whose state "
-    "is bounded by types x buckets, never by event volume — the "
-    "production shape for drift monitors at 100 TB/day), landed to "
-    "a memory sink by an availableNow replay; the scalar statistic "
-    "is then derived from that tiny table by the SAME "
-    "_chi2_from_cells formula as the batch twin and hash-compared "
-    "against the batch SQL oracle. Chained aggregations are "
-    "unsupported in a streaming plan, so statistic-from-state per "
-    "trigger is the architecture, not a shortcut.",
-)
-def q_stream_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
-
-    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
-        stream_value_contingency,
-    )
-
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    work = tempfile.mkdtemp(prefix="stream_chi2_")
-    src = f"{work}/events"
-    batch.repartition(4).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
-    name = f"s_chi2_eq_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle(spark, 8):
-        q = (
-            stream_value_contingency(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{work}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(q)
-    return _chi2_from_cells(spark.table(name))
-
-
-@_register(
-    "range_frame_trailing_7d",
-    """
-    WITH daily AS (
-      SELECT event_type,
-             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                  AS BIGINT) AS d,
-             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    ), sparse AS (
-      SELECT * FROM daily WHERE cents % 2 = 1
-    )
-    SELECT event_type, d AS day_index, cents,
-           CAST(SUM(cents) OVER w AS BIGINT) AS win_cents,
-           CAST(COUNT(*) OVER w AS BIGINT) AS win_days
-    FROM sparse
-    WINDOW w AS (PARTITION BY event_type ORDER BY d
-                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-    ORDER BY event_type, day_index
-    """,
-    doc="Value-RANGE window frames — the frame class the pack's "
-    "trailing aggregates didn't exercise (rolling_mean_30 and the "
-    "FIR family are ROWS frames): a trailing 7-CALENDAR-DAY sum over "
-    "a deliberately SPARSE daily series (odd-cents days only), where "
-    "RANGE and ROWS genuinely diverge — a gap day shrinks the RANGE "
-    "frame's row count while ROWS 6 PRECEDING would silently reach "
-    "back across the gap into older days. Everything is exact "
-    "integer cents over an integer day index, so the frame sum is "
-    "associativity-safe cross-engine. Scale: the events scan "
-    "collapses map-side to the (type, day) rollup before any window; "
-    "the RANGE sort is partitioned by series key, state bounded by "
-    "the frame's value span.",
-    parts=8,
-)
-def q_range_frame_trailing_7d(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.datediff(
-            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d"),
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
-    )
-    daily = ev.groupBy("event_type", "d").agg(
-        F.sum("c").cast("bigint").alias("cents")
-    )
-    sparse = daily.filter(F.col("cents") % 2 == 1)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rangeBetween(-6, Window.currentRow)
-    )
-    return sparse.select(
-        "event_type",
-        F.col("d").alias("day_index"),
-        "cents",
-        F.sum("cents").over(w).cast("bigint").alias("win_cents"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("win_days"),
-    ).orderBy("event_type", "day_index")
-
-
-@_register(
-    "theilsen_trend_daily",
-    """
-    WITH daily AS (
-      SELECT event_type,
-             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                  AS BIGINT) AS d,
-             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    ), slopes AS (
-      SELECT a.event_type,
-             CAST(b.cents - a.cents AS DOUBLE)
-               / CAST(b.d - a.d AS DOUBLE) AS slope
-      FROM daily a JOIN daily b
-        ON a.event_type = b.event_type AND a.d < b.d
-    ), ranked AS (
-      SELECT event_type, slope,
-             ROW_NUMBER() OVER (PARTITION BY event_type
-                                ORDER BY slope) AS rn,
-             CAST(COUNT(*) OVER (PARTITION BY event_type)
-                  AS BIGINT) AS n
-      FROM slopes
-    )
-    SELECT event_type,
-           CAST(MAX(n) AS BIGINT) AS n_slopes,
-           (MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
-                THEN slope END)
-            + MAX(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
-                  THEN slope END)) / 2.0 AS slope_cents_per_day
-    FROM ranked GROUP BY event_type ORDER BY event_type
-    """,
-    doc="Theil-Sen robust trend per event type (Theil 1950 / Sen "
-    "1968): the MEDIAN of all pairwise day-slopes of the daily "
-    "integer-cent series — the robust sibling of trend_ols_daily "
-    "(a single outlier day shifts OLS; it moves the slope median "
-    "almost nowhere). Each slope is one double division of exact "
-    "BIGINTs, the median is an exact order statistic (lower+upper "
-    "middle averaged, both via floor((n+k)/2) picked from a "
-    "per-type rank — deterministic because ties are between equal "
-    "values), so the result is bit-identical cross-engine with no "
-    "FP-summation anywhere. Scale: the fact scan collapses map-side "
-    "to the (type, day) rollup FIRST; the pairwise explosion is "
-    "bounded by the CALENDAR span squared per type (C(30,2)=435 "
-    "here), never by row count — for multi-year spans you sample "
-    "day pairs or fall back to the OLS twin, both shapes already in "
-    "the pack.",
-    parts=8,
-)
-def q_theilsen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.datediff(
-            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d"),
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
-    )
-    daily = ev.groupBy("event_type", "d").agg(
-        F.sum("c").cast("bigint").alias("cents")
-    )
-    b = daily.select(
-        F.col("event_type").alias("__et"),
-        F.col("d").alias("d2"),
-        F.col("cents").alias("c2"),
-    )
-    slopes = (
-        daily.join(b, (F.col("event_type") == F.col("__et")))
-        .filter(F.col("d") < F.col("d2"))
-        .select(
-            "event_type",
-            (
-                (F.col("c2") - F.col("cents")).cast("double")
-                / (F.col("d2") - F.col("d")).cast("double")
-            ).alias("slope"),
-        )
-    )
-    wr = Window.partitionBy("event_type").orderBy("slope")
-    wn = Window.partitionBy("event_type")
-    ranked = slopes.withColumn(
-        "rn", F.row_number().over(wr)
-    ).withColumn("n", F.count(F.lit(1)).over(wn).cast("bigint"))
-    lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
-    hi = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
-    return (
-        ranked.groupBy("event_type")
-        .agg(
-            F.max("n").cast("bigint").alias("n_slopes"),
-            (
-                (
-                    F.max(F.when(F.col("rn") == lo, F.col("slope")))
-                    + F.max(F.when(F.col("rn") == hi, F.col("slope")))
-                )
-                / 2.0
-            ).alias("slope_cents_per_day"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@_register(
-    "mann_kendall_trend",
-    """
-    WITH daily AS (
-      SELECT event_type,
-             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                  AS BIGINT) AS d,
-             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    ), s AS (
-      SELECT a.event_type,
-             CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
-                           WHEN b.cents < a.cents THEN -1
-                           ELSE 0 END) AS BIGINT) AS stat
-      FROM daily a JOIN daily b
-        ON a.event_type = b.event_type AND a.d < b.d
-      GROUP BY a.event_type
-    ), nd AS (
-      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily
-      GROUP BY event_type
-    ), ties AS (
-      SELECT event_type,
-             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
-                  AS BIGINT) AS tt
-      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
-            FROM daily GROUP BY event_type, cents)
-      GROUP BY event_type
-    )
-    SELECT s.event_type, stat AS s_stat, n AS n_days,
-           CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0
-             AS var_s,
-           CASE
-             WHEN n * (n - 1) * (2 * n + 5) - tt <= 0 THEN NULL
-             WHEN stat > 0 THEN CAST(stat - 1 AS DOUBLE)
-               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
-                      / 18.0)
-             WHEN stat < 0 THEN CAST(stat + 1 AS DOUBLE)
-               / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE)
-                      / 18.0)
-             ELSE 0.0
-           END AS z_score
-    FROM s JOIN nd ON s.event_type = nd.event_type
-    JOIN ties ON s.event_type = ties.event_type
-    ORDER BY s.event_type
-    """,
-    doc="Mann-Kendall monotone-trend test per event type (Mann 1945 / "
-    "Kendall 1975) — the significance companion to the Theil-Sen "
-    "slope (the standard pairing in monitoring: MK answers IS there "
-    "a monotone trend, Theil-Sen answers how steep). S = sum of "
-    "sign(later - earlier) over all day pairs is an exact BIGINT; "
-    "the tie-corrected variance [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18 "
-    "is built from exact integer products; z applies the standard "
-    "continuity correction and is NULL when the variance degenerates "
-    "(all-tied series). Scale: same shape as theilsen_trend_daily — "
-    "map-side daily rollup first, calendar-bounded pairwise "
-    "explosion, three broadcast-sized margins.",
-    parts=8,
-)
-def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.datediff(
-            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d"),
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
-    )
-    daily = ev.groupBy("event_type", "d").agg(
-        F.sum("c").cast("bigint").alias("cents")
-    )
-    b = daily.select(
-        F.col("event_type").alias("__et"),
-        F.col("d").alias("d2"),
-        F.col("cents").alias("c2"),
-    )
-    s = (
-        daily.join(b, F.col("event_type") == F.col("__et"))
-        .filter(F.col("d") < F.col("d2"))
-        .groupBy("event_type")
-        .agg(
-            F.sum(
-                F.when(F.col("c2") > F.col("cents"), 1)
-                .when(F.col("c2") < F.col("cents"), -1)
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("s_stat")
-        )
-    )
-    nd = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    t = F.col("t")
-    ties = (
-        daily.groupBy("event_type", "cents")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .groupBy("event_type")
-        .agg(
-            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
-            .cast("bigint")
-            .alias("tt")
-        )
-    )
-    n = F.col("n")
-    vnum = n * (n - 1) * (2 * n + 5) - F.col("tt")
-    sq = F.sqrt(vnum.cast("double") / 18.0)
-    stat = F.col("s_stat")
-    return (
-        s.join(F.broadcast(nd), "event_type")
-        .join(F.broadcast(ties), "event_type")
-        .select(
-            "event_type",
-            stat.alias("s_stat"),
-            n.alias("n_days"),
-            (vnum.cast("double") / 18.0).alias("var_s"),
-            F.when(vnum <= 0, F.lit(None).cast("double"))
-            .when(stat > 0, (stat - 1).cast("double") / sq)
-            .when(stat < 0, (stat + 1).cast("double") / sq)
-            .otherwise(F.lit(0.0))
-            .alias("z_score"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@_register(
-    "cusum_changepoint",
-    """
-    WITH daily AS (
-      SELECT event_type,
-             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                  AS BIGINT) AS d,
-             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
-    ), m AS (
-      SELECT event_type,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(cents) AS BIGINT) AS tot
-      FROM daily GROUP BY event_type
-    ), c AS (
-      SELECT daily.event_type, d, n,
-             CAST(SUM(cents) OVER (PARTITION BY daily.event_type
-               ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-             CAST(ROW_NUMBER() OVER (PARTITION BY daily.event_type
-               ORDER BY d) AS BIGINT) AS k,
-             tot
-      FROM daily JOIN m ON daily.event_type = m.event_type
-    ), s AS (
-      SELECT event_type, d, n,
-             ABS(n * cum - k * tot) AS abs_ns,
-             ROW_NUMBER() OVER (PARTITION BY event_type
-               ORDER BY ABS(n * cum - k * tot) DESC, d ASC) AS rk
-      FROM c
-    )
-    SELECT event_type, d AS changepoint_day,
-           CAST(abs_ns AS BIGINT) AS abs_n_cusum,
-           n AS n_days
-    FROM s WHERE rk = 1 ORDER BY event_type
-    """,
-    doc="CUSUM changepoint detection per event type (Page 1954): the "
-    "day k maximizing |S_k|, S_k = sum_{i<=k}(x_i - mean), over the "
-    "daily integer-cent series — the mean-shift locator next to the "
-    "mannwhitney/ks/chi2 'did it drift' monitors (those test, this "
-    "POINTS). The statistic is kept EXACT by clearing the rational "
-    "mean: n*S_k = n*cum_k - k*tot is a pure integer (exact "
-    "decimal(38,0) products — BIGINT would overflow near 1e12 rows x "
-    "daily granularity), so the argmax (ties broken toward the "
-    "earlier day) is bit-deterministic cross-engine with no doubles "
-    "anywhere in the output; the reported abs_n_cusum column itself "
-    "stays BIGINT and saturates past ~9.2e18. Scale: "
-    "map-side rollup to (type, day) first; the prefix sum and the "
-    "argmax rank are windows partitioned by series key with "
-    "calendar-bounded state.",
-    parts=8,
-)
-def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.datediff(
-            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d"),
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
-    )
-    daily = ev.groupBy("event_type", "d").agg(
-        F.sum("c").cast("bigint").alias("cents")
-    )
-    m = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("tot"),
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wk = Window.partitionBy("event_type").orderBy("d")
-    c = (
-        daily.join(F.broadcast(m), "event_type")
-        .withColumn(
-            "cum", F.sum("cents").over(wcum).cast("bigint")
-        )
-        .withColumn("k", F.row_number().over(wk).cast("bigint"))
-    )
-    # n*cum and k*tot approach n_days x total_cents ~ 9e18 at 1e12
-    # rows — the BIGINT edge. The argmax ranks on the exact
-    # decimal(38,0) statistic (correct at any scale); only the
-    # REPORTED abs_n_cusum column stays BIGINT for the output
-    # contract and saturates past ~9.2e18.
-    abs_ns = F.abs(
-        F.col("n").cast("decimal(38,0)") * F.col("cum")
-        - F.col("k").cast("decimal(38,0)") * F.col("tot")
-    )
-    wrk = Window.partitionBy("event_type").orderBy(
-        abs_ns.desc(), F.col("d").asc()
-    )
-    return (
-        c.withColumn("abs_ns", abs_ns)
-        .withColumn("rk", F.row_number().over(wrk))
-        .filter(F.col("rk") == 1)
-        .select(
-            "event_type",
-            F.col("d").alias("changepoint_day"),
-            F.col("abs_ns").cast("bigint").alias("abs_n_cusum"),
-            F.col("n").alias("n_days"),
-        )
-        .orderBy("event_type")
+    globals().update(
+        {k: v for k, v in vars(_m).items() if not k.startswith('__')}
     )
 
 
