@@ -429,3 +429,53 @@ class TestCusum:
         # nS_1 = 3*300-1*700 = 200; nS_2 = 3*400-2*700 = -200: tie on
         # |.|, day 0 wins
         assert r.changepoint_day == 0 and r.abs_n_cusum == 200
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen day-sampling mode (r7): bounded-window equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_theilsen_sampling_equals_exact_on_bounded_window(spark):
+    """With the day cap at or above the calendar span the sample keeps
+    every day, so the sampled kernel must equal the exact query
+    bit-for-bit — the equivalence that licenses the sampled variant as
+    the multi-year-span fallback."""
+    from yahoofinancedatalake_spark.queries.pack_13_monitors import (
+        _daily_cents,
+        _sample_days,
+        _theilsen_from_daily,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    daily = _daily_cents(spark, sf)
+    exact = _theilsen_from_daily(daily).collect()
+    capped = _theilsen_from_daily(_sample_days(daily, 10_000)).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in capped]
+    assert exact  # non-degenerate
+
+
+def test_theilsen_sampled_is_deterministic_and_bounded(spark):
+    """m=20 of the ~30-day calendar: the md5 day subset is a fixed
+    function of the data, so two runs agree exactly and every type
+    has exactly C(min(n_days, 20), 2) slopes."""
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+    from yahoofinancedatalake_spark.queries.pack_13_monitors import (
+        _daily_cents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r1 = QUERIES["theilsen_trend_sampled"].spark(spark, sf).collect()
+    r2 = QUERIES["theilsen_trend_sampled"].spark(spark, sf).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    days = {
+        r["event_type"]: r["n"]
+        for r in _daily_cents(spark, sf)
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for row in r1:
+        m = min(days[row["event_type"]], 20)
+        assert row["n_slopes"] == m * (m - 1) // 2

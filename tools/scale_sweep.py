@@ -38,6 +38,13 @@ TABLE_OF = {
     "benford_digits": ("lineitem", "l_orderkey"),
     "domain_cap_sample": ("documents", "doc_id"),
     "range_frame_trailing_7d": ("events", "event_id"),
+    # r7: the r6 tail additions (VERDICT r6 item #4)
+    "theilsen_trend_daily": ("events", "event_id"),
+    "theilsen_trend_sampled": ("events", "event_id"),
+    "mann_kendall_trend": ("events", "event_id"),
+    "cusum_changepoint": ("events", "event_id"),
+    "pareto_frontier": ("part", "p_partkey"),
+    "editdist_blocked_join": ("customer", "c_custkey"),
 }
 
 DEFAULT = [

@@ -1306,6 +1306,12 @@ def q_range_frame_trailing_7d(
     parts=8,
 )
 def q_theilsen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _theilsen_from_daily(_daily_cents(spark, sf_dir))
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, d, cents): the daily integer-cent rollup the trend
+    monitors share — the map-side combine that absorbs the fact scan."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.datediff(
@@ -1315,9 +1321,14 @@ def q_theilsen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
     )
-    daily = ev.groupBy("event_type", "d").agg(
+    return ev.groupBy("event_type", "d").agg(
         F.sum("c").cast("bigint").alias("cents")
     )
+
+
+def _theilsen_from_daily(daily: DataFrame) -> DataFrame:
+    """Median pairwise slope per event_type from a (type, d, cents)
+    rollup — the shared kernel of the exact and day-sampled variants."""
     b = daily.select(
         F.col("event_type").alias("__et"),
         F.col("d").alias("d2"),
@@ -1591,3 +1602,88 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_register(
+    "theilsen_trend_sampled",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), sampled AS (
+      SELECT event_type, d, cents
+      FROM (SELECT event_type, d, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY md5(event_type || '|' || CAST(d AS VARCHAR)),
+                              d) AS hr
+            FROM daily)
+      WHERE hr <= 20
+    ), slopes AS (
+      SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM sampled a JOIN sampled b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ), ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_slopes,
+           (MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                THEN slope END)
+            + MAX(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+                  THEN slope END)) / 2.0 AS slope_cents_per_day
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Theil-Sen with deterministic day-pair SAMPLING (r7, the "
+    "multi-year-span fallback theilsen_trend_daily's docstring "
+    "promised as prose): keep the m=20 days per type whose "
+    "md5(event_type || '|' || d) hex ranks lowest — a fixed uniform "
+    "pseudo-random day subset both engines compute identically "
+    "(md5 over the same string, hex compared bytewise) — then run "
+    "the exact median-of-pairwise-slopes kernel on C(m,2)=190 pairs "
+    "per type. Sub-sampling DAYS (not pairs) bounds the join "
+    "explosion BEFORE it happens: a 10-year daily series would emit "
+    "C(3652,2) = 6.7M slopes per type exact, 190 sampled, and the "
+    "estimator stays the consistent Theil-Sen median over a uniform "
+    "sub-design. Equivalence pin: with m >= the calendar span the "
+    "filter keeps everything and this query equals "
+    "theilsen_trend_daily exactly (tests/test_stat_gates.py).",
+    parts=8,
+)
+def q_theilsen_trend_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _theilsen_from_daily(
+        _sample_days(_daily_cents(spark, sf_dir), 20)
+    )
+
+
+def _sample_days(daily: DataFrame, m: int) -> DataFrame:
+    """Deterministic m-day-per-type subsample: rank days by the md5 of
+    ``event_type || '|' || d`` (identical on Spark and DuckDB — same
+    string in, same hex out, bytewise compare) and keep the lowest m.
+    Day-tiebreak keeps the window total-ordered even under a hash
+    collision."""
+    wh = Window.partitionBy("event_type").orderBy(
+        F.md5(
+            F.concat_ws(
+                "|", F.col("event_type"), F.col("d").cast("string")
+            )
+        ),
+        F.col("d"),
+    )
+    return (
+        daily.withColumn("__hr", F.row_number().over(wh))
+        .filter(F.col("__hr") <= m)
+        .drop("__hr")
+    )
