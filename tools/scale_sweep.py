@@ -37,7 +37,12 @@ TABLE_OF = {
     "stream_chi2_drift_batch_eq": ("events", "event_id"),
     "benford_digits": ("lineitem", "l_orderkey"),
     "domain_cap_sample": ("documents", "doc_id"),
-    "range_frame_trailing_7d": ("events", "event_id"),
+    # value jitter: replicas shift `value` by i*0.07 so parity/sparsity
+    # filters over per-day SUMS stay populated (an exact N-fold
+    # replica multiplies every daily sum by N — even, so the
+    # cents-parity sparsity filter would go empty and the sweep would
+    # time an empty plan)
+    "range_frame_trailing_7d": ("events", "event_id", "value"),
     # r7: the r6 tail additions (VERDICT r6 item #4)
     "theilsen_trend_daily": ("events", "event_id"),
     "theilsen_trend_sampled": ("events", "event_id"),
@@ -55,16 +60,30 @@ DEFAULT = [
 ]
 
 
-def replicate(spark, sf_dir, table, factor, id_col, workdir):
+def replicate(
+    spark, sf_dir, table, factor, id_col, workdir, jitter_col=None
+):
     out = f"{workdir}/{table}_{factor}"
     base = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     df = base
     for i in range(1, factor):
-        df = df.unionByName(
-            base.withColumn(
-                id_col, F.col(id_col) + F.lit(i * 10_000_000_000)
-            )
+        rep = base.withColumn(
+            id_col, F.col(id_col) + F.lit(i * 10_000_000_000)
         )
+        if jitter_col is not None:
+            # per-(row, replica) hash jitter: a constant per-replica
+            # shift cancels out of parity/sparsity filters over daily
+            # SUMS at even factors (sum over replicas of a fixed shift
+            # is factor*(factor-1)/2 * shift — even at 100x)
+            rep = rep.withColumn(
+                jitter_col,
+                F.col(jitter_col)
+                + F.pmod(
+                    F.xxhash64(F.col(id_col), F.lit(i)), F.lit(100)
+                )
+                * 0.01,
+            )
+        df = df.unionByName(rep)
     df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
     return out
 
@@ -77,10 +96,12 @@ def main() -> int:
     workdir = tempfile.mkdtemp(prefix="scale_sweep_")
     results: dict = {}
     for qn in names:
-        table, id_col = TABLE_OF[qn]
+        spec = TABLE_OF[qn]
+        table, id_col = spec[0], spec[1]
+        jitter = spec[2] if len(spec) > 2 else None
         for factor in (1, 10, 100):
             d = replicate(
-                spark, sf_dir, table, factor, id_col, workdir
+                spark, sf_dir, table, factor, id_col, workdir, jitter
             )
             # Untimed warm-up per (query, factor): one-time plan/codegen
             # and the cold page cache of the freshly written replica

@@ -1,4 +1,4 @@
-"""Round-6 wave: heavy hitters, retrieval fusion, trend/drift/changepoint monitors, recursive growth (split from pack.py, r7 — pure refactor).
+"""Round-6 wave: heavy hitters, retrieval fusion, trend/drift/changepoint monitors, recursive growth (split from pack.py, r7 — pure refactor; r7 adds ``theilsen_trend_sampled``).
 
 Registers 16 queries (registration order is the
 import order in pack.py):
@@ -18,6 +18,7 @@ import order in pack.py):
 - ``theilsen_trend_daily``
 - ``mann_kendall_trend``
 - ``cusum_changepoint``
+- ``theilsen_trend_sampled`` (r7)
 """
 
 from __future__ import annotations
