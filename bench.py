@@ -211,6 +211,10 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    if scratch:  # tmpfs scratch holds RAM until deleted
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(scratch, ignore_errors=True)
     if errors:
         sys.exit(1)
 

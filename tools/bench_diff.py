@@ -1,0 +1,82 @@
+"""Compare two bench.py JSON artifacts query-by-query.
+
+Makes round-over-round performance review systematic instead of
+eyeballed: prints every query whose warm time moved more than
+``--ratio`` (default 2.0) between the two runs, plus totals for the
+shared subset — the same adjudication the r5/r6 VERDICTs did by hand
+(cold-start vs real regression vs GC transient).
+
+Usage::
+
+    python tools/bench_diff.py OLD.json NEW.json [--ratio 2.0]
+
+Exit status 1 when any shared query regressed beyond the ratio
+(improvements and new/removed queries are notes), so CI can gate on
+it next to ``plan_audit.py --diff``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+#: ignore sub-second jitter: a 0.2s -> 0.5s move is scheduler noise,
+#: not a regression worth failing a gate over
+MIN_ABS_S = 1.0
+
+
+def load(path: str) -> dict:
+    """Accept a raw bench line or a file that embeds it among logs."""
+    with open(path) as f:
+        text = f.read()
+    m = re.search(r'\{"metric".*', text)
+    if not m:
+        raise SystemExit(f"no bench JSON line found in {path}")
+    return json.loads(m.group(0))
+
+
+def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
+    oq, nq = old["queries"], new["queries"]
+    shared = sorted(set(oq) & set(nq))
+    regressions, notes = [], []
+    for name in shared:
+        a, b = oq[name], nq[name]
+        if b > a * ratio and b - a > MIN_ABS_S:
+            regressions.append(f"{name}: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)")
+        elif a > b * ratio and a - b > MIN_ABS_S:
+            notes.append(f"{name}: improved {a:.2f}s -> {b:.2f}s")
+    for name in sorted(set(nq) - set(oq)):
+        notes.append(f"{name}: new ({nq[name]:.2f}s)")
+    for name in sorted(set(oq) - set(nq)):
+        notes.append(f"{name}: REMOVED (was {oq[name]:.2f}s)")
+    tot_o = sum(oq[n] for n in shared)
+    tot_n = sum(nq[n] for n in shared)
+    notes.append(
+        f"shared subset ({len(shared)} queries): "
+        f"{tot_o:.1f}s -> {tot_n:.1f}s"
+    )
+    return regressions, notes
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ratio = 2.0
+    for a in sys.argv[1:]:
+        if a.startswith("--ratio"):
+            ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[
+                sys.argv.index(a) + 1])
+    if len(args) < 2:
+        print(__doc__)
+        return 2
+    regressions, notes = diff(load(args[0]), load(args[1]), ratio)
+    for n in notes:
+        print(f"note  {n}")
+    for r in regressions:
+        print(f"REGRESSION  {r}")
+    print(f"{len(regressions)} regressions beyond {ratio}x")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

