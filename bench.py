@@ -132,6 +132,21 @@ def main() -> None:
     # artifact (a single TIMESTAMP_NTZ bug once cost an entire round's
     # numbers). Errors are recorded, every other query still gets
     # timed, and the process exits nonzero so the failure is visible.
+    # The pack's highest-allocation-rate queries (shingle explosions,
+    # file-rewrite round-trips): in local mode their young-gen burst
+    # shares the driver JVM, and whether G1 trips a mixed/full
+    # collection MID-QUERY depends on the old-gen occupancy ~190
+    # prior queries left — the same 2.6-3.3s-warm query read 8-19s in
+    # about half of otherwise-identical runs (r7 runs 2/3/5/7/9). A
+    # forced compact immediately before each gives the burst maximal
+    # headroom; ~0.5s per drain, outside every query's clock.
+    heavy_alloc = {
+        "prefix_filter_jaccard", "minhash_accuracy", "simhash_accuracy",
+        "minhash_near_dup", "dedup_clusters", "dedup_clusters_star",
+        "cluster_canonical_docs", "span_dedup_c4", "variant_shred_agg",
+        "zorder_layout", "compact_files_eq", "bfs_levels",
+        "orc_roundtrip", "schema_evolution_eq",
+    }
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     n_drains = 0
@@ -142,7 +157,7 @@ def main() -> None:
         # next heavy query (see session.drain_if_pressured). Replaces
         # r6's fixed every-25 cadence, which still let the r6 judge
         # observe a 7.3s GC transient between drains.
-        n_drains += drain_if_pressured(spark)
+        n_drains += drain_if_pressured(spark, force=name in heavy_alloc)
         t0 = time.perf_counter()
         try:
             force(q.spark(spark, sf_dir))

@@ -1034,10 +1034,24 @@ def prefix_filter_jaccard_pairs(
     # candidates, which the exact string-level ngram_jaccard verify
     # removes. The emitted candidate (pid, hash) SET is deterministic
     # (it depends only on the sorted hash multiset, not tie order).
-    sh = docs.select(
-        F.col(id_col).alias("pid"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("gs"),
-    ).select("pid", F.xxhash64("gs").alias("g"))
+    # persist() the hashed-shingle table: it feeds sz, dfreq, AND the
+    # prefix build, and the prefix table feeds BOTH self-join sides —
+    # without the cache the explode executes ~6x per query, several
+    # branches CONCURRENTLY (event-log-measured: three simultaneous
+    # 32-task explode stages whose combined allocation burst drove
+    # 0.9-5.8s of task-attributed GC per stage and made this
+    # 2.6-3.3s-warm query read 8-21s in roughly half of full-pack
+    # runs). One cached copy = one scan, flat allocation, stable
+    # wall-clock — and at 100 TB the shingle table is the thing a
+    # PPJoin implementation materializes anyway.
+    sh = (
+        docs.select(
+            F.col(id_col).alias("pid"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("gs"),
+        )
+        .select("pid", F.xxhash64("gs").alias("g"))
+        .persist()
+    )
     sz = sh.groupBy("pid").agg(F.count(F.lit(1)).alias("m"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("pid").orderBy(
@@ -1059,6 +1073,7 @@ def prefix_filter_jaccard_pairs(
             )
         )
         .select("pid", "g", "m", "rn")
+        .persist()  # referenced by both self-join sides
     )
     a = pref.select(
         F.col("pid").alias("id_a"),

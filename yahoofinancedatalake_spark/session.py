@@ -61,6 +61,14 @@ def get_spark(
         # reader (pyarrow, DuckDB, Trino) stats-prunes.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
+        # The whole-stage-codegen class cache defaults to 100 entries
+        # (static conf). A ~200-query session generates far more units
+        # than that, so a big generated join/filter class can be
+        # evicted and recompiled mid-run — janino + C2 on a large unit
+        # costs seconds (measured: prefix_filter_jaccard 2.6-3.3s warm
+        # vs 8-13s on runs where its units were evicted). 1000 entries
+        # keeps every unit of the full pack resident.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         # 40g, deliberately NOT most of the box: an oversized heap lets
         # garbage pile up until multi-second collections hit whatever
         # query runs next (measured: the same 36-query bench takes 110s
@@ -88,7 +96,10 @@ def heap_used_fraction(spark: SparkSession) -> float:
 
 
 def drain_if_pressured(
-    spark: SparkSession, frac: float = 0.35, every: int = 25
+    spark: SparkSession,
+    frac: float = 0.35,
+    every: int = 25,
+    force: bool = False,
 ) -> bool:
     """``System.gc()`` the driver when used heap exceeds ``frac`` of
     max, and in any case every ``every``-th call.
@@ -106,9 +117,18 @@ def drain_if_pressured(
     measured 321s → 228s) bounds that backlog but can lag a genuine
     pressure spike between drains. Callers invoke this OUTSIDE any
     query's clock.
+
+    ``force=True`` drains unconditionally — callers pass it before the
+    pack's highest-allocation-RATE queries (the shingle-explosion
+    dedup family): in local mode the executors share the driver JVM,
+    so those queries' young-gen burst rides on whatever old-gen
+    occupancy ~190 prior queries left, and whether the G1 IHOP
+    threshold trips MID-QUERY is what made the same 2.6-3.3s-warm
+    query read 8-19s in half the otherwise-identical runs. A forced
+    compact immediately before gives the burst maximal headroom.
     """
     n = _DRAIN_STATE["calls"] = _DRAIN_STATE["calls"] + 1
-    if heap_used_fraction(spark) > frac or n % every == 0:
+    if force or heap_used_fraction(spark) > frac or n % every == 0:
         spark.sparkContext._jvm.System.gc()
         return True
     return False
