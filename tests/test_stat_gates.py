@@ -479,3 +479,51 @@ def test_theilsen_sampled_is_deterministic_and_bounded(spark):
     for row in r1:
         m = min(days[row["event_type"]], 20)
         assert row["n_slopes"] == m * (m - 1) // 2
+
+
+def test_psi_drift_properties(spark):
+    """PSI is a sum of termwise-nonnegative contributions ((p-q) and
+    ln(p/q) share sign), zero iff the two distributions agree on every
+    band; counts must partition the fact table."""
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+    from yahoofinancedatalake_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["psi_drift"].spark(spark, sf).collect()
+    assert rows
+    ev = load_table(spark, sf, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r["psi"] >= 0.0, r
+        assert r["n_base"] + r["n_cur"] == totals[r["event_type"]], r
+    # identical distributions → PSI == 0 exactly (smoothed p == q):
+    # score a degenerate one-type frame where both periods see the
+    # same single band the same number of times, via the same bands
+    from yahoofinancedatalake_spark.queries.pack_13_monitors import (
+        q_psi_drift,
+    )
+    import datetime as dt
+
+    sym = spark.createDataFrame(
+        [
+            # 4 events, bands identical across the day-15 boundary
+            (1, dt.datetime(2024, 1, 2), "x", 10.0, None),
+            (2, dt.datetime(2024, 1, 3), "x", 60.0, None),
+            (3, dt.datetime(2024, 1, 20), "x", 10.0, None),
+            (4, dt.datetime(2024, 1, 21), "x", 60.0, None),
+        ],
+        "event_id long, ts timestamp, event_type string, value double,"
+        " props string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="psi_sym_")
+    sym.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = q_psi_drift(spark, d).collect()
+    assert len(out) == 1 and out[0]["psi"] == 0.0

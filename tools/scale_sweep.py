@@ -37,11 +37,9 @@ TABLE_OF = {
     "stream_chi2_drift_batch_eq": ("events", "event_id"),
     "benford_digits": ("lineitem", "l_orderkey"),
     "domain_cap_sample": ("documents", "doc_id"),
-    # value jitter: replicas shift `value` by i*0.07 so parity/sparsity
-    # filters over per-day SUMS stay populated (an exact N-fold
-    # replica multiplies every daily sum by N — even, so the
-    # cents-parity sparsity filter would go empty and the sweep would
-    # time an empty plan)
+    # value jitter (3rd element): replicas get per-(row, replica)
+    # hash-jittered `value` so parity/sparsity filters over per-day
+    # SUMS stay populated — see replicate()
     "range_frame_trailing_7d": ("events", "event_id", "value"),
     # r7: the r6 tail additions (VERDICT r6 item #4)
     "theilsen_trend_daily": ("events", "event_id"),
@@ -50,6 +48,7 @@ TABLE_OF = {
     "cusum_changepoint": ("events", "event_id"),
     "pareto_frontier": ("part", "p_partkey"),
     "editdist_blocked_join": ("customer", "c_custkey"),
+    "psi_drift": ("events", "event_id"),
 }
 
 DEFAULT = [

@@ -19,6 +19,7 @@ import order in pack.py):
 - ``mann_kendall_trend``
 - ``cusum_changepoint``
 - ``theilsen_trend_sampled`` (r7)
+- ``psi_drift`` (r7)
 """
 
 from __future__ import annotations
@@ -1687,4 +1688,150 @@ def _sample_days(daily: DataFrame, m: int) -> DataFrame:
         daily.withColumn("__hr", F.row_number().over(wh))
         .filter(F.col("__hr") <= m)
         .drop("__hr")
+    )
+
+
+@_register(
+    "psi_drift",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN datediff('day', DATE '2024-01-01',
+                                CAST(ts AS DATE)) < 15
+                  THEN 0 ELSE 1 END AS period,
+             LEAST(9, CAST(floor(value / 50.0) AS INT)) AS vb
+      FROM events
+    ), c AS (
+      SELECT event_type, period, vb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2, 3
+    ), spine AS (
+      SELECT event_type, CAST(r.range AS INT) AS vb
+      FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN range(10) r
+    ), f AS (
+      SELECT s.event_type, s.vb,
+             COALESCE(a.n, 0) AS a, COALESCE(b.n, 0) AS b
+      FROM spine s
+      LEFT JOIN c a ON a.event_type = s.event_type
+                   AND a.vb = s.vb AND a.period = 0
+      LEFT JOIN c b ON b.event_type = s.event_type
+                   AND b.vb = s.vb AND b.period = 1
+    ), tot AS (
+      SELECT event_type, CAST(SUM(a) AS BIGINT) AS ta,
+             CAST(SUM(b) AS BIGINT) AS tb
+      FROM f GROUP BY event_type
+    )
+    SELECT f.event_type,
+           MAX(ta) AS n_base, MAX(tb) AS n_cur,
+           {{psi}} AS psi
+    FROM f JOIN tot ON tot.event_type = f.event_type
+    GROUP BY f.event_type ORDER BY f.event_type
+    """.format(
+        psi=sql_dround(
+            "SUM((CAST(a AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0)"
+            " * ln(((CAST(a AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0))"
+            "      / ((CAST(b AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0)))"
+            " - (CAST(b AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0)"
+            " * ln(((CAST(a AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0))"
+            "      / ((CAST(b AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0))))",
+            6,
+        )
+    ),
+    doc="Population Stability Index per event type (the credit-risk /"
+    " ML-monitoring standard next to ks/chi2/mannwhitney): "
+    "PSI = sum_i (p_i - q_i) * ln(p_i / q_i) between the value "
+    "distribution of the first 15 calendar days (baseline) and the "
+    "rest (current), over the same fixed 10-band bucketing as "
+    "chi2_independence. Laplace-smoothed p_i = (n_i + 0.5)/(N + 5) "
+    "so empty buckets contribute finitely and identically on both "
+    "engines; every p/q is a single IEEE division of exact integers, "
+    "each of the 10 per-type terms is bit-identical cross-engine "
+    "(the chi2 determinism argument), and each term is >= 0 "
+    "((p-q) and ln(p/q) share sign), property-gated. Scale: the "
+    "fact scan collapses map-side to (type, period, band) — at most "
+    "types x 20 rows; the spine is an explode, never a cross join.",
+    parts=8,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            < 15,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("period"),
+        F.least(
+            F.lit(9), F.floor(F.col("value") / 50.0).cast("int")
+        ).alias("vb"),
+    )
+    c = ev.groupBy("event_type", "period", "vb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # 10-bucket spine per type via explode — no join, no BNLJ
+    spine = (
+        c.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("vb"),
+        )
+    )
+    a = c.filter(F.col("period") == 0).select(
+        F.col("event_type").alias("__et"),
+        F.col("vb").alias("__vb"),
+        F.col("n").alias("a"),
+    )
+    b = c.filter(F.col("period") == 1).select(
+        F.col("event_type").alias("__et"),
+        F.col("vb").alias("__vb"),
+        F.col("n").alias("b"),
+    )
+    f = (
+        spine.join(
+            F.broadcast(a),
+            (F.col("event_type") == a["__et"]) & (F.col("vb") == a["__vb"]),
+            "left",
+        )
+        .drop("__et", "__vb")
+        .join(
+            F.broadcast(b),
+            (F.col("event_type") == b["__et"]) & (F.col("vb") == b["__vb"]),
+            "left",
+        )
+        .drop("__et", "__vb")
+        .select(
+            "event_type",
+            "vb",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+        )
+    )
+    tot = f.groupBy("event_type").agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+    ).select(
+        F.col("event_type").alias("__et"), "ta", "tb"
+    )
+    j = f.join(
+        F.broadcast(tot), F.col("event_type") == F.col("__et")
+    ).drop("__et")
+    p = (F.col("a").cast("double") + 0.5) / (
+        F.col("ta").cast("double") + 5.0
+    )
+    q = (F.col("b").cast("double") + 0.5) / (
+        F.col("tb").cast("double") + 5.0
+    )
+    term = p * F.log(p / q) - q * F.log(p / q)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("ta").alias("n_base"),
+            F.max("tb").alias("n_cur"),
+            dround(F.sum(term), 6).alias("psi"),
+        )
+        .orderBy("event_type")
     )
