@@ -20,6 +20,7 @@ import order in pack.py):
 - ``cusum_changepoint``
 - ``theilsen_trend_sampled`` (r7)
 - ``psi_drift`` (r7)
+- ``stream_psi_drift_batch_eq`` (r7, streaming rung 11)
 """
 
 from __future__ import annotations
@@ -1691,9 +1692,7 @@ def _sample_days(daily: DataFrame, m: int) -> DataFrame:
     )
 
 
-@_register(
-    "psi_drift",
-    f"""
+_PSI_ORACLE = f"""
     WITH ev AS (
       SELECT event_type,
              CASE WHEN datediff('day', DATE '2024-01-01',
@@ -1735,7 +1734,12 @@ def _sample_days(daily: DataFrame, m: int) -> DataFrame:
             "      / ((CAST(b AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 5.0))))",
             6,
         )
-    ),
+    )
+
+
+@_register(
+    "psi_drift",
+    _PSI_ORACLE,
     doc="Population Stability Index per event type (the credit-risk /"
     " ML-monitoring standard next to ks/chi2/mannwhitney): "
     "PSI = sum_i (p_i - q_i) * ln(p_i / q_i) between the value "
@@ -1771,6 +1775,15 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.groupBy("event_type", "period", "vb").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    return _psi_from_counts(c)
+
+
+def _psi_from_counts(c: DataFrame) -> DataFrame:
+    """PSI per event_type from a ``(event_type, period, vb, n)``
+    counts table — shared by the batch query and streaming rung 11
+    (which maintains the counts as its only stream state and derives
+    the statistic per trigger, the same statistic-from-state
+    architecture as ``_chi2_from_cells``)."""
     # 10-bucket spine per type via explode — no join, no BNLJ
     spine = (
         c.select("event_type")
@@ -1835,3 +1848,48 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "stream_psi_drift_batch_eq",
+    _PSI_ORACLE,
+    doc="Streaming PSI drift monitoring under the ORACLE gate — the "
+    "eleventh streaming rung, the production shape of psi_drift: the "
+    "stream maintains only the (type, period, band) count state "
+    "(streaming/ops.py stream_psi_counts — O(types x 2 x 10), "
+    "bounded by the band grid regardless of event volume), landed to "
+    "a memory sink by an availableNow replay; the PSI scalar is then "
+    "derived from that tiny table per trigger by the SAME "
+    "_psi_from_counts kernel as the batch twin and hash-compared "
+    "against the batch SQL oracle — statistic-from-state, the same "
+    "architecture as the chi-square rung, monitoring a DIFFERENT "
+    "statistic family (index vs test).",
+)
+def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
+        stream_psi_counts,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_psi_")
+    src = f"{work}/events"
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"s_psi_eq_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle(spark, 8):
+        q = (
+            stream_psi_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
+    return _psi_from_counts(spark.table(name))

@@ -431,3 +431,40 @@ def running_last_state_v2(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_psi_counts(
+    events: DataFrame,
+    boundary_days: int = 15,
+    origin: str = "2024-01-01",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Streaming sufficient statistics for the PSI drift monitor
+    (rung 11): running ``(event_type, period, vb) -> n`` counts,
+    where ``period`` splits event time at ``boundary_days`` after
+    ``origin`` (0 = baseline window, 1 = current) and ``vb`` is the
+    same fixed-width bucketing as :func:`stream_value_contingency`.
+    Same architecture as the chi-square rung: the stream holds only
+    the O(types x 2 x buckets) mergeable count state — bounded by the
+    band grid, never by event volume — and the scalar statistic is
+    derived per trigger by the shared batch kernel
+    (``queries.pack._psi_from_counts``), because chained aggregations
+    are unsupported inside a streaming plan."""
+    period = F.when(
+        F.datediff(F.col("ts").cast("date"), F.lit(origin).cast("date"))
+        < boundary_days,
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    vb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int"),
+    )
+    return (
+        events.withColumn("period", period)
+        .withColumn("vb", vb)
+        .groupBy(type_col, "period", "vb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
