@@ -527,3 +527,40 @@ def test_psi_drift_properties(spark):
     sym.write.mode("overwrite").parquet(f"{d}/events.parquet")
     out = q_psi_drift(spark, d).collect()
     assert len(out) == 1 and out[0]["psi"] == 0.0
+
+
+def test_js_divergence_properties(spark, tmp_path):
+    """JSD bounds (0 <= nats <= ln 2), exact zero on identical corpora,
+    and determinism of the sequential fold."""
+    import math
+
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    r1 = QUERIES["js_divergence_corpora"].spark(spark, sf).collect()[0]
+    r2 = QUERIES["js_divergence_corpora"].spark(spark, sf).collect()[0]
+    assert tuple(r1) == tuple(r2)  # fold is deterministic
+    assert 0.0 <= r1["jsd_nats"] <= math.log(2.0) + 1e-9
+    assert 0.0 <= r1["jsd_normalized"] <= 1.0 + 1e-9
+    # min(distinct words, 200) vocab rows + the OTHER bucket
+    assert 2 <= r1["n_vocab"] <= 201
+
+    # identical corpora: 'alpha' (md5 '2...' -> corpus 0) and 'beta'
+    # (md5 '9...' -> corpus 1) carry the SAME texts -> JSD == 0 exactly
+    from yahoofinancedatalake_spark.queries.pack_13_monitors import (
+        q_js_divergence_corpora,
+    )
+
+    texts = ["the quick brown fox", "jumps over the lazy dog"] * 3
+    rows = [(i, t, "en", src, len(t))
+            for src in ("alpha", "beta")
+            for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = q_js_divergence_corpora(spark, d).collect()[0]
+    assert out["jsd_nats"] == 0.0 and out["jsd_normalized"] == 0.0
+    assert out["n_tokens_a"] == out["n_tokens_b"]

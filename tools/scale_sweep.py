@@ -49,6 +49,7 @@ TABLE_OF = {
     "pareto_frontier": ("part", "p_partkey"),
     "editdist_blocked_join": ("customer", "c_custkey"),
     "psi_drift": ("events", "event_id"),
+    "js_divergence_corpora": ("documents", "doc_id"),
 }
 
 DEFAULT = [

@@ -21,6 +21,7 @@ import order in pack.py):
 - ``theilsen_trend_sampled`` (r7)
 - ``psi_drift`` (r7)
 - ``stream_psi_drift_batch_eq`` (r7, streaming rung 11)
+- ``js_divergence_corpora`` (r7)
 """
 
 from __future__ import annotations
@@ -1893,3 +1894,194 @@ def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_stream(q)
     return _psi_from_counts(spark.table(name))
+
+
+@_register(
+    "js_divergence_corpora",
+    f"""
+    WITH docs2 AS (
+      SELECT CASE WHEN substr(md5(source), 1, 1) BETWEEN '0' AND '7'
+                  THEN 0 ELSE 1 END AS corpus,
+             text
+      FROM documents
+    ), toks AS (
+      SELECT corpus, unnest({{toks}}) AS w FROM docs2
+    ), wc AS (
+      SELECT corpus, w, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2
+    ), vocab AS (
+      SELECT w FROM (SELECT w, SUM(n) AS tot FROM wc GROUP BY w
+                     ORDER BY tot DESC, w ASC LIMIT 200)
+    ), tot AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN corpus = 0 THEN n END), 0)
+                  AS BIGINT) AS ta,
+             CAST(COALESCE(SUM(CASE WHEN corpus = 1 THEN n END), 0)
+                  AS BIGINT) AS tb
+      FROM wc
+    ), f0 AS (
+      SELECT v.w,
+             CAST(COALESCE(a.n, 0) AS BIGINT) AS a,
+             CAST(COALESCE(b.n, 0) AS BIGINT) AS b
+      FROM vocab v
+      LEFT JOIN wc a ON a.w = v.w AND a.corpus = 0
+      LEFT JOIN wc b ON b.w = v.w AND b.corpus = 1
+    ), f AS (
+      SELECT * FROM f0
+      UNION ALL
+      SELECT '~~other',
+             (SELECT ta FROM tot)
+               - (SELECT CAST(COALESCE(SUM(a), 0) AS BIGINT) FROM f0),
+             (SELECT tb FROM tot)
+               - (SELECT CAST(COALESCE(SUM(b), 0) AS BIGINT) FROM f0)
+    ), terms AS (
+      SELECT w,
+             0.5 * (CASE WHEN a > 0 THEN
+               (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+               * ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+                    / ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                        + CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0))
+               ELSE 0.0 END)
+             + 0.5 * (CASE WHEN b > 0 THEN
+               (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+               * ln((CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+                    / ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                        + CAST(b AS DOUBLE) / CAST(tb AS DOUBLE)) / 2.0))
+               ELSE 0.0 END) AS term
+      FROM f CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           (SELECT ta FROM tot) AS n_tokens_a,
+           (SELECT tb FROM tot) AS n_tokens_b,
+           {{jsd}} AS jsd_nats,
+           {{jsdn}} AS jsd_normalized
+    FROM terms
+    """.format(
+        toks=_WORD_TOKS_SQL,
+        jsd=sql_dround(
+            "list_reduce(list(term ORDER BY w), (x, y) -> x + y)", 6
+        ),
+        jsdn=sql_dround(
+            "list_reduce(list(term ORDER BY w), (x, y) -> x + y) / ln(2.0)",
+            6,
+        ),
+    ),
+    doc="Jensen-Shannon divergence between two corpora's unigram "
+    "distributions (Lin 1991) — the corpus-comparison tool next to "
+    "the drift monitors: how far apart are corpus A's and corpus B's "
+    "vocabularies (0 = identical, ln 2 = disjoint; also reported "
+    "normalized to [0, 1])? Corpora are a deterministic md5 split of "
+    "`source`; the distributions are restricted to the top-200 "
+    "combined-count words (count-desc, word-asc tiebreak — "
+    "deterministic) plus an OTHER bucket carrying the residual mass, "
+    "so both sides are complete probability distributions. "
+    "Determinism: counts are exact integers, each per-word term is a "
+    "bit-identical double on both engines, and the final sum is a "
+    "SEQUENTIAL LEFT FOLD in word order on BOTH engines (Spark "
+    "F.aggregate over the sorted struct array; DuckDB list_reduce "
+    "over list(term ORDER BY w)) — no FP-summation-order exposure "
+    "even over 201 terms, a stronger guarantee than the <=50-term "
+    "chi2/PSI argument. Scale: tokenize collapses map-side to "
+    "(corpus, word) counts; vocab is a 200-row TakeOrdered; "
+    "everything after is broadcast-sized.",
+    parts=8,
+)
+def q_js_divergence_corpora(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(
+            F.substring(F.md5(F.col("source")), 1, 1).between("0", "7"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("corpus"),
+        "text",
+    )
+    toks = docs.select("corpus", F.explode(_word_toks()).alias("w"))
+    wc = toks.groupBy("corpus", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    vocab = (
+        wc.groupBy("w")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("w").asc())
+        .limit(200)
+        .select("w")
+    )
+    tot = wc.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("corpus") == 0, F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("ta"),
+        F.coalesce(
+            F.sum(F.when(F.col("corpus") == 1, F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("tb"),
+    ).withColumn("__k", _const_key(F.col("ta")))
+    a = wc.filter(F.col("corpus") == 0).select(
+        F.col("w").alias("__wa"), F.col("n").alias("a")
+    )
+    b = wc.filter(F.col("corpus") == 1).select(
+        F.col("w").alias("__wb"), F.col("n").alias("b")
+    )
+    f0 = (
+        vocab.join(F.broadcast(a), F.col("w") == F.col("__wa"), "left")
+        .drop("__wa")
+        .join(F.broadcast(b), F.col("w") == F.col("__wb"), "left")
+        .drop("__wb")
+        .select(
+            "w",
+            F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).cast("bigint").alias("b"),
+        )
+    )
+    # OTHER bucket: residual mass so both sides are full distributions
+    other = (
+        f0.agg(
+            F.sum("a").cast("bigint").alias("sa"),
+            F.sum("b").cast("bigint").alias("sb"),
+        )
+        .withColumn("__k", _const_key(F.col("sa")))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            F.lit("~~other").alias("w"),
+            (F.col("ta") - F.col("sa")).alias("a"),
+            (F.col("tb") - F.col("sb")).alias("b"),
+        )
+    )
+    fwords = f0.unionByName(other).withColumn(
+        "__k", _const_key(F.col("a"))
+    ).join(F.broadcast(tot), "__k")
+    p = F.col("a").cast("double") / F.col("ta").cast("double")
+    q = F.col("b").cast("double") / F.col("tb").cast("double")
+    m = (p + q) / 2.0
+    term = (
+        0.5
+        * F.when(F.col("a") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + 0.5
+        * F.when(F.col("b") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    terms = fwords.select(
+        "w", F.col("ta"), F.col("tb"), term.alias("term")
+    )
+    # SEQUENTIAL left fold in word order — bit-identical to the
+    # oracle's list_reduce(list(term ORDER BY w)): 0.0 + t1 == t1
+    # exactly, so both folds compute ((t1+t2)+...)+tn.
+    folded = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("w"), F.col("term")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.max("ta").alias("n_tokens_a"),
+        F.max("tb").alias("n_tokens_b"),
+        dround(folded, 6).alias("jsd_nats"),
+        dround(folded / F.lit(float(__import__("math").log(2.0))), 6).alias(
+            "jsd_normalized"
+        ),
+    )
