@@ -564,3 +564,33 @@ def test_js_divergence_properties(spark, tmp_path):
     out = q_js_divergence_corpora(spark, d).collect()[0]
     assert out["jsd_nats"] == 0.0 and out["jsd_normalized"] == 0.0
     assert out["n_tokens_a"] == out["n_tokens_b"]
+
+
+def test_seasonal_decomposition_reconstructs(spark):
+    """Additivity: trend + seasonal + remainder == cents (within the
+    3x 1e-6 rounding of the components) on every interior day; edge
+    days (incomplete centered window) carry NULL components."""
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    rows = (
+        QUERIES["seasonal_decompose_daily"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    interior = [r for r in rows if r["trend"] is not None]
+    edge = [r for r in rows if r["trend"] is None]
+    assert interior and edge  # both regimes present
+    for r in interior:
+        got = r["trend"] + r["seasonal"] + r["remainder"]
+        assert abs(got - r["cents"]) < 2e-6 * max(1.0, abs(r["cents"])), r
+    for r in edge:
+        assert r["seasonal"] is None and r["remainder"] is None
+    # first/last 3 days of each series are exactly the edges
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for tr in by_type.values():
+        ds = sorted(x["day_index"] for x in tr)
+        nulls = {x["day_index"] for x in tr if x["trend"] is None}
+        assert nulls == set(ds[:3]) | set(ds[-3:])

@@ -50,6 +50,7 @@ TABLE_OF = {
     "editdist_blocked_join": ("customer", "c_custkey"),
     "psi_drift": ("events", "event_id"),
     "js_divergence_corpora": ("documents", "doc_id"),
+    "seasonal_decompose_daily": ("events", "event_id"),
 }
 
 DEFAULT = [

@@ -22,6 +22,7 @@ import order in pack.py):
 - ``psi_drift`` (r7)
 - ``stream_psi_drift_batch_eq`` (r7, streaming rung 11)
 - ``js_divergence_corpora`` (r7)
+- ``seasonal_decompose_daily`` (r7)
 """
 
 from __future__ import annotations
@@ -2085,3 +2086,122 @@ def q_js_divergence_corpora(
             "jsd_normalized"
         ),
     )
+
+
+@_register(
+    "seasonal_decompose_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, d, cents,
+             CAST(SUM(cents) OVER cw AS BIGINT) AS wsum,
+             CAST(COUNT(*) OVER cw AS BIGINT) AS wn
+      FROM daily
+      WINDOW cw AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, d, cents, wsum,
+             CASE WHEN wn = 7 THEN 7 * cents - wsum END AS det7
+      FROM w
+    ), seas AS (
+      SELECT event_type, d % 7 AS dow,
+             CAST(SUM(det7) AS BIGINT) AS s7sum,
+             CAST(COUNT(det7) AS BIGINT) AS k
+      FROM det WHERE det7 IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT det.event_type, det.d AS day_index, det.cents,
+           CASE WHEN det7 IS NOT NULL THEN
+             {sql_dround("CAST(wsum AS DOUBLE) / 7.0", 6)} END AS trend,
+           CASE WHEN det7 IS NOT NULL THEN
+             {sql_dround("CAST(s7sum AS DOUBLE) / (7.0 * CAST(k AS DOUBLE))", 6)}
+           END AS seasonal,
+           CASE WHEN det7 IS NOT NULL THEN
+             {sql_dround(
+                 "CAST(det7 AS DOUBLE) / 7.0"
+                 " - CAST(s7sum AS DOUBLE) / (7.0 * CAST(k AS DOUBLE))",
+                 6,
+             )}
+           END AS remainder
+    FROM det
+    LEFT JOIN seas ON seas.event_type = det.event_type
+                  AND seas.dow = det.d % 7
+    ORDER BY det.event_type, day_index
+    """,
+    doc="Classical additive seasonal decomposition per event type "
+    "(the moving-average method, Hyndman & Athanasopoulos FPP ch. 3; "
+    "the decomposition operator a time-series pipeline wants next to "
+    "the SARIMAX forecasters and the trend/changepoint monitors): "
+    "trend = centered 7-day moving average, seasonal = per day-of-"
+    "week mean of the detrended series, remainder = the rest; edge "
+    "days with incomplete windows yield NULL components, as the "
+    "classical method defines. EXACT-integer core: detrended x 7 = "
+    "7*cents - window_sum is a pure BIGINT, the seasonal mean's "
+    "numerator is a BIGINT sum of those, so every component is a "
+    "single division of exact integers (dround 6) — bit-identical "
+    "cross-engine, no FP accumulation anywhere. Scale: the fact scan "
+    "collapses map-side to (type, day); the MA window and the "
+    "day-of-week rollup are both partitioned by series key with "
+    "calendar-bounded state.",
+    parts=8,
+)
+def q_seasonal_decompose_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    det = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.sum("cents").over(cw).cast("bigint").alias("wsum"),
+        F.count(F.lit(1)).over(cw).cast("bigint").alias("wn"),
+    ).withColumn(
+        "det7",
+        F.when(
+            F.col("wn") == 7, 7 * F.col("cents") - F.col("wsum")
+        ),
+    )
+    seas = (
+        det.filter(F.col("det7").isNotNull())
+        .groupBy("event_type", F.pmod(F.col("d"), F.lit(7)).alias("dow"))
+        .agg(
+            F.sum("det7").cast("bigint").alias("s7sum"),
+            F.count("det7").cast("bigint").alias("k"),
+        )
+        .select(
+            F.col("event_type").alias("__et"), "dow", "s7sum", "k"
+        )
+    )
+    j = det.join(
+        F.broadcast(seas),
+        (F.col("event_type") == F.col("__et"))
+        & (F.pmod(F.col("d"), F.lit(7)) == F.col("dow")),
+        "left",
+    ).drop("__et", "dow")
+    has = F.col("det7").isNotNull()
+    seasonal = F.col("s7sum").cast("double") / (
+        7.0 * F.col("k").cast("double")
+    )
+    return j.select(
+        "event_type",
+        F.col("d").alias("day_index"),
+        "cents",
+        F.when(has, dround(F.col("wsum").cast("double") / 7.0, 6)).alias(
+            "trend"
+        ),
+        F.when(has, dround(seasonal, 6)).alias("seasonal"),
+        F.when(
+            has,
+            dround(F.col("det7").cast("double") / 7.0 - seasonal, 6),
+        ).alias("remainder"),
+    ).orderBy("event_type", "day_index")
