@@ -29,6 +29,7 @@ CARTESIAN_ALLOWED = {
     "ivf_recall",
     "pq_recall",  # embeds the brute-force kernel as ground truth
     "ivfpq_recall",  # same
+    "ann_ndcg",  # same — NDCG graded against the brute-force kernel
 }
 
 

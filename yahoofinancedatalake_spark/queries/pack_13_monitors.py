@@ -23,6 +23,7 @@ import order in pack.py):
 - ``stream_psi_drift_batch_eq`` (r7, streaming rung 11)
 - ``js_divergence_corpora`` (r7)
 - ``seasonal_decompose_daily`` (r7)
+- ``ann_ndcg`` (r7)
 """
 
 from __future__ import annotations
@@ -2205,3 +2206,68 @@ def q_seasonal_decompose_daily(
             dround(F.col("det7").cast("double") / 7.0 - seasonal, 6),
         ).alias("remainder"),
     ).orderBy("event_type", "day_index")
+
+
+@_register(
+    "ann_ndcg",
+    "SELECT 'lsh_ndcg_at_10' AS metric, TRUE AS passed",
+    doc="ANN ranking quality as a correctness gate: mean NDCG@10 of "
+    "the sign-LSH index (ann_topk's exact configuration) against "
+    "brute-force cosine ground truth must be >= 0.95. Completes the "
+    "recall-gate family with a GRADED metric: recall@k only checks "
+    "set membership, NDCG also charges the index for returning true "
+    "neighbors in the wrong ORDER (graded relevance 10..1 by true "
+    "rank, log2 positional discount, normalized by the ideal DCG). "
+    "Same architecture as _recall_gate: fully distributed equi-joins "
+    "(truth rank <- one window per query key, never a global sort), "
+    "one aggregate; the oracle is the constant pass row, so a "
+    "ranking regression fails the driver's hash check.",
+    parts=8,
+)
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.similarity import (  # noqa: PLC0415
+        brute_force_cosine_topk,
+        lsh_cosine_topk,
+    )
+    from yahoofinancedatalake_spark.queries.pack_05_forecast_search import (  # noqa: PLC0415
+        _ann_queries,
+    )
+
+    k = 10
+    emb, queries = _ann_queries(spark, sf_dir)
+    truth = brute_force_cosine_topk(
+        queries, emb, k=k, id_col="vec_id", vec_col="embedding",
+        round_to=4,
+    )
+    approx = lsh_cosine_topk(
+        queries, emb, k=k, dim=64, n_planes=24, n_bands=12, seed=7
+    )
+    order = (F.col("cosine").desc_nulls_last(), F.col("neighbor_id").asc())
+    wq = Window.partitionBy("query_id").orderBy(*order)
+    rel = truth.select(
+        "query_id",
+        "neighbor_id",
+        (k + 1 - F.row_number().over(wq)).cast("double").alias("rel"),
+    )
+    pos = approx.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wq).alias("pos"),
+    ).filter(F.col("pos") <= k)
+    import math  # noqa: PLC0415
+
+    idcg = sum((k + 1 - r) / math.log2(r + 1) for r in range(1, k + 1))
+    per_q = (
+        pos.join(rel, ["query_id", "neighbor_id"], "left")
+        .withColumn(
+            "g",
+            F.coalesce(F.col("rel"), F.lit(0.0))
+            / F.log2(F.col("pos") + 1),
+        )
+        .groupBy("query_id")
+        .agg((F.sum("g") / F.lit(idcg)).alias("ndcg"))
+    )
+    return per_q.agg(
+        F.lit("lsh_ndcg_at_10").alias("metric"),
+        (F.avg("ndcg") >= 0.95).alias("passed"),
+    )
