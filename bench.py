@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from yahoofinancedatalake_spark.queries.pack import QUERIES  # noqa: E402
+from yahoofinancedatalake_spark.queries.pack import QUERIES, _await_stream  # noqa: E402
 from yahoofinancedatalake_spark.session import (  # noqa: E402
     drain_if_pressured,
     get_spark,
@@ -42,6 +42,19 @@ def main() -> None:
     scratch = tmpfs_scratch("bench_")
     if scratch:
         os.environ.setdefault("SPARK_LOCAL_DIRS", scratch)
+    try:
+        _run(sf_dir, sf)
+    finally:
+        # tmpfs holds RAM until deleted — clean up on EVERY exit path
+        # (a crashed run otherwise leaks GiBs of /dev/shm checkpoints
+        # until reboot, and failed runs accumulate)
+        if scratch:
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _run(sf_dir: str, sf: float) -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -95,7 +108,7 @@ def main() -> None:
         .trigger(availableNow=True)
         .start()
     )
-    assert wq.awaitTermination(120), "streaming warm-up timed out"
+    _await_stream(wq, 120)  # raises on stall (assert dies under -O)
 
     # Text-shape warm-up: the first tokenize→explode→join→agg pipeline
     # of a session pays a large one-time codegen/JIT cost that is
@@ -226,10 +239,6 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
-    if scratch:  # tmpfs scratch holds RAM until deleted
-        import shutil  # noqa: PLC0415
-
-        shutil.rmtree(scratch, ignore_errors=True)
     if errors:
         sys.exit(1)
 

@@ -60,13 +60,25 @@ def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     ratio = 2.0
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--ratio"):
-            ratio = float(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1])
-    if len(args) < 2:
+            if "=" in a:
+                ratio = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                i += 1
+                ratio = float(argv[i])
+            else:
+                print(__doc__)
+                return 2
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
         print(__doc__)
         return 2
     regressions, notes = diff(load(args[0]), load(args[1]), ratio)

@@ -145,11 +145,19 @@ def run_diff(baseline_md: str) -> int:
     spark = get_spark("plan_audit_diff")
     spark.sparkContext.setLogLevel("ERROR")
     current: dict[str, dict] = {}
+    crashed: list[str] = []
     for name in QUERIES:
-        r = audit_one(spark, name)
+        try:
+            r = audit_one(spark, name)
+        except Exception as e:  # noqa: BLE001
+            # a query that cannot even build its plan IS a regression
+            # to report, not a reason to abort the whole gate
+            crashed.append(f"{name}: audit crashed: {e}")
+            continue
         if r:
             current[r["query"]] = r
     regressions, notes = diff_rows(baseline, current)
+    regressions = crashed + regressions
     for n in notes:
         print(f"note  {n}")
     for r in regressions:

@@ -39,7 +39,21 @@ def _open_log(path: str):
 
 def _log_files(path: str) -> list[str]:
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, "events*")))
+        files = sorted(glob.glob(os.path.join(path, "events*")))
+        if not files:
+            # a standard (non-rolling) log dir holds files named by
+            # app id — fall back to every regular file so the tool
+            # never silently reports "0 stages" on a real log
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if os.path.isfile(os.path.join(path, f))
+                and not f.startswith(".")
+                and not f.startswith("appstatus")
+            )
+        if not files:
+            raise SystemExit(f"no event-log files found under {path}")
+        return files
     return [path]
 
 

@@ -966,6 +966,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str,
     threshold: float,
     shingle_n: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact all-pairs Jaccard >= ``threshold`` via PREFIX FILTERING
     (Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo/Ma/Srikant "Scaling Up
@@ -1050,8 +1051,14 @@ def prefix_filter_jaccard_pairs(
             F.explode(shingles(F.col(text_col), shingle_n)).alias("gs"),
         )
         .select("pid", F.xxhash64("gs").alias("g"))
-        .persist()
     )
+    if cache:
+        # Cache lifetime is CALLER-OWNED: the frame is returned lazily
+        # so this function cannot unpersist; the pack's runners call
+        # spark.catalog.clearCache() between queries, and a library
+        # caller looping over parameters should do the same (or pass
+        # cache=False and accept the recomputation).
+        sh = sh.persist()
     sz = sh.groupBy("pid").agg(F.count(F.lit(1)).alias("m"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("pid").orderBy(
@@ -1073,8 +1080,9 @@ def prefix_filter_jaccard_pairs(
             )
         )
         .select("pid", "g", "m", "rn")
-        .persist()  # referenced by both self-join sides
     )
+    if cache:
+        pref = pref.persist()  # referenced by both self-join sides
     a = pref.select(
         F.col("pid").alias("id_a"),
         "g",

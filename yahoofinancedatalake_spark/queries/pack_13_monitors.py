@@ -2022,10 +2022,18 @@ def q_js_divergence_corpora(
         .cast("bigint")
         .alias("tb"),
     ).withColumn("__k", _const_key(F.col("ta")))
-    a = wc.filter(F.col("corpus") == 0).select(
+    # bound the per-corpus count sides to the vocabulary BEFORE any
+    # broadcast: wc is unbounded (every distinct word in the corpus),
+    # so broadcasting it raw would OOM at real corpus scale — the
+    # 200-row vocab is the side that broadcasts into the semi-join,
+    # leaving <= 200 rows per corpus to carry forward (review-caught;
+    # this is what makes the docstring's "everything after the
+    # rollup is broadcast-sized" claim true).
+    wcv = wc.join(F.broadcast(vocab), "w", "left_semi")
+    a = wcv.filter(F.col("corpus") == 0).select(
         F.col("w").alias("__wa"), F.col("n").alias("a")
     )
-    b = wc.filter(F.col("corpus") == 1).select(
+    b = wcv.filter(F.col("corpus") == 1).select(
         F.col("w").alias("__wb"), F.col("n").alias("b")
     )
     f0 = (
@@ -2267,7 +2275,19 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg((F.sum("g") / F.lit(idcg)).alias("ndcg"))
     )
-    return per_q.agg(
-        F.lit("lsh_ndcg_at_10").alias("metric"),
-        (F.avg("ndcg") >= 0.95).alias("passed"),
+    # Aggregate from the TRUTH side (like _recall_gate): a query for
+    # which the index returns ZERO candidates must score 0.0, not
+    # vanish from the mean — grouping the approx side alone would
+    # silently inflate the gate under total per-query retrieval
+    # failure (review-caught).
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .agg(
+            F.lit("lsh_ndcg_at_10").alias("metric"),
+            (
+                F.avg(F.coalesce(F.col("ndcg"), F.lit(0.0))) >= 0.95
+            ).alias("passed"),
+        )
     )
