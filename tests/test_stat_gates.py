@@ -594,3 +594,39 @@ def test_seasonal_decomposition_reconstructs(spark):
         ds = sorted(x["day_index"] for x in tr)
         nulls = {x["day_index"] for x in tr if x["trend"] is None}
         assert nulls == set(ds[:3]) | set(ds[-3:])
+
+
+def test_seasonal_anomaly_detects_planted_spike(spark):
+    """A flat daily series with one interior spike day: that day must
+    surface with is_anomaly and the top |modified z|; a perfectly
+    constant type has MAD 0 -> NULL scores, never a false anomaly."""
+    import datetime as dt
+
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for day in range(28):
+        # 'spiky': flat 10.0 except day 14 at 500.0
+        v = 500.0 if day == 14 else 10.0
+        for _ in range(4):
+            rows.append((i, base + dt.timedelta(days=day, hours=1),
+                         i % 5, "spiky", v, "{}"))
+            i += 1
+        # 'flat': constant forever
+        for _ in range(4):
+            rows.append((i, base + dt.timedelta(days=day, hours=2),
+                         i % 5, "flat", 10.0, "{}"))
+            i += 1
+    d = _write_events(spark, rows, "anom_prop_")
+    out = QUERIES["seasonal_anomaly_days"].spark(spark, d).collect()
+    spiky = [r for r in out if r["event_type"] == "spiky"]
+    flat = [r for r in out if r["event_type"] == "flat"]
+    assert len(spiky) == 3 and len(flat) == 3
+    # the planted day leads spiky's ranking and clears the 3.5 cut
+    top = max(spiky, key=lambda r: abs(r["modified_z"] or 0.0))
+    assert top["day_index"] == 14 and top["is_anomaly"] is True
+    # constant series: MAD 0 -> NULL scores, anomaly never claimed
+    for r in flat:
+        assert r["modified_z"] is None and r["is_anomaly"] is False

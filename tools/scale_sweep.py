@@ -51,6 +51,7 @@ TABLE_OF = {
     "psi_drift": ("events", "event_id"),
     "js_divergence_corpora": ("documents", "doc_id"),
     "seasonal_decompose_daily": ("events", "event_id"),
+    "seasonal_anomaly_days": ("events", "event_id"),
 }
 
 DEFAULT = [

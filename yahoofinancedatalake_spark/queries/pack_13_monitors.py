@@ -24,6 +24,7 @@ import order in pack.py):
 - ``js_divergence_corpora`` (r7)
 - ``seasonal_decompose_daily`` (r7)
 - ``ann_ndcg`` (r7)
+- ``seasonal_anomaly_days`` (r7)
 """
 
 from __future__ import annotations
@@ -2097,9 +2098,7 @@ def q_js_divergence_corpora(
     )
 
 
-@_register(
-    "seasonal_decompose_daily",
-    f"""
+_DECOMP_ORACLE = f"""
     WITH daily AS (
       SELECT event_type,
              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -2141,7 +2140,12 @@ def q_js_divergence_corpora(
     LEFT JOIN seas ON seas.event_type = det.event_type
                   AND seas.dow = det.d % 7
     ORDER BY det.event_type, day_index
-    """,
+    """
+
+
+@_register(
+    "seasonal_decompose_daily",
+    _DECOMP_ORACLE,
     doc="Classical additive seasonal decomposition per event type "
     "(the moving-average method, Hyndman & Athanasopoulos FPP ch. 3; "
     "the decomposition operator a time-series pipeline wants next to "
@@ -2162,6 +2166,14 @@ def q_js_divergence_corpora(
 def q_seasonal_decompose_daily(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _decomposed_daily(spark, sf_dir)
+
+
+def _decomposed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decomposition frame (type, day_index, cents, trend,
+    seasonal, remainder) — shared with the seasonal anomaly detector,
+    whose medians stay bit-identical cross-engine because every
+    component here is already dround(6)."""
     daily = _daily_cents(spark, sf_dir)
     cw = (
         Window.partitionBy("event_type")
@@ -2290,4 +2302,145 @@ def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.coalesce(F.col("ndcg"), F.lit(0.0))) >= 0.95
             ).alias("passed"),
         )
+    )
+
+
+@_register(
+    "seasonal_anomaly_days",
+    f"""
+    WITH decomp AS ({{decomp}}),
+    r AS (
+      SELECT event_type, day_index, cents, remainder
+      FROM decomp WHERE remainder IS NOT NULL
+    ), med AS (
+      SELECT event_type,
+             (MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                  THEN remainder END)
+              + MAX(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+                    THEN remainder END)) / 2.0 AS med_r
+      FROM (SELECT event_type, remainder,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY remainder, day_index) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM r)
+      GROUP BY event_type
+    ), dev AS (
+      SELECT r.event_type, day_index, cents, remainder, med_r,
+             ABS(remainder - med_r) AS adev
+      FROM r JOIN med ON med.event_type = r.event_type
+    ), mad AS (
+      SELECT event_type,
+             (MAX(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                  THEN adev END)
+              + MAX(CASE WHEN rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+                    THEN adev END)) / 2.0 AS mad_r
+      FROM (SELECT event_type, adev,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY adev, day_index) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM dev)
+      GROUP BY event_type
+    ), scored AS (
+      SELECT dev.event_type, day_index, cents,
+             CASE WHEN mad_r > 0 THEN
+               0.6745 * (remainder - med_r) / mad_r END AS mz,
+             ROW_NUMBER() OVER (PARTITION BY dev.event_type
+               ORDER BY CASE WHEN mad_r > 0 THEN
+                          ABS(0.6745 * (remainder - med_r) / mad_r)
+                        ELSE 0.0 END DESC, day_index ASC) AS rk
+      FROM dev JOIN mad ON mad.event_type = dev.event_type
+    )
+    SELECT event_type, day_index, cents,
+           {{mz}} AS modified_z,
+           CASE WHEN mz IS NOT NULL AND ABS(mz) > 3.5
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM scored WHERE rk <= 3
+    ORDER BY event_type, day_index
+    """.format(
+        decomp="{decomp}", mz=sql_dround("mz", 6)
+    ).format(decomp=_DECOMP_ORACLE),
+    doc="Seasonally-adjusted anomaly detection per event type — the "
+    "DETECT step completing the monitor family (test: ks/chi2/mw/"
+    "psi; locate: cusum; trend: ols/theilsen/mann-kendall; decompose: "
+    "classical; detect: THIS): the Iglewicz-Hoaglin modified z-score "
+    "0.6745·(r − median(r))/MAD(r) over the decomposition REMAINDER, "
+    "so weekly seasonality never masquerades as an anomaly; the 3.5 "
+    "threshold is the published cut. Reports each type's top-3 "
+    "|modified z| days with the flag. Determinism: remainders enter "
+    "already dround(6) (bit-identical), medians/MAD are exact order "
+    "statistics over them (floor((n+k)/2) picks, day tiebreak), and "
+    "the score is one IEEE expression (dround 6; an all-tied series "
+    "has MAD 0 and yields NULL scores — try_divide twin of the "
+    "oracle's CASE). Scale: everything after the (type, day) rollup "
+    "is calendar-bounded windows partitioned by series key.",
+    parts=8,
+)
+def q_seasonal_anomaly_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    r = (
+        _decomposed_daily(spark, sf_dir)
+        .filter(F.col("remainder").isNotNull())
+        .select("event_type", "day_index", "cents", "remainder")
+    )
+
+    def med_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        wr = Window.partitionBy("event_type").orderBy(
+            F.col(col), F.col("day_index")
+        )
+        wn = Window.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(wr)).withColumn(
+            "n", F.count(F.lit(1)).over(wn).cast("bigint")
+        )
+        lo = F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+        hi = F.floor((F.col("n") + 2) / 2.0).cast("bigint")
+        return ranked.groupBy("event_type").agg(
+            (
+                (
+                    F.max(F.when(F.col("rn") == lo, F.col(col)))
+                    + F.max(F.when(F.col("rn") == hi, F.col(col)))
+                )
+                / 2.0
+            ).alias(out)
+        )
+
+    med = med_of(r, "remainder", "med_r").withColumnRenamed(
+        "event_type", "__et"
+    )
+    dev = (
+        r.join(F.broadcast(med), F.col("event_type") == F.col("__et"))
+        .drop("__et")
+        .withColumn("adev", F.abs(F.col("remainder") - F.col("med_r")))
+    )
+    mad = med_of(dev, "adev", "mad_r").withColumnRenamed(
+        "event_type", "__et"
+    )
+    mz = F.when(
+        F.col("mad_r") > 0,
+        0.6745 * (F.col("remainder") - F.col("med_r")) / F.col("mad_r"),
+    )
+    scored = (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("__et"))
+        .drop("__et")
+        .withColumn("mz", mz)
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.coalesce(F.abs(F.col("mz")), F.lit(0.0)).desc(),
+        F.col("day_index").asc(),
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            "day_index",
+            "cents",
+            dround(F.col("mz"), 6).alias("modified_z"),
+            F.coalesce(
+                F.abs(F.col("mz")) > 3.5, F.lit(False)
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day_index")
     )
