@@ -23,6 +23,7 @@ from yahoofinancedatalake_spark.queries.pack import QUERIES, _await_stream  # no
 from yahoofinancedatalake_spark.session import (  # noqa: E402
     drain_if_pressured,
     get_spark,
+    tmpfs_release,
     tmpfs_scratch,
 )
 
@@ -47,11 +48,10 @@ def main() -> None:
     finally:
         # tmpfs holds RAM until deleted — clean up on EVERY exit path
         # (a crashed run otherwise leaks GiBs of /dev/shm checkpoints
-        # until reboot, and failed runs accumulate)
-        if scratch:
-            import shutil  # noqa: PLC0415
-
-            shutil.rmtree(scratch, ignore_errors=True)
+        # until reboot, and failed runs accumulate). tmpfs_release
+        # also restores tempfile.tempdir so later tempfile use in
+        # this process doesn't point at the deleted dir.
+        tmpfs_release(scratch)
 
 
 def _run(sf_dir: str, sf: float) -> None:
@@ -160,6 +160,13 @@ def _run(sf_dir: str, sf: float) -> None:
         "zorder_layout", "compact_files_eq", "bfs_levels",
         "orc_roundtrip", "schema_evolution_eq",
     }
+    # Guard against silent staleness: a renamed query would otherwise
+    # keep its old name here and lose the forced pre-query drain.
+    unknown = heavy_alloc - QUERIES.keys()
+    if unknown:
+        raise AssertionError(
+            f"heavy_alloc names not in QUERIES: {sorted(unknown)}"
+        )
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     n_drains = 0

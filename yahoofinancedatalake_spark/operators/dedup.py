@@ -999,6 +999,18 @@ def prefix_filter_jaccard_pairs(
     only with lengths within [t·m, m/t]) by banding on
     ``floor(log(m)/log(1/t))`` — omitted here because the testdata's
     doc lengths are homogeneous.
+
+    ``cache=True`` (default) ``persist()``\\ s two intermediates (the
+    hashed-shingle table and the prefix table — each is consumed by
+    2-3 downstream branches; uncached they re-execute per branch) and
+    their lifetime is CALLER-OWNED: the result is lazy, so this
+    function cannot unpersist them. Call
+    ``spark.catalog.clearCache()`` (or unpersist via
+    ``spark.sparkContext._jsc.getPersistentRDDs``) after consuming
+    the result if you invoke this in a loop over parameters;
+    otherwise executor storage accumulates one cached copy per call.
+    Pass ``cache=False`` to trade recomputation for zero retained
+    storage.
     """
     from fractions import Fraction  # noqa: PLC0415
 

@@ -2118,7 +2118,11 @@ _DECOMP_ORACLE = f"""
              CASE WHEN wn = 7 THEN 7 * cents - wsum END AS det7
       FROM w
     ), seas AS (
-      SELECT event_type, d % 7 AS dow,
+      -- ((d % 7) + 7) % 7, not d % 7: DuckDB % truncates toward zero
+      -- (-1 % 7 = -1) while Spark's F.pmod is non-negative (= 6); the
+      -- double-mod is a pmod twin, needed when d can go negative
+      -- (events timestamped before the 2024-01-01 day-index origin).
+      SELECT event_type, ((d % 7) + 7) % 7 AS dow,
              CAST(SUM(det7) AS BIGINT) AS s7sum,
              CAST(COUNT(det7) AS BIGINT) AS k
       FROM det WHERE det7 IS NOT NULL GROUP BY 1, 2
@@ -2138,7 +2142,7 @@ _DECOMP_ORACLE = f"""
            END AS remainder
     FROM det
     LEFT JOIN seas ON seas.event_type = det.event_type
-                  AND seas.dow = det.d % 7
+                  AND seas.dow = ((det.d % 7) + 7) % 7
     ORDER BY det.event_type, day_index
     """
 

@@ -157,5 +157,30 @@ def tmpfs_scratch(prefix: str = "spark_graft_") -> str | None:
     if not os.path.isdir("/dev/shm"):
         return None
     d = tempfile.mkdtemp(prefix=prefix, dir="/dev/shm")
+    _TMPFS_STATE["prior_tempdir"] = tempfile.tempdir
     tempfile.tempdir = d
     return d
+
+
+_TMPFS_STATE: dict = {}
+
+
+def tmpfs_release(scratch: str | None) -> None:
+    """Delete a ``tmpfs_scratch`` dir and restore ``tempfile.tempdir``.
+
+    The scratch dir becomes the process-global tempfile default, so
+    deleting it without restoring the default leaves every later
+    ``tempfile`` call in the process pointing at a removed path
+    (FileNotFoundError). Always pair ``tmpfs_scratch`` with this on
+    every exit path; passing None (no tmpfs) is a no-op.
+    """
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    if scratch is None:
+        return
+    # Restore first: rmtree may raise despite ignore_errors on weird
+    # mounts, and a stale tempdir is worse than a leaked dir.
+    if tempfile.tempdir == scratch:
+        tempfile.tempdir = _TMPFS_STATE.pop("prior_tempdir", None)
+    shutil.rmtree(scratch, ignore_errors=True)
