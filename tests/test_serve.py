@@ -1,0 +1,119 @@
+"""Parameterized serving surface (queries/serve.py): binding
+semantics + the pushdown plan pin.
+
+The whole point of named-parameter binding over string formatting is
+that the bound literal reaches the parquet scan as a pushed filter —
+at 100 TB a dashboard drill-down reads one symbol's row groups, not
+the corpus. These tests pin that, and the binding contract itself.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.queries.serve import TEMPLATES, bound
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    # formatted mode prints the scan's FULL PushedFilters list (the
+    # plain toString truncates FileScan metadata at ~100 chars)
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bound_literal_pushes_to_scan(spark):
+    df = bound(spark, SF_DIR, "top_flop_for_symbol", uid=7)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(user_id,7)" in plan, plan[:2000]
+
+
+def test_multi_param_binding_pushes_all_filters(spark):
+    df = bound(
+        spark,
+        SF_DIR,
+        "type_window_daily",
+        uid=3,
+        etype="purchase",
+        start_day="2024-01-05",
+        end_day="2024-02-01",
+    )
+    plan = _plan(df)
+    assert "EqualTo(user_id,3)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    # the cast-from-string timestamps constant-fold into range filters
+    assert "GreaterThanOrEqual(ts," in plan
+    assert "LessThan(ts," in plan
+
+
+def test_bindings_select_disjoint_symbols(spark):
+    a = bound(spark, SF_DIR, "top_flop_for_symbol", uid=7)
+    b = bound(spark, SF_DIR, "top_flop_for_symbol", uid=11)
+    assert a.select("user_id").distinct().collect() == [
+        pytest.approx((7,))
+    ] or [r.user_id for r in a.select("user_id").distinct().collect()] == [7]
+    assert [r.user_id for r in b.select("user_id").distinct().collect()] == [
+        11
+    ]
+    # same template, different binding → different data
+    assert a.count() > 0 and b.count() > 0
+
+
+def test_bound_matches_direct_dataframe_equivalent(spark):
+    """The bound template computes the same frame as the DataFrame
+    API twin (the daily kernel shared with top_flop)."""
+    from yahoofinancedatalake_spark.catalog import load_table
+    from yahoofinancedatalake_spark.functions.scalars import dround
+
+    got = bound(spark, SF_DIR, "top_flop_for_symbol", uid=7)
+    events = load_table(spark, SF_DIR, "events").filter(
+        F.col("user_id") == 7
+    )
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dround(F.sum("value"), 2).alias("daily_value"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("day")
+    want = daily.select(
+        "user_id",
+        "day",
+        "daily_value",
+        (F.col("daily_value") - F.lag("daily_value", 1).over(w)).alias(
+            "delta"
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_unknown_template_and_unbound_param_fail_loud(spark):
+    with pytest.raises(KeyError, match="unknown serve template"):
+        bound(spark, SF_DIR, "nope")
+    # an unbound :param must be an analysis error, not a full scan
+    with pytest.raises(Exception, match="UNBOUND_SQL_PARAMETER|uid"):
+        bound(spark, SF_DIR, "top_flop_for_symbol").collect()
+
+
+def test_every_template_parses_with_example_bindings(spark):
+    examples = {
+        "top_flop_for_symbol": {"uid": 0},
+        "type_window_daily": {
+            "uid": 0,
+            "etype": "view",
+            "start_day": "2024-01-01",
+            "end_day": "2024-01-02",
+        },
+    }
+    assert set(examples) == set(TEMPLATES)
+    for name, params in examples.items():
+        # schema resolution proves the template parses and binds
+        assert len(bound(spark, SF_DIR, name, **params).columns) >= 3

@@ -65,6 +65,12 @@ _REWRITE_QUERIES = {
     "dedup_clusters",
     "dedup_clusters_star",
     "cluster_canonical_docs",
+    # the composed-pipeline gate embeds the dedup_clusters jac CTE
+    # over quality-gated exact survivors; LSH candidates over the
+    # full corpus are a sound superset of that subset's candidates
+    # (banding is pairwise — a pair's buckets don't depend on the
+    # rest of the corpus)
+    "prep_stage_counts",
 }
 #: The quadratic pair source shared by the dedup-family oracles …
 _QUADRATIC_JOIN = "FROM sh a JOIN sh b ON a.doc_id < b.doc_id"

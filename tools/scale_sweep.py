@@ -52,6 +52,9 @@ TABLE_OF = {
     "js_divergence_corpora": ("documents", "doc_id"),
     "seasonal_decompose_daily": ("events", "event_id"),
     "seasonal_anomaly_days": ("events", "event_id"),
+    # r8: the two r7 entries VERDICT flagged unswept
+    "ann_ndcg": ("embeddings", "vec_id"),
+    "stream_psi_drift_batch_eq": ("events", "event_id"),
 }
 
 DEFAULT = [

@@ -73,22 +73,30 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
-def drop_near_dups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Stages 2+3 — exact dedup, then near-dup cluster removal.
+def exact_stage(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stage 2 — exact dedup (min-id keeper per content fingerprint).
 
-    Exact first: it is one cheap fingerprint aggregation and shrinks
-    the LSH input. Near-dup: LSH candidates → Jaccard verify →
-    connected components → anti-join away every node that is not its
-    cluster's min id (the deterministic keeper).
+    Runs first because it is one cheap 16-byte-fingerprint aggregation
+    and shrinks the LSH input for the near-dup stage.
     """
     from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
-        connected_components,
         exact_dedup,
+    )
+
+    return exact_dedup(docs, "text", id_col)
+
+
+def near_dup_stage(exact: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stage 3 — near-dup cluster removal over exact-dedup survivors:
+    LSH candidates → hashed-Jaccard verify → connected components →
+    anti-join away every node that is not its cluster's min id (the
+    deterministic keeper)."""
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
         hashed_ngram_jaccard,
         minhash_lsh_pairs,
     )
 
-    exact = exact_dedup(docs, "text", id_col)
     cand = minhash_lsh_pairs(
         exact, "text", id_col, n_hashes=32, n_bands=8, shingle_n=3
     )
@@ -96,10 +104,15 @@ def drop_near_dups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         cand, exact, id_col, "text", shingle_n=3
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     comps = connected_components(verified.select("id_a", "id_b"))
-    losers = comps.filter(F.col("node") != F.col("comp")).select(
+    losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
     return exact.join(losers, id_col, "left_anti")
+
+
+def drop_near_dups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stages 2+3 — exact dedup, then near-dup cluster removal."""
+    return near_dup_stage(exact_stage(docs, id_col), id_col)
 
 
 def decontaminate(

@@ -56,6 +56,7 @@ from yahoofinancedatalake_spark.queries import pack_10_tpch as _pack_10_tpch  # 
 from yahoofinancedatalake_spark.queries import pack_11_vader_ml_streaming as _pack_11_vader_ml_streaming  # noqa: E402
 from yahoofinancedatalake_spark.queries import pack_12_statistics as _pack_12_statistics  # noqa: E402
 from yahoofinancedatalake_spark.queries import pack_13_monitors as _pack_13_monitors  # noqa: E402
+from yahoofinancedatalake_spark.queries import pack_14_prep_serving as _pack_14_prep_serving  # noqa: E402
 
 # Re-export every family-module name (underscore helpers included):
 # tests and tools address them as queries.pack.<name>, and the split
@@ -75,6 +76,7 @@ for _m in (
     _pack_11_vader_ml_streaming,
     _pack_12_statistics,
     _pack_13_monitors,
+    _pack_14_prep_serving,
     _reg,
 ):
     globals().update(

@@ -1,0 +1,104 @@
+"""Parameterized serving queries — the dashboard drill-down surface.
+
+The reference's dashboards are interactive: every Lens panel accepts
+a symbol filter and drills down on click
+(``kibana/kibana_saved_objects.ndjson:6-9``; SURVEY §3.3 maps the
+saved objects to "parameterized ``symbol = :s``"). The query pack's
+entries are fixed-shape by design (the driver gate needs a stable
+result); this module is the missing interactive surface: named SQL
+templates with ``:param`` markers, bound at call time through Spark's
+native named-parameter support (``spark.sql(sql, args=...)``).
+
+Why named parameters instead of string formatting: the binding is
+injected as a typed literal into the parsed plan, so
+
+- Catalyst constant-folds it and PUSHES IT TO THE SCAN — the bound
+  ``user_id = 7`` shows up in the parquet scan's ``PushedFilters``
+  (plan-pinned in ``tests/test_serve.py``), which at 100 TB is the
+  difference between reading one symbol's row groups and reading the
+  corpus;
+- there is no SQL-injection surface and no string-quoting bug class;
+- the same template text serves every binding, so a dashboard with
+  1000 symbols compiles one plan shape.
+
+The pack registers oracle-gated entries for two bindings of the
+``top_flop_for_symbol`` template plus a 3-parameter windowed
+drill-down (``queries/pack_14_prep_serving.py``), proving the surface
+end-to-end under the driver's hash gate.
+
+The `user_id` column is this schema's symbol analog (the events
+table's group key — see SURVEY §3.3); a production deployment binds
+``symbol = :s`` identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from yahoofinancedatalake_spark.catalog import load_table
+
+#: Spark-parseable deterministic 2-decimal rounding (dround twin).
+#: ``floor()`` returns BIGINT in Spark SQL, so the explicit DOUBLE
+#: cast keeps the division a double (a bare ``/ 100.0`` would parse
+#: the literal as DECIMAL and change the result type cross-engine).
+_DROUND2 = "CAST(floor(({expr}) * 100 + 0.5 + 1e-6) AS DOUBLE) / 100"
+
+#: Named templates. Each reads the ``__serve_events`` temp view that
+#: :func:`bound` (re)binds to the caller's scale directory, so a
+#: template never hard-codes a path and concurrent sf_dirs don't
+#: collide with the pack's other views.
+TEMPLATES: dict[str, str] = {
+    # The flagship Top/Flop panel's drill-down: one symbol's daily
+    # value + day-over-day delta series (what the dashboard renders
+    # when a bar is clicked).
+    "top_flop_for_symbol": f"""
+        WITH daily AS (
+          SELECT user_id,
+                 date_trunc('day', ts) AS day,
+                 {_DROUND2.format(expr="sum(value)")} AS daily_value
+          FROM __serve_events
+          WHERE user_id = :uid
+          GROUP BY user_id, date_trunc('day', ts)
+        )
+        SELECT user_id, day, daily_value,
+               daily_value - lag(daily_value) OVER (
+                 PARTITION BY user_id ORDER BY day) AS delta
+        FROM daily
+        ORDER BY day
+    """,
+    # Windowed per-day drill-down for (symbol, event_type, date
+    # range) — the panel-filter combination the saved objects expose.
+    "type_window_daily": f"""
+        SELECT date_trunc('day', ts) AS day,
+               count(*) AS n_events,
+               {_DROUND2.format(expr="sum(value)")} AS total_value
+        FROM __serve_events
+        WHERE user_id = :uid
+          AND event_type = :etype
+          AND ts >= CAST(:start_day AS TIMESTAMP)
+          AND ts < CAST(:end_day AS TIMESTAMP)
+        GROUP BY date_trunc('day', ts)
+        ORDER BY day
+    """,
+}
+
+
+def bound(
+    spark: SparkSession, sf_dir: str, name: str, **params
+) -> DataFrame:
+    """Bind ``params`` into the named template and return the frame.
+
+    ``params`` map to the template's ``:name`` markers; Spark
+    validates that every marker is bound (unbound → UNBOUND_SQL_
+    PARAMETER at analysis, not a silent full scan). The returned
+    plan carries the binding as a literal predicate pushed into the
+    parquet scan.
+    """
+    if name not in TEMPLATES:
+        raise KeyError(
+            f"unknown serve template {name!r}; have {sorted(TEMPLATES)}"
+        )
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__serve_events"
+    )
+    return spark.sql(TEMPLATES[name], args=params)
