@@ -44,6 +44,10 @@ MATERIALIZING = {
     "stream_custom_state_batch_eq",
     "stream_enrich_batch_eq",
     "upsert_rows_eq",
+    # r8: runs the staged pipeline eagerly (per-stage counts) and
+    # returns a driver-local frame; the stage plans are the already-
+    # audited component operators (dedup_clusters etc.)
+    "prep_stage_counts",
 }
 
 

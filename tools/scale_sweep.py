@@ -55,6 +55,13 @@ TABLE_OF = {
     # r8: the two r7 entries VERDICT flagged unswept
     "ann_ndcg": ("embeddings", "vec_id"),
     "stream_psi_drift_batch_eq": ("events", "event_id"),
+    # r8 additions: replicated documents are 100x exact duplicates
+    # (same text, remapped ids), so this also demonstrates the
+    # pipeline collapsing a 100x-duplicated corpus at the cheap
+    # exact stage before LSH ever sees it
+    "prep_stage_counts": ("documents", "doc_id"),
+    "top_flop_for_symbol": ("events", "event_id"),
+    "type_window_daily_drill": ("events", "event_id"),
 }
 
 DEFAULT = [
