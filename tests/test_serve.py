@@ -56,9 +56,9 @@ def test_multi_param_binding_pushes_all_filters(spark):
 def test_bindings_select_disjoint_symbols(spark):
     a = bound(spark, SF_DIR, "top_flop_for_symbol", uid=7)
     b = bound(spark, SF_DIR, "top_flop_for_symbol", uid=11)
-    assert a.select("user_id").distinct().collect() == [
-        pytest.approx((7,))
-    ] or [r.user_id for r in a.select("user_id").distinct().collect()] == [7]
+    assert [r.user_id for r in a.select("user_id").distinct().collect()] == [
+        7
+    ]
     assert [r.user_id for r in b.select("user_id").distinct().collect()] == [
         11
     ]

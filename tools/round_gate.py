@@ -60,10 +60,24 @@ def _run(title: str, cmd: list[str]) -> bool:
     return rc == 0
 
 
+_VALID_SKIPS = {"selfcheck", "sweep", "plans", "bench"}
+
+
 def main() -> int:
     args = sys.argv[1:]
     fail_fast = "--fail-fast" in args
-    skips = {args[i + 1] for i, a in enumerate(args) if a == "--skip"}
+    skips: set[str] = set()
+    for i, a in enumerate(args):
+        if a == "--skip":
+            if i + 1 >= len(args) or args[i + 1].startswith("--"):
+                print("usage: --skip {selfcheck|sweep|plans|bench}")
+                return 2
+            skips.add(args[i + 1])
+    unknown = skips - _VALID_SKIPS
+    if unknown:
+        print(f"unknown --skip name(s) {sorted(unknown)}; "
+              f"valid: {sorted(_VALID_SKIPS)}")
+        return 2
 
     steps: list[tuple[str, list[str]]] = []
     if "selfcheck" not in skips:
@@ -123,11 +137,20 @@ def main() -> int:
                         fresh,
                     ],
                 )
+            # keep the fresh bench line only when the diff failed
+            # (the regression's evidence); green runs clean up
+            if results.get("bench run", True) and all(results.values()):
+                os.unlink(fresh)
+            else:
+                print(f"=== round_gate: fresh bench kept at {fresh}")
 
     print("\n=== round_gate summary")
+    if not results:
+        print("  (no steps ran — everything skipped)")
     for title, ok in results.items():
         print(f"  {'ok  ' if ok else 'FAIL'} {title}")
-    all_ok = all(results.values()) and bool(results)
+    # exit contract (docstring): nonzero iff a step that ran failed
+    all_ok = all(results.values())
     print(f"=== round_gate: {'ALL GREEN' if all_ok else 'RED'}")
     return 0 if all_ok else 1
 

@@ -53,6 +53,25 @@ def sql_dround(expr: str, scale: int) -> str:
     return f"floor(({expr}) * {factor} + 0.5 + 1e-6) / {factor}.0"
 
 
+def spark_sql_dround(expr: str, scale: int) -> str:
+    """Spark-SQL-text twin of :func:`dround` (for ``spark.sql``
+    templates, e.g. the parameterized serving queries).
+
+    Differs from :func:`sql_dround` only where the dialects force it:
+    Spark's ``floor()`` returns BIGINT (DuckDB's returns DOUBLE), so
+    the explicit DOUBLE cast keeps the division a double, and the
+    divisor is an integer literal because Spark parses ``100.0`` as
+    DECIMAL(4,1) (changing the result type). Keep all three dround
+    forms in this module — the knife-edge bias term is load-bearing
+    for oracle parity and must change in lockstep.
+    """
+    factor = 10**scale
+    return (
+        f"CAST(floor(({expr}) * {factor} + 0.5 + 1e-6) AS DOUBLE)"
+        f" / {factor}"
+    )
+
+
 def iso_date(col: Column | str) -> Column:
     """F1 — format a date/timestamp as ``YYYY-MM-DD``."""
     return F.date_format(col, ISO_DATE)

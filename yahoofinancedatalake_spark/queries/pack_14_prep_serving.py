@@ -225,22 +225,33 @@ def q_prep_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     eval_set = docs.filter(F.col("doc_id") % 37 == 0)
 
-    n_input = docs.count()
-    gated = prep.quality_gate(docs).persist()
-    n_gate = gated.count()
-    exact = prep.exact_stage(gated).persist()
-    n_exact = exact.count()
-    deduped = prep.near_dup_stage(exact).persist()
-    n_dedup = deduped.count()
-    clean = prep.decontaminate(deduped, eval_set).persist()
-    n_clean = clean.count()
-    reb = prep.rebalance_languages(clean).persist()
-    n_reb = reb.count()
-    chunks = prep.chunk_docs(prep.assign_splits(reb)).persist()
-    n_chunks = chunks.count()
-    n_bins = prep.pack_chunks(chunks).count()
-    for frame in (gated, exact, deduped, clean, reb, chunks):
-        frame.unpersist()
+    # try/finally: bench/driver runs catch per-query exceptions and
+    # keep the session — a mid-pipeline failure must not leave up to
+    # six frames pinned in executor storage for the rest of the run
+    persisted: list = []
+
+    def _stage(frame):
+        persisted.append(frame.persist())
+        return persisted[-1]
+
+    try:
+        n_input = docs.count()
+        gated = _stage(prep.quality_gate(docs))
+        n_gate = gated.count()
+        exact = _stage(prep.exact_stage(gated))
+        n_exact = exact.count()
+        deduped = _stage(prep.near_dup_stage(exact))
+        n_dedup = deduped.count()
+        clean = _stage(prep.decontaminate(deduped, eval_set))
+        n_clean = clean.count()
+        reb = _stage(prep.rebalance_languages(clean))
+        n_reb = reb.count()
+        chunks = _stage(prep.chunk_docs(prep.assign_splits(reb)))
+        n_chunks = chunks.count()
+        n_bins = prep.pack_chunks(chunks).count()
+    finally:
+        for frame in persisted:
+            frame.unpersist()
 
     stages = [
         (1, "quality_gate", n_input, n_gate),

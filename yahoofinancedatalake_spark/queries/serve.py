@@ -21,6 +21,12 @@ injected as a typed literal into the parsed plan, so
 - the same template text serves every binding, so a dashboard with
   1000 symbols compiles one plan shape.
 
+The source table enters each template as a ``{events}`` DataFrame
+reference (``spark.sql``'s dataframe-interpolation kwarg), NOT a
+session-global temp view: concurrent ``bound()`` calls — the normal
+state of a dashboard backend — each see exactly the frame they were
+given, with no create-view/analyze race and no catalog churn.
+
 The pack registers oracle-gated entries for two bindings of the
 ``top_flop_for_symbol`` template plus a 3-parameter windowed
 drill-down (``queries/pack_14_prep_serving.py``), proving the surface
@@ -36,17 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from yahoofinancedatalake_spark.catalog import load_table
+from yahoofinancedatalake_spark.functions.scalars import spark_sql_dround
 
-#: Spark-parseable deterministic 2-decimal rounding (dround twin).
-#: ``floor()`` returns BIGINT in Spark SQL, so the explicit DOUBLE
-#: cast keeps the division a double (a bare ``/ 100.0`` would parse
-#: the literal as DECIMAL and change the result type cross-engine).
-_DROUND2 = "CAST(floor(({expr}) * 100 + 0.5 + 1e-6) AS DOUBLE) / 100"
-
-#: Named templates. Each reads the ``__serve_events`` temp view that
-#: :func:`bound` (re)binds to the caller's scale directory, so a
-#: template never hard-codes a path and concurrent sf_dirs don't
-#: collide with the pack's other views.
+#: Named templates. ``{events}`` is the DataFrame slot ``bound()``
+#: fills; ``:name`` markers are the user-facing parameters.
 TEMPLATES: dict[str, str] = {
     # The flagship Top/Flop panel's drill-down: one symbol's daily
     # value + day-over-day delta series (what the dashboard renders
@@ -55,8 +54,8 @@ TEMPLATES: dict[str, str] = {
         WITH daily AS (
           SELECT user_id,
                  date_trunc('day', ts) AS day,
-                 {_DROUND2.format(expr="sum(value)")} AS daily_value
-          FROM __serve_events
+                 {spark_sql_dround("sum(value)", 2)} AS daily_value
+          FROM {{events}}
           WHERE user_id = :uid
           GROUP BY user_id, date_trunc('day', ts)
         )
@@ -71,8 +70,8 @@ TEMPLATES: dict[str, str] = {
     "type_window_daily": f"""
         SELECT date_trunc('day', ts) AS day,
                count(*) AS n_events,
-               {_DROUND2.format(expr="sum(value)")} AS total_value
-        FROM __serve_events
+               {spark_sql_dround("sum(value)", 2)} AS total_value
+        FROM {{events}}
         WHERE user_id = :uid
           AND event_type = :etype
           AND ts >= CAST(:start_day AS TIMESTAMP)
@@ -98,7 +97,5 @@ def bound(
         raise KeyError(
             f"unknown serve template {name!r}; have {sorted(TEMPLATES)}"
         )
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "__serve_events"
-    )
-    return spark.sql(TEMPLATES[name], args=params)
+    events = load_table(spark, sf_dir, "events")
+    return spark.sql(TEMPLATES[name], args=params, events=events)
