@@ -27,13 +27,41 @@ MIN_ABS_S = 1.0
 
 
 def load(path: str) -> dict:
-    """Accept a raw bench line or a file that embeds it among logs."""
+    """Accept a raw bench line, a file that embeds it among logs, or
+    a driver-truncated ``BENCH_r*.json`` artifact.
+
+    The driver stores only the TAIL of the bench line (``{"n": ...,
+    "tail": "...", "parsed": null}``), so a committed round artifact
+    has no parseable JSON object — fall back to regex-extracting the
+    ``"query": seconds`` pairs that survived truncation and diff the
+    shared subset (the same partial-tail adjudication the r7 judge
+    did by hand across round tails)."""
     with open(path) as f:
         text = f.read()
     m = re.search(r'\{"metric".*', text)
-    if not m:
-        raise SystemExit(f"no bench JSON line found in {path}")
-    return json.loads(m.group(0))
+    if m:
+        return json.loads(m.group(0))
+    try:
+        artifact = json.loads(text)
+    except ValueError:
+        artifact = None
+    if isinstance(artifact, dict) and isinstance(artifact.get("tail"), str):
+        pairs = re.findall(
+            r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', artifact["tail"]
+        )
+        queries = {
+            k: float(v)
+            for k, v in pairs
+            # drop the scalar fields the tail may include
+            if k not in {"value", "sf", "n", "rc", "cpus"}
+        }
+        if queries:
+            print(
+                f"note  {path}: driver-truncated artifact — diffing the "
+                f"{len(queries)} queries visible in its tail"
+            )
+            return {"queries": queries, "_partial": True}
+    raise SystemExit(f"no bench JSON line found in {path}")
 
 
 def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
@@ -46,10 +74,14 @@ def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
             regressions.append(f"{name}: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)")
         elif a > b * ratio and a - b > MIN_ABS_S:
             notes.append(f"{name}: improved {a:.2f}s -> {b:.2f}s")
-    for name in sorted(set(nq) - set(oq)):
-        notes.append(f"{name}: new ({nq[name]:.2f}s)")
-    for name in sorted(set(oq) - set(nq)):
-        notes.append(f"{name}: REMOVED (was {oq[name]:.2f}s)")
+    if not old.get("_partial"):
+        # vs a driver-truncated baseline, "not in baseline" just means
+        # "fell outside the stored tail" — only report presence deltas
+        # when the baseline is a full bench line
+        for name in sorted(set(nq) - set(oq)):
+            notes.append(f"{name}: new ({nq[name]:.2f}s)")
+        for name in sorted(set(oq) - set(nq)):
+            notes.append(f"{name}: REMOVED (was {oq[name]:.2f}s)")
     tot_o = sum(oq[n] for n in shared)
     tot_n = sum(nq[n] for n in shared)
     notes.append(

@@ -42,6 +42,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _newest_bench_artifact() -> str | None:
+    # prefer the committed FULL bench line (all queries) over the
+    # driver's truncated BENCH_r*.json tails — bench_diff handles
+    # both, but the full baseline covers the whole registry
+    full = os.path.join(ROOT, "bench_baseline.json")
+    if os.path.exists(full):
+        return full
+
     def rnum(p: str) -> int:
         m = re.search(r"_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
