@@ -141,6 +141,27 @@ def _run(sf_dir: str, sf: float) -> None:
         .agg(F.sum("c").alias("s"))
     )
 
+    # Dedup-shape warm-up: the LSH→verify→connected-components pipeline
+    # has its own one-time codegen surface (minhash band expressions,
+    # the hashed-jaccard verify joins, the CC label-propagation round)
+    # that the text warm-up above does not touch. Partial by design:
+    # AQE picks different join strategies at 40 rows than at corpus
+    # scale, so scale-dependent plan variants still compile on the
+    # first real dedup-family query (measured on prep_stage_counts,
+    # first in r8's rotation order: 29s truly cold in a bare session,
+    # 16.4s with the other warm-ups, 15.7s with this one, 9s warm —
+    # the residual is exact-plan codegen that only the first
+    # full-scale run can pay).
+    from yahoofinancedatalake_spark.prep import near_dup_stage  # noqa: PLC0415
+
+    tdup = tinydocs.unionByName(
+        spark.range(200, 220).select(
+            F.col("id").alias("doc_id"),
+            F.lit("warm up token stream alpha beta 7").alias("text"),
+        )
+    )
+    force(near_dup_stage(tdup.limit(40)))
+
     # Fail-soft per query: one crash must never wipe the whole bench
     # artifact (a single TIMESTAMP_NTZ bug once cost an entire round's
     # numbers). Errors are recorded, every other query still gets

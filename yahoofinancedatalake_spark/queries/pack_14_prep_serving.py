@@ -216,7 +216,11 @@ _PREP_STAGES_ORACLE = f"""
     "documented posture — bucketed LSH (never all-pairs), broadcast "
     "eval grams, broadcast 5-row rate table, per-(split,source) "
     "packing windows; the oracle's quadratic shingle self-join is "
-    "ground truth only.",
+    "ground truth only. Wall-clock at sf0.1: ~9 s warm; a first run "
+    "in a fresh session pays the dedup family's exact-plan codegen "
+    "on top (29 s bare-cold, ~16 s after bench.py's warm-ups) — "
+    "gate cost, amortized the moment any other dedup-family query "
+    "has run.",
     parts=8,
 )
 def q_prep_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
