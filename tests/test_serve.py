@@ -103,6 +103,24 @@ def test_unknown_template_and_unbound_param_fail_loud(spark):
         bound(spark, SF_DIR, "top_flop_for_symbol").collect()
 
 
+def test_concurrent_bindings_stay_isolated(spark):
+    """Dashboard-backend shape: concurrent bound() calls must each
+    see exactly their own binding — pinned since the surface moved
+    from a shared session-global temp view (create/analyze race) to
+    per-call DataFrame interpolation."""
+    import concurrent.futures as cf
+
+    def drill(uid: int) -> set[int]:
+        df = bound(spark, SF_DIR, "top_flop_for_symbol", uid=uid)
+        return {r.user_id for r in df.select("user_id").collect()}
+
+    uids = [0, 1, 2, 3, 7, 11, 13, 14]
+    with cf.ThreadPoolExecutor(max_workers=len(uids)) as pool:
+        got = list(pool.map(drill, uids))
+    for uid, seen in zip(uids, got):
+        assert seen <= {uid}, f"uid={uid} leaked rows from {seen}"
+
+
 def test_every_template_parses_with_example_bindings(spark):
     examples = {
         "top_flop_for_symbol": {"uid": 0},
