@@ -98,9 +98,41 @@ def test_bound_matches_direct_dataframe_equivalent(spark):
 def test_unknown_template_and_unbound_param_fail_loud(spark):
     with pytest.raises(KeyError, match="unknown serve template"):
         bound(spark, SF_DIR, "nope")
-    # an unbound :param must be an analysis error, not a full scan
-    with pytest.raises(Exception, match="UNBOUND_SQL_PARAMETER|uid"):
-        bound(spark, SF_DIR, "top_flop_for_symbol").collect()
+    # an unbound :param must fail at bind time, not scan everything
+    with pytest.raises(TypeError, match="missing=\\['uid'\\]"):
+        bound(spark, SF_DIR, "top_flop_for_symbol")
+    # an extra/mistyped kwarg must fail too — silently ignoring it
+    # means the caller believes a filter was applied that wasn't
+    with pytest.raises(TypeError, match="unexpected=\\['uidd'\\]"):
+        bound(spark, SF_DIR, "top_flop_for_symbol", uid=7, uidd=9)
+
+
+def test_documents_template_binds_and_pushes(spark):
+    df = bound(
+        spark, SF_DIR, "source_quality_drill", src="src3", min_chars=50
+    )
+    plan = _plan(df)
+    assert "EqualTo(source,src3)" in plan
+    assert "GreaterThanOrEqual(n_chars,50)" in plan
+    rows = df.collect()
+    assert rows and all(r.n_docs > 0 for r in rows)
+    # twin check against the direct DataFrame computation
+    from yahoofinancedatalake_spark.catalog import load_table
+    from yahoofinancedatalake_spark.functions.scalars import dround
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        (F.col("source") == "src3") & (F.col("n_chars") >= 50)
+    )
+    want = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            dround(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want.collect()))
 
 
 def test_concurrent_bindings_stay_isolated(spark):
@@ -130,6 +162,7 @@ def test_every_template_parses_with_example_bindings(spark):
             "start_day": "2024-01-01",
             "end_day": "2024-01-02",
         },
+        "source_quality_drill": {"src": "src0", "min_chars": 1},
     }
     assert set(examples) == set(TEMPLATES)
     for name, params in examples.items():

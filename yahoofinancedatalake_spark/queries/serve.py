@@ -41,11 +41,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+import re
+
 from yahoofinancedatalake_spark.catalog import load_table
 from yahoofinancedatalake_spark.functions.scalars import spark_sql_dround
 
-#: Named templates. ``{events}`` is the DataFrame slot ``bound()``
-#: fills; ``:name`` markers are the user-facing parameters.
+#: Named templates. ``{events}`` / ``{documents}`` are the DataFrame
+#: slots ``bound()`` fills from the requested scale dir; ``:name``
+#: markers are the user-facing parameters.
 TEMPLATES: dict[str, str] = {
     # The flagship Top/Flop panel's drill-down: one symbol's daily
     # value + day-over-day delta series (what the dashboard renders
@@ -79,7 +82,24 @@ TEMPLATES: dict[str, str] = {
         GROUP BY date_trunc('day', ts)
         ORDER BY day
     """,
+    # Corpus-side drill-down: per-language quality profile of one
+    # ingestion source above a length threshold — the documents-table
+    # panel (proves the surface is not events-specific; any
+    # ``load_table`` name can be a slot).
+    "source_quality_drill": f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               {spark_sql_dround("avg(n_chars)", 2)} AS avg_chars
+        FROM {{documents}}
+        WHERE source = :src AND n_chars >= :min_chars
+        GROUP BY lang
+        ORDER BY lang
+    """,
 }
+
+_MARKER_RE = re.compile(r":([A-Za-z_][A-Za-z0-9_]*)")
+_SLOT_RE = re.compile(r"\{([a-z_]+)\}")
 
 
 def bound(
@@ -87,15 +107,27 @@ def bound(
 ) -> DataFrame:
     """Bind ``params`` into the named template and return the frame.
 
-    ``params`` map to the template's ``:name`` markers; Spark
-    validates that every marker is bound (unbound → UNBOUND_SQL_
-    PARAMETER at analysis, not a silent full scan). The returned
-    plan carries the binding as a literal predicate pushed into the
-    parquet scan.
+    ``params`` must be exactly the template's ``:name`` markers —
+    Spark already fails loud on an UNBOUND marker, but an extra or
+    mistyped kwarg would otherwise be silently ignored (the caller
+    believes a filter was applied that wasn't), so both directions
+    are validated here. The returned plan carries each binding as a
+    literal predicate pushed into the parquet scan.
     """
     if name not in TEMPLATES:
         raise KeyError(
             f"unknown serve template {name!r}; have {sorted(TEMPLATES)}"
         )
-    events = load_table(spark, sf_dir, "events")
-    return spark.sql(TEMPLATES[name], args=params, events=events)
+    sql = TEMPLATES[name]
+    markers = set(_MARKER_RE.findall(sql))
+    missing, extra = markers - params.keys(), params.keys() - markers
+    if missing or extra:
+        raise TypeError(
+            f"serve template {name!r} takes exactly {sorted(markers)}; "
+            f"missing={sorted(missing)} unexpected={sorted(extra)}"
+        )
+    tables = {
+        slot: load_table(spark, sf_dir, slot)
+        for slot in set(_SLOT_RE.findall(sql))
+    }
+    return spark.sql(sql, args=params, **tables)
