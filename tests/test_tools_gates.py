@@ -1,0 +1,96 @@
+"""Gate-infrastructure tests (no Spark session needed).
+
+bench_diff and round_gate are now the round's regression gates —
+a parsing or exit-code bug there silently green-lights a regression,
+so their contracts get the same pytest pinning as the operators.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from tools.bench_diff import MIN_ABS_S, diff, load
+
+REPO = "/root/repo"
+
+
+def _bench_line(queries: dict, **extra) -> str:
+    d = {"metric": "bench_s", "value": sum(queries.values()),
+         "unit": "sec", "queries": queries, "sf": 0.1}
+    d.update(extra)
+    return json.dumps(d)
+
+
+def test_load_full_bench_line(tmp_path):
+    p = tmp_path / "full.json"
+    p.write_text("some log noise\n" + _bench_line({"q1": 1.0}) + "\n")
+    got = load(str(p))
+    assert got["queries"] == {"q1": 1.0}
+    assert "_partial" not in got
+
+
+def test_load_driver_truncated_artifact(tmp_path):
+    # the driver stores only the tail of the line, parsed=null
+    tail = '"q_mid": 2.5, "q_last": 0.75}, "sf": 0.1}'
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(
+        {"n": 9, "rc": 0, "cpus": 32, "sf": 0.1,
+         "tail": tail, "parsed": None}
+    ))
+    got = load(str(p))
+    assert got["_partial"] is True
+    # scalar fields filtered; query pairs parsed
+    assert got["queries"] == {"q_mid": 2.5, "q_last": 0.75}
+
+
+def test_load_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.json"
+    p.write_text("not a bench artifact at all")
+    with pytest.raises(SystemExit, match="no bench JSON line"):
+        load(str(p))
+
+
+def test_diff_flags_only_real_regressions():
+    old = {"queries": {"a": 2.0, "b": 0.2, "c": 3.0}}
+    new = {"queries": {"a": 5.0, "b": 0.5, "c": 2.9}}
+    regressions, _notes = diff(old, new, ratio=2.0)
+    # a: 2.0 -> 5.0 is a real regression; b trips the ratio but is
+    # under the MIN_ABS_S jitter floor; c is flat
+    assert MIN_ABS_S >= 0.3  # premise of the b case
+    assert len(regressions) == 1 and regressions[0].startswith("a:")
+
+
+def test_diff_partial_baseline_suppresses_presence_notes():
+    old = {"queries": {"a": 1.0}, "_partial": True}
+    new = {"queries": {"a": 1.1, "brand_new": 9.9}}
+    _regressions, notes = diff(old, new, ratio=2.0)
+    assert not any("new" in n or "REMOVED" in n for n in notes[:-1])
+    assert "shared subset (1 queries)" in notes[-1]
+
+
+def test_round_gate_rejects_bad_skip_args():
+    rc = subprocess.call(
+        [sys.executable, "tools/round_gate.py", "--skip"], cwd=REPO,
+        stdout=subprocess.DEVNULL,
+    )
+    assert rc == 2
+    rc = subprocess.call(
+        [sys.executable, "tools/round_gate.py", "--skip", "benches"],
+        cwd=REPO, stdout=subprocess.DEVNULL,
+    )
+    assert rc == 2
+
+
+def test_round_gate_all_skipped_is_green_noop():
+    out = subprocess.run(
+        [sys.executable, "tools/round_gate.py",
+         "--skip", "selfcheck", "--skip", "sweep",
+         "--skip", "plans", "--skip", "bench"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    assert out.returncode == 0
+    assert "no steps ran" in out.stdout
