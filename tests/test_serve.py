@@ -153,6 +153,61 @@ def test_concurrent_bindings_stay_isolated(spark):
         assert seen <= {uid}, f"uid={uid} leaked rows from {seen}"
 
 
+def test_exhaustive_binding_oracle_parity(spark):
+    """Every symbol in the sf0.001 domain, Spark-bound template vs a
+    DuckDB recomputation — catches binding-dependent parity drift
+    (NULL-heavy days, single-row groups) that the two driver-gated
+    bindings can't see."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    oracle = """
+        WITH daily AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 floor((sum(value)) * 100 + 0.5 + 1e-6) / 100.0
+                   AS daily_value
+          FROM events WHERE user_id = ?
+          GROUP BY user_id, date_trunc('day', ts)
+        )
+        SELECT user_id, day, daily_value,
+               daily_value - lag(daily_value) OVER (
+                 PARTITION BY user_id ORDER BY day) AS delta
+        FROM daily ORDER BY day
+    """
+    uids = [
+        r.user_id
+        for r in bound(spark, SF_DIR, "top_flop_for_symbol", uid=-1)
+        .sparkSession.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id").distinct().collect()
+    ]
+    assert len(uids) >= 10
+    def norm(rows):
+        # Spark date_trunc returns midnight TIMESTAMPs, DuckDB's
+        # returns DATEs — same value, different repr (the driver's
+        # _norm canonicalizes the same way)
+        import datetime as dt
+
+        out = []
+        for r in rows:
+            out.append(tuple(
+                v.date() if isinstance(v, dt.datetime) else v for v in r
+            ))
+        return sorted(out)
+
+    for uid in sorted(uids):
+        got = norm(
+            bound(
+                spark, SF_DIR, "top_flop_for_symbol", uid=int(uid)
+            ).collect()
+        )
+        want = norm(con.execute(oracle, [int(uid)]).fetchall())
+        assert got == want, f"uid={uid}: spark={got[:2]} duckdb={want[:2]}"
+
+
 def test_every_template_parses_with_example_bindings(spark):
     examples = {
         "top_flop_for_symbol": {"uid": 0},
