@@ -171,3 +171,54 @@ def test_incremental_prep_matches_full_run(spark, tmp_path_factory):
     # state tables extended: next batch would see this one as history
     n_surv = spark.read.parquet(f"{root}/dedup_survivors").count()
     assert n_surv == base_counts["after_dedup"] + inc_counts["after_dedup"]
+
+
+def test_incremental_refuses_half_landed_state(spark, tmp_path_factory):
+    """Crash-safety of the state landing: the manifest is written
+    LAST, so a landing that died between table writes (simulated by
+    deleting the manifest, then by corrupting a table) must make the
+    next increment fail loud instead of silently under-deduping."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+    from yahoofinancedatalake_spark.prep import (
+        run_prep,
+        run_prep_incremental,
+        verify_dedup_state,
+    )
+
+    docs = fan_out(load_table(spark, SF, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+    hist = docs.filter(F.col("doc_id") < 40)
+    batch = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+
+    root = str(tmp_path_factory.mktemp("prep_seal"))
+    run_prep(spark, SF, root, eval_docs=eval_set, docs=hist)
+    verify_dedup_state(spark, root)  # freshly landed → passes
+
+    manifest = f"{root}/dedup_state_manifest.json"
+    # crash BEFORE the seal: no manifest at all
+    os.rename(manifest, manifest + ".bak")
+    with pytest.raises(RuntimeError, match="no manifest"):
+        run_prep_incremental(spark, root, batch, eval_set)
+    os.rename(manifest + ".bak", manifest)
+
+    # crash MID-APPEND: a table no longer matches the sealed counts
+    with open(manifest) as f:
+        sealed = json.load(f)
+    sealed["band_index"] += 7
+    with open(manifest, "w") as f:
+        json.dump(sealed, f)
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        run_prep_incremental(spark, root, batch, eval_set)
+
+    # restore the true counts → the increment runs and RE-SEALS
+    run_prep(spark, SF, root, eval_docs=eval_set, docs=hist)
+    run_prep_incremental(spark, root, batch, eval_set)
+    verify_dedup_state(spark, root)  # post-append manifest matches
+    shutil.rmtree(root, ignore_errors=True)

@@ -273,12 +273,69 @@ def pack_chunks(chunks: DataFrame) -> DataFrame:
     )
 
 
+#: The three incremental-dedup state tables, in landing order.
+_STATE_TABLES = ("dedup_survivors", "fingerprints", "band_index")
+
+
+def _state_manifest_path(root: str) -> str:
+    return f"{root}/dedup_state_manifest.json"
+
+
+def _seal_dedup_state(spark: SparkSession, root: str) -> dict[str, int]:
+    """Write the state manifest LAST — the commit record for the
+    three-table landing. Counts are parquet-metadata reads (footer
+    row counts), so sealing is cheap at any corpus size."""
+    import json  # noqa: PLC0415
+
+    counts = {
+        t: spark.read.parquet(f"{root}/{t}").count() for t in _STATE_TABLES
+    }
+    with open(_state_manifest_path(root), "w") as f:
+        json.dump(counts, f)
+    return counts
+
+
+def verify_dedup_state(spark: SparkSession, root: str) -> dict[str, int]:
+    """Check the landed state is COMPLETE before deduping a batch
+    against it. The three tables land in separate writes; a crash
+    between them leaves e.g. fingerprints without a band index, and
+    an increment run against that silently under-dedups (near-dups
+    of history docs missing from the index would all survive). The
+    manifest is written last, after every table, so its presence +
+    matching row counts certify the landing committed. Raises with a
+    recovery hint otherwise."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    path = _state_manifest_path(root)
+    if not os.path.exists(path):
+        raise RuntimeError(
+            f"dedup state at {root} has no manifest — a prior "
+            "run_prep/run_prep_incremental did not complete its state "
+            "landing; re-run run_prep to rebuild the state"
+        )
+    with open(path) as f:
+        sealed = json.load(f)
+    actual = {
+        t: spark.read.parquet(f"{root}/{t}").count() for t in _STATE_TABLES
+    }
+    if actual != sealed:
+        raise RuntimeError(
+            f"dedup state at {root} is inconsistent with its manifest "
+            f"(sealed={sealed}, actual={actual}) — a state write "
+            "crashed mid-landing; re-run run_prep to rebuild"
+        )
+    return actual
+
+
 def _land_dedup_state(spark: SparkSession, root: str, deduped: DataFrame):
     """Persist the incremental-dedup state next to the outputs: the
     post-dedup survivor docs (text included — the near-dup verify side
     for future increments), their fingerprints, and their LSH band
     index. These three tables are what lets the NEXT batch dedup
-    against history in O(batch) instead of re-shingling the corpus."""
+    against history in O(batch) instead of re-shingling the corpus.
+    The landing is sealed by a manifest written last
+    (:func:`verify_dedup_state` checks it before any increment)."""
     from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
         minhash_band_table,
         normalized_text,
@@ -292,6 +349,7 @@ def _land_dedup_state(spark: SparkSession, root: str, deduped: DataFrame):
     minhash_band_table(
         survivors, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
     ).write.mode("overwrite").parquet(f"{root}/band_index")
+    _seal_dedup_state(spark, root)
 
 
 def run_prep(
@@ -386,6 +444,10 @@ def run_prep_incremental(
         normalized_text,
     )
 
+    # refuse to dedup against a half-landed history (manifest sealed
+    # last by _land_dedup_state; mismatch = a prior landing crashed)
+    verify_dedup_state(spark, root)
+
     counts: dict[str, int] = {"batch_input": new_docs.count()}
 
     gated = quality_gate(new_docs)
@@ -466,4 +528,6 @@ def run_prep_incremental(
         batch_deduped, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
     ).write.mode("append").parquet(f"{root}/band_index")
     clean.write.mode("append").parquet(f"{root}/clean_increments")
+    # re-seal: this batch's appends are now part of committed history
+    _seal_dedup_state(spark, root)
     return counts
