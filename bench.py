@@ -154,13 +154,18 @@ def _run(sf_dir: str, sf: float) -> None:
     # full-scale run can pay).
     from yahoofinancedatalake_spark.prep import near_dup_stage  # noqa: PLC0415
 
-    tdup = tinydocs.unionByName(
+    # 20 unique docs + 20 sharing one text: the duplicate block forms
+    # verified jaccard-1.0 pairs, so the CC label-propagation loop and
+    # the loser anti-join actually execute (a limit over the whole
+    # union would drain the unique partitions first and leave those
+    # paths cold — review-caught)
+    tdup = tinydocs.limit(20).unionByName(
         spark.range(200, 220).select(
             F.col("id").alias("doc_id"),
             F.lit("warm up token stream alpha beta 7").alias("text"),
         )
     )
-    force(near_dup_stage(tdup.limit(40)))
+    force(near_dup_stage(tdup))
 
     # Fail-soft per query: one crash must never wipe the whole bench
     # artifact (a single TIMESTAMP_NTZ bug once cost an entire round's

@@ -34,8 +34,16 @@ def test_load_full_bench_line(tmp_path):
 
 
 def test_load_driver_truncated_artifact(tmp_path):
-    # the driver stores only the tail of the line, parsed=null
-    tail = '"q_mid": 2.5, "q_last": 0.75}, "sf": 0.1}'
+    # the driver stores only the tail of the line, parsed=null; the
+    # cut lands mid-name ('pq_topk": …' left over from ivfpq_topk) —
+    # the chopped fragment has no opening quote so it must NOT be
+    # captured as a query (it would alias the real pq_topk), and the
+    # bench line's own scalar fields must be filtered out
+    tail = (
+        'pq_topk": 0.52, "q_mid": 2.5, "q_last": 0.75}, "sf": 0.1, '
+        '"tpch_suite_s": 19.1, "tpch_suite_n": 22, '
+        '"ann_recall_at_5": 1.0, "notes": {"gc_drains": 21}}'
+    )
     p = tmp_path / "BENCH_r99.json"
     p.write_text(json.dumps(
         {"n": 9, "rc": 0, "cpus": 32, "sf": 0.1,
@@ -43,8 +51,14 @@ def test_load_driver_truncated_artifact(tmp_path):
     ))
     got = load(str(p))
     assert got["_partial"] is True
-    # scalar fields filtered; query pairs parsed
     assert got["queries"] == {"q_mid": 2.5, "q_last": 0.75}
+
+
+def test_diff_full_vs_partial_suppresses_removed_notes():
+    old = {"queries": {"a": 1.0, "outside_tail": 3.0}}
+    new = {"queries": {"a": 1.1}, "_partial": True}
+    _regressions, notes = diff(old, new, ratio=2.0)
+    assert not any("REMOVED" in n for n in notes)
 
 
 def test_load_rejects_garbage(tmp_path):

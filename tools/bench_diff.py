@@ -49,11 +49,23 @@ def load(path: str) -> dict:
         pairs = re.findall(
             r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', artifact["tail"]
         )
+        # the tail is an arbitrary character cut, but a chopped first
+        # name can never alias another query: the pattern requires
+        # the OPENING quote, and a cut landing inside '"ivfpq_topk"'
+        # leaves 'pq_topk":' with no opening quote — unmatched (the
+        # committed r5 tail starts 'te_supplier": 1.433' and is
+        # correctly skipped), so every captured name is complete
         queries = {
             k: float(v)
             for k, v in pairs
-            # drop the scalar fields the tail may include
-            if k not in {"value", "sf", "n", "rc", "cpus"}
+            # drop the bench line's own scalar fields (everything the
+            # output JSON carries beside per-query seconds) and the
+            # outer artifact's fields
+            if k not in {
+                "value", "sf", "n", "rc", "cpus",
+                "ann_recall_at_5", "tpch_suite_s", "tpch_suite_n",
+                "gc_drains",
+            }
         }
         if queries:
             print(
@@ -74,12 +86,13 @@ def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
             regressions.append(f"{name}: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)")
         elif a > b * ratio and a - b > MIN_ABS_S:
             notes.append(f"{name}: improved {a:.2f}s -> {b:.2f}s")
+    # vs a driver-truncated side, "not present" just means "fell
+    # outside the stored tail" — presence deltas are only meaningful
+    # against the FULL line on the corresponding side
     if not old.get("_partial"):
-        # vs a driver-truncated baseline, "not in baseline" just means
-        # "fell outside the stored tail" — only report presence deltas
-        # when the baseline is a full bench line
         for name in sorted(set(nq) - set(oq)):
             notes.append(f"{name}: new ({nq[name]:.2f}s)")
+    if not new.get("_partial"):
         for name in sorted(set(oq) - set(nq)):
             notes.append(f"{name}: REMOVED (was {oq[name]:.2f}s)")
     tot_o = sum(oq[n] for n in shared)

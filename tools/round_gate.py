@@ -144,9 +144,13 @@ def main() -> int:
                         fresh,
                     ],
                 )
-            # keep the fresh bench line only when the diff failed
-            # (the regression's evidence); green runs clean up
-            if results.get("bench run", True) and all(results.values()):
+            # keep the fresh bench line only when the bench step
+            # itself failed (the regression's evidence) — an
+            # unrelated earlier red must not litter tempdir
+            bench_ok = results.get("bench run", True) and all(
+                ok for t, ok in results.items() if t.startswith("bench diff")
+            )
+            if bench_ok:
                 os.unlink(fresh)
             else:
                 print(f"=== round_gate: fresh bench kept at {fresh}")

@@ -284,14 +284,22 @@ def _state_manifest_path(root: str) -> str:
 def _seal_dedup_state(spark: SparkSession, root: str) -> dict[str, int]:
     """Write the state manifest LAST — the commit record for the
     three-table landing. Counts are parquet-metadata reads (footer
-    row counts), so sealing is cheap at any corpus size."""
+    row counts), so sealing is cheap at any corpus size. The seal is
+    itself atomic (temp file + rename): truncating the previous
+    manifest in place would leave a zero-byte file if the process
+    died mid-write, turning the designed recovery error into a raw
+    JSONDecodeError."""
     import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
 
     counts = {
         t: spark.read.parquet(f"{root}/{t}").count() for t in _STATE_TABLES
     }
-    with open(_state_manifest_path(root), "w") as f:
+    path = _state_manifest_path(root)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(counts, f)
+    os.replace(tmp, path)
     return counts
 
 
@@ -336,10 +344,21 @@ def _land_dedup_state(spark: SparkSession, root: str, deduped: DataFrame):
     against history in O(batch) instead of re-shingling the corpus.
     The landing is sealed by a manifest written last
     (:func:`verify_dedup_state` checks it before any increment)."""
+    import os  # noqa: PLC0415
+
     from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
         minhash_band_table,
         normalized_text,
     )
+
+    # Invalidate any PREVIOUS seal before the first overwrite: a
+    # crash mid-relanding over an existing root must not leave an old
+    # manifest whose counts can coincidentally match the mixed
+    # old/new tables (same-size corpus re-prep) and certify them.
+    try:
+        os.remove(_state_manifest_path(root))
+    except FileNotFoundError:
+        pass
 
     deduped.write.mode("overwrite").parquet(f"{root}/dedup_survivors")
     survivors = spark.read.parquet(f"{root}/dedup_survivors")
@@ -515,6 +534,10 @@ def run_prep_incremental(
         losers, "doc_id", "left_anti"
     ).localCheckpoint()
     counts["after_dedup"] = batch_deduped.count()
+    # the localCheckpoint above was cand's last consumer — release
+    # the cached candidate table now, or a long-lived session running
+    # daily increments accumulates one orphaned cache per batch
+    cand.unpersist()
 
     clean = decontaminate(batch_deduped, eval_docs).localCheckpoint()
     counts["after_decontam"] = clean.count()
