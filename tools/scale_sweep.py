@@ -62,6 +62,12 @@ TABLE_OF = {
     "prep_stage_counts": ("documents", "doc_id"),
     "top_flop_for_symbol": ("events", "event_id"),
     "type_window_daily_drill": ("events", "event_id"),
+    # r8: the r7-head wave that never got sweep rows
+    "heavy_hitters_2pass": ("orders", "o_orderkey"),
+    "hybrid_rrf_search": ("documents", "doc_id"),
+    "trend_ols_daily": ("events", "event_id"),
+    "ngram_novelty": ("documents", "doc_id"),
+    "audience_overlap": ("events", "event_id"),
 }
 
 DEFAULT = [
@@ -75,8 +81,21 @@ DEFAULT = [
 def replicate(
     spark, sf_dir, table, factor, id_col, workdir, jitter_col=None
 ):
+    import os  # noqa: PLC0415
+
     out = f"{workdir}/{table}_{factor}"
     base = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # multi-table queries (e.g. a scalar count off a dim table) read
+    # the OTHER tables at 1x — symlink them in so only the mapped
+    # table scales; the question under test is "does the plan hold
+    # when ITS fact grows", not "do all inputs grow together"
+    os.makedirs(out, exist_ok=True)
+    from yahoofinancedatalake_spark.schemas import TESTDATA_TABLES  # noqa: PLC0415
+
+    for t in TESTDATA_TABLES:
+        dst = f"{out}/{t}.parquet"
+        if t != table and not os.path.lexists(dst):
+            os.symlink(f"{sf_dir}/{t}.parquet", dst)
     df = base
     for i in range(1, factor):
         rep = base.withColumn(
