@@ -18,12 +18,33 @@ it next to ``plan_audit.py --diff``.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
 #: ignore sub-second jitter: a 0.2s -> 0.5s move is scheduler noise,
 #: not a regression worth failing a gate over
 MIN_ABS_S = 1.0
+
+
+def _registry_names() -> set[str] | None:
+    """Query names from the repo's registry — the ALLOWLIST for the
+    truncated-tail parse. A denylist of bench's scalar fields rots:
+    any numeric scalar a future round adds to the bench line would
+    silently be diffed as a query. Returns None when the registry
+    can't import (standalone copy of this tool) — the caller falls
+    back to the scalar denylist then."""
+    try:
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from yahoofinancedatalake_spark.queries.pack import (  # noqa: PLC0415
+            QUERIES,
+        )
+
+        return set(QUERIES)
+    except Exception:
+        return None
 
 
 def load(path: str) -> dict:
@@ -55,18 +76,22 @@ def load(path: str) -> dict:
         # leaves 'pq_topk":' with no opening quote — unmatched (the
         # committed r5 tail starts 'te_supplier": 1.433' and is
         # correctly skipped), so every captured name is complete
-        queries = {
-            k: float(v)
-            for k, v in pairs
-            # drop the bench line's own scalar fields (everything the
-            # output JSON carries beside per-query seconds) and the
-            # outer artifact's fields
-            if k not in {
-                "value", "sf", "n", "rc", "cpus",
-                "ann_recall_at_5", "tpch_suite_s", "tpch_suite_n",
-                "gc_drains",
+        known = _registry_names()
+        if known is not None:
+            queries = {k: float(v) for k, v in pairs if k in known}
+        else:
+            # standalone fallback: drop the bench line's own scalar
+            # fields (everything the output JSON carried beside
+            # per-query seconds as of r8) and the artifact's fields
+            queries = {
+                k: float(v)
+                for k, v in pairs
+                if k not in {
+                    "value", "sf", "n", "rc", "cpus",
+                    "ann_recall_at_5", "tpch_suite_s", "tpch_suite_n",
+                    "gc_drains",
+                }
             }
-        }
         if queries:
             print(
                 f"note  {path}: driver-truncated artifact — diffing the "

@@ -54,6 +54,16 @@ MATERIALIZING = {
 def audit_one(spark, name: str) -> dict | None:
     if name in MATERIALIZING:
         return None
+    # order-insensitivity: queries that persist() a subplan at build
+    # time (the dedup accuracy gates share an identical LSH candidate
+    # plan) register it with the session cache manager, so a LATER
+    # query building the same logical plan gets an InMemoryTableScan
+    # and fewer counted exchanges. QUERIES iteration order follows the
+    # driver rotation (_reorder_for_driver), which changes when round
+    # artifacts are committed — without this reset the audit flipped
+    # minhash/simhash_accuracy's counts (47<->32) purely on rotation
+    # order (caught by the r9 open-of-round gate).
+    spark.catalog.clearCache()
     df = QUERIES[name].spark(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
@@ -206,7 +216,11 @@ def main() -> int:
             "| expand | killers | topk |\n"
             "|---|---|---|---|---|---|---|---|---|\n"
         )
-        for r in rows:
+        # name-sorted, not registration-ordered: QUERIES iteration
+        # follows the driver rotation, which reshuffles every round —
+        # a sorted table keeps the committed baseline's git diff to
+        # actual plan changes
+        for r in sorted(rows, key=lambda r: r["query"]):
             f.write(
                 f"| {r['query']} | {r['exchanges']} | {r['bhj']} "
                 f"| {r['smj']} | {r['codegen']} "

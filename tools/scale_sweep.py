@@ -14,6 +14,23 @@ Usage::
 With no queries given, runs the round-6 statistics family. Each query
 must read exactly one of the mapped tables; extend ``TABLE_OF`` when
 sweeping a new one.
+
+Two replica flavors (VERDICT r8 #2): by default replicas are exact
+copies with remapped ids — the right shape for per-domain caps and
+group-key skew, but the prep pipeline's cheap 16-byte exact-dedup
+stage collapses them before LSH ever sees them, so an exact-replica
+sweep of ``prep_stage_counts`` measures the exact stage, not the
+bucketed-LSH claim. Sweep names suffixed ``_neardup`` (e.g.
+``prep_stage_counts_neardup``) instead append a replica-salted token
+to each replica's text: replicas become NEAR-duplicates (word-3-gram
+Jaccard (w-2)/(w-1) ≥ 18/19 to their original for the ≥20-token docs
+that pass the quality gate — above the 0.9 verify threshold), so the
+exact stage keeps them all and the LSH → verify → connected-components
+stack faces factor-sized cliques (the mirror-site/boilerplate
+scenario). True pair volume per clique is O(factor²) BY CONSTRUCTION
+— the sweep reports LSH candidate volume and bucket-cap overflow per
+factor so "cost scales with real pair volume, never all-pairs" is
+measured, not asserted.
 """
 
 from __future__ import annotations
@@ -68,6 +85,19 @@ TABLE_OF = {
     "trend_ols_daily": ("events", "event_id"),
     "ngram_novelty": ("documents", "doc_id"),
     "audience_overlap": ("events", "event_id"),
+    # r9: incremental prep gate (seed + increment vs full recompute)
+    "incremental_prep_counts": ("documents", "doc_id"),
+}
+
+#: Sweep aliases whose replicas are NEAR-duplicates (replica-salted
+#: token appended to ``text_col``) instead of exact copies — the LSH
+#: stress shape. Maps sweep name -> (registered query, table, id_col,
+#: text_col). These also report LSH candidate volume + bucket-cap
+#: overflow per factor (see module docstring).
+NEARDUP_OF = {
+    "prep_stage_counts_neardup": (
+        "prep_stage_counts", "documents", "doc_id", "text"
+    ),
 }
 
 DEFAULT = [
@@ -79,7 +109,8 @@ DEFAULT = [
 
 
 def replicate(
-    spark, sf_dir, table, factor, id_col, workdir, jitter_col=None
+    spark, sf_dir, table, factor, id_col, workdir, jitter_col=None,
+    text_salt=None,
 ):
     import os  # noqa: PLC0415
 
@@ -88,14 +119,16 @@ def replicate(
     # multi-table queries (e.g. a scalar count off a dim table) read
     # the OTHER tables at 1x — symlink them in so only the mapped
     # table scales; the question under test is "does the plan hold
-    # when ITS fact grows", not "do all inputs grow together"
+    # when ITS fact grows", not "do all inputs grow together".
+    # Targets must be absolute: a relative sf_dir argv would otherwise
+    # yield links dangling relative to the /tmp workdir.
     os.makedirs(out, exist_ok=True)
     from yahoofinancedatalake_spark.schemas import TESTDATA_TABLES  # noqa: PLC0415
 
     for t in TESTDATA_TABLES:
         dst = f"{out}/{t}.parquet"
         if t != table and not os.path.lexists(dst):
-            os.symlink(f"{sf_dir}/{t}.parquet", dst)
+            os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"), dst)
     df = base
     for i in range(1, factor):
         rep = base.withColumn(
@@ -114,9 +147,57 @@ def replicate(
                 )
                 * 0.01,
             )
+        if text_salt is not None:
+            # append ONE replica-salted token: replica i of doc d is a
+            # near-dup (not an exact dup) of d and of every other
+            # replica of d — the LSH stress shape (see module
+            # docstring). One token keeps word-3-gram Jaccard to the
+            # original at (w-2)/(w-1) — above the 0.9 verify threshold
+            # for every quality-gate survivor (w ≥ 20).
+            rep = rep.withColumn(
+                text_salt,
+                F.concat(
+                    F.col(text_salt),
+                    F.lit(" zzrep"),
+                    F.lower(F.hex(F.xxhash64(F.col(id_col), F.lit(i)))),
+                ),
+            )
         df = df.unionByName(rep)
     df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
     return out
+
+
+def lsh_stats(spark, d, table="documents", id_col="doc_id"):
+    """Instrumentation for the near-dup sweeps: candidate-pair volume
+    and bucket-cap overflow of the EXACT pipeline stage the swept
+    query runs (quality gate → exact dedup → capped LSH banding), so
+    the SURVEY §8 row can show candidate volume growing with factor
+    while wall-clock stays bounded by real pair volume."""
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table  # noqa: PLC0415
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        _bucket_id_pairs,
+        capped_bucket_members,
+        minhash_band_table,
+    )
+    from yahoofinancedatalake_spark.prep import exact_stage, quality_gate  # noqa: PLC0415
+
+    docs = exact_stage(quality_gate(fan_out(load_table(spark, d, table))))
+    banded = minhash_band_table(
+        docs, "text", id_col, n_hashes=32, n_bands=8, shingle_n=3
+    )
+    buckets = capped_bucket_members(banded, id_col, 512).persist()
+    try:
+        overflow = buckets.agg(F.sum("n_dropped").alias("d")).collect()[0][
+            "d"
+        ] or 0
+        cands = (
+            _bucket_id_pairs(buckets)
+            .dropDuplicates(["id_a", "id_b"])
+            .count()
+        )
+    finally:
+        buckets.unpersist()
+    return {"lsh_candidates": cands, "bucket_overflow": int(overflow)}
 
 
 def main() -> int:
@@ -127,23 +208,33 @@ def main() -> int:
     workdir = tempfile.mkdtemp(prefix="scale_sweep_")
     results: dict = {}
     for qn in names:
-        spec = TABLE_OF[qn]
-        table, id_col = spec[0], spec[1]
-        jitter = spec[2] if len(spec) > 2 else None
+        if qn in NEARDUP_OF:
+            real_q, table, id_col, salt = NEARDUP_OF[qn]
+            jitter = None
+        else:
+            spec = TABLE_OF[qn]
+            real_q, table, id_col = qn, spec[0], spec[1]
+            jitter = spec[2] if len(spec) > 2 else None
+            salt = None
         for factor in (1, 10, 100):
             d = replicate(
-                spark, sf_dir, table, factor, id_col, workdir, jitter
+                spark, sf_dir, table, factor, id_col, workdir, jitter,
+                text_salt=salt,
             )
             # Untimed warm-up per (query, factor): one-time plan/codegen
             # and the cold page cache of the freshly written replica
             # would otherwise inflate exactly the scaling ratios this
             # sweep exists to measure.
-            QUERIES[qn].spark(spark, d).collect()
+            QUERIES[real_q].spark(spark, d).collect()
             t0 = time.time()
-            rows = QUERIES[qn].spark(spark, d).collect()
+            rows = QUERIES[real_q].spark(spark, d).collect()
             dt = round(time.time() - t0, 2)
-            results.setdefault(qn, {})[factor] = dt
-            print(f"{qn} x{factor}: {dt}s ({len(rows)} rows)", flush=True)
+            if salt is not None:
+                cell = {"sec": dt, **lsh_stats(spark, d, table, id_col)}
+            else:
+                cell = dt
+            results.setdefault(qn, {})[factor] = cell
+            print(f"{qn} x{factor}: {cell} ({len(rows)} rows)", flush=True)
     print(json.dumps(results))
     return 0
 
