@@ -185,6 +185,7 @@ def _run(sf_dir: str, sf: float) -> None:
         "cluster_canonical_docs", "span_dedup_c4", "variant_shred_agg",
         "zorder_layout", "compact_files_eq", "bfs_levels",
         "orc_roundtrip", "schema_evolution_eq", "prep_stage_counts",
+        "incremental_prep_counts",
     }
     # Guard against silent staleness: a renamed query would otherwise
     # keep its old name here and lose the forced pre-query drain.

@@ -173,6 +173,79 @@ def test_incremental_prep_matches_full_run(spark, tmp_path_factory):
     assert n_surv == base_counts["after_dedup"] + inc_counts["after_dedup"]
 
 
+def test_seed_then_increment_counts_match_full(spark, tmp_path_factory):
+    """seed_prep_state + run_prep_incremental per-stage sums == the
+    full-recompute counts (the incremental_prep_counts query's
+    construction, at test scale with an id-ordered split)."""
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+    from yahoofinancedatalake_spark.prep import (
+        decontaminate,
+        drop_near_dups,
+        quality_gate,
+        run_prep_incremental,
+        seed_prep_state,
+    )
+
+    docs = fan_out(load_table(spark, SF, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+    seed = docs.filter(F.col("doc_id") < 40)
+    batch = docs.filter(F.col("doc_id") >= 40)
+
+    root = str(tmp_path_factory.mktemp("seed_state"))
+    s = seed_prep_state(spark, root, seed, eval_set)
+    i = run_prep_incremental(spark, root, batch, eval_set)
+
+    full_dd = drop_near_dups(quality_gate(docs))
+    assert s["input"] + i["batch_input"] == docs.count()
+    assert (
+        s["quality_pass"] + i["quality_pass"]
+        == quality_gate(docs).count()
+    )
+    assert s["after_dedup"] + i["after_dedup"] == full_dd.count()
+    assert (
+        s["after_decontam"] + i["after_decontam"]
+        == decontaminate(full_dd, eval_set).count()
+    )
+
+
+def test_zero_row_increment_crash_invalidates_seal(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The append path must invalidate the old seal BEFORE the first
+    append (mirroring _land_dedup_state): a batch that dedups to ZERO
+    rows leaves every sealed count unchanged, so a crash mid-landing
+    would otherwise leave the stale seal trivially certifying a
+    half-extended state."""
+    import pytest
+
+    from yahoofinancedatalake_spark import prep
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+
+    docs = fan_out(load_table(spark, SF, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+    hist = docs.filter(F.col("doc_id") < 40)
+    # exact duplicates of history under new ids: every batch doc is
+    # dropped at the fingerprint join, all state appends are 0-row
+    dup_batch = hist.withColumn("doc_id", F.col("doc_id") + 100000)
+
+    root = str(tmp_path_factory.mktemp("prep_seal_zero"))
+    prep.seed_prep_state(spark, root, hist, eval_set)
+    prep.verify_dedup_state(spark, root)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before re-seal")
+
+    monkeypatch.setattr(prep, "_seal_dedup_state", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        prep.run_prep_incremental(spark, root, dup_batch, eval_set)
+    monkeypatch.undo()
+
+    # counts are coincidentally intact, but the seal must be GONE —
+    # "seal present implies landing committed" has no exceptions
+    with pytest.raises(RuntimeError, match="no manifest"):
+        prep.verify_dedup_state(spark, root)
+
+
 def test_incremental_refuses_half_landed_state(spark, tmp_path_factory):
     """Crash-safety of the state landing: the manifest is written
     LAST, so a landing that died between table writes (simulated by

@@ -38,10 +38,13 @@ def test_load_driver_truncated_artifact(tmp_path):
     # cut lands mid-name ('pq_topk": …' left over from ivfpq_topk) —
     # the chopped fragment has no opening quote so it must NOT be
     # captured as a query (it would alias the real pq_topk), and the
-    # bench line's own scalar fields must be filtered out
+    # bench line's own scalar fields must be filtered out. Names must
+    # be REAL registry names: the tail parse allowlists against the
+    # QUERIES registry (a denylist of scalar fields would rot as
+    # bench grows new scalars).
     tail = (
-        'pq_topk": 0.52, "q_mid": 2.5, "q_last": 0.75}, "sf": 0.1, '
-        '"tpch_suite_s": 19.1, "tpch_suite_n": 22, '
+        'pq_topk": 0.52, "dedup_exact": 2.5, "top_flop": 0.75}, '
+        '"sf": 0.1, "tpch_suite_s": 19.1, "tpch_suite_n": 22, '
         '"ann_recall_at_5": 1.0, "notes": {"gc_drains": 21}}'
     )
     p = tmp_path / "BENCH_r99.json"
@@ -51,7 +54,70 @@ def test_load_driver_truncated_artifact(tmp_path):
     ))
     got = load(str(p))
     assert got["_partial"] is True
-    assert got["queries"] == {"q_mid": 2.5, "q_last": 0.75}
+    assert got["queries"] == {"dedup_exact": 2.5, "top_flop": 0.75}
+
+
+def test_load_truncated_artifact_drops_future_scalars(tmp_path):
+    # a numeric scalar bench.py grows in a future round must not be
+    # diffed as a query — the allowlist (registry names) handles any
+    # name the denylist never heard of
+    tail = (
+        '{"dedup_exact": 1.5, "some_future_scalar_metric": 42.0}, '
+        '"sf": 0.1}'
+    )
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({"n": 1, "tail": tail, "parsed": None}))
+    assert load(str(p))["queries"] == {"dedup_exact": 1.5}
+
+
+def test_registry_names_fallback(monkeypatch, tmp_path):
+    # standalone copies of the tool (no importable registry) keep the
+    # r8 denylist behavior instead of dropping everything
+    import tools.bench_diff as bd
+
+    monkeypatch.setattr(bd, "_registry_names", lambda: None)
+    tail = '{"anything_at_all": 1.5, "gc_drains": 3.0}, "sf": 0.1}'
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({"n": 1, "tail": tail, "parsed": None}))
+    assert bd.load(str(p))["queries"] == {"anything_at_all": 1.5}
+
+
+def test_tmpfs_scratch_nested_and_out_of_order_release():
+    import os
+    import tempfile
+
+    from yahoofinancedatalake_spark.session import (
+        tmpfs_release,
+        tmpfs_scratch,
+    )
+
+    if not os.path.isdir("/dev/shm"):
+        pytest.skip("no tmpfs on this host")
+    saved = tempfile.tempdir
+    try:
+        # nested (LIFO) releases restore each scratch's own prior —
+        # a single saved slot restored the first (deleted) scratch
+        # when releasing the second
+        a = tmpfs_scratch("t_nest_a_")
+        b = tmpfs_scratch("t_nest_b_")
+        assert tempfile.tempdir == b
+        tmpfs_release(b)
+        assert tempfile.tempdir == a and os.path.isdir(a)
+        tmpfs_release(a)
+        assert tempfile.tempdir == saved
+
+        # out-of-order release must never leave tempdir pointing at
+        # a deleted path
+        a = tmpfs_scratch("t_ooo_a_")
+        b = tmpfs_scratch("t_ooo_b_")
+        tmpfs_release(a)
+        assert tempfile.tempdir == b  # still the active scratch
+        tmpfs_release(b)
+        assert tempfile.tempdir is None or os.path.isdir(
+            tempfile.tempdir
+        )
+    finally:
+        tempfile.tempdir = saved
 
 
 def test_diff_full_vs_partial_suppresses_removed_notes():

@@ -71,6 +71,8 @@ _REWRITE_QUERIES = {
     # (banding is pairwise — a pair's buckets don't depend on the
     # rest of the corpus)
     "prep_stage_counts",
+    # same CTE prefix, same argument (r9 incremental gate)
+    "incremental_prep_counts",
 }
 #: The quadratic pair source shared by the dedup-family oracles …
 _QUADRATIC_JOIN = "FROM sh a JOIN sh b ON a.doc_id < b.doc_id"

@@ -48,6 +48,9 @@ MATERIALIZING = {
     # returns a driver-local frame; the stage plans are the already-
     # audited component operators (dedup_clusters etc.)
     "prep_stage_counts",
+    # r9: same shape for the seed-then-increment composition (lands
+    # and removes state under a tempdir, returns audit counts)
+    "incremental_prep_counts",
 }
 
 

@@ -371,6 +371,48 @@ def _land_dedup_state(spark: SparkSession, root: str, deduped: DataFrame):
     _seal_dedup_state(spark, root)
 
 
+def seed_prep_state(
+    spark: SparkSession,
+    root: str,
+    docs: DataFrame,
+    eval_docs: DataFrame,
+) -> dict[str, int]:
+    """Seed the incremental-prep state from an initial corpus WITHOUT
+    the full-run packing stages: quality gate → exact dedup → near-dup
+    removal → land + seal the dedup state (the exact composition
+    :func:`run_prep` uses through its state landing), plus the
+    decontamination count so the audit rows line up with
+    :func:`run_prep_incremental`'s. Use this when the downstream
+    rebalance/split/chunk/pack stages belong to a later periodic
+    rebuild — the seed-then-increment shape the gated
+    ``incremental_prep_counts`` query verifies. Returns per-stage
+    counts (``input``, ``quality_pass``, ``after_dedup``,
+    ``after_decontam``).
+
+    Stage boundaries are persist()ed while both their own count and
+    the next stage consume them (the subplan-reuse lesson), and
+    released before returning.
+    """
+    counts: dict[str, int] = {"input": docs.count()}
+    persisted: list[DataFrame] = []
+
+    def _stage(frame: DataFrame) -> DataFrame:
+        persisted.append(frame.persist())
+        return persisted[-1]
+
+    try:
+        gated = _stage(quality_gate(docs))
+        counts["quality_pass"] = gated.count()
+        deduped = _stage(drop_near_dups(gated))
+        counts["after_dedup"] = deduped.count()
+        counts["after_decontam"] = decontaminate(deduped, eval_docs).count()
+        _land_dedup_state(spark, root, deduped)
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+    return counts
+
+
 def run_prep(
     spark: SparkSession,
     sf_dir: str,
@@ -541,6 +583,19 @@ def run_prep_incremental(
 
     clean = decontaminate(batch_deduped, eval_docs).localCheckpoint()
     counts["after_decontam"] = clean.count()
+
+    # Invalidate the old seal BEFORE the first append, mirroring
+    # _land_dedup_state: the invariant is "seal present implies the
+    # landing committed", and without this a crash mid-append of a
+    # zero-row batch (or any append that happens to leave the sealed
+    # counts intact) would leave the stale seal trivially certifying
+    # a half-extended state.
+    import os  # noqa: PLC0415
+
+    try:
+        os.remove(_state_manifest_path(root))
+    except FileNotFoundError:
+        pass
 
     # extend the landed state: this batch becomes history for the next
     batch_deduped.write.mode("append").parquet(f"{root}/dedup_survivors")

@@ -1,12 +1,14 @@
 """Round-8 additions: the composed prep pipeline under the driver
 gate, and the parameterized serving surface.
 
-Registers 4 queries (registration order is the import order in
+Registers 6 queries (registration order is the import order in
 pack.py — new queries go at the END of this module):
 - ``prep_stage_counts``
 - ``top_flop_for_symbol``
 - ``top_flop_for_symbol_b``
 - ``type_window_daily_drill``
+- ``source_quality_drill`` (r9)
+- ``incremental_prep_counts`` (r9)
 """
 
 from __future__ import annotations
@@ -43,8 +45,14 @@ from yahoofinancedatalake_spark.prep import (
 # together, breaks the hash.
 # ---------------------------------------------------------------------------
 
-_PREP_STAGES_ORACLE = f"""
-    WITH RECURSIVE
+# Shared full-recompute CTE chain through the decontaminated corpus
+# (`cl`): quality gate → exact keepers → quadratic-Jaccard near-dup
+# clusters (recursive-CTE connected components) → decontamination.
+# Used by both the composed batch gate (prep_stage_counts, which adds
+# the rebalance/chunk/pack stages on top) and the incremental gate
+# (incremental_prep_counts, whose Spark side sums a seeded history run
+# + run_prep_incremental and must land on these very counts).
+_PREP_CTES_THROUGH_CL = f"""
     q AS MATERIALIZED (
       SELECT * FROM documents
       WHERE len({_WORD_TOKS_SQL}) >= {_PREP_MIN_TOKENS}
@@ -121,7 +129,11 @@ _PREP_STAGES_ORACLE = f"""
     cl AS MATERIALIZED (
       SELECT * FROM dd
       WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-    ),
+    )"""
+
+_PREP_STAGES_ORACLE = f"""
+    WITH RECURSIVE
+    {_PREP_CTES_THROUGH_CL},
     counts AS (SELECT lang, count(*) AS n_total FROM cl GROUP BY lang),
     rates AS (
       SELECT lang,
@@ -381,3 +393,138 @@ def q_type_window_daily_drill(
         start_day="2024-01-05",
         end_day="2024-02-01",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions (registration order: new queries go at the END).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "source_quality_drill",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           {sql_dround("avg(n_chars)", 2)} AS avg_chars
+    FROM documents
+    WHERE source = 'src3' AND n_chars >= 150
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Parameterized serving, documents-table binding (VERDICT r8 "
+    "#3 — the third serve template under the driver gate): the "
+    "serve.bound('source_quality_drill') template bound at "
+    "(src='src3', min_chars=150) — per-language doc count / total / "
+    "average length of one ingestion source above a length floor, "
+    "the news-source quality panel (reference analog: the source "
+    "panels in kibana/export (1).ndjson:4). Both bindings land as "
+    "typed literals in the documents parquet scan's PushedFilters "
+    "(plan-pinned in tests/test_serve.py::"
+    "test_documents_template_binds_and_pushes) — at 100 TB the panel "
+    "reads one source's row groups, not the corpus. Proves the "
+    "serving surface is not events-specific.",
+    parts=8,
+)
+def q_source_quality_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.queries.serve import bound  # noqa: PLC0415
+
+    return bound(
+        spark, sf_dir, "source_quality_drill", src="src3", min_chars=150
+    )
+
+
+_INC_PREP_ORACLE = f"""
+    WITH RECURSIVE
+    {_PREP_CTES_THROUGH_CL}
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'input' AS stage,
+             (SELECT count(*) FROM documents) AS n_docs
+      UNION ALL SELECT 2, 'quality_pass', (SELECT count(*) FROM q)
+      UNION ALL SELECT 3, 'after_dedup', (SELECT count(*) FROM dd)
+      UNION ALL SELECT 4, 'after_decontam', (SELECT count(*) FROM cl)
+    ) ORDER BY stage_idx
+    """
+
+
+@_register(
+    "incremental_prep_counts",
+    _INC_PREP_ORACLE,
+    doc="The composed INCREMENTAL prep path under the driver gate "
+    "(VERDICT r8 #4 — prep_stage_counts gates the batch composition; "
+    "this gates the seed-then-increment one): documents split "
+    "id-ordered 80/20 (threshold = the exact 80th-percentile doc_id; "
+    "new docs get new ids, so an increment's ids follow history's — "
+    "the shape whose min-id keeper provably matches the full run's), "
+    "prep.seed_prep_state runs quality→exact→LSH near-dup→land+seal "
+    "state on the seed, prep.run_prep_incremental processes the "
+    "increment against that landed state (history participates ONLY "
+    "through fingerprints + band index + survivor texts — never a "
+    "corpus re-scan), and the emitted audit rows are the seed+batch "
+    "SUMS per stage. Oracle: one DuckDB statement recomputing the "
+    "FULL pipeline over the whole corpus from first principles — the "
+    "hash matches iff the incremental path has ZERO drift vs a full "
+    "recompute through decontamination (the two documented drift "
+    "modes — a batch doc bridging two history clusters, and a batch "
+    "doc near a dropped non-keeper but not its keeper — would both "
+    "break the hash; verified absent on this corpus at sf0.01 and "
+    "sf0.1 by direct simulation). Eval set is fixed over the FULL "
+    "corpus (doc_id % 37 = 0) for both runs, as a real benchmark "
+    "list would be. Scale: seed cost is the batch pipeline's; the "
+    "increment is O(batch) hash + indexed bucket join "
+    "(incremental_minhash_pairs) — the 100 TB daily-ingest shape. "
+    "Gate cost, not per-query cost: state lands under a tempdir and "
+    "is removed after.",
+    parts=8,
+)
+def q_incremental_prep_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark import prep  # noqa: PLC0415
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_input = docs.count()
+    # exact 80th-percentile id: one driver scalar off a global sort of
+    # the id column (id-ordered split — see docstring)
+    threshold = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .offset(int(n_input * 0.8))
+        .limit(1)
+        .collect()[0][0]
+    )
+    seed = docs.filter(F.col("doc_id") < threshold)
+    batch = docs.filter(F.col("doc_id") >= threshold)
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+
+    root = tempfile.mkdtemp(prefix="inc_prep_")
+    try:
+        seed_counts = prep.seed_prep_state(spark, root, seed, eval_set)
+        inc_counts = prep.run_prep_incremental(spark, root, batch, eval_set)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    rows = [
+        (1, "input", seed_counts["input"] + inc_counts["batch_input"]),
+        (
+            2,
+            "quality_pass",
+            seed_counts["quality_pass"] + inc_counts["quality_pass"],
+        ),
+        (
+            3,
+            "after_dedup",
+            seed_counts["after_dedup"] + inc_counts["after_dedup"],
+        ),
+        (
+            4,
+            "after_decontam",
+            seed_counts["after_decontam"] + inc_counts["after_decontam"],
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, schema="stage_idx int, stage string, n_docs bigint"
+    ).orderBy("stage_idx")

@@ -157,11 +157,16 @@ def tmpfs_scratch(prefix: str = "spark_graft_") -> str | None:
     if not os.path.isdir("/dev/shm"):
         return None
     d = tempfile.mkdtemp(prefix=prefix, dir="/dev/shm")
-    _TMPFS_STATE["prior_tempdir"] = tempfile.tempdir
+    # keyed by scratch path, not a single slot: two scratches without
+    # an interleaved release must each restore THEIR prior default —
+    # a single slot restored the first (already-deleted) scratch as
+    # tempfile.tempdir when releasing the second
+    _TMPFS_STATE[d] = tempfile.tempdir
     tempfile.tempdir = d
     return d
 
 
+#: scratch dir -> the tempfile.tempdir it displaced
 _TMPFS_STATE: dict = {}
 
 
@@ -181,6 +186,11 @@ def tmpfs_release(scratch: str | None) -> None:
         return
     # Restore first: rmtree may raise despite ignore_errors on weird
     # mounts, and a stale tempdir is worse than a leaked dir.
+    prior = _TMPFS_STATE.pop(scratch, None)
+    if prior is not None and not os.path.isdir(prior):
+        # the matching prior was itself a scratch released out of
+        # order — fall back to tempfile's platform default
+        prior = None
     if tempfile.tempdir == scratch:
-        tempfile.tempdir = _TMPFS_STATE.pop("prior_tempdir", None)
+        tempfile.tempdir = prior
     shutil.rmtree(scratch, ignore_errors=True)
