@@ -1,0 +1,151 @@
+"""Winnowing fingerprint tests (Schleimer/Wilkerson/Aiken SIGMOD'03).
+
+Pins: exact equality vs the pure-Python reference (including the
+short-doc fallbacks), the paper's detection guarantee (shared
+substring >= k+w-1 chars ⇒ shared fingerprint), the density bound,
+and the near-dup matcher's determinism/cap/threshold semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.operators.dedup import (
+    ref_winnow_fingerprints,
+    winnow_fingerprints,
+    winnow_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the afternoon sun and everything is calm"
+)
+NEAR = BASE.replace("afternoon", "evening")
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        # case/whitespace variant — normalizes to BASE exactly
+        (2, "  THE  quick brown fox jumps over the lazy dog while the "
+            "cat watches from a warm windowsill in the afternoon sun "
+            "and everything is calm"),
+        (3, NEAR),
+        (4, FAR),
+        (5, "tiny"),          # shorter than k → single md5(norm)
+        (6, "exactly twenty one!!"),  # len 20-ish: > k, fewer grams than w
+        (7, "   "),           # whitespace-only → norm = ""
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _fps_map(docs, k=16, w=8):
+    out = winnow_fingerprints(docs, "text", "id", k=k, w=w).collect()
+    return {r["id"]: set(r["fps"]) for r in out}
+
+
+def test_matches_python_reference(spark, docs):
+    got = _fps_map(docs)
+    want = {
+        r["id"]: ref_winnow_fingerprints(r["text"])
+        for r in docs.collect()
+    }
+    assert got == want
+    # short-doc fallbacks produce exactly one fingerprint
+    assert len(got[5]) == 1
+    assert len(got[7]) == 1
+
+
+def test_normalization_makes_fingerprints_identical(spark, docs):
+    got = _fps_map(docs)
+    assert got[1] == got[2]
+
+
+def test_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k+w-1 yields a shared
+    fingerprint — the paper's correctness property, exercised with a
+    shared run embedded at different offsets in otherwise-different
+    texts."""
+    k, w = 16, 8
+    shared = "this exact run of characters is common to both documents"
+    assert len(shared) >= k + w - 1
+    a = "left padding words here " + shared + " and unrelated tail alpha"
+    b = "totally other prefix content " + shared + " different ending"
+    d = spark.createDataFrame([(1, a), (2, b)], "id long, text string")
+    got = _fps_map(d, k=k, w=w)
+    assert got[1] & got[2]
+
+
+def test_density_bound(spark, docs):
+    """n_fp <= number of windows, and (loosely) near the 2/(w+1)
+    expectation on non-degenerate text."""
+    k, w = 16, 8
+    row = (
+        winnow_fingerprints(docs.filter("id = 1"), "text", "id", k=k, w=w)
+        .select(F.size("fps").alias("n"))
+        .collect()[0]
+    )
+    norm_len = len(" ".join(BASE.split()))
+    n_windows = norm_len - k + 1 - w + 1
+    assert 1 <= row["n"] <= n_windows
+
+
+def test_near_dup_pairs_semantics(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in winnow_near_dup_pairs(
+            docs, "text", "id", cache=False
+        ).collect()
+    }
+    # the exact normalized duplicate pairs at overlap 1.0
+    assert pairs[(1, 2)] == 1.0
+    # near-dup (one word changed) pairs with both copies
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    # FAR doc pairs with nothing
+    assert not any(4 in p for p in pairs)
+    spark.catalog.clearCache()
+
+
+def test_df_cap_drops_boilerplate(spark):
+    """A fingerprint present in more docs than df_cap generates no
+    pairs; docs relate only through below-cap fingerprints."""
+    boiler = "all rights reserved by the example corporation anytime"
+    rows = [(i, f"unique document body number {i} " + boiler)
+            for i in range(10)]
+    d = spark.createDataFrame(rows, "id long, text string")
+    capped = winnow_near_dup_pairs(
+        d, "text", "id", df_cap=5, overlap_threshold=0.1, cache=False
+    ).count()
+    uncapped = winnow_near_dup_pairs(
+        d, "text", "id", df_cap=64, overlap_threshold=0.1, cache=False
+    ).count()
+    assert uncapped == 45  # all 10 docs share the boilerplate run
+    assert capped == 0  # every shared fingerprint sits above the cap
+    spark.catalog.clearCache()
+
+
+def test_cache_false_matches_cached(spark, docs):
+    a = sorted(
+        map(tuple, winnow_near_dup_pairs(
+            docs, "text", "id", cache=True).collect())
+    )
+    b = sorted(
+        map(tuple, winnow_near_dup_pairs(
+            docs, "text", "id", cache=False).collect())
+    )
+    assert a == b
+    spark.catalog.clearCache()
+
+
+def test_bad_params_raise():
+    with pytest.raises(ValueError):
+        winnow_fingerprints(None, "text", "id", k=0)
+    with pytest.raises(ValueError):
+        winnow_fingerprints(None, "text", "id", w=0)

@@ -87,6 +87,13 @@ TABLE_OF = {
     "audience_overlap": ("events", "event_id"),
     # r9: incremental prep gate (seed + increment vs full recompute)
     "incremental_prep_counts": ("documents", "doc_id"),
+    # r9: winnowing fingerprint family — exact replicas exercise the
+    # extraction (per-row narrow, should scale linearly); for the
+    # matcher, exact replicas make every replica group a clique of
+    # overlap-1.0 pairs, so pair volume is O(factor²) by construction
+    # (same reading protocol as the _neardup prep sweep)
+    "winnow_fingerprints": ("documents", "doc_id"),
+    "winnow_near_dup": ("documents", "doc_id"),
 }
 
 #: Sweep aliases whose replicas are NEAR-duplicates (replica-salted

@@ -1139,3 +1139,186 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+# the MOSS local fingerprinting algorithm). Completes the fingerprint
+# family: `exact_dedup` hashes the WHOLE normalized doc; winnowing
+# selects a guaranteed-density subset of character k-gram hashes such
+# that any shared substring of length >= k + w - 1 between two docs
+# yields at least one shared fingerprint (the paper's correctness
+# property), at expected density 2/(w+1). The reference dedups only by
+# exact id (finnhub_news.py:185-188); this is the beyond-parity
+# substring-level member of the ladder.
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Per-doc winnowed fingerprint sets: (id_col, fps array<string>).
+
+    Semantics (position-free variant): normalize text (lowercase +
+    whitespace collapse), hash every character k-gram with md5, slide
+    a window of ``w`` consecutive k-gram hashes, keep each window's
+    MINIMUM hash, distinct per doc. Docs shorter than ``k`` chars get
+    the single fingerprint md5(norm); docs with fewer than ``w``
+    k-grams get one fingerprint (the global min). Emitting the hash
+    VALUE rather than (hash, position) makes the output independent of
+    the paper's rightmost-tie rule — a repeated k-gram inside one
+    window selects the same value either way — so the operator is
+    exactly reproducible on any engine with md5 (the DuckDB oracle
+    recomputes it verbatim).
+
+    Plan shape — deliberately the OPPOSITE tradeoff from the minhash
+    signature kernel above: extraction is a per-row narrow projection
+    (transform/slice/array_min higher-order functions), ZERO exchanges
+    and no row explosion, where the explode+window-min alternative
+    would shuffle a corpus-times-chars row table (one row per
+    character position) just to run a size-w window — at 100 TB that
+    exchange, not CPU, is the bottleneck. The HOF lambdas evaluate
+    interpreted, but the payload per element is a JVM-native md5 call,
+    and the interpreted overhead is linear, per-row, and spread across
+    every scan task. md5 (not xxhash64) is the hash because the
+    fingerprints themselves are the output contract and md5 is the
+    only hash both engines define identically; a production deployment
+    that never cross-checks engines swaps in xxhash64 here for ~3x
+    cheaper per-gram work (same plan).
+    """
+    if w < 1 or k < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    norm = normalized_text(F.col(text_col))
+    grams = F.when(
+        F.length(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - k + 1),
+            lambda i: F.substring(norm, i, F.lit(k)),
+        ),
+    ).otherwise(F.array(norm))
+    hashes = F.transform(grams, lambda g: F.md5(g))
+    d = df.select(F.col(id_col), hashes.alias("_hs"))
+    m = F.size("_hs")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(F.col("_hs"), j, F.lit(w))),
+        )
+    )
+    return d.select(F.col(id_col), fps.alias("fps"))
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    w: int = 8,
+    df_cap: int = 64,
+    overlap_threshold: float = 0.5,
+    cache: bool = True,
+) -> DataFrame:
+    """Near-dup pairs from a winnowed inverted index (the MOSS match
+    step): docs sharing >= ``overlap_threshold`` of the smaller doc's
+    fingerprints (overlap coefficient — the paper reports matches as
+    fraction-of-document covered, which the containment form mirrors;
+    plain Jaccard would under-score a small doc embedded in a large
+    one).
+
+    Output: (id_a, id_b, shared bigint, overlap double) with
+    id_a < id_b, overlap dround(4)-rounded.
+
+    Scale posture: the inverted index has ~2/(w+1) entries per char
+    (winnowing's density guarantee), and pair generation joins the
+    index with itself ON the fingerprint — cost is sum over
+    fingerprints of df², NOT corpus². Fingerprints with document
+    frequency > ``df_cap`` are dropped from pair generation (df=1
+    too: they pair with nothing): a fingerprint shared by thousands
+    of docs is boilerplate (the same rationale as the LSH bucket cap
+    above and a DF-cap in the set-similarity literature), and unlike
+    the LSH cap this one is DETERMINISTIC — membership depends only
+    on (fp, df), never on partitioning — so the full operator is
+    exactly oracle-checkable. The `shared` counts use the SAME capped
+    index, so a capped fingerprint consistently contributes to
+    neither candidates nor scores. Denominators use the UNCAPPED
+    per-doc fingerprint counts (a doc's identity does not shrink
+    because its boilerplate got capped).
+
+    ``cache=True`` (default) ``persist()``\\ s the per-doc fingerprint
+    table — it feeds the exploded index (hence df-counts, both join
+    sides) AND both size lookups; uncached, the md5-per-k-gram
+    extraction re-executes per branch. Same caller-owned lifetime
+    contract as :func:`prefix_filter_jaccard_pairs`: the result is
+    lazy so this function cannot unpersist — call
+    ``spark.catalog.clearCache()`` after consuming the result when
+    looping over parameters, or pass ``cache=False``.
+    """
+    from yahoofinancedatalake_spark.functions.scalars import (  # noqa: PLC0415
+        dround,
+    )
+
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    if cache:
+        fps = fps.persist()
+    idx = fps.select(
+        F.col(id_col), F.explode("fps").alias("fp")
+    )
+    sizes = fps.select(F.col(id_col), F.size("fps").alias("n_fp"))
+    dfreq = idx.groupBy("fp").agg(F.count("*").alias("df"))
+    kept = (
+        idx.join(
+            dfreq.filter((F.col("df") >= 2) & (F.col("df") <= df_cap)),
+            "fp",
+        )
+        .select(id_col, "fp")
+    )
+    a = kept.select(
+        F.col(id_col).alias("id_a"), F.col("fp")
+    )
+    b = kept.select(
+        F.col(id_col).alias("id_b"), F.col("fp")
+    )
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b")
+    )
+    ov = F.col("shared").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ov >= overlap_threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            dround(ov, 4).alias("overlap"),
+        )
+    )
+
+
+def ref_winnow_fingerprints(text: str, k: int = 16, w: int = 8) -> set[str]:
+    """Pure-Python reference for :func:`winnow_fingerprints` (same
+    role as :func:`ref_minhash` — the property-test ground truth)."""
+    import hashlib  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    if len(norm) < k:
+        grams = [norm]
+    else:
+        grams = [norm[i: i + k] for i in range(len(norm) - k + 1)]
+    hs = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in grams]
+    m = len(hs)
+    return {min(hs[j: j + w]) for j in range(max(m - w + 1, 1))}

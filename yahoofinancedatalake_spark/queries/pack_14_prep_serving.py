@@ -9,6 +9,8 @@ pack.py — new queries go at the END of this module):
 - ``type_window_daily_drill``
 - ``source_quality_drill`` (r9)
 - ``incremental_prep_counts`` (r9)
+- ``winnow_fingerprints`` (r9)
+- ``winnow_near_dup`` (r9)
 """
 
 from __future__ import annotations
@@ -528,3 +530,156 @@ def q_incremental_prep_counts(
     return spark.createDataFrame(
         rows, schema="stage_idx int, stage string, n_docs bigint"
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03) — the
+# rolling-hash k-gram fingerprint family (MOSS). Two gates: the
+# fingerprint extraction itself (exact md5 values cross-checked), and
+# the inverted-index near-dup matcher built on it.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 16  # k-gram length (chars, over normalized text)
+_WIN_W = 8  # winnowing window (k-grams); density guarantee 2/(w+1)
+_WIN_CAP = 64  # document-frequency cap for pair generation
+_WIN_T = 0.5  # overlap-coefficient threshold
+
+# Shared CTE chain: normalize -> k-gram md5 -> window-min -> distinct
+# per-doc fingerprint set (`sel`) + per-doc sizes. Verbatim recompute
+# of operators/dedup.py::winnow_fingerprints — md5 is the one hash
+# both engines define identically, which is why it is the operator's
+# hash (see the operator docstring).
+_WINNOW_CTES = f"""
+    n AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i, md5(substr(norm, i, {_WIN_K})) AS h
+      FROM n, LATERAL (
+        SELECT unnest(generate_series(
+                 1, greatest(len(norm) - {_WIN_K} + 1, 1))) AS i
+      )
+    ),
+    m AS (SELECT doc_id, max(i) AS mi FROM g GROUP BY doc_id),
+    wmin AS (
+      SELECT g.doc_id, g.i, m.mi,
+             min(h) OVER (PARTITION BY g.doc_id ORDER BY g.i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WIN_W - 1} FOLLOWING) AS fp
+      FROM g JOIN m USING (doc_id)
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp
+      FROM wmin WHERE i <= greatest(mi - {_WIN_W} + 1, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id)
+"""
+
+
+@_register(
+    "winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_CTES}
+    SELECT doc_id,
+           CAST(n_fp AS BIGINT) AS n_fp,
+           min_fp,
+           max_fp
+    FROM sizes
+    JOIN (SELECT doc_id, min(fp) AS min_fp, max(fp) AS max_fp
+          FROM sel GROUP BY doc_id) USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Training-data op: winnowed document fingerprints "
+    "(Schleimer/Wilkerson/Aiken SIGMOD'03, the MOSS algorithm) — the "
+    "rolling-hash k-gram member of the fingerprint family "
+    "(doc_fingerprint hashes the WHOLE normalized doc; this selects "
+    "a 2/(w+1)-density set of k-gram hashes such that any shared "
+    "substring of length >= k+w-1 = "
+    f"{_WIN_K + _WIN_W - 1} chars yields a shared fingerprint). "
+    "Gate output is per-doc (count, min, max) over the fingerprint "
+    "SET — the md5 VALUES themselves cross-check, not just "
+    "cardinalities, so the oracle pins the exact k-gram/window-min "
+    "semantics. Plan: per-row narrow HOF projection, ZERO exchanges "
+    "before the final per-doc aggregate — the explode+window "
+    "alternative would shuffle one row per CHARACTER of the corpus "
+    "(see operators/dedup.py::winnow_fingerprints). Reference analog: "
+    "none (dedups by exact id only, finnhub_news.py:185-188) — "
+    "beyond-parity, the substring-level fingerprint a 100 TB "
+    "crawl-dedup pipeline indexes.",
+    parts=8,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        winnow_fingerprints,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W)
+    return (
+        fps.select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fp"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "winnow_near_dup",
+    f"""
+    WITH {_WINNOW_CTES},
+    dfreq AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+    kept AS (
+      SELECT sel.doc_id, sel.fp FROM sel
+      JOIN dfreq USING (fp) WHERE df BETWEEN 2 AND {_WIN_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared,
+           {sql_dround(
+               "CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)", 4
+           )} AS overlap
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= {_WIN_T}
+    ORDER BY id_a, id_b
+    """,
+    doc="Training-data op: near-dup pairs from the winnowed inverted "
+    "index (the MOSS match step) — docs sharing >= "
+    f"{_WIN_T} of the smaller doc's fingerprints (overlap "
+    "coefficient). UNLIKE the MinHash/SimHash members of the ladder "
+    "this one is fully deterministic AND hash-oracle-gated end to "
+    "end: the df-cap that bounds posting-list blowup depends only on "
+    "(fp, document frequency), never on partitioning, so DuckDB "
+    "recomputes the exact pair set — no rows-only fallback, no "
+    "accuracy twin needed. Scale: pair-gen cost is sum(df^2) over "
+    f"fingerprints with df <= {_WIN_CAP} (boilerplate fingerprints "
+    "above the cap are dropped from candidates AND scores, "
+    "consistently; denominators stay uncapped), index density is "
+    "2/(w+1) entries per char. 258 true pairs at sf0.1 — agrees with "
+    "the corpus's planted duplication the LSH family finds.",
+    parts=8,
+)
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        winnow_near_dup_pairs,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return winnow_near_dup_pairs(
+        docs,
+        "text",
+        "doc_id",
+        k=_WIN_K,
+        w=_WIN_W,
+        df_cap=_WIN_CAP,
+        overlap_threshold=_WIN_T,
+    ).orderBy("id_a", "id_b")
