@@ -1269,9 +1269,21 @@ def winnow_near_dup_pairs(
     )
     sizes = fps.select(F.col(id_col), F.size("fps").alias("n_fp"))
     dfreq = idx.groupBy("fp").agg(F.count("*").alias("df"))
+    # Every join below is hinted SHUFFLE_HASH: at corpus scale BOTH
+    # sides of each one (the exploded index, the df-filtered
+    # fingerprint list, the per-doc sizes) grow with the corpus, so no
+    # side is ever broadcast-safe — and without the hint the static
+    # planner, seeing only the cached plan's optimistic size estimate,
+    # picked the 100x-replicated index as a broadcast build side and
+    # overflowed spark.driver.maxResultSize (caught by the scale
+    # sweep). Shuffle-hash beats sort-merge here because neither input
+    # arrives sorted on fp and the aggregates downstream don't reuse a
+    # sort order.
     kept = (
         idx.join(
-            dfreq.filter((F.col("df") >= 2) & (F.col("df") <= df_cap)),
+            dfreq.filter(
+                (F.col("df") >= 2) & (F.col("df") <= df_cap)
+            ).hint("shuffle_hash"),
             "fp",
         )
         .select(id_col, "fp")
@@ -1283,7 +1295,7 @@ def winnow_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("fp")
     )
     pairs = (
-        a.join(b, "fp")
+        a.join(b.hint("shuffle_hash"), "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
@@ -1296,8 +1308,8 @@ def winnow_near_dup_pairs(
     )
     ov = F.col("shared").cast("double") / F.least("n_a", "n_b")
     return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .filter(ov >= overlap_threshold)
         .select(
             "id_a",
