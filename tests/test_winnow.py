@@ -149,3 +149,38 @@ def test_bad_params_raise():
         winnow_fingerprints(None, "text", "id", k=0)
     with pytest.raises(ValueError):
         winnow_fingerprints(None, "text", "id", w=0)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property: operator == pure-Python reference on generated
+# text, batched into ONE Spark job per example set (the
+# test_properties.py convention). Repetitive alphabets ("aaaa…")
+# deliberately provoke within-window k-gram hash ties — the case the
+# position-free variant exists to make tie-rule-independent.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TEXTS = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab z.")),  # tiny alphabet → ties
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_TEXTS)
+def test_operator_matches_reference_on_generated_text(spark, texts):
+    k, w = 4, 3  # small params so 60-char texts exercise many windows
+    rows = [(i, t) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: set(r["fps"])
+        for r in winnow_fingerprints(d, "text", "id", k=k, w=w).collect()
+    }
+    for i, t in rows:
+        assert got[i] == ref_winnow_fingerprints(t, k=k, w=w), (i, t)
