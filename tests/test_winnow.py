@@ -184,3 +184,68 @@ def test_operator_matches_reference_on_generated_text(spark, texts):
     }
     for i, t in rows:
         assert got[i] == ref_winnow_fingerprints(t, k=k, w=w), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# Fast-kernel twin (numpy polynomial family)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from yahoofinancedatalake_spark.operators.dedup import (  # noqa: E402
+    _fmix64,
+    winnow_fingerprints_fast,
+)
+
+
+def _ref_winnow_fast(text: str, k: int = 16, w: int = 8) -> set[int]:
+    """Pure-Python twin of the numpy kernel (independent loop code)."""
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    b = norm.encode("utf-8")
+    B = 1099511628211
+    M = 1 << 64
+    if len(b) == 0:
+        g = [0]
+    elif len(b) >= k:
+        g = []
+        for i in range(len(b) - k + 1):
+            acc = 0
+            for c in b[i: i + k]:
+                acc = (acc * B + c) % M
+            g.append(acc)
+    else:
+        acc = 0
+        for c in b:
+            acc = (acc * B + c) % M
+        g = [acc]
+    g = [int(x) for x in _fmix64(np.array(g, dtype=np.uint64))]
+    m = len(g)
+    mins = {min(g[j: j + w]) for j in range(max(m - w + 1, 1))}
+    return {x - (1 << 64) if x >= 1 << 63 else x for x in mins}  # int64 view
+
+
+def test_fast_kernel_matches_python_twin(spark, docs):
+    got = {
+        r["id"]: set(r["fps"])
+        for r in winnow_fingerprints_fast(docs, "text", "id").collect()
+    }
+    for r in docs.collect():
+        assert got[r["id"]] == _ref_winnow_fast(r["text"]), r["id"]
+
+
+def test_fast_family_same_near_dups_on_fixture(spark, docs):
+    """On the fixture docs both families agree on the near-dup pairs
+    (they are far from the threshold) — the corpus-level agreement is
+    gated by the winnow_fast_accuracy driver query."""
+    fast = winnow_near_dup_pairs(
+        docs, "text", "id", cache=False,
+        fingerprints=winnow_fingerprints_fast(docs, "text", "id"),
+    )
+    md5 = winnow_near_dup_pairs(docs, "text", "id", cache=False)
+    assert (
+        {(r.id_a, r.id_b) for r in fast.collect()}
+        == {(r.id_a, r.id_b) for r in md5.collect()}
+    )
+    spark.catalog.clearCache()

@@ -51,6 +51,10 @@ MATERIALIZING = {
     # r9: same shape for the seed-then-increment composition (lands
     # and removes state under a tempdir, returns audit counts)
     "incremental_prep_counts",
+    # r9: sandwich gate — runs both winnow matchers eagerly (anti-join
+    # counts) and returns a driver-local (metric, passed) frame; the
+    # matcher plan is audited via winnow_near_dup
+    "winnow_fast_accuracy",
 }
 
 
