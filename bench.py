@@ -186,6 +186,13 @@ def _run(sf_dir: str, sf: float) -> None:
         "zorder_layout", "compact_files_eq", "bfs_levels",
         "orc_roundtrip", "schema_evolution_eq", "prep_stage_counts",
         "incremental_prep_counts",
+        # r9: the winnow matcher explodes fingerprint arrays and the
+        # sandwich gate runs two matchers + persists both pair sets —
+        # the same young-gen burst profile as the LSH family above
+        "winnow_near_dup", "winnow_fast_accuracy",
+        # r9: streaming rung 12 — two incremental prep runs + state
+        # landings, same profile as incremental_prep_counts
+        "stream_incremental_prep_batch_eq",
     }
     # Guard against silent staleness: a renamed query would otherwise
     # keep its old name here and lose the forced pre-query drain.

@@ -73,6 +73,10 @@ _REWRITE_QUERIES = {
     "prep_stage_counts",
     # same CTE prefix, same argument (r9 incremental gate)
     "incremental_prep_counts",
+    # same CTE prefix over the %4 subset (r9 streaming rung 12) —
+    # full-corpus LSH candidates are a sound superset of the subset's
+    # (banding is pairwise), and the jac consumers filter downstream
+    "stream_incremental_prep_batch_eq",
 }
 #: The quadratic pair source shared by the dedup-family oracles …
 _QUADRATIC_JOIN = "FROM sh a JOIN sh b ON a.doc_id < b.doc_id"

@@ -55,6 +55,9 @@ MATERIALIZING = {
     # counts) and returns a driver-local (metric, passed) frame; the
     # matcher plan is audited via winnow_near_dup
     "winnow_fast_accuracy",
+    # r9: streaming rung 12 — drives two availableNow stream runs +
+    # state landings eagerly, returns driver-local audit counts
+    "stream_incremental_prep_batch_eq",
 }
 
 
