@@ -1365,7 +1365,11 @@ def _winnow_fast_arrays(
     families to the same answer on real data.
     """
     B = _U64(1099511628211)  # FNV-1a prime
-    powers = [B ** _U64(k - 1 - j) for j in range(k)]
+    # powers mod 2^64 via Python int pow, then cast: numpy scalar **
+    # is not guaranteed to stay in wrapping uint64 on every platform
+    powers = [
+        _U64(pow(1099511628211, k - 1 - j, 1 << 64)) for j in range(k)
+    ]
     out = []
     for s in texts:
         if s is None:

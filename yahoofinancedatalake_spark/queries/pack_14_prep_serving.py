@@ -854,10 +854,14 @@ def q_stream_incremental_prep(
     try:
         seed_counts = prep.seed_prep_state(spark, root, seed, eval_set)
         for inc in incs:
-            # land this increment's files, then drain them in ONE
+            # land this increment as ONE file, then drain it in ONE
             # availableNow run; the shared checkpoint makes the next
-            # run see only files landed after this point
-            inc.write.mode("append").parquet(indir)
+            # run see only files landed after this point. coalesce(1)
+            # guarantees the run cannot split an increment into
+            # multiple micro-batches (within-increment sub-batch
+            # order would reintroduce the keeper-order dependence the
+            # two-run construction exists to eliminate)
+            inc.coalesce(1).write.mode("append").parquet(indir)
             q = (
                 spark.readStream.schema(docs.schema)
                 .parquet(indir)
