@@ -94,6 +94,16 @@ TABLE_OF = {
     # (same reading protocol as the _neardup prep sweep)
     "winnow_fingerprints": ("documents", "doc_id"),
     "winnow_near_dup": ("documents", "doc_id"),
+    # r9 session close: the two ranked-retrieval scorers (linear
+    # corpus scans per query set — the indexed bm25/ANN tables are
+    # the production path, these are the exact rescore kernels).
+    # semantic_dedup deliberately NOT swept: its k is fixed at 8 for
+    # the oracle replay, and exact-replica vectors at 100x make each
+    # cluster O(100x) with quadratic within-cluster pairs — the
+    # paper's posture (k scales with the corpus, LAION runs k~11k)
+    # is documented on the query instead.
+    "bm25_rank": ("documents", "doc_id"),
+    "text_search_rank": ("documents", "doc_id"),
 }
 
 #: Sweep aliases whose replicas are NEAR-duplicates (replica-salted
