@@ -41,6 +41,11 @@ def docs(spark):
         (5, "tiny"),          # shorter than k → single md5(norm)
         (6, "exactly twenty one!!"),  # len 20-ish: > k, fewer grams than w
         (7, "   "),           # whitespace-only → norm = ""
+        # tab/newline-EDGED: Spark trim strips only 0x20, so the edge
+        # tab/newline collapses to a LEADING/TRAILING space in norm —
+        # the case where str.strip() in the reference would diverge
+        (8, "\t" + BASE + "\n"),
+        (9, "\n\t  mixed\tinternal\nws\x0bdoc body here  \t"),
     ]
     return spark.createDataFrame(rows, "id long, text string")
 
@@ -60,6 +65,10 @@ def test_matches_python_reference(spark, docs):
     # short-doc fallbacks produce exactly one fingerprint
     assert len(got[5]) == 1
     assert len(got[7]) == 1
+    # tab/newline-edged doc is NOT the normalized twin of BASE: the
+    # edge tab/newline survives Spark trim and becomes a leading/
+    # trailing space, shifting every k-gram — and the reference agrees
+    assert got[8] != got[1]
 
 
 def test_normalization_makes_fingerprints_identical(spark, docs):
@@ -164,7 +173,9 @@ from hypothesis import strategies as st  # noqa: E402
 
 _TEXTS = st.lists(
     st.text(
-        alphabet=st.sampled_from(list("ab z.")),  # tiny alphabet → ties
+        # tiny alphabet → ties; tab/newline included so generated text
+        # can be whitespace-EDGED (the trim-vs-strip divergence case)
+        alphabet=st.sampled_from(list("ab z.\t\n")),
         max_size=60,
     ),
     min_size=1,
@@ -199,10 +210,15 @@ from yahoofinancedatalake_spark.operators.dedup import (  # noqa: E402
 
 
 def _ref_winnow_fast(text: str, k: int = 16, w: int = 8) -> set[int]:
-    """Pure-Python twin of the numpy kernel (independent loop code)."""
+    """Pure-Python twin of the numpy kernel (independent loop code).
+
+    Normalization mirrors Spark's ``normalized_text`` exactly: trim is
+    0x20-only and \\s is the ASCII Java class — see
+    ``ref_winnow_fingerprints``.
+    """
     import re
 
-    norm = re.sub(r"\s+", " ", text.strip().lower())
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" ").lower())
     b = norm.encode("utf-8")
     B = 1099511628211
     M = 1 << 64

@@ -88,10 +88,15 @@ TABLE_OF = {
     # r9: incremental prep gate (seed + increment vs full recompute)
     "incremental_prep_counts": ("documents", "doc_id"),
     # r9: winnowing fingerprint family — exact replicas exercise the
-    # extraction (per-row narrow, should scale linearly); for the
-    # matcher, exact replicas make every replica group a clique of
-    # overlap-1.0 pairs, so pair volume is O(factor²) by construction
-    # (same reading protocol as the _neardup prep sweep)
+    # extraction (per-row narrow, should scale linearly). For the
+    # matcher the O(factor²)-clique reading holds only while factor
+    # <= df_cap (the 10× point: every replica group is a clique of
+    # overlap-1.0 pairs); at 100× every fingerprint's df is 100× its
+    # original, ABOVE the df_cap=64, so all posting lists are dropped
+    # and the matcher deterministically returns 0 pairs at flat cost —
+    # the 100× cell measures the cap collapsing a corpus that is one
+    # giant mirror, not clique pair volume (SURVEY §8 documents this;
+    # the non-degenerate 100× evidence is winnow_near_dup_neardup).
     "winnow_fingerprints": ("documents", "doc_id"),
     "winnow_near_dup": ("documents", "doc_id"),
     # r9 session close: the two ranked-retrieval scorers (linear
@@ -114,6 +119,21 @@ TABLE_OF = {
 NEARDUP_OF = {
     "prep_stage_counts_neardup": (
         "prep_stage_counts", "documents", "doc_id", "text"
+    ),
+    # r10 (VERDICT r9 #3): the winnow matcher under jittered replicas.
+    # The ~22-char salt tail perturbs only the last w-1 window-min
+    # selections, so replica↔original overlap stays >= ~0.8 for any
+    # doc long enough to carry >= 2(w-1) fingerprints — well above
+    # the 0.5 threshold — and the matcher faces factor-sized REAL
+    # near-dup cliques. The df-cap is scaled with the factor for this
+    # sweep (see winnow_stats/main): a 100-doc clique shares
+    # fingerprints at df≈100, above the registered query's pinned
+    # cap of 64 — MOSS's own posture is a boilerplate threshold
+    # proportional to the corpus, so the sweep runs cap=64×factor
+    # (identical to the oracle-gated query at 1×) and reports pair
+    # volume, candidate volume, and capped-fingerprint counts.
+    "winnow_near_dup_neardup": (
+        "winnow_near_dup", "documents", "doc_id", "text"
     ),
 }
 
@@ -217,6 +237,78 @@ def lsh_stats(spark, d, table="documents", id_col="doc_id"):
     return {"lsh_candidates": cands, "bucket_overflow": int(overflow)}
 
 
+def winnow_query_scaled(spark, d, factor):
+    """The registered ``winnow_near_dup`` plan with the df-cap scaled
+    to the corpus (cap = 64×factor): MOSS's boilerplate threshold is
+    proportional to the corpus, and the jittered sweep's factor-sized
+    cliques share fingerprints at df≈factor — a fixed cap of 64 would
+    (correctly, but degenerately) zero the 100× cell. Identical to the
+    oracle-gated query at factor 1."""
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table  # noqa: PLC0415
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        winnow_near_dup_pairs,
+    )
+    from yahoofinancedatalake_spark.queries.pack_14_prep_serving import (  # noqa: PLC0415
+        _WIN_CAP,
+        _WIN_K,
+        _WIN_T,
+        _WIN_W,
+    )
+
+    docs = fan_out(load_table(spark, d, "documents"))
+    return winnow_near_dup_pairs(
+        docs,
+        "text",
+        "doc_id",
+        k=_WIN_K,
+        w=_WIN_W,
+        df_cap=_WIN_CAP * factor,
+        overlap_threshold=_WIN_T,
+    ).orderBy("id_a", "id_b")
+
+
+def winnow_stats(spark, d, factor):
+    """Instrumentation for the winnow near-dup sweep (the analog of
+    :func:`lsh_stats`): candidate-pair volume sum(df·(df−1)/2) over
+    kept fingerprints — the join work the matcher actually does — and
+    the df-cap drop counts, so the SURVEY §8 row shows cost scaling
+    with real pair volume while the cap bounds posting lists."""
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table  # noqa: PLC0415
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        winnow_fingerprints,
+    )
+    from yahoofinancedatalake_spark.queries.pack_14_prep_serving import (  # noqa: PLC0415
+        _WIN_CAP,
+        _WIN_K,
+        _WIN_W,
+    )
+
+    cap = _WIN_CAP * factor
+    docs = fan_out(load_table(spark, d, "documents"))
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W)
+    dfreq = (
+        fps.select(F.explode("fps").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("df"))
+    )
+    row = dfreq.agg(
+        F.sum(
+            F.when(
+                (F.col("df") >= 2) & (F.col("df") <= cap),
+                F.col("df") * (F.col("df") - 1) / 2,
+            )
+        ).alias("cand"),
+        F.count(F.when(F.col("df") > cap, 1)).alias("capped"),
+        F.count(F.when(F.col("df") == 1, 1)).alias("singleton"),
+    ).collect()[0]
+    return {
+        "df_cap": cap,
+        "candidate_volume": int(row["cand"] or 0),
+        "fps_capped": int(row["capped"]),
+        "fps_singleton": int(row["singleton"]),
+    }
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or DEFAULT
@@ -238,20 +330,38 @@ def main() -> int:
                 spark, sf_dir, table, factor, id_col, workdir, jitter,
                 text_salt=salt,
             )
+            if qn == "winnow_near_dup_neardup":
+                def run(d=d, factor=factor):
+                    return winnow_query_scaled(spark, d, factor).collect()
+            else:
+                def run(d=d, real_q=real_q):
+                    return QUERIES[real_q].spark(spark, d).collect()
             # Untimed warm-up per (query, factor): one-time plan/codegen
             # and the cold page cache of the freshly written replica
             # would otherwise inflate exactly the scaling ratios this
             # sweep exists to measure.
-            QUERIES[real_q].spark(spark, d).collect()
+            run()
             t0 = time.time()
-            rows = QUERIES[real_q].spark(spark, d).collect()
+            rows = run()
             dt = round(time.time() - t0, 2)
-            if salt is not None:
+            if qn == "winnow_near_dup_neardup":
+                cell = {
+                    "sec": dt,
+                    "pairs": len(rows),
+                    **winnow_stats(spark, d, factor),
+                }
+            elif salt is not None:
                 cell = {"sec": dt, **lsh_stats(spark, d, table, id_col)}
             else:
                 cell = dt
             results.setdefault(qn, {})[factor] = cell
             print(f"{qn} x{factor}: {cell} ({len(rows)} rows)", flush=True)
+            # Release per-cell caches (ADVICE r9): operators that
+            # persist internally (winnow_near_dup cache=True, the
+            # prep stage) would otherwise accumulate up to 6 cached
+            # corpus-sized tables across the sweep and skew the very
+            # timings this tool reports — bench.py clears, so do we.
+            spark.catalog.clearCache()
     print(json.dumps(results))
     return 0
 

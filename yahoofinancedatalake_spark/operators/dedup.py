@@ -1333,11 +1333,19 @@ def winnow_near_dup_pairs(
 
 def ref_winnow_fingerprints(text: str, k: int = 16, w: int = 8) -> set[str]:
     """Pure-Python reference for :func:`winnow_fingerprints` (same
-    role as :func:`ref_minhash` — the property-test ground truth)."""
+    role as :func:`ref_minhash` — the property-test ground truth).
+
+    The normalization mirrors :func:`normalized_text` EXACTLY, not
+    Python's defaults: Spark ``trim`` strips only 0x20 spaces (never
+    tabs/newlines — UTF8String.trim) and Java regex ``\\s`` is the
+    ASCII class ``[ \\t\\n\\x0B\\f\\r]`` (no Unicode whitespace), so
+    ``str.strip()`` + Python ``\\s`` would disagree on tab/newline- or
+    Unicode-whitespace-edged text and yield different k-grams.
+    """
     import hashlib  # noqa: PLC0415
     import re  # noqa: PLC0415
 
-    norm = re.sub(r"\s+", " ", text.strip().lower())
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" ").lower())
     if len(norm) < k:
         grams = [norm]
     else:

@@ -1,7 +1,7 @@
 """Round-8 additions: the composed prep pipeline under the driver
 gate, and the parameterized serving surface.
 
-Registers 6 queries (registration order is the import order in
+Registered queries, in registration order (= the import order in
 pack.py — new queries go at the END of this module):
 - ``prep_stage_counts``
 - ``top_flop_for_symbol``
