@@ -256,6 +256,19 @@ def _run(sf_dir: str, sf: float) -> None:
         n for n, q in QUERIES.items() if re.search(r"TPC-H Q\d+", q.doc or "")
     ]
 
+    # Tier split (VERDICT r9 #2): composed/accuracy/equivalence GATES
+    # are verification harnesses, not operators — ~40% of wall-clock
+    # with per-run noise windows (±20% on a 30s composed gate = ±6s)
+    # that drown a 0.5s per-operator regression in the single total.
+    # Membership derives from the registry (can't desync — see
+    # _registry.gate_tier_names); query_pack_total stays the headline
+    # scalar for round-over-round continuity.
+    from yahoofinancedatalake_spark.queries._registry import (  # noqa: PLC0415
+        gate_tier_names,
+    )
+
+    gate_names = gate_tier_names()
+
     out = {
         "metric": "query_pack_total",
         "value": round(sum(timings.values()), 3),
@@ -267,6 +280,13 @@ def _run(sf_dir: str, sf: float) -> None:
             sum(timings.get(n, 0.0) for n in tpch_names), 3
         ),
         "tpch_suite_n": sum(1 for n in tpch_names if n in timings),
+        "operator_tier_s": round(
+            sum(t for n, t in timings.items() if n not in gate_names), 3
+        ),
+        "gate_tier_s": round(
+            sum(t for n, t in timings.items() if n in gate_names), 3
+        ),
+        "gate_tier_n": sum(1 for n in timings if n in gate_names),
         # IVF/PQ/IVFPQ index training is memoized per (dataset
         # fingerprint, params) within the session — the build-once
         # FAISS placement. The FIRST index query in the run pays the

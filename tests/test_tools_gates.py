@@ -141,15 +141,19 @@ def test_diff_flags_only_real_regressions():
     # a: 2.0 -> 5.0 is a real regression; b trips the ratio but is
     # under the MIN_ABS_S jitter floor; c is flat
     assert MIN_ABS_S >= 0.3  # premise of the b case
-    assert len(regressions) == 1 and regressions[0].startswith("a:")
+    assert len(regressions) == 1
+    assert regressions[0].startswith("a [operator]:")
 
 
 def test_diff_partial_baseline_suppresses_presence_notes():
     old = {"queries": {"a": 1.0}, "_partial": True}
     new = {"queries": {"a": 1.1, "brand_new": 9.9}}
     _regressions, notes = diff(old, new, ratio=2.0)
-    assert not any("new" in n or "REMOVED" in n for n in notes[:-1])
-    assert "shared subset (1 queries)" in notes[-1]
+    # the last three notes are the shared-subset + two tier totals
+    assert not any("new" in n or "REMOVED" in n for n in notes[:-3])
+    assert "shared subset (1 queries)" in notes[-3]
+    assert "operator tier (1 queries)" in notes[-2]
+    assert "gate tier (0 queries)" in notes[-1]
 
 
 def test_round_gate_rejects_bad_skip_args():
@@ -174,3 +178,40 @@ def test_round_gate_all_skipped_is_green_noop():
     )
     assert out.returncode == 0
     assert "no steps ran" in out.stdout
+
+
+def test_gate_tier_names_membership_and_guard():
+    """The tier split's registry derivation: gates are the suffix
+    convention + the two composed count gates; extras are validated
+    so a renamed query fails loud instead of silently draining the
+    gate tier."""
+    from yahoofinancedatalake_spark.queries import _registry
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    gates = _registry.gate_tier_names()
+    assert gates <= set(QUERIES)
+    # the two composed gates that predate the suffix convention
+    assert {"prep_stage_counts", "incremental_prep_counts"} <= gates
+    # every stream batch-equivalence twin is a gate
+    assert all(n in gates for n in QUERIES if n.endswith("_batch_eq"))
+    # spot-check operator-tier membership: production query shapes
+    for n in ("top_flop", "pricing_summary", "winnow_near_dup",
+              "dedup_exact", "ann_topk"):
+        assert n in QUERIES and n not in gates
+    # guard: a stale extra must raise, not silently shrink the set
+    import pytest as _pytest
+    orig = _registry._GATE_EXTRA
+    try:
+        _registry._GATE_EXTRA = frozenset({"renamed_away_query"})
+        with _pytest.raises(AssertionError, match="renamed_away_query"):
+            _registry.gate_tier_names()
+    finally:
+        _registry._GATE_EXTRA = orig
+
+
+def test_diff_tier_totals_note_split():
+    old = {"queries": {"top_op": 1.0, "stream_x_batch_eq": 10.0}}
+    new = {"queries": {"top_op": 1.2, "stream_x_batch_eq": 12.0}}
+    _regressions, notes = diff(old, new, ratio=2.0)
+    assert "operator tier (1 queries): 1.0s -> 1.2s" in notes[-2]
+    assert "gate tier (1 queries): 10.0s -> 12.0s" in notes[-1]

@@ -89,6 +89,7 @@ def load(path: str) -> dict:
                 if k not in {
                     "value", "sf", "n", "rc", "cpus",
                     "ann_recall_at_5", "tpch_suite_s", "tpch_suite_n",
+                    "operator_tier_s", "gate_tier_s", "gate_tier_n",
                     "gc_drains",
                 }
             }
@@ -101,14 +102,31 @@ def load(path: str) -> dict:
     raise SystemExit(f"no bench JSON line found in {path}")
 
 
+#: the registry's gate-tier convention (_registry._GATE_SUFFIX) —
+#: applied to the ARTIFACT's own names rather than via a registry
+#: intersection, so an old artifact with since-renamed queries still
+#: tiers its names the way its own bench run did
+_GATE_PAT = re.compile(r"(_batch_eq|_eq|_gate|_accuracy|_recall|_ndcg)$")
+_GATE_EXTRA = {"prep_stage_counts", "incremental_prep_counts"}
+
+
+def _gate_names(names: set[str]) -> set[str]:
+    """Gate-tier subset of ``names`` (see _registry.gate_tier_names)."""
+    return {n for n in names if _GATE_PAT.search(n)} | (names & _GATE_EXTRA)
+
+
 def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
+    gates = _gate_names(set(shared))
     regressions, notes = [], []
     for name in shared:
         a, b = oq[name], nq[name]
+        tier = "gate" if name in gates else "operator"
         if b > a * ratio and b - a > MIN_ABS_S:
-            regressions.append(f"{name}: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)")
+            regressions.append(
+                f"{name} [{tier}]: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)"
+            )
         elif a > b * ratio and a - b > MIN_ABS_S:
             notes.append(f"{name}: improved {a:.2f}s -> {b:.2f}s")
     # vs a driver-truncated side, "not present" just means "fell
@@ -126,6 +144,19 @@ def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
         f"shared subset ({len(shared)} queries): "
         f"{tot_o:.1f}s -> {tot_n:.1f}s"
     )
+    # Tier totals (VERDICT r9 #2): the gate tier's composed harnesses
+    # carry most of the absolute noise (±20% of a 30s gate = ±6s), so
+    # the operator-tier total is the clean round-over-round operator
+    # signal — review each on its own scale instead of one number.
+    for tier, members in (
+        ("operator tier", [n for n in shared if n not in gates]),
+        ("gate tier", [n for n in shared if n in gates]),
+    ):
+        to = sum(oq[n] for n in members)
+        tn = sum(nq[n] for n in members)
+        notes.append(
+            f"{tier} ({len(members)} queries): {to:.1f}s -> {tn:.1f}s"
+        )
     return regressions, notes
 
 

@@ -104,6 +104,36 @@ def _register(
 
 
 import contextlib
+import re as _re
+
+#: Gate-tier membership (VERDICT r9 #2): queries that exist to VERIFY
+#: the engine — batch-equivalence twins, approximation-accuracy/recall
+#: gates, and the composed-pipeline count gates — as opposed to
+#: production-shaped operator queries a user would run. Derived from
+#: the registry itself (suffix convention + the two composed gates
+#: whose names predate it) the same way the TPC-H suite derives from
+#: docstrings, so membership can't silently desync from the QUERIES
+#: dict; ``gate_tier_names`` validates the explicit extras against it.
+#: Why the split matters: gates are composed multi-job verification
+#: harnesses (~40% of bench wall-clock, the two incremental-prep gates
+#: alone ~30s each) whose run-to-run noise drowns the per-OPERATOR
+#: regression signal when everything lands in one total.
+_GATE_SUFFIX = _re.compile(
+    r"(_batch_eq|_eq|_gate|_accuracy|_recall|_ndcg)$"
+)
+_GATE_EXTRA = frozenset({"prep_stage_counts", "incremental_prep_counts"})
+
+
+def gate_tier_names() -> set[str]:
+    """Names of the gate-tier queries, validated against the registry
+    (an extra that no longer exists = loud failure, not silent drift).
+    """
+    unknown = _GATE_EXTRA - QUERIES.keys()
+    if unknown:
+        raise AssertionError(
+            f"gate-tier extras not in QUERIES: {sorted(unknown)}"
+        )
+    return {n for n in QUERIES if _GATE_SUFFIX.search(n)} | set(_GATE_EXTRA)
 
 
 def _await_stream(q, timeout: int = 300) -> None:
