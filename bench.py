@@ -193,6 +193,9 @@ def _run(sf_dir: str, sf: float) -> None:
         # r9: streaming rung 12 — two incremental prep runs + state
         # landings, same profile as incremental_prep_counts
         "stream_incremental_prep_batch_eq",
+        # r10: winnow-backend prep gate — fingerprint explode + the
+        # composed quality/exact/CC stages, same burst profile
+        "prep_stage_counts_winnow",
     }
     # Guard against silent staleness: a renamed query would otherwise
     # keep its old name here and lose the forced pre-query drain.

@@ -295,3 +295,103 @@ def test_incremental_refuses_half_landed_state(spark, tmp_path_factory):
     run_prep_incremental(spark, root, batch, eval_set)
     verify_dedup_state(spark, root)  # post-append manifest matches
     shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Winnow near-dup backend (VERDICT r9 #4): same survivor policy,
+# deterministic matcher, backend-independent state contract.
+# ---------------------------------------------------------------------------
+
+
+def _planted_corpus(spark):
+    """20 genuinely-distinct docs + a 3-doc near-dup clique (one
+    appended token per variant). The perturbation trips BOTH backends'
+    thresholds: word-3-gram Jaccard 23/24 ≈ 0.96 ≥ 0.9 (base↔variant)
+    and 23/25 = 0.92 (variant↔variant); the ~7-char appended tail
+    perturbs only the last w−1 winnow window-mins, so overlap
+    coefficient stays ≥ ~0.8 ≥ 0.5. Every doc passes the quality gate
+    (25+ tokens, ~200 chars)."""
+    rows = []
+    for i in range(20):
+        text = " ".join(f"tok{i}_{j}" for j in range(25))
+        rows.append((i, text, len(text)))
+    base = " ".join(f"dup_{j} word{j}" for j in range(13))
+    for did, tail in ((100, ""), (101, " extraA"), (102, " extraB")):
+        t = base + tail
+        rows.append((did, t, len(t)))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars int"
+    )
+
+
+def test_winnow_backend_matches_lsh_on_planted_near_dups(spark):
+    from yahoofinancedatalake_spark.prep import drop_near_dups
+
+    docs = _planted_corpus(spark)
+    lsh = {r.doc_id for r in drop_near_dups(docs, backend="lsh").collect()}
+    win = {
+        r.doc_id for r in drop_near_dups(docs, backend="winnow").collect()
+    }
+    spark.catalog.clearCache()  # the winnow matcher's internal persist
+    expected = set(range(20)) | {100}  # clique keeper = min id
+    assert lsh == expected
+    assert win == expected
+
+
+def test_unknown_near_dup_backend_raises(spark):
+    from yahoofinancedatalake_spark.prep import near_dup_stage
+
+    docs = _planted_corpus(spark)
+    with pytest.raises(ValueError, match="unknown near-dup backend"):
+        near_dup_stage(docs, backend="simhash")
+
+
+def test_winnow_seeded_state_composes_with_increments(
+    spark, tmp_path_factory
+):
+    """seed_prep_state(near_dup_backend='winnow') lands the same
+    state contract (survivors + fingerprints + LSH band index, all
+    derived from the survivor set), so run_prep_incremental works
+    unchanged against a winnow-seeded history."""
+    import shutil
+
+    from yahoofinancedatalake_spark.prep import (
+        run_prep_incremental,
+        seed_prep_state,
+        verify_dedup_state,
+    )
+
+    docs = _planted_corpus(spark)
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+    root = str(tmp_path_factory.mktemp("prep_winnow_seed"))
+    try:
+        counts = seed_prep_state(
+            spark, root, docs, eval_set, near_dup_backend="winnow"
+        )
+        spark.catalog.clearCache()
+        assert counts["input"] == 23
+        assert counts["quality_pass"] == 23
+        assert counts["after_dedup"] == 21  # clique 100/101/102 → 100
+        verify_dedup_state(spark, root)
+
+        # an increment batch: one exact dup of history, one near-dup
+        # of the kept clique doc, one genuinely new doc
+        base = " ".join(f"dup_{j} word{j}" for j in range(13))
+        new_text = " ".join(f"fresh_{j}" for j in range(25))
+        batch = spark.createDataFrame(
+            [
+                (200, " ".join(f"tok0_{j}" for j in range(25)), 180),
+                (201, base + " extraC", len(base) + 7),
+                (202, new_text, len(new_text)),
+            ],
+            "doc_id long, text string, n_chars int",
+        ).withColumn("n_chars", F.length("text"))
+        inc = run_prep_incremental(spark, root, batch, eval_set)
+        # 200 drops at the exact stage (fingerprint in history); 201
+        # drops at near-dup (component contains history doc 100);
+        # 202 survives
+        assert inc["after_exact"] == 2
+        assert inc["after_dedup"] == 1
+        verify_dedup_state(spark, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

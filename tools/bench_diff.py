@@ -107,7 +107,11 @@ def load(path: str) -> dict:
 #: intersection, so an old artifact with since-renamed queries still
 #: tiers its names the way its own bench run did
 _GATE_PAT = re.compile(r"(_batch_eq|_eq|_gate|_accuracy|_recall|_ndcg)$")
-_GATE_EXTRA = {"prep_stage_counts", "incremental_prep_counts"}
+_GATE_EXTRA = {
+    "prep_stage_counts",
+    "incremental_prep_counts",
+    "prep_stage_counts_winnow",
+}
 
 
 def _gate_names(names: set[str]) -> set[str]:

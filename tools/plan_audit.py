@@ -58,6 +58,10 @@ MATERIALIZING = {
     # r9: streaming rung 12 — drives two availableNow stream runs +
     # state landings eagerly, returns driver-local audit counts
     "stream_incremental_prep_batch_eq",
+    # r10: same shape as prep_stage_counts for the winnow backend
+    # (eager per-stage counts, driver-local frame); the matcher plan
+    # is audited via winnow_near_dup
+    "prep_stage_counts_winnow",
 }
 
 

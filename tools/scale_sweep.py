@@ -77,6 +77,11 @@ TABLE_OF = {
     # pipeline collapsing a 100x-duplicated corpus at the cheap
     # exact stage before LSH ever sees it
     "prep_stage_counts": ("documents", "doc_id"),
+    # r10: winnow-backend composed gate — exact replicas collapse at
+    # the exact stage before the winnow matcher sees them (same
+    # protocol reading as prep_stage_counts); the matcher's own
+    # jittered stress row is winnow_near_dup_neardup
+    "prep_stage_counts_winnow": ("documents", "doc_id"),
     "top_flop_for_symbol": ("events", "event_id"),
     "type_window_daily_drill": ("events", "event_id"),
     # r8: the r7-head wave that never got sweep rows

@@ -8,9 +8,11 @@ training-data operators into one deterministic Spark job:
     documents
       → quality gate        (length/stopword heuristics, map-side)
       → exact dedup         (16-byte content fingerprint, one shuffle)
-      → near-dup removal    (MinHash-LSH candidates → hashed-Jaccard
-                             verify → connected components → keep the
-                             min-id doc per cluster)
+      → near-dup removal    (selectable backend — MinHash-LSH
+                             candidates → hashed-Jaccard verify, or
+                             the deterministic winnowed-inverted-index
+                             matcher — → connected components → keep
+                             the min-id doc per cluster)
       → decontamination     (drop docs sharing an n-gram with the
                              benchmark/eval set — md5 equi-join)
       → language rebalance  (temperature sampling: per-language keep
@@ -86,23 +88,62 @@ def exact_stage(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return exact_dedup(docs, "text", id_col)
 
 
-def near_dup_stage(exact: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def near_dup_stage(
+    exact: DataFrame,
+    id_col: str = "doc_id",
+    backend: str = "lsh",
+) -> DataFrame:
     """Stage 3 — near-dup cluster removal over exact-dedup survivors:
-    LSH candidates → hashed-Jaccard verify → connected components →
-    anti-join away every node that is not its cluster's min id (the
-    deterministic keeper)."""
+    candidate/verified pairs from the selected matcher → connected
+    components → anti-join away every node that is not its cluster's
+    min id (the deterministic keeper — identical survivor policy for
+    both backends).
+
+    Backends (VERDICT r9 #4):
+
+    - ``"lsh"`` (default): MinHash-LSH candidates → hashed-Jaccard
+      verify at :data:`JACCARD_THRESHOLD`. Probabilistic candidate
+      generation (the bucket cap is partitioning-dependent), so the
+      composed-pipeline oracle needs the engine's own candidate pairs
+      landed as a pre-filter at scale.
+    - ``"winnow"``: winnowed-fingerprint inverted-index matcher
+      (``operators/dedup.py:winnow_near_dup_pairs``, the gated
+      ``winnow_near_dup`` query's operator at its exact parameters).
+      Fully DETERMINISTIC — the df-cap depends only on (fingerprint,
+      document frequency) — so this mode is exactly replayable on any
+      engine and its composed gate (``prep_stage_counts_winnow``)
+      needs no candidate-rewrite oracle machinery. Note the matcher
+      persist()s its fingerprint table internally (cache=True): the
+      caller owns the release (``spark.catalog.clearCache()`` after
+      consuming, as bench/driver runs do).
+
+    The two thresholds are NOT the same policy (Jaccard 0.9 exact-ish
+    replicas vs overlap-coefficient 0.5 substring containment); the
+    equivalence pytest plants near-dups that trip both.
+    """
     from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
         connected_components,
         hashed_ngram_jaccard,
         minhash_lsh_pairs,
+        winnow_near_dup_pairs,
     )
 
-    cand = minhash_lsh_pairs(
-        exact, "text", id_col, n_hashes=32, n_bands=8, shingle_n=3
-    )
-    verified = hashed_ngram_jaccard(
-        cand, exact, id_col, "text", shingle_n=3
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    if backend == "lsh":
+        cand = minhash_lsh_pairs(
+            exact, "text", id_col, n_hashes=32, n_bands=8, shingle_n=3
+        )
+        verified = hashed_ngram_jaccard(
+            cand, exact, id_col, "text", shingle_n=3
+        ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    elif backend == "winnow":
+        # defaults = the gated winnow_near_dup query's parameters
+        # (k=16, w=8, df_cap=64, overlap >= 0.5); already verified
+        # pairs — the matcher computes exact overlap, no second pass
+        verified = winnow_near_dup_pairs(exact, "text", id_col)
+    else:
+        raise ValueError(
+            f"unknown near-dup backend {backend!r} (lsh|winnow)"
+        )
     comps = connected_components(verified.select("id_a", "id_b"))
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
@@ -110,9 +151,13 @@ def near_dup_stage(exact: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return exact.join(losers, id_col, "left_anti")
 
 
-def drop_near_dups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def drop_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    backend: str = "lsh",
+) -> DataFrame:
     """Stages 2+3 — exact dedup, then near-dup cluster removal."""
-    return near_dup_stage(exact_stage(docs, id_col), id_col)
+    return near_dup_stage(exact_stage(docs, id_col), id_col, backend)
 
 
 def decontaminate(
@@ -376,6 +421,7 @@ def seed_prep_state(
     root: str,
     docs: DataFrame,
     eval_docs: DataFrame,
+    near_dup_backend: str = "lsh",
 ) -> dict[str, int]:
     """Seed the incremental-prep state from an initial corpus WITHOUT
     the full-run packing stages: quality gate → exact dedup → near-dup
@@ -388,6 +434,13 @@ def seed_prep_state(
     ``incremental_prep_counts`` query verifies. Returns per-stage
     counts (``input``, ``quality_pass``, ``after_dedup``,
     ``after_decontam``).
+
+    ``near_dup_backend`` selects the stage-3 matcher (see
+    :func:`near_dup_stage`). The landed state contract is
+    backend-independent: every state table (survivors, exact
+    fingerprints, LSH band index) is derived FROM the survivor set,
+    so increments — which dedup against the landed band index —
+    compose with a winnow-seeded history unchanged.
 
     Stage boundaries are persist()ed while both their own count and
     the next stage consume them (the subplan-reuse lesson), and
@@ -403,7 +456,7 @@ def seed_prep_state(
     try:
         gated = _stage(quality_gate(docs))
         counts["quality_pass"] = gated.count()
-        deduped = _stage(drop_near_dups(gated))
+        deduped = _stage(drop_near_dups(gated, backend=near_dup_backend))
         counts["after_dedup"] = deduped.count()
         counts["after_decontam"] = decontaminate(deduped, eval_docs).count()
         _land_dedup_state(spark, root, deduped)
@@ -419,15 +472,20 @@ def run_prep(
     root: str,
     eval_docs: DataFrame | None = None,
     docs: DataFrame | None = None,
+    near_dup_backend: str = "lsh",
 ) -> dict[str, int]:
     """Run the whole prep DAG and land each stage under ``root``.
 
     ``eval_docs`` defaults to the corpus rows with ``doc_id % 37 = 0``
     (the contamination_ngrams query's stand-in benchmark); pass a real
     benchmark table in production. ``docs`` overrides the input frame
-    (defaults to the full documents table). Returns per-stage row
-    counts. Alongside the outputs, the incremental-dedup state
-    (survivors + fingerprints + LSH band index) is landed so
+    (defaults to the full documents table). ``near_dup_backend``
+    selects the stage-3 matcher (``"lsh"`` default | ``"winnow"`` for
+    the exactly-replayable deterministic mode — see
+    :func:`near_dup_stage`). Returns per-stage row counts. Alongside
+    the outputs, the incremental-dedup state (survivors +
+    fingerprints + LSH band index — all derived from the survivor
+    set, so backend-independent) is landed so
     :func:`run_prep_incremental` can process future batches against
     this run's history.
     """
@@ -444,7 +502,7 @@ def run_prep(
     gated = quality_gate(docs)
     counts["quality_pass"] = gated.count()
 
-    deduped = drop_near_dups(gated)
+    deduped = drop_near_dups(gated, backend=near_dup_backend)
     counts["after_dedup"] = deduped.count()
     _land_dedup_state(spark, root, deduped)
 

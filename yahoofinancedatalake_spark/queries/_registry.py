@@ -121,7 +121,13 @@ import re as _re
 _GATE_SUFFIX = _re.compile(
     r"(_batch_eq|_eq|_gate|_accuracy|_recall|_ndcg)$"
 )
-_GATE_EXTRA = frozenset({"prep_stage_counts", "incremental_prep_counts"})
+_GATE_EXTRA = frozenset(
+    {
+        "prep_stage_counts",
+        "incremental_prep_counts",
+        "prep_stage_counts_winnow",
+    }
+)
 
 
 def gate_tier_names() -> set[str]:

@@ -13,6 +13,7 @@ pack.py — new queries go at the END of this module):
 - ``winnow_near_dup`` (r9)
 - ``winnow_fast_accuracy`` (r9)
 - ``stream_incremental_prep_batch_eq`` (r9, streaming rung 12)
+- ``prep_stage_counts_winnow`` (r10, winnow near-dup backend gate)
 """
 
 from __future__ import annotations
@@ -56,7 +57,9 @@ from yahoofinancedatalake_spark.prep import (
 # the rebalance/chunk/pack stages on top) and the incremental gate
 # (incremental_prep_counts, whose Spark side sums a seeded history run
 # + run_prep_incremental and must land on these very counts).
-_PREP_CTES_THROUGH_CL = f"""
+# quality gate + exact-dedup keepers — shared by the LSH-backend
+# chain below and the winnow-backend gate (prep_stage_counts_winnow)
+_PREP_Q_EX_CTES = f"""
     q AS MATERIALIZED (
       SELECT * FROM documents
       WHERE len({_WORD_TOKS_SQL}) >= {_PREP_MIN_TOKENS}
@@ -67,36 +70,18 @@ _PREP_CTES_THROUGH_CL = f"""
       FROM q
       GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
     ),
-    ex AS MATERIALIZED (SELECT q.* FROM q JOIN keepers USING (doc_id)),
-    wt AS MATERIALIZED (
-      SELECT doc_id,
-             list_filter(
-               string_split(
-                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
-               t -> t <> '') AS w
-      FROM ex
-    ),
-    sh AS MATERIALIZED (
-      SELECT doc_id,
-             CASE
-               WHEN len(w) >= 3 THEN list_distinct(
-                 [array_to_string(w[i:i+2], ' ')
-                  for i in range(1, len(w) - 1)])
-               WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
-               ELSE []
-             END AS s
-      FROM wt
-    ),
-    jac AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
-            / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)
-            >= {_PREP_JT}
-    ),
+    ex AS MATERIALIZED (SELECT q.* FROM q JOIN keepers USING (doc_id))"""
+
+
+def _cc_decontam_ctes(pairs_cte: str) -> str:
+    """Connected components over ``pairs_cte`` (columns id_a, id_b) →
+    min-id keeper survivors (`dd`) → decontamination (`cl`) — the
+    backend-independent tail of the prep chain (the survivor policy is
+    identical whichever matcher produced the pairs)."""
+    return f"""
     edges AS (
-      SELECT id_a AS a, id_b AS b FROM jac
-      UNION SELECT id_b, id_a FROM jac
+      SELECT id_a AS a, id_b AS b FROM {pairs_cte}
+      UNION SELECT id_b, id_a FROM {pairs_cte}
     ),
     reach AS (
       SELECT a AS node, a AS comp FROM edges
@@ -134,6 +119,37 @@ _PREP_CTES_THROUGH_CL = f"""
       SELECT * FROM dd
       WHERE doc_id NOT IN (SELECT doc_id FROM contam)
     )"""
+
+
+_PREP_CTES_THROUGH_CL = f"""
+    {_PREP_Q_EX_CTES},
+    wt AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               t -> t <> '') AS w
+      FROM ex
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             CASE
+               WHEN len(w) >= 3 THEN list_distinct(
+                 [array_to_string(w[i:i+2], ' ')
+                  for i in range(1, len(w) - 1)])
+               WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+               ELSE []
+             END AS s
+      FROM wt
+    ),
+    jac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)
+            >= {_PREP_JT}
+    ),
+    {_cc_decontam_ctes("jac")}"""
 
 _PREP_STAGES_ORACLE = f"""
     WITH RECURSIVE
@@ -550,12 +566,15 @@ _WIN_T = 0.5  # overlap-coefficient threshold
 # per-doc fingerprint set (`sel`) + per-doc sizes. Verbatim recompute
 # of operators/dedup.py::winnow_fingerprints — md5 is the one hash
 # both engines define identically, which is why it is the operator's
-# hash (see the operator docstring).
-_WINNOW_CTES = f"""
+# hash (see the operator docstring). Parameterized on the source CTE
+# so the composed prep gate can winnow the exact-dedup survivors
+# (`ex`) instead of the raw corpus.
+def _winnow_ctes(src: str = "documents") -> str:
+    return f"""
     n AS (
       SELECT doc_id,
              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-      FROM documents
+      FROM {src}
     ),
     g AS (
       SELECT doc_id, i, md5(substr(norm, i, {_WIN_K})) AS h
@@ -578,6 +597,9 @@ _WINNOW_CTES = f"""
     ),
     sizes AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id)
 """
+
+
+_WINNOW_CTES = _winnow_ctes()
 
 
 @_register(
@@ -885,4 +907,124 @@ def q_stream_incremental_prep(
     ]
     return spark.createDataFrame(
         rows, schema="stage_idx int, stage string, n_docs bigint"
+    ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# r10: the composed prep pipeline with the WINNOW near-dup backend
+# (VERDICT r9 #4). Unlike the LSH chain, every stage of this mode is
+# deterministic end to end — the winnow matcher's df-cap depends only
+# on (fingerprint, document frequency) — so the oracle recomputes the
+# full composition from first principles with NO candidate-rewrite
+# machinery (the parity sweep needs no engine-landed pre-filter here,
+# where the LSH gate's quadratic-Jaccard oracle does at sf0.1).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "prep_stage_counts_winnow",
+    f"""
+    WITH RECURSIVE
+    {_PREP_Q_EX_CTES},
+    {_winnow_ctes("ex")},
+    dfreq AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+    kept AS (
+      SELECT sel.doc_id, sel.fp FROM sel
+      JOIN dfreq USING (fp) WHERE df BETWEEN 2 AND {_WIN_CAP}
+    ),
+    wp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    wnd AS (
+      SELECT id_a, id_b FROM wp
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+            >= {_WIN_T}
+    ),
+    {_cc_decontam_ctes("wnd")}
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'quality_gate' AS stage,
+             (SELECT count(*) FROM documents) AS rows_in,
+             (SELECT count(*) FROM q) AS rows_out,
+             (SELECT count(*) FROM documents) - (SELECT count(*) FROM q)
+               AS dropped
+      UNION ALL SELECT 2, 'exact_dedup',
+             (SELECT count(*) FROM q), (SELECT count(*) FROM ex),
+             (SELECT count(*) FROM q) - (SELECT count(*) FROM ex)
+      UNION ALL SELECT 3, 'near_dedup_winnow',
+             (SELECT count(*) FROM ex), (SELECT count(*) FROM dd),
+             (SELECT count(*) FROM ex) - (SELECT count(*) FROM dd)
+      UNION ALL SELECT 4, 'decontaminate',
+             (SELECT count(*) FROM dd), (SELECT count(*) FROM cl),
+             (SELECT count(*) FROM dd) - (SELECT count(*) FROM cl)
+    ) ORDER BY stage_idx
+    """,
+    doc="The composed prep pipeline with near_dup_backend='winnow' "
+    "(VERDICT r9 #4): prep.py's quality_gate → exact_stage → "
+    "near_dup_stage(backend='winnow') → decontaminate run in "
+    "sequence and the per-stage audit is value-hashed against one "
+    "DuckDB statement recomputing the same four stages — including "
+    "the winnowed inverted-index matcher (k-gram md5 → window-min → "
+    "df-capped posting lists → overlap-coefficient pairs) and the "
+    "recursive-CTE connected components. This is the prep stack's "
+    "exactly-replayable mode: every stage is deterministic (the "
+    "df-cap depends only on fingerprint document frequency, never "
+    "partitioning), so the oracle is a pure full recompute with no "
+    "candidate-rewrite machinery, unlike the LSH gate at sweep "
+    "scale. Stages 5-7 (rebalance/chunk/pack) are backend-"
+    "independent code already composed under prep_stage_counts — "
+    "re-running them here would double ~5s of gate cost to re-gate "
+    "unchanged composition. Survivor policy (connected components → "
+    "min-id keeper) is shared with the LSH backend; "
+    "tests/test_prep.py pins backend equivalence on planted "
+    "near-dups. Scale: inherits winnow_near_dup's posture — "
+    "bucketed inverted index, sum(df²) pair cost, SHUFFLE_HASH "
+    "joins; the matcher's internal fingerprint persist is released "
+    "in the query's finally.",
+    parts=8,
+)
+def q_prep_stage_counts_winnow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yahoofinancedatalake_spark import prep  # noqa: PLC0415
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+
+    persisted: list = []
+
+    def _stage(frame):
+        persisted.append(frame.persist())
+        return persisted[-1]
+
+    try:
+        n_input = docs.count()
+        gated = _stage(prep.quality_gate(docs))
+        n_gate = gated.count()
+        exact = _stage(prep.exact_stage(gated))
+        n_exact = exact.count()
+        deduped = _stage(prep.near_dup_stage(exact, backend="winnow"))
+        n_dedup = deduped.count()
+        n_clean = prep.decontaminate(deduped, eval_set).count()
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+        # the winnow matcher persists its fingerprint table
+        # internally (cache=True, caller-owned release)
+        spark.catalog.clearCache()
+
+    stages = [
+        (1, "quality_gate", n_input, n_gate),
+        (2, "exact_dedup", n_gate, n_exact),
+        (3, "near_dedup_winnow", n_exact, n_dedup),
+        (4, "decontaminate", n_dedup, n_clean),
+    ]
+    rows = [(i, s, a, b, a - b) for i, s, a, b in stages]
+    return spark.createDataFrame(
+        rows,
+        schema="stage_idx int, stage string, rows_in bigint, "
+        "rows_out bigint, dropped bigint",
     ).orderBy("stage_idx")
