@@ -142,6 +142,30 @@ NEARDUP_OF = {
     ),
 }
 
+#: r10 (VERDICT r9 #5): corpus-scaled SemDeDup sweep. Exact-replica
+#: embeddings at factor f put every replica group (identical vectors,
+#: cosine 1.0) in one cluster, so within-cluster pair volume is the
+#: real near-dup volume — and with k = auto_semdedup_k(N) scaling
+#: with the corpus (the paper's posture; 334 at the 100× point vs the
+#: oracle-pinned k=8 of the gated query), cluster sizes stay ~600 and
+#: sum(cluster_size²) stays N·~600 instead of N²/8. The runner is
+#: semantic_dedup_scaled (FAISS-placement capped training +
+#: vectorized assignment — the fully-distributed SQL-replayable
+#: trainer's (comp ⋈ centroids) join would materialize N·dim·k =
+#: 4.3 B rows at 100×); stats (k, candidate volume, max cluster)
+#: derive from the per-cluster rollup the operator returns.
+SEMDEDUP_SCALED = "semantic_dedup_scaledk"
+
+
+def semdedup_scaled_query(spark, d):
+    from yahoofinancedatalake_spark.catalog import load_table  # noqa: PLC0415
+    from yahoofinancedatalake_spark.operators.similarity import (  # noqa: PLC0415
+        semantic_dedup_scaled,
+    )
+
+    emb = load_table(spark, d, "embeddings")
+    return semantic_dedup_scaled(emb)  # k=None → auto_semdedup_k(N)
+
 DEFAULT = [
     "mannwhitney_drift",
     "chi2_independence",
@@ -322,7 +346,11 @@ def main() -> int:
     workdir = tempfile.mkdtemp(prefix="scale_sweep_")
     results: dict = {}
     for qn in names:
-        if qn in NEARDUP_OF:
+        if qn == SEMDEDUP_SCALED:
+            real_q, table, id_col, salt, jitter = (
+                None, "embeddings", "vec_id", None, None,
+            )
+        elif qn in NEARDUP_OF:
             real_q, table, id_col, salt = NEARDUP_OF[qn]
             jitter = None
         else:
@@ -335,7 +363,10 @@ def main() -> int:
                 spark, sf_dir, table, factor, id_col, workdir, jitter,
                 text_salt=salt,
             )
-            if qn == "winnow_near_dup_neardup":
+            if qn == SEMDEDUP_SCALED:
+                def run(d=d):
+                    return semdedup_scaled_query(spark, d).collect()
+            elif qn == "winnow_near_dup_neardup":
                 def run(d=d, factor=factor):
                     return winnow_query_scaled(spark, d, factor).collect()
             else:
@@ -349,7 +380,18 @@ def main() -> int:
             t0 = time.time()
             rows = run()
             dt = round(time.time() - t0, 2)
-            if qn == "winnow_near_dup_neardup":
+            if qn == SEMDEDUP_SCALED:
+                sizes = [r["n_members"] for r in rows]
+                cell = {
+                    "sec": dt,
+                    "k": len(rows),
+                    "candidate_volume": sum(
+                        m * (m - 1) // 2 for m in sizes
+                    ),
+                    "max_cluster": max(sizes) if sizes else 0,
+                    "n_dups": sum(r["n_dups"] for r in rows),
+                }
+            elif qn == "winnow_near_dup_neardup":
                 cell = {
                     "sec": dt,
                     "pairs": len(rows),

@@ -1320,20 +1320,29 @@ def semantic_dedup(
     Returns one row per cluster:
     (cluster, n_members, n_dups, n_survivors, survivor_id_sum).
     """
-    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
-
     cent = kmeans_lloyd_rounds(
         vectors, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
     )
     assign = assign_to_centroids(
         vectors, cent, id_col=id_col, vec_col=vec_col
     )
+    clustered = vectors.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).join(assign, "vid")
+    return _cosine_dup_rollup(clustered, threshold)
+
+
+def _cosine_dup_rollup(clustered: DataFrame, threshold: float) -> DataFrame:
+    """The backend-independent second half of SemDeDup: within-cluster
+    exact-cosine pairs >= ``threshold`` → keep-first (smaller-id)
+    survivor rule → per-cluster rollup. ``clustered`` is
+    (vid, v array<double>, cluster); returns
+    (cluster, n_members, n_dups, n_survivors, survivor_id_sum)."""
+    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+
     clustered = (
-        vectors.select(
-            F.col(id_col).alias("vid"),
-            _as_double(F.col(vec_col)).alias("v"),
-        )
-        .join(assign, "vid")
+        clustered
         # norm once per MEMBER, not once per pair — the self-join
         # squares the row count, so per-pair norms would recompute
         # each vector's norm ~cluster_size times
@@ -1395,6 +1404,78 @@ def semantic_dedup(
     out = out.localCheckpoint(eager=True)
     clustered.unpersist()
     return out
+
+
+def auto_semdedup_k(n: int) -> int:
+    """SemDeDup's own posture for choosing k: scale it with the corpus
+    so cluster sizes stay bounded (~600 members here; the paper runs
+    k ≈ 11k on LAION so clusters stay ~1e4). At the sf0.1 gate scale
+    (2 000 embeddings) this yields 8 — exactly the oracle-pinned k of
+    the ``semantic_dedup`` query — so the scaled mode and the gated
+    mode coincide at the operating point the oracle replays."""
+    import math  # noqa: PLC0415
+
+    return max(8, math.ceil(n / 600))
+
+
+def semantic_dedup_scaled(
+    vectors: DataFrame,
+    k: int | None = None,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 16384,
+    iters: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """Corpus-scaled SemDeDup (VERDICT r9 #5) — the same operator as
+    :func:`semantic_dedup` with the clustering stage swapped to the
+    production-scale placement so ``k`` can grow with the corpus:
+
+    - ``k=None`` derives k from the corpus count via
+      :func:`auto_semdedup_k` (the paper's posture; a fixed k=8 at
+      100× the corpus makes every cluster 100× with quadratic
+      within-cluster pairs — the configuration the gated query's own
+      docstring rules out at scale).
+    - Training is the FAISS placement :func:`kmeans_centroids` (a
+      capped, deterministic smallest-ids sample fit driver-side —
+      FAISS trains IVF on ~max(10k, 39·k) points regardless of corpus
+      size), NOT the fully-distributed SQL-replayable
+      :func:`kmeans_lloyd_rounds`, whose per-round
+      (comp ⋈ centroids-on-pos) join materializes N·dim·k rows —
+      4.3 B at the 100× sweep point (k=334, dim=64).
+    - Assignment is the vectorized batch matmul
+      (:func:`_ivf_assign_udf` with n_probe=1): one Arrow batch in,
+      one argmax over the broadcast centroid matrix out.
+
+    The within-cluster exact-cosine keep-first stage and the rollup
+    are byte-identical to :func:`semantic_dedup`
+    (:func:`_cosine_dup_rollup`), so within-cluster pair cost stays
+    sum(cluster_size²) — bounded when k scales with N. Deterministic
+    (fixed seed/sample/iteration count + stable argsort ties) but not
+    SQL-oracle-replayable (numpy float ops); the oracle-gated mode
+    remains ``semantic_dedup`` at the pinned k. Output schema is the
+    same per-cluster rollup.
+    """
+    if k is None:
+        k = auto_semdedup_k(vectors.count())
+    sample = [
+        r["v"]
+        for r in vectors.select(
+            F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .orderBy("vid")
+        .limit(sample_cap)
+        .collect()
+    ]
+    cent = kmeans_centroids(sample, k=k, iters=iters, seed=seed)
+    assign = _ivf_assign_udf(cent, 1)
+    clustered = vectors.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("cluster", assign(F.col("v")).getItem(0))
+    return _cosine_dup_rollup(clustered, threshold)
 
 
 def mmr_rerank(
