@@ -1,0 +1,231 @@
+"""Training-data selection operator tests (operators/selection.py).
+
+Pins: the Kneser-Ney model is a proper conditional distribution
+(sum_w P(w|v) = 1 per context) and matches a pure-Python KN
+reference bigram-for-bigram; DSIR log-weights match a pure-Python
+reference; the hash-seeded Gumbel key equals the closed form from
+hashlib; and the resample is deterministic, k-sized, and enriched in
+target-like documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.operators.selection import (
+    DSIR_ALPHA,
+    KN_DISCOUNT,
+    N_BUCKET_HEX,
+    N_BUCKETS,
+    dsir_logweights,
+    dsir_resample,
+    gumbel_key,
+    kn_prob_table,
+    kneser_ney_scores,
+)
+
+
+def _dround(x: float, scale: int) -> float:
+    f = 10**scale
+    return math.floor(x * f + 0.5 + 1e-6) / f
+
+
+# two vocabularies: target-flavored (A) and raw-flavored (B)
+_A = "market stock price trade share index fund yield bond equity".split()
+_B = "weather rain cloud storm wind snow sun fog hail mist".split()
+
+
+def _doc(words, n, seed):
+    # deterministic pseudo-random word sequence from a seed
+    out = []
+    x = seed
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (2**31)
+        out.append(words[x % len(words)])
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 6 target docs (vocab A), 10 raw-only docs (vocab B), and 4
+    # non-target docs that LOOK like the target (vocab A) — DSIR
+    # should pull these in when selecting from the non-target pool.
+    for i in range(6):
+        rows.append((i, _doc(_A, 30, i + 1), True))
+    for i in range(6, 16):
+        rows.append((i, _doc(_B, 30, i + 1), False))
+    for i in range(16, 20):
+        rows.append((i, _doc(_A, 30, i + 1), False))
+    return spark.createDataFrame(
+        rows, "doc_id long, toks array<string>, is_t boolean"
+    )
+
+
+def _ref_kn_model(token_lists, d=KN_DISCOUNT):
+    bc: Counter = Counter()
+    for toks in token_lists:
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+    cv: Counter = Counter()
+    n1v: Counter = Counter()
+    n1w: Counter = Counter()
+    for (a, b), c in bc.items():
+        cv[a] += c
+        n1v[a] += 1
+        n1w[b] += 1
+    dtot = len(bc)
+    return {
+        (a, b): _dround(
+            math.log(
+                (max(c - d, 0.0) + d * n1v[a] * (n1w[b] / dtot)) / cv[a]
+            ),
+            6,
+        )
+        for (a, b), c in bc.items()
+    }
+
+
+def test_kn_probs_sum_to_one(spark, corpus):
+    model = kn_prob_table(corpus, "toks").collect()
+    by_ctx: dict = {}
+    for r in model:
+        by_ctx.setdefault(r["w1"], 0.0)
+        by_ctx[r["w1"]] += math.exp(r["lp"])
+    # interpolated KN is a proper conditional distribution over the
+    # OBSERVED continuation vocabulary plus the mass it reserves for
+    # unseen ones; scoring in-corpus means the observed sum is <= 1
+    # and approaches 1 as contexts saturate the vocab. Never above 1
+    # (that would be a broken distribution), never trivially small.
+    for ctx, s in by_ctx.items():
+        assert 0.2 < s <= 1.0 + 1e-4, (ctx, s)
+
+
+def test_kn_full_context_sums_to_one(spark):
+    # a corpus where every context precedes EVERY vocab word at least
+    # once → no reserved mass → each context's probabilities must sum
+    # to exactly 1 (the textbook normalization check)
+    vocab = ["a", "b", "c"]
+    seq = []
+    for v in vocab:
+        for w in vocab:
+            seq += [v, w]
+    df = spark.range(1).select(
+        F.lit(0).alias("doc_id"),
+        F.array(*[F.lit(t) for t in seq]).alias("toks"),
+    )
+    model = kn_prob_table(df, "toks").collect()
+    sums: dict = {}
+    for r in model:
+        sums.setdefault(r["w1"], 0.0)
+        sums[r["w1"]] += math.exp(r["lp"])
+    assert set(sums) == set(vocab)
+    for ctx in vocab:
+        assert abs(sums[ctx] - 1.0) < 1e-4, (ctx, sums[ctx])
+
+
+def test_kn_matches_python_reference(spark, corpus):
+    ref = _ref_kn_model(
+        [r["toks"] for r in corpus.select("toks").collect()]
+    )
+    got = {
+        (r["w1"], r["w2"]): r["lp"]
+        for r in kn_prob_table(corpus, "toks").collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-9, (k, got[k], ref[k])
+
+
+def test_kn_scores_shape(spark, corpus):
+    scores = kneser_ney_scores(corpus, "toks", "doc_id").collect()
+    assert len(scores) == 20
+    for r in scores:
+        assert r["n_bigrams"] == 29
+        # ppl = exp(-mean_logprob) within the dround(4) pin
+        assert abs(r["ppl"] - math.exp(-r["mean_logprob"])) < 1e-3
+
+
+def _ref_dsir_logw(rows):
+    rc: Counter = Counter()
+    tc: Counter = Counter()
+    per_doc: dict = {}
+    for doc_id, toks, is_t in rows:
+        grams = list(toks) + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        buckets = [
+            hashlib.md5(g.encode()).hexdigest()[:N_BUCKET_HEX]
+            for g in grams
+        ]
+        per_doc[doc_id] = buckets
+        for b in buckets:
+            rc[b] += 1
+            if is_t:
+                tc[b] += 1
+    rt, tt = sum(rc.values()), sum(tc.values())
+    llr = {
+        b: _dround(
+            math.log((tc[b] + DSIR_ALPHA) / (tt + DSIR_ALPHA * N_BUCKETS))
+            - math.log((rc[b] + DSIR_ALPHA) / (rt + DSIR_ALPHA * N_BUCKETS)),
+            6,
+        )
+        for b in rc
+    }
+    return {
+        doc_id: _dround(sum(llr[b] for b in buckets), 6)
+        for doc_id, buckets in per_doc.items()
+    }
+
+
+def test_dsir_logweights_match_reference(spark, corpus):
+    ref = _ref_dsir_logw(
+        [(r["doc_id"], r["toks"], r["is_t"]) for r in corpus.collect()]
+    )
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_logweights(corpus, "toks", "doc_id", "is_t").collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        # addends are dround(6)-pinned on both sides; the only slack
+        # is summation order in the final reduce
+        assert abs(got[k] - ref[k]) < 1e-6, (k, got[k], ref[k])
+
+
+def test_gumbel_key_matches_hashlib(spark):
+    ids = [0, 1, 42, 10**9]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", gumbel_key(F.col("doc_id")).alias("g")
+        ).collect()
+    }
+    for i in ids:
+        u = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5
+        ) / 2**32
+        assert abs(got[i] - (-math.log(-math.log(u)))) < 1e-9
+
+
+def test_dsir_resample_deterministic_and_enriched(spark, corpus):
+    w = dsir_logweights(corpus, "toks", "doc_id", "is_t")
+    pick = lambda: sorted(  # noqa: E731
+        r["doc_id"] for r in dsir_resample(w, "doc_id", 8).collect()
+    )
+    first = pick()
+    assert len(first) == 8
+    assert first == pick()  # hash-seeded noise → identical re-draws
+    # target-vocab docs (0-5 target + 16-19 target-like) must dominate
+    # the sample over the 10 raw-vocab docs
+    a_vocab = set(range(6)) | set(range(16, 20))
+    assert len([d for d in first if d in a_vocab]) >= 6
+    # the target-LIKE non-target docs are the point of DSIR: at least
+    # one of 16-19 is selected
+    assert any(d in range(16, 20) for d in first)

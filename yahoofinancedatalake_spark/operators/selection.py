@@ -1,0 +1,260 @@
+"""Training-data SELECTION operators — which documents to train on,
+as opposed to the dedup family's which documents are copies.
+
+Two published recipes, each expressed as a pure DataFrame plan over a
+token-array column (callers pass the pack's shared cross-engine
+tokenization so Spark and the DuckDB oracle split words identically):
+
+* **DSIR** — Data Selection via Importance Resampling (Xie et al.,
+  NeurIPS 2023): hashed-bag-of-n-gram features (unigrams + word
+  bigrams md5-hashed into ``N_BUCKETS`` buckets), a smoothed
+  target-vs-raw unigram model over the buckets, per-document log
+  importance weight ``sum_b c_b(x) * (log p_target(b) - log
+  p_raw(b))``, then Gumbel top-k — sampling without replacement
+  proportionally to the weights via ``log w + Gumbel`` keys. The
+  Gumbel noise here is *deterministic* (hash-seeded from the doc id),
+  so retries, both engines, and any partitioning draw the identical
+  sample.
+* **Kneser-Ney perplexity filtering** — the CCNet recipe (Wenzek et
+  al., LREC 2020) with its pretrained KenLM replaced by a bigram LM
+  trained ON the corpus itself with interpolated Kneser-Ney smoothing
+  (Kneser & Ney 1995; Chen & Goodman 1998) — the smoothing family
+  KenLM actually implements, one rung above the pack's add-one
+  ``bigram_logprob_quality``.
+
+Scale posture (both operators): every model table is
+vocabulary-bounded (hash buckets are capped at ``N_BUCKETS``; distinct
+bigrams ≪ corpus positions), so the smoothing arithmetic runs on
+vocab-sized frames and broadcasts; the only corpus-sized exchanges are
+the gram/bigram count aggregations and one gram→model equi-join.
+Reference parity: the reference engine has no data-selection surface
+(its pipeline stops at format/combine/predict — see
+scripts/processing/combine_sources.py); these extend the
+training-data tier the same way the dedup/ANN families do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yahoofinancedatalake_spark.functions.scalars import dround
+
+#: Hex prefix length of the md5 gram hash → 16^3 = 4096 feature
+#: buckets. The paper uses 10k buckets; 4096 keeps the bucket id a
+#: plain substring (cross-engine trivial) at the same order of
+#: magnitude.
+N_BUCKET_HEX = 3
+N_BUCKETS = 16**N_BUCKET_HEX
+
+#: Additive smoothing for both bucket models: p(b) = (c_b + ALPHA) /
+#: (total + ALPHA * N_BUCKETS). Keeps log-ratios finite on buckets the
+#: target corpus never hits.
+DSIR_ALPHA = 0.5
+
+#: Absolute discount for interpolated Kneser-Ney. 0.75 is the
+#: textbook fixed discount (Chen & Goodman's D = n1/(n1+2*n2) tuned
+#: value hovers around it on natural text).
+KN_DISCOUNT = 0.75
+
+
+def _const_key(c: Column) -> Column:
+    """Data-derived always-0 key for folding a 1-row total into a big
+    frame via an EQUI-join (BroadcastHashJoin) — a literal key would
+    constant-fold into the BroadcastNestedLoopJoin the plan suite
+    treats as a scale killer (same helper as the query registry's)."""
+    return F.pmod(F.xxhash64(c), F.lit(1)).cast("int")
+
+
+def hashed_gram_rows(
+    df: DataFrame, toks_col: str, id_col: str, *extra_cols: str
+) -> DataFrame:
+    """One row per unigram AND word-bigram occurrence, reduced to its
+    md5 hash bucket: ``(id, *extra, bucket)``.
+
+    The gram text never leaves the projection — only the 3-hex-char
+    bucket id survives, so the corpus-sized exchange downstream
+    carries ~4-byte keys, not document text.
+    """
+    keep = [id_col, *extra_cols]
+    uni = df.select(*keep, F.explode(toks_col).alias("g"))
+    bi = df.filter(F.size(toks_col) >= 2).select(
+        *keep,
+        F.explode(
+            F.zip_with(
+                F.slice(toks_col, 1, F.size(toks_col) - 1),
+                F.slice(toks_col, 2, F.size(toks_col) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("g"),
+    )
+    return uni.unionByName(bi).select(
+        *keep, F.substring(F.md5("g"), 1, N_BUCKET_HEX).alias("bucket")
+    )
+
+
+def dsir_logweights(
+    df: DataFrame, toks_col: str, id_col: str, target_col: str
+) -> DataFrame:
+    """Per-document DSIR log importance weight.
+
+    ``target_col`` is a boolean column marking the rows that define
+    the TARGET distribution (the high-quality corpus the selection
+    should imitate); the RAW distribution is the whole input. Returns
+    ``(id, n_grams, logw)`` where ``logw = sum over gram occurrences
+    of llr(bucket)`` and ``llr = log p_target - log p_raw`` under
+    ALPHA-smoothed bucket unigram models.
+
+    One grouped aggregation builds BOTH count tables (raw count, and
+    target count via a conditional sum) — a single corpus-sized
+    shuffle; the ≤N_BUCKETS-row model broadcasts back onto the gram
+    rows. Per-bucket llr is dround(6)-pinned once in the model table
+    so every engine sums identical doubles.
+    """
+    rows = hashed_gram_rows(df, toks_col, id_col, target_col)
+    counts = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col(target_col), 1).otherwise(0)).alias("tc"),
+    )
+    tot = counts.agg(
+        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
+    ).withColumn("__k", _const_key(F.col("rt")))
+    denom = F.lit(DSIR_ALPHA * N_BUCKETS)
+    llr = (
+        counts.withColumn("__k", _const_key(F.col("bucket")))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            "bucket",
+            dround(
+                F.log((F.col("tc") + DSIR_ALPHA) / (F.col("tt") + denom))
+                - F.log((F.col("rc") + DSIR_ALPHA) / (F.col("rt") + denom)),
+                6,
+            ).alias("llr"),
+        )
+    )
+    return (
+        rows.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dround(F.sum("llr"), 6).alias("logw"),
+        )
+    )
+
+
+def gumbel_key(id_col: Column) -> Column:
+    """Deterministic standard-Gumbel draw seeded by the id: u =
+    (first 8 md5 hex chars as uint32 + 0.5) / 2^32 ∈ (0,1), g =
+    -ln(-ln u). Hash-seeded instead of rand() so retries, engines,
+    and re-partitioning reproduce the identical noise — the same
+    reproducibility contract as the pack's md5 split/sample gates."""
+    u = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    weights: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Gumbel top-k over the log-weights: adding i.i.d. Gumbel noise
+    to ``log w`` and taking the k largest keys is an exact sample of
+    k items without replacement with probabilities ∝ w (the Gumbel
+    top-k trick the DSIR paper uses). The key is dround(6)-pinned and
+    ties break on the id, so the selected SET is deterministic.
+    Plans as TakeOrderedAndProject — a distributed per-partition
+    top-k reduce, never a global sort."""
+    keyed = weights.withColumn(
+        "gkey", dround(F.col("logw") + gumbel_key(F.col(id_col)), 6)
+    )
+    return keyed.orderBy(F.desc("gkey"), id_col).limit(k)
+
+
+def kn_prob_table(
+    df: DataFrame, toks_col: str, *, discount: float = KN_DISCOUNT
+) -> DataFrame:
+    """Train an interpolated Kneser-Ney bigram LM on the corpus:
+    returns the model as ``(w1, w2, lp)`` over every SEEN bigram type,
+
+        P(w2|w1) = (max(c(w1,w2) - D, 0)
+                    + D * N1+(w1,·) * Pcont(w2)) / c(w1,·)
+        Pcont(w2) = N1+(·,w2) / |distinct bigram types|
+
+    — continuation probability from how many distinct contexts a word
+    follows, not how often it occurs (the insight that separates KN
+    from add-k: "Francisco" is frequent but follows almost nothing
+    but "San"). All four statistics derive from the single bigram
+    count table, so the model build is vocabulary-sized end to end;
+    ``lp = dround(ln P, 6)`` is pinned here once so scoring engines
+    sum identical doubles."""
+    base = df.filter(F.size(toks_col) >= 2)
+    bg = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks_col, 1, F.size(toks_col) - 1),
+                F.slice(toks_col, 2, F.size(toks_col) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("x")
+    ).select("x.w1", "x.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1v")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1w"))
+    dtot = bc.agg(F.count(F.lit(1)).alias("dtot")).withColumn(
+        "__k", _const_key(F.col("dtot"))
+    )
+    cont_d = (
+        cont.withColumn("__k", _const_key(F.col("w2")))
+        .join(F.broadcast(dtot), "__k")
+        .drop("__k")
+    )
+    d = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c") - d, F.lit(0.0))
+        + d * F.col("n1v") * (F.col("n1w") / F.col("dtot"))
+    ) / F.col("cv")
+    return (
+        bc.join(ctx, "w1")
+        .join(cont_d, "w2")
+        .select("w1", "w2", dround(F.log(p), 6).alias("lp"))
+    )
+
+
+def kneser_ney_scores(
+    df: DataFrame,
+    toks_col: str,
+    id_col: str,
+    *,
+    discount: float = KN_DISCOUNT,
+) -> DataFrame:
+    """Per-document Kneser-Ney quality score: mean ln P(w_i|w_{i-1})
+    under :func:`kn_prob_table` plus the perplexity ``exp(-mean)`` —
+    the CCNet filter statistic (cull the high-perplexity tail).
+    Scoring the training corpus itself means every bigram is in-model,
+    so P > 0 without an OOV backoff path. The corpus joins the
+    bigram-type-keyed model ONCE; at 100 TB that model is
+    vocab²-bounded — broadcastable or bucketed — and the probability
+    arithmetic never touches a corpus-sized frame."""
+    model = kn_prob_table(df, toks_col, discount=discount)
+    base = df.filter(F.size(toks_col) >= 2)
+    bg = base.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(toks_col, 1, F.size(toks_col) - 1),
+                F.slice(toks_col, 2, F.size(toks_col) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("x"),
+    ).select(id_col, "x.w1", "x.w2")
+    scored = bg.join(model, ["w1", "w2"])
+    mean_lp = dround(F.sum("lp"), 6) / F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        mean_lp.alias("mean_logprob"),
+        dround(F.exp(-mean_lp), 4).alias("ppl"),
+    )

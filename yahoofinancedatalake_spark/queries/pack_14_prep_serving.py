@@ -14,6 +14,8 @@ pack.py — new queries go at the END of this module):
 - ``winnow_fast_accuracy`` (r9)
 - ``stream_incremental_prep_batch_eq`` (r9, streaming rung 12)
 - ``prep_stage_counts_winnow`` (r10, winnow near-dup backend gate)
+- ``dsir_select`` (r10, DSIR importance resampling)
+- ``kneser_ney_quality`` (r10, interpolated-KN perplexity filter)
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ from yahoofinancedatalake_spark.queries.pack_07_training_prep import (
     _CONTAM_N,
     _PACK_BUDGET,
     _WORD_TOKS_SQL,
+    _word_toks,
 )
 from yahoofinancedatalake_spark.prep import (
     JACCARD_THRESHOLD as _PREP_JT,
@@ -1028,3 +1031,154 @@ def q_prep_stage_counts_winnow(
         schema="stage_idx int, stage string, rows_in bigint, "
         "rows_out bigint, dropped bigint",
     ).orderBy("stage_idx")
+
+
+# ---------------------------------------------------------------------------
+# r10: the training-data SELECTION tier — which docs to train on, not
+# just which are copies. Operators live in operators/selection.py;
+# both are production-shaped (operator tier, not gates).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dsir_select",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, is_t, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, is_t,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), b AS (
+      SELECT doc_id, is_t, substr(md5(g), 1, 3) AS bucket FROM grams
+    ), counts AS (
+      SELECT bucket, count(*) AS rc,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+      FROM b GROUP BY bucket
+    ), tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM counts
+    ), llr AS (
+      SELECT bucket,
+             {sql_dround(
+                 "ln((tc + 0.5) / (tt + 2048.0))"
+                 " - ln((rc + 0.5) / (rt + 2048.0))", 6)} AS llr
+      FROM counts CROSS JOIN tot
+    ), w AS (
+      SELECT doc_id, count(*) AS n_grams,
+             {sql_dround("sum(llr)", 6)} AS logw
+      FROM b JOIN llr USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, logw,
+           {sql_dround(
+               "logw - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR),"
+               " 1, 8))::BIGINT + 0.5) / 4294967296.0))", 6)} AS gkey
+    FROM w
+    ORDER BY gkey DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Training-data op: DSIR importance resampling (Xie et al., "
+    "NeurIPS 2023) — select the 100 raw docs that look most like "
+    "the target corpus (here: the 'en' slice), probabilistically. "
+    "Uni+bigram features md5-hash into 4096 buckets (the paper's "
+    "hashed-n-gram model at 10k buckets, same order), a smoothed "
+    "target-vs-raw bucket model scores each doc with logw = sum "
+    "c_b * (ln p_target(b) - ln p_raw(b)), and Gumbel top-k draws "
+    "k=100 WITHOUT replacement with probability proportional to the "
+    "weights — the Gumbel noise is hash-seeded from doc_id (same "
+    "reproducibility contract as the md5 split/sample gates), so "
+    "the sampled SET is identical across engines, retries, and "
+    "partitionings. Per-bucket llr is dround(6)-pinned once in the "
+    "4096-row model table. Scale: ONE corpus-sized count shuffle "
+    "builds both distributions (target count is a conditional sum "
+    "in the same agg), the model broadcasts back onto the gram "
+    "rows, and the top-k plans as TakeOrderedAndProject — per-"
+    "partition reduce, never a global sort. Beyond-reference "
+    "surface: the reference pipeline has no data-selection tier.",
+    parts=8,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        dsir_logweights,
+        dsir_resample,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("toks"),
+    )
+    w = dsir_logweights(base, "toks", "doc_id", "is_t")
+    return dsir_resample(w, "doc_id", 100).orderBy(
+        F.desc("gkey"), "doc_id"
+    )
+
+
+@_register(
+    "kneser_ney_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, t FROM toks WHERE len(t) >= 2
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1), i -> t[i + 1])) AS w2
+      FROM base
+    ), bc AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, sum(c) AS cv, count(*) AS n1v FROM bc GROUP BY 1
+    ), cont AS (
+      SELECT w2, count(*) AS n1w FROM bc GROUP BY 1
+    ), dt AS (SELECT count(*) AS dtot FROM bc
+    ), model AS (
+      SELECT bc.w1, bc.w2,
+             {sql_dround(
+                 "ln((greatest(c - 0.75, 0)"
+                 " + 0.75 * n1v * (n1w / CAST(dtot AS DOUBLE))) / cv)",
+                 6)} AS lp
+      FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN dt
+    ), scored AS (
+      SELECT bg.doc_id, model.lp FROM bg JOIN model USING (w1, w2)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           {sql_dround("sum(lp)", 6)} / count(*) AS mean_logprob,
+           {sql_dround(
+               "exp(-(" + sql_dround("sum(lp)", 6)
+               + " / count(*)))", 4)} AS ppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Training-data op: Kneser-Ney perplexity filtering — the "
+    "CCNet recipe (Wenzek et al. 2020) with the pretrained KenLM "
+    "replaced by a bigram LM trained ON the corpus with "
+    "interpolated Kneser-Ney smoothing (Kneser & Ney 1995; Chen & "
+    "Goodman 1998), the smoothing family KenLM actually implements "
+    "— one rung above bigram_logprob_quality's add-one: P(w|v) = "
+    "(max(c(v,w)-D,0) + D*N1+(v,.)*Pcont(w))/c(v,.), Pcont from "
+    "how many distinct contexts a word follows (the 'Francisco' "
+    "insight). Emits per-doc mean ln P and perplexity exp(-mean) — "
+    "cull the high-ppl tail. Per-bigram lp is dround(6)-pinned once "
+    "in the model table. Scale: the model build (4 statistics, all "
+    "from one bigram count table) is vocabulary-bounded; the corpus "
+    "joins the bigram-type-keyed model exactly once, and the only "
+    "corpus-sized exchanges are the bigram count agg and that join. "
+    "Property tests pin sum_w P(w|v) = 1 per context and agreement "
+    "with a pure-Python KN reference.",
+    parts=8,
+)
+def q_kneser_ney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        kneser_ney_scores,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", _word_toks().alias("toks"))
+    return kneser_ney_scores(base, "toks", "doc_id").orderBy("doc_id")
