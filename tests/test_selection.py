@@ -229,3 +229,21 @@ def test_dsir_resample_deterministic_and_enriched(spark, corpus):
     # the target-LIKE non-target docs are the point of DSIR: at least
     # one of 16-19 is selected
     assert any(d in range(16, 20) for d in first)
+
+
+def test_dsir_score_unseen_bucket_backoff(spark, corpus):
+    from yahoofinancedatalake_spark.operators.selection import (
+        dsir_model,
+        dsir_score,
+    )
+
+    model = dsir_model(corpus, "toks", "is_t")
+    dflt = model.select("dflt").first()["dflt"]
+    # a doc whose grams the training corpus has never seen: every
+    # bucket misses the model and logw must be n_grams * dflt
+    probe = spark.createDataFrame(
+        [(99, ["zzq1", "zzq2", "zzq3"])], "doc_id long, toks array<string>"
+    )
+    row = dsir_score(probe, "toks", "doc_id", model).first()
+    assert row["n_grams"] == 5  # 3 unigrams + 2 bigrams
+    assert abs(row["logw"] - 5 * dflt) < 1e-6

@@ -93,25 +93,28 @@ def hashed_gram_rows(
     )
 
 
-def dsir_logweights(
-    df: DataFrame, toks_col: str, id_col: str, target_col: str
+def dsir_model(
+    df: DataFrame, toks_col: str, target_col: str
 ) -> DataFrame:
-    """Per-document DSIR log importance weight.
+    """Train the DSIR bucket model: ``(bucket, llr, dflt)`` over every
+    bucket seen in the training corpus.
 
     ``target_col`` is a boolean column marking the rows that define
     the TARGET distribution (the high-quality corpus the selection
-    should imitate); the RAW distribution is the whole input. Returns
-    ``(id, n_grams, logw)`` where ``logw = sum over gram occurrences
-    of llr(bucket)`` and ``llr = log p_target - log p_raw`` under
-    ALPHA-smoothed bucket unigram models.
+    should imitate); the RAW distribution is the whole input; ``llr =
+    log p_target(b) - log p_raw(b)`` under ALPHA-smoothed bucket
+    unigram models. ``dflt`` (constant across rows) is the llr an
+    UNSEEN bucket gets under the same smoothing — both models back
+    off to their alpha mass — so a frozen model can score documents
+    that arrive later (the streaming-delivery shape).
 
     One grouped aggregation builds BOTH count tables (raw count, and
     target count via a conditional sum) — a single corpus-sized
-    shuffle; the ≤N_BUCKETS-row model broadcasts back onto the gram
-    rows. Per-bucket llr is dround(6)-pinned once in the model table
-    so every engine sums identical doubles.
+    shuffle; everything after is ≤N_BUCKETS rows. llr/dflt are
+    dround(6)-pinned here once so every scoring engine sums identical
+    doubles.
     """
-    rows = hashed_gram_rows(df, toks_col, id_col, target_col)
+    rows = hashed_gram_rows(df, toks_col, target_col)
     counts = rows.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("rc"),
         F.sum(F.when(F.col(target_col), 1).otherwise(0)).alias("tc"),
@@ -120,7 +123,7 @@ def dsir_logweights(
         F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
     ).withColumn("__k", _const_key(F.col("rt")))
     denom = F.lit(DSIR_ALPHA * N_BUCKETS)
-    llr = (
+    return (
         counts.withColumn("__k", _const_key(F.col("bucket")))
         .join(F.broadcast(tot), "__k")
         .select(
@@ -130,15 +133,53 @@ def dsir_logweights(
                 - F.log((F.col("rc") + DSIR_ALPHA) / (F.col("rt") + denom)),
                 6,
             ).alias("llr"),
+            dround(
+                F.log(F.lit(DSIR_ALPHA) / (F.col("tt") + denom))
+                - F.log(F.lit(DSIR_ALPHA) / (F.col("rt") + denom)),
+                6,
+            ).alias("dflt"),
         )
     )
-    return (
-        rows.join(F.broadcast(llr), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            dround(F.sum("llr"), 6).alias("logw"),
-        )
+
+
+def dsir_score(
+    df: DataFrame, toks_col: str, id_col: str, model: DataFrame
+) -> DataFrame:
+    """Score documents against a (possibly frozen) DSIR model:
+    ``(id, n_grams, logw)`` with ``logw = sum over gram occurrences
+    of llr(bucket)``, unseen buckets falling back to the model's
+    ``dflt``. The ≤N_BUCKETS-row model broadcasts onto the gram rows
+    (one 1-row broadcast for the default, one left join for the seen
+    buckets) — scoring never shuffles anything but the per-doc agg."""
+    rows = hashed_gram_rows(df, toks_col, id_col)
+    dflt = model.agg(F.min("dflt").alias("dflt")).withColumn(
+        "__k", _const_key(F.col("dflt"))
+    )
+    rows_d = (
+        rows.withColumn("__k", _const_key(F.col("bucket")))
+        .join(F.broadcast(dflt), "__k")
+        .drop("__k")
+    )
+    scored = rows_d.join(
+        F.broadcast(model.select("bucket", "llr")), "bucket", "left"
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        dround(
+            F.sum(F.coalesce(F.col("llr"), F.col("dflt"))), 6
+        ).alias("logw"),
+    )
+
+
+def dsir_logweights(
+    df: DataFrame, toks_col: str, id_col: str, target_col: str
+) -> DataFrame:
+    """Per-document DSIR log importance weight of the corpus under
+    its OWN model — :func:`dsir_model` trained on ``df`` then
+    :func:`dsir_score` of ``df`` (self-scoring only ever hits seen
+    buckets, so the ``dflt`` backoff is inert here)."""
+    return dsir_score(
+        df, toks_col, id_col, dsir_model(df, toks_col, target_col)
     )
 
 

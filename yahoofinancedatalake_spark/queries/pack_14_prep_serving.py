@@ -16,6 +16,8 @@ pack.py — new queries go at the END of this module):
 - ``prep_stage_counts_winnow`` (r10, winnow near-dup backend gate)
 - ``dsir_select`` (r10, DSIR importance resampling)
 - ``kneser_ney_quality`` (r10, interpolated-KN perplexity filter)
+- ``stream_dsir_score_batch_eq`` (r10, streaming rung 13 — online
+  selection scoring against a frozen seed-trained model)
 """
 
 from __future__ import annotations
@@ -1182,3 +1184,152 @@ def q_kneser_ney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     base = docs.select("doc_id", _word_toks().alias("toks"))
     return kneser_ney_scores(base, "toks", "doc_id").orderBy("doc_id")
+
+
+_GRAMS_SQL = """
+      SELECT doc_id, is_t, unnest(t) AS g FROM {src}
+      UNION ALL
+      SELECT doc_id, is_t,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM {src} WHERE len(t) >= 2"""
+
+
+@_register(
+    "stream_dsir_score_batch_eq",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), n AS (SELECT count(*) AS n FROM d
+    ), thr AS (
+      SELECT doc_id AS p60 FROM d ORDER BY doc_id
+      OFFSET (SELECT CAST(floor(n * 0.6) AS BIGINT) FROM n) LIMIT 1
+    ), seed AS (
+      SELECT * FROM d WHERE doc_id < (SELECT p60 FROM thr)
+    ), inc AS (
+      SELECT * FROM d WHERE doc_id >= (SELECT p60 FROM thr)
+    ), sg AS ({_GRAMS_SQL.format(src="seed")}
+    ), counts AS (
+      SELECT substr(md5(g), 1, 3) AS bucket, count(*) AS rc,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+      FROM sg GROUP BY 1
+    ), tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM counts
+    ), llr AS (
+      SELECT bucket,
+             {sql_dround(
+                 "ln((tc + 0.5) / (tt + 2048.0))"
+                 " - ln((rc + 0.5) / (rt + 2048.0))", 6)} AS llr
+      FROM counts CROSS JOIN tot
+    ), dflt AS (
+      SELECT {sql_dround(
+          "ln(0.5 / (tt + 2048.0)) - ln(0.5 / (rt + 2048.0))", 6)}
+          AS dflt
+      FROM tot
+    ), ig AS ({_GRAMS_SQL.format(src="inc")}
+    ), ib AS (
+      SELECT doc_id, substr(md5(g), 1, 3) AS bucket FROM ig
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           {sql_dround(
+               "sum(coalesce(llr, (SELECT dflt FROM dflt)))", 6)}
+           AS logw
+    FROM ib LEFT JOIN llr USING (bucket)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Streaming rung 13 — ONLINE data selection: the DSIR bucket "
+    "model trains once on the seed corpus (first 60% by doc_id; "
+    "target = the 'en' slice) and is FROZEN, then two id-ordered "
+    "increments land as parquet files drained by separate "
+    "availableNow runs sharing one checkpoint, with foreachBatch "
+    "scoring each arriving doc against the frozen broadcast model — "
+    "the production shape for selection: train offline, score the "
+    "firehose online. Unseen buckets (grams the seed never hashed) "
+    "fall back to the model's dflt llr — both smoothed models back "
+    "off to their alpha mass — and that backoff path is exactly "
+    "what this rung gates: the streamed per-doc (n_grams, logw) "
+    "rows must hash-match a full DuckDB recompute of seed-model + "
+    "increment-scoring. A dropped/duplicated micro-batch, a "
+    "model-freshness leak (batch 2 re-training on batch 1's docs), "
+    "or a broken backoff all break the hash. Scale: scoring is two "
+    "broadcast joins + one per-doc agg per micro-batch; the model "
+    "is ≤4096 rows and persists across batches. Gate cost: stream "
+    "checkpoint and landed files live under a tempdir, removed "
+    "after; the model persist is released in the finally.",
+    parts=8,
+)
+def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        dsir_model,
+        dsir_score,
+    )
+    from yahoofinancedatalake_spark.queries._registry import (  # noqa: PLC0415
+        _await_stream,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("toks"),
+    )
+    n = base.count()
+    p60 = (
+        base.select("doc_id")
+        .orderBy("doc_id")
+        .offset(int(n * 0.6))
+        .limit(1)
+        .collect()[0][0]
+    )
+    seed = base.filter(F.col("doc_id") < p60)
+    # two id-ordered increments: a 50/50 split of the tail, so the
+    # second availableNow run must score docs the first never saw
+    incs = [
+        base.filter(
+            (F.col("doc_id") >= p60) & (F.col("doc_id") % 2 == 0)
+        ),
+        base.filter(
+            (F.col("doc_id") >= p60) & (F.col("doc_id") % 2 == 1)
+        ),
+    ]
+
+    root = tempfile.mkdtemp(prefix="stream_dsir_")
+    indir = f"{root}/incoming"
+    outdir = f"{root}/scored"
+    ckpt = f"{root}/ckpt"
+    os.makedirs(indir)
+    model = dsir_model(seed, "toks", "is_t").persist()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dsir_score(batch_df, "toks", "doc_id", model).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    try:
+        model.count()  # materialize BEFORE any increment lands
+        for inc in incs:
+            inc.coalesce(1).write.mode("append").parquet(indir)
+            q = (
+                spark.readStream.schema(base.schema)
+                .parquet(indir)
+                .writeStream.foreachBatch(_process)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q)
+        rows = spark.read.parquet(outdir).collect()
+    finally:
+        model.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        rows, schema="doc_id bigint, n_grams bigint, logw double"
+    ).orderBy("doc_id")
