@@ -247,3 +247,131 @@ def test_dsir_score_unseen_bucket_backoff(spark, corpus):
     row = dsir_score(probe, "toks", "doc_id", model).first()
     assert row["n_grams"] == 5  # 3 unigrams + 2 bigrams
     assert abs(row["logw"] - 5 * dflt) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# r10 second wave: UniMax waterfilling + DSIR ESS diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _ref_unimax(caps, budget):
+    """The UniMax paper's sequential waterfilling loop (cap-ascending):
+    each group takes min(cap, remaining budget split evenly among the
+    groups not yet served)."""
+    order = sorted(range(len(caps)), key=lambda i: caps[i])
+    alloc = [0.0] * len(caps)
+    left = float(budget)
+    for pos, i in enumerate(order):
+        share = left / (len(caps) - pos)
+        alloc[i] = min(caps[i], share)
+        left -= alloc[i]
+    return alloc
+
+
+@pytest.mark.parametrize(
+    "toks,budget_factor,epoch_cap",
+    [
+        # mixed: small groups cap, the big one takes the level
+        ([100, 120, 150, 800], 1.6, 2.0),
+        # none capped: budget small, uniform split everywhere
+        ([100, 120, 150, 800], 0.3, 2.0),
+        # all capped: budget exceeds sum of caps
+        ([100, 120, 150, 800], 3.0, 2.0),
+        # degenerate single group
+        ([500], 1.5, 2.0),
+        # exact ties on cap (tiebreak on group id)
+        ([200, 200, 200], 1.0, 2.0),
+    ],
+)
+def test_unimax_matches_sequential_reference(
+    spark, toks, budget_factor, epoch_cap
+):
+    from yahoofinancedatalake_spark.operators.selection import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i}", n) for i, n in enumerate(toks)],
+        "grp string, n_toks long",
+    )
+    got = {
+        r["grp"]: r
+        for r in unimax_allocation(
+            df, "grp", budget_factor=budget_factor, epoch_cap=epoch_cap
+        ).collect()
+    }
+    budget = math.floor(budget_factor * sum(toks))
+    caps = [epoch_cap * n for n in toks]
+    ref = _ref_unimax(caps, budget)
+    for i, n in enumerate(toks):
+        r = got[f"g{i}"]
+        assert r["cap"] == _dround(caps[i], 4)
+        assert abs(r["alloc"] - ref[i]) < 1e-6, (i, r["alloc"], ref[i])
+        # epochs is dround(6)-pinned → within the rounding half-bin
+        assert abs(r["epochs"] - ref[i] / n) <= 5.1e-7
+    # allocations exhaust min(budget, sum of caps)
+    assert abs(
+        sum(r["alloc"] for r in got.values())
+        - min(budget, sum(caps))
+    ) < 1e-6
+
+
+def test_unimax_caps_bound_epochs(spark):
+    from yahoofinancedatalake_spark.operators.selection import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 1000)], "grp string, n_toks long"
+    )
+    rows = {
+        r["grp"]: r
+        for r in unimax_allocation(
+            df, "grp", budget_factor=1.6, epoch_cap=2.0
+        ).collect()
+    }
+    # the tiny group is capped at exactly 2 epochs, never flooded
+    # to the uniform share (which would be ~80 epochs of its data)
+    assert rows["a"]["epochs"] == pytest.approx(2.0, abs=1e-9)
+    assert rows["b"]["epochs"] < 2.0
+
+
+def test_dsir_ess_uniform_weights_is_n(spark):
+    from yahoofinancedatalake_spark.operators.selection import dsir_ess
+
+    w = spark.createDataFrame(
+        [(i, 0.5) for i in range(40)], "doc_id long, logw double"
+    )
+    row = dsir_ess(w).collect()[0]
+    assert row["n_docs"] == 40
+    assert row["ess"] == pytest.approx(40.0, abs=1e-3)
+    assert row["ess_frac"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_dsir_ess_degenerate_weights_near_one(spark):
+    from yahoofinancedatalake_spark.operators.selection import dsir_ess
+
+    rows = [(0, 50.0)] + [(i, 0.0) for i in range(1, 30)]
+    row = dsir_ess(
+        spark.createDataFrame(rows, "doc_id long, logw double")
+    ).collect()[0]
+    # one doc carries all the weight: ESS collapses to ~1
+    assert row["ess"] == pytest.approx(1.0, abs=1e-3)
+    assert row["max_logw"] == 50.0
+
+
+def test_dsir_ess_matches_reference(spark, corpus):
+    from yahoofinancedatalake_spark.operators.selection import (
+        dsir_ess,
+        dsir_logweights,
+    )
+
+    w = dsir_logweights(corpus, "toks", "doc_id", "is_t")
+    logws = [r["logw"] for r in w.collect()]
+    m = max(logws)
+    e = [math.exp(x - m) for x in logws]
+    ref = sum(e) ** 2 / sum(x * x for x in e)
+    row = dsir_ess(w).collect()[0]
+    assert row["n_docs"] == len(logws)
+    assert row["ess"] == pytest.approx(ref, abs=1e-3)
+    assert row["ess_frac"] == pytest.approx(ref / len(logws), abs=1e-6)

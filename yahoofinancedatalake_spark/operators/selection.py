@@ -35,7 +35,7 @@ training-data tier the same way the dedup/ANN families do.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from yahoofinancedatalake_spark.functions.scalars import dround
@@ -298,4 +298,107 @@ def kneser_ney_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         mean_lp.alias("mean_logprob"),
         dround(F.exp(-mean_lp), 4).alias("ppl"),
+    )
+
+
+def dsir_ess(weights: DataFrame) -> DataFrame:
+    """Effective sample size of a DSIR importance-weight table —
+    the standard resampling diagnostic (Kong 1992; the quantity the
+    DSIR paper's resampling step implicitly depends on):
+
+        ESS = (sum_i w_i)^2 / sum_i w_i^2,   w_i = exp(logw_i)
+
+    computed in the max-shifted form ``w'_i = exp(logw_i - max
+    logw)`` (ESS is scale-invariant, and the shift keeps every
+    exponent <= 0 so no overflow at any corpus size). Returns ONE
+    row ``(n_docs, max_logw, ess, ess_frac)`` — ``ess_frac = ESS/n``
+    near 1 means the target and raw distributions agree (resampling
+    changes little); near 1/n means a handful of docs carry all the
+    weight (the selection is degenerate and k should shrink).
+
+    Scale: two corpus-sized aggregations (the max, then the shifted
+    sums) joined through a 1-row broadcast — nothing wider than the
+    weight table itself ever shuffles. ``logw`` is dround(6)-pinned
+    upstream, so both engines exponentiate identical doubles; the
+    outputs are re-pinned here (sum-order ulp noise is ~1e-14
+    relative, far inside the rounding bin)."""
+    mx = weights.agg(F.max("logw").alias("max_logw")).withColumn(
+        "__k", _const_key(F.col("max_logw"))
+    )
+    shifted = (
+        weights.withColumn("__k", _const_key(F.col("logw")))
+        .join(F.broadcast(mx), "__k")
+        .withColumn("w", F.exp(F.col("logw") - F.col("max_logw")))
+    )
+    s = shifted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first("max_logw").alias("max_logw"),
+        F.sum("w").alias("s1"),
+        F.sum(F.col("w") * F.col("w")).alias("s2"),
+    )
+    ess = (F.col("s1") * F.col("s1")) / F.col("s2")
+    return s.select(
+        "n_docs",
+        "max_logw",
+        dround(ess, 4).alias("ess"),
+        dround(ess / F.col("n_docs"), 6).alias("ess_frac"),
+    )
+
+
+def unimax_allocation(
+    token_counts: DataFrame,
+    group_col: str,
+    *,
+    budget_factor: float = 1.6,
+    epoch_cap: float = 2.0,
+) -> DataFrame:
+    """UniMax budget-constrained mixture weights (Chung et al., ICLR
+    2023): spread a total training-token budget UNIFORMLY across
+    groups (languages/sources), capping each group at ``epoch_cap``
+    epochs of its own data — the paper's alternative to
+    temperature sampling that provably bounds repetition of
+    low-resource groups. Input: ``(group, n_toks)`` per group; budget
+    = floor(budget_factor * total tokens).
+
+    The paper's sequential waterfilling loop has a closed form over
+    the cap-ascending order: with caps c_(1) <= ... <= c_(n) and
+    prefix sums, the water level is
+
+        L = max_i (B - sum_{j<i} c_(j)) / (n - i + 1)
+
+    and ``alloc_i = min(c_i, L)`` (each candidate level assumes
+    groups before position i are capped; the max picks the
+    consistent one — verified against the sequential reference in
+    tests across capped/uncapped/all-capped corners). Emits
+    ``(group, n_toks, cap, alloc, epochs)``.
+
+    Scale: the input is ONE group-level aggregate (map-side partial
+    over the corpus); everything after is an n_groups-row frame, so
+    the single-partition window is driver-scale by construction —
+    the same shape as every mixture-weight table in production
+    (UniMax's own table is ~100 languages)."""
+    tot = token_counts.agg(
+        F.sum("n_toks").alias("tt"), F.count(F.lit(1)).alias("ng")
+    ).withColumn("__k", _const_key(F.col("tt")))
+    g = (
+        token_counts.withColumn("__k", _const_key(F.col(group_col)))
+        .join(F.broadcast(tot), "__k")
+        .drop("__k")
+        .withColumn("budget", F.floor(F.lit(budget_factor) * F.col("tt")))
+        .withColumn("cap", F.lit(epoch_cap) * F.col("n_toks"))
+    )
+    w = Window.orderBy("cap", group_col)
+    lvl = (
+        F.col("budget")
+        - (F.sum("cap").over(w) - F.col("cap"))
+    ) / (F.col("ng") - F.row_number().over(w) + 1)
+    keyed = g.withColumn("lvl", lvl)
+    wall = Window.partitionBy()
+    alloc = F.least(F.col("cap"), F.max("lvl").over(wall))
+    return keyed.select(
+        F.col(group_col),
+        "n_toks",
+        dround(F.col("cap"), 4).alias("cap"),
+        dround(alloc, 4).alias("alloc"),
+        dround(alloc / F.col("n_toks"), 6).alias("epochs"),
     )

@@ -18,6 +18,9 @@ pack.py — new queries go at the END of this module):
 - ``kneser_ney_quality`` (r10, interpolated-KN perplexity filter)
 - ``stream_dsir_score_batch_eq`` (r10, streaming rung 13 — online
   selection scoring against a frozen seed-trained model)
+- ``gopher_quality_rules`` (r10, Gopher rule-based quality filter)
+- ``unimax_mixture`` (r10, UniMax budget-constrained mixture)
+- ``dsir_ess`` (r10, DSIR effective-sample-size diagnostic)
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from yahoofinancedatalake_spark.catalog import fan_out, load_table
-from yahoofinancedatalake_spark.functions.scalars import sql_dround
+from yahoofinancedatalake_spark.functions.scalars import dround, sql_dround
 from yahoofinancedatalake_spark.queries._registry import _register
 from yahoofinancedatalake_spark.queries.pack_07_training_prep import (
     _CHUNK_S,
@@ -1333,3 +1336,322 @@ def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="doc_id bigint, n_grams bigint, logw double"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r10 second wave: Gopher rule-based quality filtering, UniMax
+# budget-constrained mixture weights, DSIR ESS diagnostics.
+# ---------------------------------------------------------------------------
+
+#: Gopher's "contains at least two of" English-indicator words
+#: (Rae et al. 2021, A1.1).
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: Cross-engine whitespace split: explicit ASCII class on BOTH sides
+#: (Java \s and RE2 \s disagree on \x0b — the ADVICE r9 winnow
+#: normalization lesson applied from day one here).
+_WS_SPLIT = "[ \\t\\n]+"
+
+
+@_register(
+    "gopher_quality_rules",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(trim(text)),
+                         '[ \\t\\n]+'), x -> x <> '') AS wl,
+             list_filter(list_transform(string_split(text, chr(10)),
+                         l -> trim(l)), l -> l <> '') AS ls
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+        len(wl) AS n_words,
+        list_aggregate(list_transform(wl, x -> len(x)), 'sum') AS wchars,
+        len(text) - len(replace(text, '#', ''))
+          + (len(text) - len(replace(text, '...', ''))) / 3.0 AS sym_n,
+        len(list_filter(wl, x -> regexp_matches(x, '[a-z]'))) AS alpha_n,
+        len(list_filter({_GOPHER_STOPS!r}::VARCHAR[],
+                        s -> list_contains(wl, s))) AS stop_hits,
+        len(ls) AS n_lines,
+        len(list_filter(ls,
+            l -> len(list_filter(ls, x -> x = l)) > 1)) AS dup_n,
+        coalesce(list_aggregate(list_transform(
+            list_filter(ls, l -> len(list_filter(ls, x -> x = l)) > 1),
+            l -> len(l)), 'sum'), 0) AS dup_chars,
+        coalesce(list_aggregate(list_transform(ls, l -> len(l)),
+                                'sum'), 0) AS line_chars,
+        len(list_filter(ls,
+            l -> regexp_matches(l, '^[-*•]'))) AS bullet_n,
+        len(list_filter(ls, l -> ends_with(l, '...')
+            OR ends_with(l, '…'))) AS ell_n
+      FROM w
+    ), r AS (
+      SELECT doc_id,
+        n_words,
+        {sql_dround("wchars::DOUBLE / greatest(n_words, 1)", 4)}
+          AS mean_word_len,
+        {sql_dround("sym_n / greatest(n_words, 1)", 4)}
+          AS symbol_word_ratio,
+        {sql_dround("alpha_n::DOUBLE / greatest(n_words, 1)", 4)}
+          AS alpha_word_frac,
+        CAST(stop_hits AS INTEGER) AS stopword_hits,
+        CAST(n_lines AS INTEGER) AS n_lines,
+        {sql_dround("dup_n::DOUBLE / greatest(n_lines, 1)", 4)}
+          AS dup_line_frac,
+        {sql_dround("dup_chars::DOUBLE / greatest(line_chars, 1)", 4)}
+          AS dup_line_char_frac,
+        {sql_dround("bullet_n::DOUBLE / greatest(n_lines, 1)", 4)}
+          AS bullet_line_frac,
+        {sql_dround("ell_n::DOUBLE / greatest(n_lines, 1)", 4)}
+          AS ellipsis_line_frac
+      FROM sig
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND stopword_hits >= 2
+            AND dup_line_frac <= 0.3
+            AND dup_line_char_frac <= 0.2) AS passes_gopher
+    FROM r ORDER BY doc_id
+    """,
+    doc="Training-data op: the Gopher rule-based quality filter (Rae "
+    "et al. 2021, A1.1-A1.2; the ruleset FineWeb/Dolma re-use) as ONE "
+    "zero-exchange projection — word-count bounds, mean-word-length "
+    "bounds, symbol-to-word ratio (# and ellipses), bullet/ellipsis "
+    "line fractions, alphabetic-word fraction, the two-of-eight "
+    "English-indicator-word rule, and the A1.2 duplicate-line count "
+    "and char fractions, plus the composite pass flag. Every signal "
+    "is an array HOF on the per-row token/line arrays (the dup-line "
+    "scan is O(lines²) per doc — bounded by the doc, zero shuffles; "
+    "a pathological-doc corpus would swap it for the explode+window "
+    "form). Whitespace split is an explicit ASCII class on both "
+    "engines (Java \\s and RE2 \\s disagree on \\x0b). The corpus "
+    "exercises the word-level rules; the line-level rules are pinned "
+    "by fixture tests (synthetic docs carry no newlines/bullets). "
+    "Beyond-reference surface: LLM-corpus quality filtering.",
+    parts=8,
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    wl = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), _WS_SPLIT),
+        lambda x: x != "",
+    )
+    ls = F.filter(
+        # NOT the bare F.trim: transform() sees its optional second
+        # parameter and passes the element INDEX as the trim charset
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda x: x != "",
+    )
+    base = docs.select("doc_id", "text", wl.alias("wl"), ls.alias("ls"))
+    lsc = F.col("ls")
+    dup_lines = F.filter(
+        lsc, lambda l: F.size(F.filter(lsc, lambda x: x == l)) > 1
+    )
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, F.length), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sym_n = (
+        F.length("text") - F.length(F.replace("text", F.lit("#")))
+    ).cast("double") + (
+        F.length("text") - F.length(F.replace("text", F.lit("...")))
+    ) / F.lit(3.0)
+    sig = base.select(
+        "doc_id",
+        F.size("wl").alias("n_words"),
+        chars(F.col("wl")).alias("wchars"),
+        sym_n.alias("sym_n"),
+        F.size(F.filter(F.col("wl"), lambda x: x.rlike("[a-z]"))).alias(
+            "alpha_n"
+        ),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+                lambda s: F.array_contains(F.col("wl"), s),
+            )
+        ).alias("stop_hits"),
+        F.size("ls").alias("n_lines"),
+        F.size(dup_lines).alias("dup_n"),
+        chars(dup_lines).alias("dup_chars"),
+        chars(lsc).alias("line_chars"),
+        F.size(
+            F.filter(lsc, lambda l: l.rlike("^[-*•]"))
+        ).alias("bullet_n"),
+        F.size(
+            F.filter(
+                lsc,
+                lambda l: l.endswith(F.lit("..."))
+                | l.endswith(F.lit("…")),
+            )
+        ).alias("ell_n"),
+    )
+    nl = F.greatest(F.col("n_lines"), F.lit(1))
+    r = sig.select(
+        "doc_id",
+        "n_words",
+        dround(
+            F.col("wchars").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)), 4
+        ).alias("mean_word_len"),
+        dround(
+            F.col("sym_n") / F.greatest(F.col("n_words"), F.lit(1)), 4
+        ).alias("symbol_word_ratio"),
+        dround(
+            F.col("alpha_n").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)), 4
+        ).alias("alpha_word_frac"),
+        F.col("stop_hits").cast("int").alias("stopword_hits"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        dround(F.col("dup_n").cast("double") / nl, 4).alias(
+            "dup_line_frac"
+        ),
+        dround(
+            F.col("dup_chars").cast("double")
+            / F.greatest(F.col("line_chars"), F.lit(1)), 4
+        ).alias("dup_line_char_frac"),
+        dround(F.col("bullet_n").cast("double") / nl, 4).alias(
+            "bullet_line_frac"
+        ),
+        dround(F.col("ell_n").cast("double") / nl, 4).alias(
+            "ellipsis_line_frac"
+        ),
+    )
+    passes = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stopword_hits") >= 2)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.2)
+    )
+    return r.withColumn("passes_gopher", passes).orderBy("doc_id")
+
+
+@_register(
+    "unimax_mixture",
+    f"""
+    WITH t AS (
+      SELECT lang, CAST(sum(len({_WORD_TOKS_SQL})) AS BIGINT) AS n_toks
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_toks) AS BIGINT) AS tt, count(*) AS ng FROM t
+    ), g AS (
+      SELECT lang, n_toks, floor(1.6 * tt) AS budget,
+             2.0 * n_toks AS cap, ng
+      FROM t CROSS JOIN tot
+    ), k AS (
+      SELECT *,
+        (budget - (sum(cap) OVER (ORDER BY cap, lang) - cap))
+          / (ng - row_number() OVER (ORDER BY cap, lang) + 1) AS lvl
+      FROM g
+    ), lv AS (SELECT max(lvl) AS l FROM k)
+    SELECT lang, n_toks,
+           {sql_dround("cap", 4)} AS cap,
+           {sql_dround("least(cap, l)", 4)} AS alloc,
+           {sql_dround("least(cap, l) / n_toks", 6)} AS epochs
+    FROM k CROSS JOIN lv ORDER BY lang
+    """,
+    doc="Training-data op: UniMax budget-constrained mixture weights "
+    "(Chung et al., ICLR 2023) over the corpus languages — spread a "
+    "training-token budget (1.6x the corpus) UNIFORMLY across "
+    "languages, capping each at 2 epochs of its own data; the "
+    "paper's alternative to temperature sampling that provably "
+    "bounds low-resource repetition. The sequential waterfilling "
+    "loop is computed in closed form over the cap-ascending order: "
+    "L = max_i (B - prefix_cap_{{i-1}}) / (n-i+1), alloc = min(cap, "
+    "L) — pinned against the paper's sequential reference in tests "
+    "across capped/uncapped/all-capped corners. On this corpus the "
+    "en slice (~43% of tokens) is the one uncapped language: the "
+    "four small langs cap at 2.0 epochs and en absorbs the rest at "
+    "~1.1 epochs — the exact skew UniMax exists for. Scale: ONE "
+    "map-side-partial agg over the corpus; everything after runs on "
+    "the n_langs-row table (the single-partition window is "
+    "driver-scale by construction — UniMax's own production table "
+    "is ~100 languages).",
+    parts=8,
+)
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        unimax_allocation,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(_word_toks())).alias("n_toks")
+    )
+    return unimax_allocation(
+        counts, "lang", budget_factor=1.6, epoch_cap=2.0
+    ).orderBy("lang")
+
+
+@_register(
+    "dsir_ess",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), grams AS ({_GRAMS_SQL.format(src="toks")}
+    ), b AS (
+      SELECT doc_id, is_t, substr(md5(g), 1, 3) AS bucket FROM grams
+    ), counts AS (
+      SELECT bucket, count(*) AS rc,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+      FROM b GROUP BY bucket
+    ), tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM counts
+    ), llr AS (
+      SELECT bucket,
+             {sql_dround(
+                 "ln((tc + 0.5) / (tt + 2048.0))"
+                 " - ln((rc + 0.5) / (rt + 2048.0))", 6)} AS llr
+      FROM counts CROSS JOIN tot
+    ), w AS (
+      SELECT doc_id, {sql_dround("sum(llr)", 6)} AS logw
+      FROM b JOIN llr USING (bucket) GROUP BY doc_id
+    ), mx AS (SELECT max(logw) AS max_logw FROM w
+    ), s AS (
+      SELECT count(*) AS n_docs, max(max_logw) AS max_logw,
+             sum(exp(logw - max_logw)) AS s1,
+             sum(exp(logw - max_logw) * exp(logw - max_logw)) AS s2
+      FROM w CROSS JOIN mx
+    )
+    SELECT n_docs, max_logw,
+           {sql_dround("(s1 * s1) / s2", 4)} AS ess,
+           {sql_dround("(s1 * s1) / s2 / n_docs", 6)} AS ess_frac
+    FROM s
+    """,
+    doc="Training-data op: effective-sample-size diagnostic for the "
+    "DSIR importance weights (Kong 1992) — ESS = (sum w)^2 / sum "
+    "w^2 computed max-shifted (scale-invariant, overflow-proof at "
+    "any corpus size), with ess_frac = ESS/n: near 1 the target and "
+    "raw distributions agree and resampling changes little; near "
+    "1/n a handful of docs carry all the weight and the selection "
+    "k should shrink. The weight model is dsir_select's exactly "
+    "(same buckets, same pinned llr). Scale: two corpus-sized aggs "
+    "joined through a 1-row broadcast; exp() of dround(6)-pinned "
+    "inputs keeps cross-engine sum noise ~1e-14 relative, far "
+    "inside the output rounding bins. Pairs with dsir_select as "
+    "the diagnostic a production selection run reports next to its "
+    "sample.",
+    parts=8,
+)
+def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        dsir_ess,
+        dsir_logweights,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("toks"),
+    )
+    return dsir_ess(dsir_logweights(base, "toks", "doc_id", "is_t"))
