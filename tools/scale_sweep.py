@@ -114,6 +114,13 @@ TABLE_OF = {
     # is documented on the query instead.
     "bm25_rank": ("documents", "doc_id"),
     "text_search_rank": ("documents", "doc_id"),
+    # r10 second wave: the quality/selection additions. gopher is a
+    # per-row HOF projection (should scale linearly with rows);
+    # unimax is one map-side-partial agg feeding an n_langs-row
+    # window; dsir_ess is the dsir count shuffle + two scalar aggs.
+    "gopher_quality_rules": ("documents", "doc_id"),
+    "unimax_mixture": ("documents", "doc_id"),
+    "dsir_ess": ("documents", "doc_id"),
 }
 
 #: Sweep aliases whose replicas are NEAR-duplicates (replica-salted

@@ -21,6 +21,8 @@ pack.py — new queries go at the END of this module):
 - ``gopher_quality_rules`` (r10, Gopher rule-based quality filter)
 - ``unimax_mixture`` (r10, UniMax budget-constrained mixture)
 - ``dsir_ess`` (r10, DSIR effective-sample-size diagnostic)
+- ``stream_late_data_drop_batch_eq`` (r10, streaming rung 14 —
+  late-data watermark drop/keep/finalize semantics)
 """
 
 from __future__ import annotations
@@ -1655,3 +1657,116 @@ def q_dsir_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         _word_toks().alias("toks"),
     )
     return dsir_ess(dsir_logweights(base, "toks", "doc_id", "is_t"))
+
+
+#: rung-14 split predicate, shared by the Spark gate and its oracle:
+#: batch 1 = everything before Jan 29 EXCEPT odd-id rows from Jan 26
+#: on; batch 2 = the complement (the last two days of new data plus
+#: the held-back odd rows arriving LATE).
+_LATE_B1_SQL = (
+    "ts < TIMESTAMP '2024-01-29' AND NOT "
+    "(event_id % 2 = 1 AND ts >= TIMESTAMP '2024-01-26')"
+)
+
+
+@_register(
+    "stream_late_data_drop_batch_eq",
+    f"""
+    WITH e AS (
+      SELECT event_id, ts, event_type, value,
+             date_trunc('day', ts) AS day,
+             date_trunc('day', ts) + INTERVAL 1 DAY AS wend
+      FROM events
+    ), b1 AS (
+      SELECT * FROM e WHERE {_LATE_B1_SQL}
+    ), wm1 AS (SELECT max(ts) - INTERVAL 36 HOUR AS w FROM b1
+    ), wmf AS (SELECT max(ts) - INTERVAL 36 HOUR AS w FROM e
+    ), kept AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT e.* FROM e CROSS JOIN wm1
+      WHERE NOT ({_LATE_B1_SQL}) AND e.wend > wm1.w
+    )
+    SELECT day, event_type,
+           {sql_dround("sum(value)", 2)} / count(*) AS avg_value,
+           count(*) AS n
+    FROM kept CROSS JOIN wmf
+    WHERE wend <= wmf.w
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+    doc="Streaming rung 14 — LATE-DATA WATERMARK SEMANTICS under the "
+    "oracle gate: the one thing watermarks exist for, pinned "
+    "end-to-end. The daily×type average (stream_daily_avg, 36 h "
+    "watermark) runs in APPEND mode over two availableNow runs "
+    "sharing one checkpoint: run 1 lands everything before Jan 29 "
+    "minus the odd-id rows from Jan 26 on; run 2 lands the "
+    "complement — two days of NEW data plus the held-back odd rows "
+    "arriving late. The oracle recomputes Spark's documented "
+    "semantics from scratch: a late row survives iff its window end "
+    "is above the watermark the first run checkpointed (max event "
+    "time − 36 h — on this corpus day-26 odds arrive after their "
+    "window was evicted and are DROPPED, day-27/28 odds merge into "
+    "open state), and a window is emitted iff the FINAL watermark "
+    "passed its end (append finalization via the no-data batch — "
+    "days 29-30 stay open and never emit). A wrong late-filter "
+    "bound, a watermark that fails to persist across the checkpoint "
+    "handoff, a re-emitted window, or a missing no-data "
+    "finalization batch all break the hash. Both watermarks are "
+    "computed DYNAMICALLY from the same split on both sides, so "
+    "the equality is corpus-independent. coalesce(1) per landing "
+    "pins each run to one micro-batch.",
+    parts=8,
+)
+def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.queries._registry import (  # noqa: PLC0415
+        _await_stream,
+    )
+    from yahoofinancedatalake_spark.streaming.ops import (  # noqa: PLC0415
+        stream_daily_avg,
+    )
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    c29 = F.lit("2024-01-29").cast("timestamp")
+    c26 = F.lit("2024-01-26").cast("timestamp")
+    in_b1 = (F.col("ts") < c29) & ~(
+        ((F.col("event_id") % 2) == 1) & (F.col("ts") >= c26)
+    )
+    incs = [batch.filter(in_b1), batch.filter(~in_b1)]
+
+    root = tempfile.mkdtemp(prefix="stream_late_")
+    indir = f"{root}/incoming"
+    outdir = f"{root}/agg"
+    ckpt = f"{root}/ckpt"
+    os.makedirs(indir)
+    try:
+        for inc in incs:
+            inc.coalesce(1).write.mode("append").parquet(indir)
+            q = (
+                stream_daily_avg(
+                    spark.readStream.schema(batch.schema).parquet(indir),
+                    watermark="36 hours",
+                )
+                .writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q)
+        rows = spark.read.parquet(outdir).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        rows,
+        schema="day timestamp, event_type string, avg_value double,"
+        " n bigint",
+    ).orderBy("day", "event_type")
