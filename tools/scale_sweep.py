@@ -365,7 +365,20 @@ def main() -> int:
             real_q, table, id_col = qn, spec[0], spec[1]
             jitter = spec[2] if len(spec) > 2 else None
             salt = None
-        for factor in (1, 10, 100):
+        # The winnow jittered sweep tops out at 30×: factor-sized
+        # cliques cost the matcher ~f² per original near-dup pair
+        # TIMES ~40 shared fingerprints per pair, so the 100× cell
+        # is ~8 B candidate rows whose partial-agg spill (~200 GB)
+        # exceeds this box's /tmp — measured: the one-shot 100× run
+        # died ENOSPC at ~80 GB free. A production node carries that
+        # much shuffle disk; the 30× cell (~725 M candidates) shows
+        # the same output-bound scaling across 2.9 orders of
+        # candidate growth. SURVEY §8 records the arithmetic.
+        factors = (
+            (1, 10, 30) if qn == "winnow_near_dup_neardup"
+            else (1, 10, 100)
+        )
+        for factor in factors:
             d = replicate(
                 spark, sf_dir, table, factor, id_col, workdir, jitter,
                 text_salt=salt,
@@ -374,8 +387,14 @@ def main() -> int:
                 def run(d=d):
                     return semdedup_scaled_query(spark, d).collect()
             elif qn == "winnow_near_dup_neardup":
+                # COUNT, don't collect: factor-sized cliques mean
+                # ~24M true pairs at 100× — a driver collect would
+                # measure result serialization (and trip
+                # maxResultSize), not the matcher. The oracle-gated
+                # query itself returns pairs; production lands them
+                # to a table the same way.
                 def run(d=d, factor=factor):
-                    return winnow_query_scaled(spark, d, factor).collect()
+                    return winnow_query_scaled(spark, d, factor).count()
             else:
                 def run(d=d, real_q=real_q):
                     return QUERIES[real_q].spark(spark, d).collect()
@@ -401,7 +420,7 @@ def main() -> int:
             elif qn == "winnow_near_dup_neardup":
                 cell = {
                     "sec": dt,
-                    "pairs": len(rows),
+                    "pairs": rows,  # run() counts for this alias
                     **winnow_stats(spark, d, factor),
                 }
             elif salt is not None:
@@ -409,7 +428,8 @@ def main() -> int:
             else:
                 cell = dt
             results.setdefault(qn, {})[factor] = cell
-            print(f"{qn} x{factor}: {cell} ({len(rows)} rows)", flush=True)
+            n_rows = rows if isinstance(rows, int) else len(rows)
+            print(f"{qn} x{factor}: {cell} ({n_rows} rows)", flush=True)
             # Release per-cell caches (ADVICE r9): operators that
             # persist internally (winnow_near_dup cache=True, the
             # prep stage) would otherwise accumulate up to 6 cached
