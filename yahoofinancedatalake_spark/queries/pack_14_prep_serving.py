@@ -23,6 +23,8 @@ pack.py — new queries go at the END of this module):
 - ``dsir_ess`` (r10, DSIR effective-sample-size diagnostic)
 - ``stream_late_data_drop_batch_eq`` (r10, streaming rung 14 —
   late-data watermark drop/keep/finalize semantics)
+- ``selection_funnel`` (r10, the CCNet-shaped composition:
+  Gopher bounds → KN-ppl terciles → DSIR top-k)
 """
 
 from __future__ import annotations
@@ -1770,3 +1772,186 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="day timestamp, event_type string, avg_value double,"
         " n bigint",
     ).orderBy("day", "event_type")
+
+
+@_register(
+    "selection_funnel",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), stage1 AS (
+      SELECT doc_id, is_t, t FROM toks
+      WHERE len(t) BETWEEN 50 AND 100000
+        AND {sql_dround(
+            "list_aggregate(list_transform(t, x -> len(x)), 'sum')"
+            "::DOUBLE / greatest(len(t), 1)", 4)} BETWEEN 3 AND 10
+        AND {sql_dround(
+            "len(list_filter(t, x -> regexp_matches(x, '[a-z]')))"
+            "::DOUBLE / greatest(len(t), 1)", 4)} >= 0.8
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1), i -> t[i + 1])) AS w2
+      FROM stage1
+    ), bc AS (
+      SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, sum(c) AS cv, count(*) AS n1v FROM bc GROUP BY 1
+    ), cont AS (
+      SELECT w2, count(*) AS n1w FROM bc GROUP BY 1
+    ), dt AS (SELECT count(*) AS dtot FROM bc
+    ), model AS (
+      SELECT bc.w1, bc.w2,
+             {sql_dround(
+                 "ln((greatest(c - 0.75, 0)"
+                 " + 0.75 * n1v * (n1w / CAST(dtot AS DOUBLE))) / cv)",
+                 6)} AS lp
+      FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN dt
+    ), pplt AS (
+      SELECT bg.doc_id,
+             {sql_dround(
+                 "exp(-(" + sql_dround("sum(model.lp)", 6)
+                 + " / count(*)))", 4)} AS ppl
+      FROM bg JOIN model USING (w1, w2) GROUP BY bg.doc_id
+    ), thr AS (
+      SELECT quantile_cont(ppl, 0.3333333333333333) AS t1,
+             quantile_cont(ppl, 0.6666666666666666) AS t2
+      FROM pplt
+    ), keep AS (
+      SELECT doc_id, ppl,
+             CASE WHEN ppl <= t1 THEN 1
+                  WHEN ppl <= t2 THEN 2
+                  ELSE 3 END AS ppl_bucket
+      FROM pplt CROSS JOIN thr
+    ), k2 AS (SELECT * FROM keep WHERE ppl_bucket <= 2
+    ), kt AS (
+      SELECT s.doc_id, s.is_t, s.t FROM stage1 s JOIN k2 USING (doc_id)
+    ), grams AS ({_GRAMS_SQL.format(src="kt")}
+    ), db AS (
+      SELECT doc_id, is_t, substr(md5(g), 1, 3) AS bucket FROM grams
+    ), counts AS (
+      SELECT bucket, count(*) AS rc,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+      FROM db GROUP BY bucket
+    ), tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM counts
+    ), llr AS (
+      SELECT bucket,
+             {sql_dround(
+                 "ln((tc + 0.5) / (tt + 2048.0))"
+                 " - ln((rc + 0.5) / (rt + 2048.0))", 6)} AS llr
+      FROM counts CROSS JOIN tot
+    ), w AS (
+      SELECT doc_id, {sql_dround("sum(llr)", 6)} AS logw
+      FROM db JOIN llr USING (bucket) GROUP BY doc_id
+    )
+    SELECT w.doc_id, k2.ppl, CAST(k2.ppl_bucket AS INTEGER) AS ppl_bucket,
+           w.logw,
+           {sql_dround(
+               "logw - ln(-ln((('0x' || substr(md5(w.doc_id::VARCHAR),"
+               " 1, 8))::BIGINT + 0.5) / 4294967296.0))", 6)} AS gkey
+    FROM w JOIN k2 USING (doc_id)
+    ORDER BY gkey DESC, doc_id
+    LIMIT 50
+    """,
+    doc="Training-data op: the SELECTION FUNNEL — the CCNet/FineWeb "
+    "production shape composing this round's selection tier end to "
+    "end in one DataFrame plan: (1) Gopher word-level bounds (word "
+    "count 50-100k, mean word length 3-10, alphabetic fraction "
+    ">= 0.8 — the rules whose preconditions a no-markup corpus "
+    "satisfies; the full line/symbol/stopword ruleset is the "
+    "standalone gopher_quality_rules query) over the shared "
+    "cross-engine tokenization, (2) Kneser-Ney perplexity terciles "
+    "with the LM trained ON the survivors, keeping head+middle — "
+    "the CCNet bucket policy; thresholds are ONE exact-percentile "
+    "aggregate broadcast back onto the scores (F.percentile and "
+    "quantile_cont share the (n-1)q interpolation, per "
+    "percentiles_price), never a global-order window, (3) DSIR "
+    "top-50 over the kept pool (target = the 'en' slice, model "
+    "trained on the pool) with hash-seeded Gumbel keys. Output: "
+    "(doc_id, ppl, ppl_bucket, logw, gkey). Scale: stage 1 is a "
+    "zero-exchange projection filter; stage 2 adds the "
+    "vocabulary-bounded KN model build + one model join + a 1-row "
+    "threshold broadcast; stage 3 is dsir_select's plan on a "
+    "smaller pool; the top-50 is TakeOrderedAndProject. Every "
+    "stage is individually driver-gated (gopher_quality_rules, "
+    "kneser_ney_quality, dsir_select) — this query gates their "
+    "COMPOSITION.",
+    parts=8,
+)
+def q_selection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        _const_key,
+        dsir_logweights,
+        dsir_resample,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("t"),
+    )
+    nw = F.greatest(F.size("t"), F.lit(1))
+    wchars = F.aggregate(
+        F.transform("t", F.length), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = dround(wchars.cast("double") / nw, 4)
+    alpha = dround(
+        F.size(F.filter(F.col("t"), lambda x: x.rlike("[a-z]")))
+        .cast("double") / nw, 4,
+    )
+    stage1 = base.filter(
+        F.size("t").between(50, 100000)
+        & mean_len.between(3, 10)
+        & (alpha >= 0.8)
+    )
+
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        kneser_ney_scores,
+    )
+
+    pplt = kneser_ney_scores(stage1, "t", "doc_id").select("doc_id", "ppl")
+    thr = pplt.agg(
+        F.percentile(
+            "ppl", F.array(F.lit(1 / 3), F.lit(2 / 3))
+        ).alias("ts")
+    ).select(
+        F.element_at("ts", 1).alias("t1"),
+        F.element_at("ts", 2).alias("t2"),
+    ).withColumn("__k", _const_key(F.col("t1")))
+    keep = (
+        pplt.withColumn("__k", _const_key(F.col("ppl")))
+        .join(F.broadcast(thr), "__k")
+        .drop("__k")
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("ppl") <= F.col("t1"), F.lit(1))
+            .when(F.col("ppl") <= F.col("t2"), F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("int"),
+        )
+        .filter(F.col("ppl_bucket") <= 2)
+        .select("doc_id", "ppl", "ppl_bucket")
+        # Materialize the survivor table between stages: `keep` is
+        # referenced by the pool join AND the final projection, and
+        # each reference would otherwise inline the whole
+        # stage1→KN-model→percentile subtree (measured: 430 Exchange
+        # nodes / 114 BHJs in the un-checkpointed plan vs ~30 after;
+        # runtime ReuseExchange hides most of it at sf0.1, but plan
+        # blowup is compile cost and reuse-miss risk at 100 TB). The
+        # production funnel materializes each stage anyway — CCNet
+        # writes the bucket assignment to disk before selection.
+        .localCheckpoint()
+    )
+    kt = stage1.join(keep.select("doc_id"), "doc_id")
+    w = dsir_logweights(kt, "t", "doc_id", "is_t")
+    sel = dsir_resample(w, "doc_id", 50)
+    return (
+        sel.join(keep, "doc_id")
+        .select("doc_id", "ppl", "ppl_bucket", "logw", "gkey")
+        .orderBy(F.desc("gkey"), "doc_id")
+    )
