@@ -375,3 +375,67 @@ def test_dsir_ess_matches_reference(spark, corpus):
     assert row["n_docs"] == len(logws)
     assert row["ess"] == pytest.approx(ref, abs=1e-3)
     assert row["ess_frac"] == pytest.approx(ref / len(logws), abs=1e-6)
+
+
+# hypothesis: the closed-form waterfilling level equals the paper's
+# sequential loop on arbitrary cap sets, and ESS stays in [1, n]
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=10_000),
+                  min_size=1, max_size=8),
+    bf=st.floats(min_value=0.05, max_value=5.0,
+                 allow_nan=False, allow_infinity=False),
+)
+def test_unimax_closed_form_equals_sequential_hypothesis(
+    spark, toks, bf
+):
+    from yahoofinancedatalake_spark.operators.selection import (
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i}", n) for i, n in enumerate(toks)],
+        "grp string, n_toks long",
+    )
+    got = {
+        r["grp"]: r["alloc"]
+        for r in unimax_allocation(
+            df, "grp", budget_factor=bf, epoch_cap=2.0
+        ).collect()
+    }
+    ref = _ref_unimax(
+        [2.0 * n for n in toks], math.floor(bf * sum(toks))
+    )
+    for i in range(len(toks)):
+        # alloc is dround(4)-pinned; caps reach 2e4 so the closed
+        # form may differ from the float loop by ~1e-9 on top
+        assert abs(got[f"g{i}"] - ref[i]) <= 5.1e-5 + 1e-9 * max(
+            1.0, ref[i]
+        ), (i, got[f"g{i}"], ref[i])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    logws=st.lists(
+        st.floats(min_value=-50.0, max_value=50.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=40,
+    )
+)
+def test_dsir_ess_bounds_hypothesis(spark, logws):
+    from yahoofinancedatalake_spark.operators.selection import dsir_ess
+
+    w = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(logws)],
+        "doc_id long, logw double",
+    )
+    row = dsir_ess(w).collect()[0]
+    n = len(logws)
+    assert row["n_docs"] == n
+    # 1 <= ESS <= n, up to the dround(4) bin
+    assert 1.0 - 1e-3 <= row["ess"] <= n + 1e-3
+    assert row["max_logw"] == max(logws)
