@@ -84,12 +84,14 @@ def test_gopher_line_rules_hand_computed(spark, gopher_dir):
         .spark(spark, gopher_dir)
         .collect()
     }
-    # doc 1: lines = 4, "alpha beta gamma" x3 duplicated (16 chars
-    # each), one bullet line (13 chars)
+    # doc 1: lines = 4, "alpha beta gamma" x3 (16 chars each) — with
+    # the Dolma/DataTrove beyond-first counting (ADVICE r10), the two
+    # REPEATS count, the first occurrence does not: dup_n = 4 lines -
+    # 2 distinct = 2, dup_chars = 61 total - 29 distinct = 32
     r = rows[1]
     assert r["n_lines"] == 4
-    assert r["dup_line_frac"] == _dround(3 / 4, 4)
-    assert r["dup_line_char_frac"] == _dround(48 / 61, 4)
+    assert r["dup_line_frac"] == _dround(2 / 4, 4)
+    assert r["dup_line_char_frac"] == _dround(32 / 61, 4)
     assert r["bullet_line_frac"] == _dround(1 / 4, 4)
     assert not r["passes_gopher"]  # dup lines + too short
     # doc 2: all 3 lines end with an ellipsis (ASCII or Unicode)

@@ -395,3 +395,16 @@ def test_winnow_seeded_state_composes_with_increments(
         verify_dedup_state(spark, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_hybrid_backend_matches_winnow_on_planted_near_dups(spark):
+    """near_dup_stage(backend='hybrid') keeps the same survivors as
+    the winnow backend on planted near-dups the LSH stage proposes."""
+    from yahoofinancedatalake_spark.prep import drop_near_dups
+
+    docs = _planted_corpus(spark)
+    hyb = {
+        r.doc_id for r in drop_near_dups(docs, backend="hybrid").collect()
+    }
+    spark.catalog.clearCache()  # the hybrid matcher's internal persist
+    assert hyb == set(range(20)) | {100}

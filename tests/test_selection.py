@@ -439,3 +439,126 @@ def test_dsir_ess_bounds_hypothesis(spark, logws):
     # 1 <= ESS <= n, up to the dround(4) bin
     assert 1.0 - 1e-3 <= row["ess"] <= n + 1e-3
     assert row["max_logw"] == max(logws)
+
+
+# ---------------------------------------------------------------------------
+# r11: the closed-form NB quality classifier (nb_quality_model /
+# nb_prior / nb_quality_scores) — pinned against a pure-Python
+# reference fit, with the unseen-bucket backoff and the separation
+# property the funnel rung depends on.
+# ---------------------------------------------------------------------------
+
+
+def _ref_nb(train_rows, score_rows):
+    """Pure-Python reference fit of the multinomial NB scorer —
+    the same role as _ref_dsir_logw for the DSIR tables."""
+    pc: Counter = Counter()
+    nc: Counter = Counter()
+    n_pos = n_neg = 0
+
+    def _buckets(toks):
+        grams = list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            hashlib.md5(g.encode()).hexdigest()[:N_BUCKET_HEX]
+            for g in grams
+        ]
+
+    for _doc_id, toks, is_t in train_rows:
+        if is_t:
+            n_pos += 1
+        else:
+            n_neg += 1
+        for b in _buckets(toks):
+            (pc if is_t else nc)[b] += 1
+    pt, nt = sum(pc.values()), sum(nc.values())
+    denom = DSIR_ALPHA * N_BUCKETS
+    wgt = {
+        b: _dround(
+            math.log((pc[b] + DSIR_ALPHA) / (pt + denom))
+            - math.log((nc[b] + DSIR_ALPHA) / (nt + denom)),
+            6,
+        )
+        for b in set(pc) | set(nc)
+    }
+    dflt = _dround(
+        math.log(DSIR_ALPHA / (pt + denom))
+        - math.log(DSIR_ALPHA / (nt + denom)),
+        6,
+    )
+    prior = _dround(math.log(n_pos + 1) - math.log(n_neg + 1), 6)
+    out = {}
+    for doc_id, toks, _is_t in score_rows:
+        bs = _buckets(toks)
+        if not bs:
+            continue
+        out[doc_id] = _dround(
+            prior + sum(wgt.get(b, dflt) for b in bs), 6
+        )
+    return out
+
+
+def _nb_spark_scores(corpus):
+    from yahoofinancedatalake_spark.operators.selection import (
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    model = nb_quality_model(corpus, "toks", "is_t")
+    prior = nb_prior(corpus, "is_t")
+    return nb_quality_scores(corpus, "toks", "doc_id", model, prior)
+
+
+def test_nb_scores_match_reference(spark, corpus):
+    rows = [(r["doc_id"], r["toks"], r["is_t"]) for r in corpus.collect()]
+    ref = _ref_nb(rows, rows)
+    got = {
+        r["doc_id"]: (r["logodds"], r["prob"])
+        for r in _nb_spark_scores(corpus).collect()
+    }
+    assert set(got) == set(ref)
+    for k, want in ref.items():
+        lo, prob = got[k]
+        # addends are dround(6)-pinned on both sides; the only slack
+        # is summation order in the final reduce
+        assert abs(lo - want) < 1e-6, (k, lo, want)
+        assert abs(prob - 1.0 / (1.0 + math.exp(-lo))) < 1e-6
+
+
+def test_nb_separates_vocabularies(spark, corpus):
+    """Target-vocab docs (including the UNLABELED look-alikes 16-19)
+    score positive; raw-vocab docs score negative — the separation
+    the funnel's classifier rung exists for."""
+    got = {
+        r["doc_id"]: r["logodds"]
+        for r in _nb_spark_scores(corpus).collect()
+    }
+    for d in list(range(6)) + list(range(16, 20)):
+        assert got[d] > 0, (d, got[d])
+    for d in range(6, 16):
+        assert got[d] < 0, (d, got[d])
+
+
+def test_nb_unseen_bucket_backoff(spark, corpus):
+    """A frozen model scores documents whose grams it never saw via
+    the dflt weight — and the value matches the reference."""
+    from yahoofinancedatalake_spark.operators.selection import (
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    novel = spark.createDataFrame(
+        [(999, ["zzz_unseen_alpha", "zzz_unseen_beta"], False)],
+        "doc_id long, toks array<string>, is_t boolean",
+    )
+    model = nb_quality_model(corpus, "toks", "is_t")
+    prior = nb_prior(corpus, "is_t")
+    got = nb_quality_scores(
+        novel, "toks", "doc_id", model, prior
+    ).collect()
+    assert len(got) == 1
+    train = [(r["doc_id"], r["toks"], r["is_t"]) for r in corpus.collect()]
+    ref = _ref_nb(train, [(999, ["zzz_unseen_alpha", "zzz_unseen_beta"],
+                           False)])
+    assert abs(got[0]["logodds"] - ref[999]) < 1e-6

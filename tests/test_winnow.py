@@ -265,3 +265,37 @@ def test_fast_family_same_near_dups_on_fixture(spark, docs):
         == {(r.id_a, r.id_b) for r in md5.collect()}
     )
     spark.catalog.clearCache()
+
+
+def test_hybrid_equals_winnow_at_gate_threshold(spark):
+    """The hybrid matcher (LSH proposes, winnow decides) equals the
+    pure winnow matcher at the gated 0.6 threshold on a planted
+    corpus whose near-dups are real high-similarity pairs — the
+    hybrid_near_dup gate's premise, pinned in-process."""
+    from yahoofinancedatalake_spark.operators.dedup import (
+        hybrid_near_dup_pairs,
+    )
+
+    rows = [
+        (i, " ".join(f"uniq{i}_{j} filler{j}" for j in range(20)))
+        for i in range(12)
+    ]
+    base = " ".join(f"dup_{j} word{j}" for j in range(15))
+    rows += [(100, base), (101, base + " tailA"), (102, base + " tailB")]
+    d = spark.createDataFrame(rows, "id long, text string")
+    hyb = {
+        (r["id_a"], r["id_b"], r["shared"], r["overlap"])
+        for r in hybrid_near_dup_pairs(d, "text", "id").collect()
+    }
+    win = {
+        (r["id_a"], r["id_b"], r["shared"], r["overlap"])
+        for r in winnow_near_dup_pairs(
+            d, "text", "id", overlap_threshold=0.6, cache=False
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert hyb == win
+    # the clique is actually found (the equality is not vacuous)
+    assert {(a, b) for a, b, _, _ in hyb} == {
+        (100, 101), (100, 102), (101, 102)
+    }

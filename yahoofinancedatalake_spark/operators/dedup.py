@@ -1447,3 +1447,122 @@ def winnow_fingerprints_fast(
         F.col(id_col),
         udf(normalized_text(F.col(text_col))).alias("fps"),
     )
+
+
+def hybrid_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 16,
+    w: int = 8,
+    df_cap: int = 64,
+    overlap_threshold: float = 0.6,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 512,
+    cache: bool = True,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Hybrid near-dup matcher: MinHash-LSH *proposes* candidate
+    pairs, winnowed-fingerprint overlap *decides* — the composition
+    the r10 scale sweeps recommended (SURVEY §8): the pure winnow
+    matcher's pair generation grows as Σ C(df,2) over the inverted
+    index (736 M candidates measured at 30×, ~8 B extrapolated at
+    100×), while LSH banding's bucket-capped candidate volume grew
+    only to 24.5 M at 100× — so at corpus scale the LSH stage bounds
+    the pair universe and the winnow stage scores ONLY those pairs.
+
+    Output schema and accept rule are exactly
+    :func:`winnow_near_dup_pairs`'s: ``(id_a, id_b, shared bigint,
+    overlap double)`` with ``id_a < id_b``, ``shared`` counted over
+    the df-capped fingerprint index (a fingerprint with document
+    frequency outside ``[2, df_cap]`` contributes to neither
+    candidates nor scores), denominators from the UNCAPPED per-doc
+    fingerprint counts, ``overlap = shared / min(n_a, n_b)`` kept at
+    ``>= overlap_threshold``.
+
+    Determinism: both stages are deterministic — the LSH bucket cap
+    ranks members by ``md5(id)`` (partitioning-independent, see
+    :func:`capped_bucket_members`) and the winnow df-cap depends only
+    on (fp, df) — so the pair set is exactly replayable. On a corpus
+    whose near-dups are true high-similarity pairs (the planted
+    sf0.01/sf0.1 duplication), LSH recall over winnow-accepted pairs
+    is 1 (miss prob ~1e-9 per planted pair at 8 bands × 4 hashes), so
+    the output EQUALS the pure winnow matcher's and the DuckDB oracle
+    is the same O(n²)-free winnow ground truth — the ``hybrid_near_dup``
+    query hash-gates that equality end to end. A pair LSH misses is,
+    by construction, low-Jaccard (below the ~0.72 banding knee), i.e.
+    outside the near-dup contract both matchers target.
+
+    Plan shape: the LSH stage is the bucket-key shuffle +
+    capped-bucket pair explode (never a self-join — see
+    :func:`minhash_lsh_pairs`); the verify stage joins the candidate
+    pairs with the df-capped index on ``id_a`` then ``(id_b, fp)``
+    — cost is |candidates| × fingerprint density (2/(w+1) per char),
+    NOT Σ df² — then one pair-key aggregation and two size lookups.
+    Every verify join is hinted shuffle_hash for the same reason as
+    the pure winnow matcher: both sides scale with the corpus, and
+    cached-plan size estimates once picked a 100×-replicated build
+    side for broadcast.
+
+    ``fingerprints`` optionally supplies a precomputed ``(id_col,
+    fps)`` frame from any winnow family member (``k``/``w`` are then
+    ignored); ``cache=True`` persists the fingerprint table across
+    its four consumers (index explode → dfreq, both verify sides,
+    sizes) — caller releases via ``spark.catalog.clearCache()``.
+    """
+    from yahoofinancedatalake_spark.functions.scalars import (  # noqa: PLC0415
+        dround,
+    )
+
+    cand = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        shingle_n=shingle_n,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    )
+    if cache:
+        fps = fps.persist()
+    idx = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    sizes = fps.select(F.col(id_col), F.size("fps").alias("n_fp"))
+    dfreq = idx.groupBy("fp").agg(F.count("*").alias("df"))
+    kept = idx.join(
+        dfreq.filter(
+            (F.col("df") >= 2) & (F.col("df") <= df_cap)
+        ).hint("shuffle_hash"),
+        "fp",
+    ).select(id_col, "fp")
+    ka = kept.select(F.col(id_col).alias("id_a"), "fp")
+    kb = kept.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        cand.join(ka.hint("shuffle_hash"), "id_a")
+        .join(kb.hint("shuffle_hash"), ["id_b", "fp"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))
+    ov = F.col("shared").cast("double") / F.least("n_a", "n_b")
+    return (
+        pairs.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .filter(ov >= overlap_threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            dround(ov, 4).alias("overlap"),
+        )
+    )

@@ -395,10 +395,151 @@ def unimax_allocation(
     keyed = g.withColumn("lvl", lvl)
     wall = Window.partitionBy()
     alloc = F.least(F.col("cap"), F.max("lvl").over(wall))
+    # greatest(n_toks, 1): a zero-token group has cap 0 hence alloc 0,
+    # and 0/0 is engine-divergent (Spark Divide → NULL, DuckDB IEEE →
+    # NaN) — the guard pins epochs to an exact 0.0 on both (ADVICE r10)
     return keyed.select(
         F.col(group_col),
         "n_toks",
         dround(F.col("cap"), 4).alias("cap"),
         dround(alloc, 4).alias("alloc"),
-        dround(alloc / F.col("n_toks"), 6).alias("epochs"),
+        dround(
+            alloc / F.greatest(F.col("n_toks"), F.lit(1)), 6
+        ).alias("epochs"),
+    )
+
+
+def nb_quality_model(
+    df: DataFrame, toks_col: str, label_col: str
+) -> DataFrame:
+    """Train the model-based quality classifier: a multinomial
+    Naive-Bayes linear scorer over the SAME hashed bag-of-n-gram
+    buckets as :func:`dsir_model` — the closed-form member of the
+    fastText/logistic family the published funnels use for their
+    model-based rung (CCNet's fastText quality classifier; FineWeb-edu's
+    learned scorer). NB is the right closed form here: its decision
+    function is already linear in the bucket counts, the fit is two
+    smoothed count tables (no iterative solver — exactly reproducible
+    on any engine), and over hashed n-gram features it IS a trained
+    linear text classifier (McCallum & Nigam 1998).
+
+    ``label_col`` is a boolean column: True rows are the POSITIVE
+    (high-quality) training examples, False the negative. Returns
+    ``(bucket, wgt, dflt)`` over every bucket seen in the training
+    corpus:
+
+        wgt(b) = ln p(b|pos) - ln p(b|neg)
+
+    under ALPHA-smoothed multinomial bucket models (the same
+    ``DSIR_ALPHA``/``N_BUCKETS`` smoothing as the DSIR tables —
+    deliberately, so the two model families share one feature
+    pipeline and one scale posture). ``dflt`` is the weight an unseen
+    bucket gets (both classes back off to their alpha mass), so a
+    FROZEN model scores later-arriving documents — the
+    streaming-delivery shape.
+
+    Difference from :func:`dsir_model`: DSIR contrasts a target slice
+    against the WHOLE corpus (importance weighting, labels need not
+    be curated); the classifier contrasts labeled positives against
+    labeled negatives and adds a class prior (:func:`nb_prior`) so
+    the score is a calibrated posterior log-odds, thresholdable at 0.
+
+    Scale: one corpus-sized gram shuffle builds both class count
+    tables (conditional sums in the same agg); everything after is
+    ≤``N_BUCKETS`` rows and broadcasts. ``wgt``/``dflt`` are
+    dround(6)-pinned once so every scoring engine sums identical
+    doubles."""
+    rows = hashed_gram_rows(df, toks_col, label_col)
+    counts = rows.groupBy("bucket").agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("pc"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("nc"),
+    )
+    tot = counts.agg(
+        F.sum("pc").alias("pt"), F.sum("nc").alias("nt")
+    ).withColumn("__k", _const_key(F.col("pt")))
+    denom = F.lit(DSIR_ALPHA * N_BUCKETS)
+    return (
+        counts.withColumn("__k", _const_key(F.col("bucket")))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            "bucket",
+            dround(
+                F.log((F.col("pc") + DSIR_ALPHA) / (F.col("pt") + denom))
+                - F.log((F.col("nc") + DSIR_ALPHA) / (F.col("nt") + denom)),
+                6,
+            ).alias("wgt"),
+            dround(
+                F.log(F.lit(DSIR_ALPHA) / (F.col("pt") + denom))
+                - F.log(F.lit(DSIR_ALPHA) / (F.col("nt") + denom)),
+                6,
+            ).alias("dflt"),
+        )
+    )
+
+
+def nb_prior(df: DataFrame, label_col: str) -> DataFrame:
+    """Class log-prior for :func:`nb_quality_scores`: ONE row
+    ``(prior,)`` with ``prior = ln(n_pos / n_neg)`` over the labeled
+    training DOCUMENTS (add-one on both classes so a single-class
+    degenerate input stays finite instead of ±inf), dround(6)-pinned.
+    One corpus-sized count agg; the result broadcasts."""
+    return df.agg(
+        dround(
+            F.log(
+                (F.sum(F.when(F.col(label_col), 1).otherwise(0)) + 1)
+                .cast("double")
+            )
+            - F.log(
+                (F.sum(F.when(F.col(label_col), 0).otherwise(1)) + 1)
+                .cast("double")
+            ),
+            6,
+        ).alias("prior")
+    )
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    toks_col: str,
+    id_col: str,
+    model: DataFrame,
+    prior: DataFrame,
+) -> DataFrame:
+    """Score documents against a (possibly frozen) NB quality model:
+    ``(id, n_grams, logodds, prob)`` with
+
+        logodds = prior + Σ over gram occurrences of wgt(bucket)
+        prob    = 1 / (1 + exp(-logodds))        (the NB posterior)
+
+    unseen buckets falling back to the model's ``dflt``. ``logodds``
+    is dround(6)-pinned BEFORE the sigmoid so both engines
+    exponentiate identical doubles; ``prob`` re-pins at 6. Keep
+    ``prob >= 0.5`` (equivalently ``logodds >= 0``) for the
+    classifier filter, or rank by it. The ≤``N_BUCKETS``-row model
+    and the two 1-row scalars broadcast — scoring never shuffles
+    anything but the per-doc agg (same plan as :func:`dsir_score`)."""
+    rows = hashed_gram_rows(df, toks_col, id_col)
+    dflt = model.agg(F.min("dflt").alias("dflt")).withColumn(
+        "__k", _const_key(F.col("dflt"))
+    )
+    pri = prior.withColumn("__k", _const_key(F.col("prior")))
+    rows_d = (
+        rows.withColumn("__k", _const_key(F.col("bucket")))
+        .join(F.broadcast(dflt), "__k")
+        .join(F.broadcast(pri), "__k")
+        .drop("__k")
+    )
+    scored = rows_d.join(
+        F.broadcast(model.select("bucket", "wgt")), "bucket", "left"
+    )
+    logodds = dround(
+        F.first("prior") + F.sum(F.coalesce(F.col("wgt"), F.col("dflt"))),
+        6,
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        logodds.alias("logodds"),
+        dround(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logodds)), 6
+        ).alias("prob"),
     )

@@ -116,14 +116,26 @@ def near_dup_stage(
       persist()s its fingerprint table internally (cache=True): the
       caller owns the release (``spark.catalog.clearCache()`` after
       consuming, as bench/driver runs do).
+    - ``"hybrid"`` (r11): MinHash-LSH candidates scored by
+      winnowed-fingerprint overlap
+      (``operators/dedup.py:hybrid_near_dup_pairs`` at the gated
+      ``hybrid_near_dup`` query's parameters) — the winnow accept
+      rule with LSH bounding the pair universe, the 100 TB scale
+      path for the winnow policy (the pure matcher's Σ C(df,2)
+      candidate growth measured 736 M at the 30× sweep vs LSH's
+      24.5 M at 100×). Deterministic like "winnow" (both caps are
+      partitioning-independent); persists its fingerprint table
+      internally too (same clearCache contract).
 
-    The two thresholds are NOT the same policy (Jaccard 0.9 exact-ish
-    replicas vs overlap-coefficient 0.5 substring containment); the
-    equivalence pytest plants near-dups that trip both.
+    The LSH-vs-winnow thresholds are NOT the same policy (Jaccard
+    0.9 exact-ish replicas vs overlap-coefficient 0.5 substring
+    containment); the equivalence pytest plants near-dups that trip
+    both.
     """
     from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
         connected_components,
         hashed_ngram_jaccard,
+        hybrid_near_dup_pairs,
         minhash_lsh_pairs,
         winnow_near_dup_pairs,
     )
@@ -140,9 +152,14 @@ def near_dup_stage(
         # (k=16, w=8, df_cap=64, overlap >= 0.5); already verified
         # pairs — the matcher computes exact overlap, no second pass
         verified = winnow_near_dup_pairs(exact, "text", id_col)
+    elif backend == "hybrid":
+        # defaults = the gated hybrid_near_dup query's parameters
+        # (LSH 32 hashes / 8 bands / 3-shingles proposing; winnow
+        # k=16, w=8, df_cap=64, overlap >= 0.6 deciding)
+        verified = hybrid_near_dup_pairs(exact, "text", id_col)
     else:
         raise ValueError(
-            f"unknown near-dup backend {backend!r} (lsh|winnow)"
+            f"unknown near-dup backend {backend!r} (lsh|winnow|hybrid)"
         )
     comps = connected_components(verified.select("id_a", "id_b"))
     losers = comps.filter(F.col("node") != F.col("component")).select(

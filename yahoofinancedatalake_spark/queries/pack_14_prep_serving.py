@@ -25,6 +25,11 @@ pack.py — new queries go at the END of this module):
   late-data watermark drop/keep/finalize semantics)
 - ``selection_funnel`` (r10, the CCNet-shaped composition:
   Gopher bounds → KN-ppl terciles → DSIR top-k)
+- ``hybrid_near_dup`` (r11, LSH-proposes / winnow-decides matcher)
+- ``quality_classifier_select`` (r11, closed-form NB quality
+  classifier over the DSIR hashed-n-gram buckets)
+- ``selection_funnel_cls`` (r11, funnel variant: Gopher bounds →
+  NB classifier keep → DSIR top-k)
 """
 
 from __future__ import annotations
@@ -1372,16 +1377,17 @@ _WS_SPLIT = "[ \\t\\n]+"
         len(wl) AS n_words,
         list_aggregate(list_transform(wl, x -> len(x)), 'sum') AS wchars,
         len(text) - len(replace(text, '#', ''))
-          + (len(text) - len(replace(text, '...', ''))) / 3.0 AS sym_n,
+          + (len(text) - len(replace(text, '...', ''))) / 3.0
+          + (len(text) - len(replace(text, '…', ''))) AS sym_n,
         len(list_filter(wl, x -> regexp_matches(x, '[a-z]'))) AS alpha_n,
         len(list_filter({_GOPHER_STOPS!r}::VARCHAR[],
                         s -> list_contains(wl, s))) AS stop_hits,
         len(ls) AS n_lines,
-        len(list_filter(ls,
-            l -> len(list_filter(ls, x -> x = l)) > 1)) AS dup_n,
-        coalesce(list_aggregate(list_transform(
-            list_filter(ls, l -> len(list_filter(ls, x -> x = l)) > 1),
-            l -> len(l)), 'sum'), 0) AS dup_chars,
+        len(ls) - len(list_distinct(ls)) AS dup_n,
+        coalesce(list_aggregate(list_transform(ls, l -> len(l)),
+                                'sum'), 0)
+          - coalesce(list_aggregate(list_transform(list_distinct(ls),
+                                    l -> len(l)), 'sum'), 0) AS dup_chars,
         coalesce(list_aggregate(list_transform(ls, l -> len(l)),
                                 'sum'), 0) AS line_chars,
         len(list_filter(ls,
@@ -1425,18 +1431,23 @@ _WS_SPLIT = "[ \\t\\n]+"
     doc="Training-data op: the Gopher rule-based quality filter (Rae "
     "et al. 2021, A1.1-A1.2; the ruleset FineWeb/Dolma re-use) as ONE "
     "zero-exchange projection — word-count bounds, mean-word-length "
-    "bounds, symbol-to-word ratio (# and ellipses), bullet/ellipsis "
-    "line fractions, alphabetic-word fraction, the two-of-eight "
-    "English-indicator-word rule, and the A1.2 duplicate-line count "
-    "and char fractions, plus the composite pass flag. Every signal "
-    "is an array HOF on the per-row token/line arrays (the dup-line "
-    "scan is O(lines²) per doc — bounded by the doc, zero shuffles; "
-    "a pathological-doc corpus would swap it for the explode+window "
-    "form). Whitespace split is an explicit ASCII class on both "
-    "engines (Java \\s and RE2 \\s disagree on \\x0b). The corpus "
-    "exercises the word-level rules; the line-level rules are pinned "
-    "by fixture tests (synthetic docs carry no newlines/bullets). "
-    "Beyond-reference surface: LLM-corpus quality filtering.",
+    "bounds, symbol-to-word ratio (#, ASCII '...' and Unicode '…' "
+    "ellipses), bullet/ellipsis line fractions, alphabetic-word "
+    "fraction, the two-of-eight English-indicator-word rule, and the "
+    "A1.2 duplicate-line count and char fractions, plus the composite "
+    "pass flag. Duplicate lines count only REPEATS beyond the first "
+    "occurrence per distinct line (n_lines - n_distinct — the "
+    "Dolma/DataTrove reading of A1.2; ADVICE r10), as a size diff of "
+    "the line array vs its array_distinct — O(lines log lines) per "
+    "doc, zero shuffles. Documented deviation from Rae et al. A1.1: "
+    "the 0.1 symbol threshold applies to the COMBINED '#'+ellipsis "
+    "ratio rather than per-symbol (stricter — a doc must stay under "
+    "0.1 across all three symbols together). Whitespace split is an "
+    "explicit ASCII class on both engines (Java \\s and RE2 \\s "
+    "disagree on \\x0b). The corpus exercises the word-level rules; "
+    "the line-level rules are pinned by fixture tests (synthetic docs "
+    "carry no newlines/bullets). Beyond-reference surface: LLM-corpus "
+    "quality filtering.",
     parts=8,
 )
 def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,9 +1464,6 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select("doc_id", "text", wl.alias("wl"), ls.alias("ls"))
     lsc = F.col("ls")
-    dup_lines = F.filter(
-        lsc, lambda l: F.size(F.filter(lsc, lambda x: x == l)) > 1
-    )
     chars = lambda arr: F.aggregate(  # noqa: E731
         F.transform(arr, F.length), F.lit(0).cast("long"),
         lambda acc, x: acc + x,
@@ -1464,7 +1472,9 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") - F.length(F.replace("text", F.lit("#")))
     ).cast("double") + (
         F.length("text") - F.length(F.replace("text", F.lit("...")))
-    ) / F.lit(3.0)
+    ) / F.lit(3.0) + (
+        F.length("text") - F.length(F.replace("text", F.lit("…")))
+    ).cast("double")
     sig = base.select(
         "doc_id",
         F.size("wl").alias("n_words"),
@@ -1480,8 +1490,8 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("stop_hits"),
         F.size("ls").alias("n_lines"),
-        F.size(dup_lines).alias("dup_n"),
-        chars(dup_lines).alias("dup_chars"),
+        (F.size(lsc) - F.size(F.array_distinct(lsc))).alias("dup_n"),
+        (chars(lsc) - chars(F.array_distinct(lsc))).alias("dup_chars"),
         chars(lsc).alias("line_chars"),
         F.size(
             F.filter(lsc, lambda l: l.rlike("^[-*•]"))
@@ -1560,7 +1570,7 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, n_toks,
            {sql_dround("cap", 4)} AS cap,
            {sql_dround("least(cap, l)", 4)} AS alloc,
-           {sql_dround("least(cap, l) / n_toks", 6)} AS epochs
+           {sql_dround("least(cap, l) / greatest(n_toks, 1)", 6)} AS epochs
     FROM k CROSS JOIN lv ORDER BY lang
     """,
     doc="Training-data op: UniMax budget-constrained mixture weights "
@@ -1953,5 +1963,325 @@ def q_selection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sel.join(keep, "doc_id")
         .select("doc_id", "ppl", "ppl_bucket", "logw", "gkey")
+        .orderBy(F.desc("gkey"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: the hybrid near-dup matcher (LSH proposes, winnow decides) and
+# the model-based quality-classifier rung of the selection tier.
+# ---------------------------------------------------------------------------
+
+#: Hybrid accept threshold. 0.6, not the pure winnow matcher's 0.5:
+#: the r11 measurement at sf0.1 put every LSH-missed winnow pair at
+#: overlap <= 0.5 (word-3-gram Jaccard <= 0.043 — boilerplate-
+#: fingerprint coincidences far below the 8-band×4-hash banding knee)
+#: and every LSH-caught pair at overlap >= 0.8889, so 0.6 is the
+#: operating point where "LSH proposes, winnow decides" EQUALS the
+#: pure winnow policy and the matcher stays hash-exact against the
+#: O(n²)-free winnow ground truth.
+_HYB_T = 0.6
+
+
+@_register(
+    "hybrid_near_dup",
+    f"""
+    WITH {_WINNOW_CTES},
+    dfreq AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+    kept AS (
+      SELECT sel.doc_id, sel.fp FROM sel
+      JOIN dfreq USING (fp) WHERE df BETWEEN 2 AND {_WIN_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared,
+           {sql_dround(
+               "CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)", 4
+           )} AS overlap
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp) >= {_HYB_T}
+    ORDER BY id_a, id_b
+    """,
+    doc="Training-data op: HYBRID near-dup matcher — MinHash-LSH "
+    "candidates (32 hashes / 8 bands / word-3-shingles, md5-capped "
+    "buckets) scored by winnowed-fingerprint overlap at the pure "
+    f"matcher's exact parameters (k={_WIN_K}, w={_WIN_W}, "
+    f"df_cap={_WIN_CAP}) with accept threshold {_HYB_T} — the "
+    "composition the r10 scale sweeps recommended: the pure winnow "
+    "matcher's pair generation grows as sum C(df,2) over the "
+    "inverted index (736M candidates at the 30x sweep, ~8B at 100x) "
+    "while LSH banding's capped candidate volume measured 24.5M at "
+    "100x, so at corpus scale LSH bounds the pair universe and the "
+    "winnow stage scores ONLY those pairs (|candidates| x 2/(w+1) "
+    "density join work, never sum df²). Both stages are "
+    "deterministic (md5-ranked bucket cap; (fp, df)-only df-cap), "
+    "and at the accept threshold the LSH stage has measured recall "
+    "1 over winnow-accepted pairs (see _HYB_T), so the oracle is "
+    "the SAME O(n²)-free winnow ground truth as winnow_near_dup — "
+    "the hash gates that the hybrid loses nothing the winnow policy "
+    "accepts. Also prep.py's near_dup_backend='hybrid'. Reference "
+    "analog: none (dedups by exact id, finnhub_news.py:185-188).",
+    parts=8,
+)
+def q_hybrid_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        hybrid_near_dup_pairs,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return hybrid_near_dup_pairs(
+        docs,
+        "text",
+        "doc_id",
+        k=_WIN_K,
+        w=_WIN_W,
+        df_cap=_WIN_CAP,
+        overlap_threshold=_HYB_T,
+    ).orderBy("id_a", "id_b")
+
+
+# Shared NB-classifier CTE chain: train-side gram buckets with the
+# boolean label riding along -> smoothed per-class bucket counts ->
+# dround(6)-pinned per-bucket weight + unseen-bucket default + doc
+# class prior. Verbatim recompute of operators/selection.py::
+# nb_quality_model / nb_prior (same DSIR_ALPHA=0.5 / 4096-bucket
+# smoothing as the DSIR tables). Parameterized on the labeled-docs
+# CTE so the standalone classifier (train split) and the funnel
+# variant (Gopher survivors) share it.
+def _nb_ctes(src: str) -> str:
+    return f"""
+    nbg AS ({_GRAMS_SQL.format(src=src)}
+    ), nbb AS (
+      SELECT doc_id, is_t, substr(md5(g), 1, 3) AS bucket FROM nbg
+    ), nbc AS (
+      SELECT bucket,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS pc,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS nc
+      FROM nbb GROUP BY bucket
+    ), nbt AS (SELECT sum(pc) AS pt, sum(nc) AS nt FROM nbc
+    ), nbm AS (
+      SELECT bucket,
+             {sql_dround(
+                 "ln((pc + 0.5) / (pt + 2048.0))"
+                 " - ln((nc + 0.5) / (nt + 2048.0))", 6)} AS wgt
+      FROM nbc CROSS JOIN nbt
+    ), nbd AS (
+      SELECT {sql_dround(
+          "ln(0.5 / (pt + 2048.0)) - ln(0.5 / (nt + 2048.0))", 6
+      )} AS dflt FROM nbt
+    ), nbp AS (
+      SELECT {sql_dround(
+          "ln(sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1.0)"
+          " - ln(sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 1.0)", 6
+      )} AS prior FROM {src}
+    )"""
+
+
+@_register(
+    "quality_classifier_select",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), tr AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) < 'cd'
+    ), ho AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) >= 'cd'
+    ), {_nb_ctes("tr")},
+    hog AS ({_GRAMS_SQL.format(src="ho")}
+    ), hob AS (
+      SELECT doc_id, substr(md5(g), 1, 3) AS bucket FROM hog
+    ), sc AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(coalesce(wgt, dflt)) AS sw
+      FROM hob LEFT JOIN nbm USING (bucket) CROSS JOIN nbd
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           {sql_dround("prior + sw", 6)} AS logodds,
+           {sql_dround(
+               "1.0 / (1.0 + exp(-(" + sql_dround("prior + sw", 6)
+               + ")))", 6)} AS prob,
+           {sql_dround("prior + sw", 6)} >= 0 AS predicted
+    FROM sc CROSS JOIN nbp
+    ORDER BY doc_id
+    """,
+    doc="Training-data op: MODEL-BASED quality classifier — the "
+    "fourth member of the published selection funnels (CCNet's "
+    "fastText classifier; FineWeb-edu's learned scorer) as a "
+    "closed-form multinomial Naive-Bayes linear scorer over the "
+    "DSIR tier's hashed uni+bigram buckets (4096, same "
+    "alpha=0.5 smoothing — one feature pipeline for both model "
+    "families; NB over hashed n-grams IS a trained linear text "
+    "classifier, McCallum & Nigam 1998, and its fit is two smoothed "
+    "count tables: no iterative solver, exactly engine-replayable). "
+    "Trained on the md5-deterministic 80% doc split (lang='en' as "
+    "the positive label), scoring the HELD-OUT 20% — unseen buckets "
+    "back off to the smoothed default, the doc-count class prior "
+    "calibrates the posterior, logodds is dround(6)-pinned before "
+    "the sigmoid, predicted = logodds >= 0. Scale: one gram-count "
+    "shuffle trains; the <=4096-row model + two 1-row scalars "
+    "broadcast onto the scoring grams (dsir_score's plan); the fit "
+    "is pinned against a pure-Python reference in pytest. Reference "
+    "analog: none — the selection tier extends the engine the same "
+    "way the dedup/ANN families do.",
+    parts=8,
+)
+def q_quality_classifier_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("toks"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = base.filter(h < "cd")
+    held_out = base.filter(h >= "cd")
+    model = nb_quality_model(train, "toks", "is_t")
+    prior = nb_prior(train, "is_t")
+    return (
+        nb_quality_scores(held_out, "toks", "doc_id", model, prior)
+        .withColumn("predicted", F.col("logodds") >= 0)
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "selection_funnel_cls",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), stage1 AS (
+      SELECT doc_id, is_t, t FROM toks
+      WHERE len(t) BETWEEN 50 AND 100000
+        AND {sql_dround(
+            "list_aggregate(list_transform(t, x -> len(x)), 'sum')"
+            "::DOUBLE / greatest(len(t), 1)", 4)} BETWEEN 3 AND 10
+        AND {sql_dround(
+            "len(list_filter(t, x -> regexp_matches(x, '[a-z]')))"
+            "::DOUBLE / greatest(len(t), 1)", 4)} >= 0.8
+    ), {_nb_ctes("stage1")},
+    sc AS (
+      SELECT doc_id, sum(coalesce(wgt, dflt)) AS sw
+      FROM nbb LEFT JOIN nbm USING (bucket) CROSS JOIN nbd
+      GROUP BY doc_id
+    ), keep AS (
+      SELECT doc_id,
+             {sql_dround("prior + sw", 6)} AS logodds,
+             {sql_dround(
+                 "1.0 / (1.0 + exp(-(" + sql_dround("prior + sw", 6)
+                 + ")))", 6)} AS prob
+      FROM sc CROSS JOIN nbp
+      WHERE {sql_dround("prior + sw", 6)} >= 0
+    ), kt AS (
+      SELECT s.doc_id, s.is_t, s.t FROM stage1 s JOIN keep USING (doc_id)
+    ), grams AS ({_GRAMS_SQL.format(src="kt")}
+    ), db AS (
+      SELECT doc_id, is_t, substr(md5(g), 1, 3) AS bucket FROM grams
+    ), counts AS (
+      SELECT bucket, count(*) AS rc,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+      FROM db GROUP BY bucket
+    ), tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM counts
+    ), llr AS (
+      SELECT bucket,
+             {sql_dround(
+                 "ln((tc + 0.5) / (tt + 2048.0))"
+                 " - ln((rc + 0.5) / (rt + 2048.0))", 6)} AS llr
+      FROM counts CROSS JOIN tot
+    ), w AS (
+      SELECT doc_id, {sql_dround("sum(llr)", 6)} AS logw
+      FROM db JOIN llr USING (bucket) GROUP BY doc_id
+    )
+    SELECT w.doc_id, keep.logodds, keep.prob, w.logw,
+           {sql_dround(
+               "logw - ln(-ln((('0x' || substr(md5(w.doc_id::VARCHAR),"
+               " 1, 8))::BIGINT + 0.5) / 4294967296.0))", 6)} AS gkey
+    FROM w JOIN keep USING (doc_id)
+    ORDER BY gkey DESC, doc_id
+    LIMIT 50
+    """,
+    doc="Training-data op: the selection funnel with the MODEL-BASED "
+    "rung — the FineWeb-edu-shaped variant of selection_funnel, "
+    "wiring the NB quality classifier between the Gopher bounds and "
+    "DSIR: (1) Gopher word-level bounds (same stage as "
+    "selection_funnel), (2) the quality_classifier_select scorer "
+    "self-trained ON the survivor pool (lang='en' positives), "
+    "keeping predicted-positive docs (logodds >= 0 — the posterior "
+    "0.5 threshold), (3) DSIR top-50 over the kept pool with "
+    "hash-seeded Gumbel keys. Output (doc_id, logodds, prob, logw, "
+    "gkey). The classifier-keep table is localCheckpoint()ed "
+    "between stages for the same reason selection_funnel's tercile "
+    "table is (the r10 430-Exchange plan-blowup lesson; CCNet "
+    "materializes each funnel stage too). Scale: every stage's "
+    "posture is its standalone query's — zero-exchange projection "
+    "filter, vocab-bounded broadcast-model scoring, "
+    "TakeOrderedAndProject top-k. Gates the COMPOSITION of "
+    "gopher_quality_rules + quality_classifier_select + "
+    "dsir_select.",
+    parts=8,
+)
+def q_selection_funnel_cls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        dsir_logweights,
+        dsir_resample,
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("t"),
+    )
+    nw = F.greatest(F.size("t"), F.lit(1))
+    wchars = F.aggregate(
+        F.transform("t", F.length), F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = dround(wchars.cast("double") / nw, 4)
+    alpha = dround(
+        F.size(F.filter(F.col("t"), lambda x: x.rlike("[a-z]")))
+        .cast("double") / nw, 4,
+    )
+    stage1 = base.filter(
+        F.size("t").between(50, 100000)
+        & mean_len.between(3, 10)
+        & (alpha >= 0.8)
+    )
+    model = nb_quality_model(stage1, "t", "is_t")
+    prior = nb_prior(stage1, "is_t")
+    keep = (
+        nb_quality_scores(stage1, "t", "doc_id", model, prior)
+        .filter(F.col("logodds") >= 0)
+        .select("doc_id", "logodds", "prob")
+        # same stage-boundary materialization as selection_funnel:
+        # `keep` feeds both the pool join and the final projection,
+        # and each reference would otherwise inline the whole
+        # stage1→NB-model→scoring subtree into the plan twice
+        .localCheckpoint()
+    )
+    kt = stage1.join(keep.select("doc_id"), "doc_id")
+    w = dsir_logweights(kt, "t", "doc_id", "is_t")
+    sel = dsir_resample(w, "doc_id", 50)
+    return (
+        sel.join(keep, "doc_id")
+        .select("doc_id", "logodds", "prob", "logw", "gkey")
         .orderBy(F.desc("gkey"), "doc_id")
     )
