@@ -8,12 +8,28 @@ Each query is forced end-to-end with the ``noop`` datasource sink
 (full computation, no driver collect bottleneck, no disk write).
 JVM/session startup is excluded; one warm-up query runs first so
 parquet footer caching and codegen warm-up don't pollute q1.
+
+Stall auto-adjudication (VERDICT r10 #2): this box intermittently
+stalls a single query mid-bench (measured r9/r10: four disjoint
+single-query >2x flags per round, each exonerated by an isolated
+fresh-JVM re-run — doc_keywords 21.3s -> 1.31s solo, cms_heavy_hitters
+28.1s -> 1.24s, etc.). The manual protocol is now automatic: after the
+run, every query whose time exceeds the committed
+``bench_baseline.json`` entry by the bench_diff gate rule (>2x AND
+>1s) is re-run SOLO in a fresh subprocess (``--solo name``: fresh JVM,
+same warm-ups, only that query), and the artifact records
+``adjudications: {name: {in_bench_s, solo_s, baseline_s,
+adjudication}}`` — ``host_stall`` when the solo time is back in band,
+``regression`` when it reproduces. Probes are capped (a broadly slow
+run is a real regression, not a stall) and skipped inside solo
+subprocesses and when ``SPARK_GRAFT_NO_ADJUDICATE=1``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -33,9 +49,108 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: bench_diff.py's regression rule, reused verbatim for the flag AND
+#: the exoneration check so the three tools share one definition.
+ADJ_RATIO = 2.0
+ADJ_MIN_ABS_S = 1.0
+
+#: at most this many solo probes per run — a run where MORE queries
+#: blow past the gate is a real regression (or a sick box) and solo
+#: probes would just burn minutes restating it
+ADJ_MAX_PROBES = 5
+
+
+def _parse_args(argv: list[str]) -> set[str] | None:
+    """``--solo a,b,c`` → the query subset to run; None = full run."""
+    if "--solo" in argv:
+        i = argv.index("--solo")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: bench.py [--solo name[,name...]]")
+        names = {n for n in argv[i + 1].split(",") if n}
+        unknown = names - QUERIES.keys()
+        if unknown:
+            raise SystemExit(f"--solo names not registered: {sorted(unknown)}")
+        return names
+    return None
+
+
+def _baseline_queries() -> dict[str, float]:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    try:
+        with open(path) as f:
+            q = json.load(f).get("queries", {})
+        return {k: float(v) for k, v in q.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _adjudicate(
+    timings: dict[str, float], sf_dir: str
+) -> dict[str, dict]:
+    """Fresh-subprocess solo re-run of every >gate flag vs the
+    committed baseline; returns the adjudication table (empty when
+    nothing flagged / no baseline / probing disabled)."""
+    if os.environ.get("SPARK_GRAFT_NO_ADJUDICATE") == "1":
+        return {}
+    base = _baseline_queries()
+    flagged = [
+        n
+        for n, t in timings.items()
+        if n in base
+        and t > base[n] * ADJ_RATIO
+        and t - base[n] > ADJ_MIN_ABS_S
+    ]
+    if not flagged:
+        return {}
+    out: dict[str, dict] = {}
+    probes = flagged[:ADJ_MAX_PROBES]
+    for n in flagged[ADJ_MAX_PROBES:]:
+        out[n] = {
+            "in_bench_s": timings[n],
+            "baseline_s": base[n],
+            "adjudication": "unprobed_over_cap",
+        }
+    for name in probes:
+        env = dict(os.environ, SPARK_GRAFT_NO_ADJUDICATE="1")
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--solo", name],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                env=env,
+            )
+            line = next(
+                ln for ln in reversed(res.stdout.splitlines())
+                if ln.startswith("{")
+            )
+            solo = json.loads(line)["queries"][name]
+        except Exception as e:  # noqa: BLE001
+            out[name] = {
+                "in_bench_s": timings[name],
+                "baseline_s": base[name],
+                "adjudication": f"probe_error: {type(e).__name__}",
+            }
+            continue
+        in_band = not (
+            solo > base[name] * ADJ_RATIO
+            and solo - base[name] > ADJ_MIN_ABS_S
+        )
+        out[name] = {
+            "in_bench_s": timings[name],
+            "solo_s": solo,
+            "baseline_s": base[name],
+            "adjudication": "host_stall" if in_band else "regression",
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    only = _parse_args(sys.argv[1:])
     # Scratch on tmpfs BEFORE the session exists: streaming checkpoints
     # and replay sources go through tempfile; shuffle spill through
     # SPARK_LOCAL_DIRS. Kills the disk-latency component of the
@@ -44,7 +159,7 @@ def main() -> None:
     if scratch:
         os.environ.setdefault("SPARK_LOCAL_DIRS", scratch)
     try:
-        _run(sf_dir, sf)
+        _run(sf_dir, sf, only)
     finally:
         # tmpfs holds RAM until deleted — clean up on EVERY exit path
         # (a crashed run otherwise leaks GiBs of /dev/shm checkpoints
@@ -54,7 +169,7 @@ def main() -> None:
         tmpfs_release(scratch)
 
 
-def _run(sf_dir: str, sf: float) -> None:
+def _run(sf_dir: str, sf: float, only: set[str] | None = None) -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -208,6 +323,8 @@ def _run(sf_dir: str, sf: float) -> None:
     errors: dict[str, str] = {}
     n_drains = 0
     for name, q in QUERIES.items():
+        if only is not None and name not in only:
+            continue
         # Pressure-triggered drain BEFORE the clock starts: frees the
         # localCheckpoint/broadcast backlog exactly when heap fill
         # would otherwise land a multi-second old-gen pause inside the
@@ -229,6 +346,23 @@ def _run(sf_dir: str, sf: float) -> None:
         # 6.9s standalone vs 15.5s mid-bench). Each query is timed as
         # a standalone run against cold storage, matching the driver.
         spark.catalog.clearCache()
+
+    if only is not None:
+        # solo-probe mode: the minimal artifact the adjudicating
+        # parent parses — per-query warm timings only
+        out = {
+            "metric": "solo_probe",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out))
+        if errors:
+            sys.exit(1)
+        return
 
     # Approximation-quality tracking: recall@5 of the LSH ANN vs the
     # exact brute-force top-k over the same queries. Both results are
@@ -295,6 +429,10 @@ def _run(sf_dir: str, sf: float) -> None:
         # FAISS placement. The FIRST index query in the run pays the
         # training cost; later ones serve the memo, so their timings
         # are warm-index serving latency, not train+serve.
+        # fresh-subprocess stall adjudication of >gate flags vs the
+        # committed baseline (see module docstring) — placed near the
+        # line's tail so the driver's truncated BENCH_r*.json keeps it
+        "adjudications": _adjudicate(timings, sf_dir),
         "notes": {
             "ann_index_training": "memoized_first_query_pays",
             "gc_drains": n_drains,

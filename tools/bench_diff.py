@@ -123,14 +123,27 @@ def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq))
     gates = _gate_names(set(shared))
+    # bench.py's in-run stall adjudication (VERDICT r10 #2): a flag
+    # whose fresh-subprocess solo probe came back in band is the
+    # box's documented intermittent stall, not a plan regression —
+    # the exoneration that used to take a manual re-run per flag
+    adj = new.get("adjudications") or {}
     regressions, notes = [], []
     for name in shared:
         a, b = oq[name], nq[name]
         tier = "gate" if name in gates else "operator"
         if b > a * ratio and b - a > MIN_ABS_S:
-            regressions.append(
-                f"{name} [{tier}]: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)"
-            )
+            verdict = adj.get(name, {})
+            if verdict.get("adjudication") == "host_stall":
+                notes.append(
+                    f"{name} [{tier}]: {a:.2f}s -> {b:.2f}s in-bench, "
+                    f"ADJUDICATED host_stall (solo "
+                    f"{verdict.get('solo_s', float('nan')):.2f}s in band)"
+                )
+            else:
+                regressions.append(
+                    f"{name} [{tier}]: {a:.2f}s -> {b:.2f}s ({b/a:.1f}x)"
+                )
         elif a > b * ratio and a - b > MIN_ABS_S:
             notes.append(f"{name}: improved {a:.2f}s -> {b:.2f}s")
     # vs a driver-truncated side, "not present" just means "fell
