@@ -215,3 +215,76 @@ def test_diff_tier_totals_note_split():
     _regressions, notes = diff(old, new, ratio=2.0)
     assert "operator tier (1 queries): 1.0s -> 1.2s" in notes[-2]
     assert "gate tier (1 queries): 10.0s -> 12.0s" in notes[-1]
+
+
+def test_diff_honors_host_stall_adjudication():
+    """A >2x flag whose bench.py in-run solo probe came back in band
+    is downgraded to a note (VERDICT r10 #2); a probe that REPRODUCED
+    the regression still fails the gate."""
+    old = {"queries": {"a": 2.0, "b": 2.0}}
+    new = {
+        "queries": {"a": 9.0, "b": 9.0},
+        "adjudications": {
+            "a": {
+                "in_bench_s": 9.0,
+                "solo_s": 1.9,
+                "baseline_s": 2.0,
+                "adjudication": "host_stall",
+            },
+            "b": {
+                "in_bench_s": 9.0,
+                "solo_s": 8.7,
+                "baseline_s": 2.0,
+                "adjudication": "regression",
+            },
+        },
+    }
+    regressions, notes = diff(old, new, ratio=2.0)
+    assert len(regressions) == 1
+    assert regressions[0].startswith("b [operator]:")
+    assert any("ADJUDICATED host_stall" in n and n.startswith("a ")
+               for n in notes)
+
+
+def test_bench_solo_arg_parsing():
+    """--solo parses the subset and rejects unregistered names."""
+    import bench
+
+    assert bench._parse_args([]) is None
+    got = bench._parse_args(["--solo", "top_flop,dedup_exact"])
+    assert got == {"top_flop", "dedup_exact"}
+    with pytest.raises(SystemExit):
+        bench._parse_args(["--solo", "no_such_query"])
+    with pytest.raises(SystemExit):
+        bench._parse_args(["--solo"])
+
+
+def test_bench_adjudicate_no_flags_and_disabled(monkeypatch):
+    """No flags vs baseline -> empty table; kill switch respected;
+    over-cap flags are recorded unprobed (no subprocess storms)."""
+    import bench
+
+    base = {n: 1.0 for n in list(bench.QUERIES)[:8]}
+    monkeypatch.setattr(bench, "_baseline_queries", lambda: base)
+    names = list(base)
+    # all in band -> nothing to do
+    assert bench._adjudicate({names[0]: 1.5}, "x") == {}
+    # kill switch
+    monkeypatch.setenv("SPARK_GRAFT_NO_ADJUDICATE", "1")
+    assert bench._adjudicate({names[0]: 50.0}, "x") == {}
+    monkeypatch.delenv("SPARK_GRAFT_NO_ADJUDICATE")
+    # over-cap flags beyond ADJ_MAX_PROBES are recorded, not probed;
+    # stub the prober so the capped ones don't spawn JVMs
+    monkeypatch.setattr(
+        bench.subprocess, "run",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("no probe")),
+    )
+    flagged = {n: 50.0 for n in names}
+    got = bench._adjudicate(flagged, "x")
+    assert len(got) == len(names)
+    unprobed = [v for v in got.values()
+                if v["adjudication"] == "unprobed_over_cap"]
+    errored = [v for v in got.values()
+               if v["adjudication"].startswith("probe_error")]
+    assert len(unprobed) == len(names) - bench.ADJ_MAX_PROBES
+    assert len(errored) == bench.ADJ_MAX_PROBES

@@ -1,9 +1,15 @@
 """Training-data SELECTION operators — which documents to train on,
 as opposed to the dedup family's which documents are copies.
 
-Two published recipes, each expressed as a pure DataFrame plan over a
-token-array column (callers pass the pack's shared cross-engine
-tokenization so Spark and the DuckDB oracle split words identically):
+The published selection recipes, each expressed as a pure DataFrame
+plan over a token-array column (callers pass the pack's shared
+cross-engine tokenization so Spark and the DuckDB oracle split words
+identically). Besides the two below, the module carries UniMax
+budget-constrained mixture weights (:func:`unimax_allocation`), the
+DSIR effective-sample-size diagnostic (:func:`dsir_ess`), and the
+closed-form Naive-Bayes quality classifier
+(:func:`nb_quality_model` / :func:`nb_prior` /
+:func:`nb_quality_scores` — the model-based funnel rung, r11):
 
 * **DSIR** — Data Selection via Importance Resampling (Xie et al.,
   NeurIPS 2023): hashed-bag-of-n-gram features (unigrams + word
