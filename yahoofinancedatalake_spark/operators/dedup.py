@@ -1499,19 +1499,31 @@ def hybrid_near_dup_pairs(
 
     Plan shape: the LSH stage is the bucket-key shuffle +
     capped-bucket pair explode (never a self-join — see
-    :func:`minhash_lsh_pairs`); the verify stage joins the candidate
-    pairs with the df-capped index on ``id_a`` then ``(id_b, fp)``
-    — cost is |candidates| × fingerprint density (2/(w+1) per char),
-    NOT Σ df² — then one pair-key aggregation and two size lookups.
-    Every verify join is hinted shuffle_hash for the same reason as
-    the pure winnow matcher: both sides scale with the corpus, and
-    cached-plan size estimates once picked a 100×-replicated build
-    side for broadcast.
+    :func:`minhash_lsh_pairs`); the verify stage attaches each doc's
+    df-capped fingerprint ARRAY (int64-rehashed — see below) to the
+    candidate pairs with two id-keyed joins and intersects per pair
+    (``array_intersect``) — the :func:`hashed_ngram_jaccard` shape,
+    measured at the 100× sweep where the first-cut alternative (join
+    candidates with the EXPLODED index on ``id_a`` then ``(id_b,
+    fp)``) died ENOSPC: that intermediate is |candidates| × per-doc
+    density ≈ 5 B rows at 100×, i.e. the very Σ df² spill the hybrid
+    exists to avoid; the array form moves |candidates| rows carrying
+    two ~2 KB arrays. Fingerprints are rehashed ``xxhash64(md5_hex)``
+    for the verify arrays only (8 bytes vs the 32-byte hex string —
+    4× less candidate-join traffic); both sides of every intersection
+    use the same rehash, so ``shared`` equals the md5-string count
+    modulo ~2⁻⁶⁴ collisions (the same documented tolerance as
+    ``hashed_ngram_jaccard``; the md5 VALUES remain the oracle
+    contract of :func:`winnow_fingerprints` itself). Every verify
+    join is hinted shuffle_hash for the same reason as the pure
+    winnow matcher: both sides scale with the corpus, and cached-plan
+    size estimates once picked a 100×-replicated build side for
+    broadcast.
 
     ``fingerprints`` optionally supplies a precomputed ``(id_col,
     fps)`` frame from any winnow family member (``k``/``w`` are then
     ignored); ``cache=True`` persists the fingerprint table across
-    its four consumers (index explode → dfreq, both verify sides,
+    its four consumers (index explode → dfreq, the kept-array build,
     sizes) — caller releases via ``spark.catalog.clearCache()``.
     """
     from yahoofinancedatalake_spark.functions.scalars import (  # noqa: PLC0415
@@ -1538,19 +1550,30 @@ def hybrid_near_dup_pairs(
     idx = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
     sizes = fps.select(F.col(id_col), F.size("fps").alias("n_fp"))
     dfreq = idx.groupBy("fp").agg(F.count("*").alias("df"))
-    kept = idx.join(
-        dfreq.filter(
-            (F.col("df") >= 2) & (F.col("df") <= df_cap)
-        ).hint("shuffle_hash"),
-        "fp",
-    ).select(id_col, "fp")
-    ka = kept.select(F.col(id_col).alias("id_a"), "fp")
-    kb = kept.select(F.col(id_col).alias("id_b"), "fp")
+    # per-doc df-capped fingerprint arrays, int64-rehashed (docstring)
+    kept_arr = (
+        idx.join(
+            dfreq.filter(
+                (F.col("df") >= 2) & (F.col("df") <= df_cap)
+            ).hint("shuffle_hash"),
+            "fp",
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.xxhash64("fp")).alias("kfps"))
+    )
+    fa = kept_arr.select(F.col(id_col).alias("id_a"), F.col("kfps").alias("fa"))
+    fb = kept_arr.select(F.col(id_col).alias("id_b"), F.col("kfps").alias("fb"))
     pairs = (
-        cand.join(ka.hint("shuffle_hash"), "id_a")
-        .join(kb.hint("shuffle_hash"), ["id_b", "fp"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
+        cand.join(fa.hint("shuffle_hash"), "id_a")
+        .join(fb.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("fa", "fb"))
+            .cast("bigint")
+            .alias("shared"),
+        )
+        .filter(F.col("shared") >= 1)
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))

@@ -2017,8 +2017,11 @@ _HYB_T = 0.6
     "inverted index (736M candidates at the 30x sweep, ~8B at 100x) "
     "while LSH banding's capped candidate volume measured 24.5M at "
     "100x, so at corpus scale LSH bounds the pair universe and the "
-    "winnow stage scores ONLY those pairs (|candidates| x 2/(w+1) "
-    "density join work, never sum df²). Both stages are "
+    "winnow stage scores ONLY those pairs — per-doc df-capped "
+    "fingerprint ARRAYS (int64-rehashed, the hashed_ngram_jaccard "
+    "shape) attach to candidates via two id-keyed joins and "
+    "array_intersect per pair, moving |candidates| rows, never "
+    "sum df² and never |candidates| x density. Both stages are "
     "deterministic (md5-ranked bucket cap; (fp, df)-only df-cap), "
     "and at the accept threshold the LSH stage has measured recall "
     "1 over winnow-accepted pairs (see _HYB_T), so the oracle is "
