@@ -311,6 +311,9 @@ def _run(sf_dir: str, sf: float, only: set[str] | None = None) -> None:
         # r10: winnow-backend prep gate — fingerprint explode + the
         # composed quality/exact/CC stages, same burst profile
         "prep_stage_counts_winnow",
+        # r11: LSH banding + fingerprint explode + array-intersect
+        # verify — the union of the two families' burst profiles
+        "hybrid_near_dup",
     }
     # Guard against silent staleness: a renamed query would otherwise
     # keep its old name here and lose the forced pre-query drain.

@@ -121,6 +121,11 @@ TABLE_OF = {
     "gopher_quality_rules": ("documents", "doc_id"),
     "unimax_mixture": ("documents", "doc_id"),
     "dsir_ess": ("documents", "doc_id"),
+    # r11: the NB classifier is dsir-shaped (one gram-count shuffle
+    # trains, a <=4096-row broadcast scores) — should scale like
+    # dsir_ess; the funnel variant composes it with already-swept
+    # stages
+    "quality_classifier_select": ("documents", "doc_id"),
 }
 
 #: Sweep aliases whose replicas are NEAR-duplicates (replica-salted
@@ -147,7 +152,24 @@ NEARDUP_OF = {
     "winnow_near_dup_neardup": (
         "winnow_near_dup", "documents", "doc_id", "text"
     ),
+    # r11 (VERDICT r10 #3): the hybrid matcher under the same
+    # jittered-replica shape, with the df-cap scaled like the pure
+    # winnow sweep's. The claim under test: LSH bounds the pair
+    # universe, so the 100× cell — which the pure winnow matcher
+    # could not run un-sharded on this box (~8 B candidate rows,
+    # ~200 GB spill) — completes at LSH-stack candidate volume.
+    "hybrid_near_dup_neardup": (
+        "hybrid_near_dup", "documents", "doc_id", "text"
+    ),
 }
+
+#: r11 (VERDICT r10 #5): the pure winnow matcher's 100× point,
+#: MEASURED by sharding the pair-generation join into fingerprint-hash
+#: slices run sequentially (partial (id_a,id_b,shared) aggregates land
+#: per slice; one final reduce sums them) — each slice carries ~1/S of
+#: the ~200 GB spill that killed the one-shot run, which is exactly
+#: the per-node spill a production cluster absorbs in parallel.
+WINNOW_SHARDED = "winnow_near_dup_sharded100"
 
 #: r10 (VERDICT r9 #5): corpus-scaled SemDeDup sweep. Exact-replica
 #: embeddings at factor f put every replica group (identical vectors,
@@ -303,6 +325,137 @@ def winnow_query_scaled(spark, d, factor):
     ).orderBy("id_a", "id_b")
 
 
+def hybrid_query_scaled(spark, d, factor):
+    """The registered ``hybrid_near_dup`` plan with the winnow df-cap
+    scaled to the corpus (cap = 64×factor — same rationale as
+    :func:`winnow_query_scaled`); identical to the oracle-gated query
+    at factor 1."""
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table  # noqa: PLC0415
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        hybrid_near_dup_pairs,
+    )
+    from yahoofinancedatalake_spark.queries.pack_14_prep_serving import (  # noqa: PLC0415
+        _HYB_T,
+        _WIN_CAP,
+        _WIN_K,
+        _WIN_W,
+    )
+
+    docs = fan_out(load_table(spark, d, "documents"))
+    return hybrid_near_dup_pairs(
+        docs,
+        "text",
+        "doc_id",
+        k=_WIN_K,
+        w=_WIN_W,
+        df_cap=_WIN_CAP * factor,
+        overlap_threshold=_HYB_T,
+    )
+
+
+def hybrid_stats(spark, d, factor):
+    """Instrumentation for the hybrid sweep: the LSH candidate volume
+    the verify stage actually scores (the operator's own banding
+    config on the raw corpus — NOT lsh_stats' prep-gated variant) plus
+    the pure-winnow candidate arithmetic for the structural contrast
+    column."""
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table  # noqa: PLC0415
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_lsh_pairs,
+    )
+
+    docs = fan_out(load_table(spark, d, "documents"))
+    cands = minhash_lsh_pairs(docs, "text", "doc_id").count()
+    return {
+        "lsh_candidates": cands,
+        **{f"winnow_{k}": v for k, v in winnow_stats(spark, d, factor).items()},
+    }
+
+
+def winnow_sharded_count(spark, d, factor, workdir, n_shards=8):
+    """The pure winnow matcher at a factor whose one-shot spill
+    exceeds the box: pair generation runs in ``n_shards`` sequential
+    fingerprint-hash slices (``pmod(xxhash64(fp), S) = s``), each
+    landing its partial ``(id_a, id_b, shared)`` aggregate to
+    parquet; one final reduce sums the partials, joins the UNCAPPED
+    sizes, and applies the overlap threshold. Slicing on the
+    FINGERPRINT is exact: every (pair, shared-fp) contribution lands
+    in exactly one slice, so sum-of-partials equals the un-sharded
+    ``shared``. Returns (pair_count, per-slice seconds, reduce
+    seconds)."""
+    import time as _t  # noqa: PLC0415
+
+    from pyspark.sql import functions as FF  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table  # noqa: PLC0415
+    from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        winnow_fingerprints,
+    )
+    from yahoofinancedatalake_spark.queries.pack_14_prep_serving import (  # noqa: PLC0415
+        _WIN_CAP,
+        _WIN_K,
+        _WIN_T,
+        _WIN_W,
+    )
+
+    cap = _WIN_CAP * factor
+    docs = fan_out(load_table(spark, d, "documents"))
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W)
+    # land the df-capped inverted index and the sizes ONCE — the 8
+    # slice jobs then re-scan a compact parquet instead of re-running
+    # the md5 extraction + df-count per slice
+    idx = fps.select(FF.col("doc_id"), FF.explode("fps").alias("fp"))
+    sizes = fps.select("doc_id", FF.size("fps").alias("n_fp"))
+    dfreq = idx.groupBy("fp").agg(FF.count("*").alias("df"))
+    kept = idx.join(
+        dfreq.filter(
+            (FF.col("df") >= 2) & (FF.col("df") <= cap)
+        ).hint("shuffle_hash"),
+        "fp",
+    ).select("doc_id", "fp")
+    kept.write.mode("overwrite").parquet(f"{workdir}/kept_idx")
+    sizes.write.mode("overwrite").parquet(f"{workdir}/sizes")
+    kept = spark.read.parquet(f"{workdir}/kept_idx")
+    slice_secs = []
+    for s in range(n_shards):
+        ks = kept.filter(
+            FF.pmod(FF.xxhash64(FF.col("fp")), FF.lit(n_shards)) == s
+        )
+        a = ks.select(FF.col("doc_id").alias("id_a"), "fp")
+        b = ks.select(FF.col("doc_id").alias("id_b"), "fp")
+        part = (
+            a.join(b.hint("shuffle_hash"), "fp")
+            .filter(FF.col("id_a") < FF.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(FF.count("*").alias("shared"))
+        )
+        t0 = _t.time()
+        part.write.mode("overwrite").parquet(f"{workdir}/part_{s}")
+        slice_secs.append(round(_t.time() - t0, 1))
+        print(f"  shard {s}: {slice_secs[-1]}s", flush=True)
+    t0 = _t.time()
+    parts = spark.read.parquet(
+        *[f"{workdir}/part_{s}" for s in range(n_shards)]
+    )
+    sz = spark.read.parquet(f"{workdir}/sizes")
+    pairs = parts.groupBy("id_a", "id_b").agg(
+        FF.sum("shared").alias("shared")
+    )
+    sa = sz.select(FF.col("doc_id").alias("id_a"), FF.col("n_fp").alias("n_a"))
+    sb = sz.select(FF.col("doc_id").alias("id_b"), FF.col("n_fp").alias("n_b"))
+    ov = FF.col("shared").cast("double") / FF.least("n_a", "n_b")
+    n = (
+        pairs.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .filter(ov >= _WIN_T)
+        .select("id_a", "id_b", "shared", dround(ov, 4).alias("overlap"))
+        .count()
+    )
+    reduce_sec = round(_t.time() - t0, 1)
+    return n, slice_secs, reduce_sec
+
+
 def winnow_stats(spark, d, factor):
     """Instrumentation for the winnow near-dup sweep (the analog of
     :func:`lsh_stats`): candidate-pair volume sum(df·(df−1)/2) over
@@ -357,6 +510,10 @@ def main() -> int:
             real_q, table, id_col, salt, jitter = (
                 None, "embeddings", "vec_id", None, None,
             )
+        elif qn == WINNOW_SHARDED:
+            real_q, table, id_col, salt, jitter = (
+                None, "documents", "doc_id", "text", None,
+            )
         elif qn in NEARDUP_OF:
             real_q, table, id_col, salt = NEARDUP_OF[qn]
             jitter = None
@@ -376,6 +533,7 @@ def main() -> int:
         # candidate growth. SURVEY §8 records the arithmetic.
         factors = (
             (1, 10, 30) if qn == "winnow_near_dup_neardup"
+            else (100,) if qn == WINNOW_SHARDED
             else (1, 10, 100)
         )
         for factor in factors:
@@ -383,9 +541,34 @@ def main() -> int:
                 spark, sf_dir, table, factor, id_col, workdir, jitter,
                 text_salt=salt,
             )
+            if qn == WINNOW_SHARDED:
+                # single timed pass, no warm-up twin: each shard job
+                # is tens-of-GB spill territory — the measurement IS
+                # the sharded protocol, cold parquet and all
+                t0 = time.time()
+                pairs, slice_secs, reduce_sec = winnow_sharded_count(
+                    spark, d, factor, workdir
+                )
+                cell = {
+                    "sec": round(time.time() - t0, 1),
+                    "pairs": pairs,
+                    "n_shards": len(slice_secs),
+                    "slice_secs": slice_secs,
+                    "reduce_sec": reduce_sec,
+                    **winnow_stats(spark, d, factor),
+                }
+                results.setdefault(qn, {})[factor] = cell
+                print(f"{qn} x{factor}: {cell}", flush=True)
+                spark.catalog.clearCache()
+                continue
             if qn == SEMDEDUP_SCALED:
                 def run(d=d):
                     return semdedup_scaled_query(spark, d).collect()
+            elif qn == "hybrid_near_dup_neardup":
+                # COUNT, don't collect — same rationale as the winnow
+                # jittered sweep below
+                def run(d=d, factor=factor):
+                    return hybrid_query_scaled(spark, d, factor).count()
             elif qn == "winnow_near_dup_neardup":
                 # COUNT, don't collect: factor-sized cliques mean
                 # ~24M true pairs at 100× — a driver collect would
@@ -422,6 +605,12 @@ def main() -> int:
                     "sec": dt,
                     "pairs": rows,  # run() counts for this alias
                     **winnow_stats(spark, d, factor),
+                }
+            elif qn == "hybrid_near_dup_neardup":
+                cell = {
+                    "sec": dt,
+                    "pairs": rows,  # run() counts for this alias
+                    **hybrid_stats(spark, d, factor),
                 }
             elif salt is not None:
                 cell = {"sec": dt, **lsh_stats(spark, d, table, id_col)}
