@@ -299,3 +299,27 @@ def test_hybrid_equals_winnow_at_gate_threshold(spark):
     assert {(a, b) for a, b, _, _ in hyb} == {
         (100, 101), (100, 102), (101, 102)
     }
+
+
+def test_sharded_pair_count_equals_unsharded(spark, tmp_path):
+    """tools/scale_sweep.winnow_sharded_count (the 100×-measurement
+    protocol) is EXACT: fingerprint-hash slicing partitions each
+    pair's shared-fp contributions across slices, so sum-of-partials
+    reproduces the un-sharded matcher — pinned at factor 1 against
+    the gated query's own operator."""
+    from tools.scale_sweep import winnow_sharded_count
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+    from yahoofinancedatalake_spark.operators.dedup import (
+        winnow_near_dup_pairs,
+    )
+
+    d = "/root/testdata/sf0.01"
+    n, slice_secs, _reduce_sec = winnow_sharded_count(
+        spark, d, 1, str(tmp_path), n_shards=4
+    )
+    docs = fan_out(load_table(spark, d, "documents"))
+    want = winnow_near_dup_pairs(
+        docs, "text", "doc_id", cache=False
+    ).count()
+    assert n == want
+    assert len(slice_secs) == 4

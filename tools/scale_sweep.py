@@ -401,10 +401,16 @@ def winnow_sharded_count(spark, d, factor, workdir, n_shards=8):
 
     cap = _WIN_CAP * factor
     docs = fan_out(load_table(spark, d, "documents"))
-    fps = winnow_fingerprints(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W)
-    # land the df-capped inverted index and the sizes ONCE — the 8
-    # slice jobs then re-scan a compact parquet instead of re-running
-    # the md5 extraction + df-count per slice
+    # land the raw fingerprint table FIRST and derive everything from
+    # the read-back: the interpreted md5-HOF extraction re-evaluates
+    # the per-gram regexp_replace on every pass, and the un-landed
+    # plan computes it three times (both join sides of the df-capped
+    # index, plus the sizes) — measured 20+ min/pass at the 100×
+    # point (jstack: all 32 workers in RegExpReplace.nullSafeEval)
+    winnow_fingerprints(
+        docs, "text", "doc_id", k=_WIN_K, w=_WIN_W
+    ).write.mode("overwrite").parquet(f"{workdir}/fps")
+    fps = spark.read.parquet(f"{workdir}/fps")
     idx = fps.select(FF.col("doc_id"), FF.explode("fps").alias("fp"))
     sizes = fps.select("doc_id", FF.size("fps").alias("n_fp"))
     dfreq = idx.groupBy("fp").agg(FF.count("*").alias("df"))

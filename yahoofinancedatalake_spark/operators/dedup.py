@@ -1192,7 +1192,18 @@ def winnow_fingerprints(
     """
     if w < 1 or k < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
-    norm = normalized_text(F.col(text_col))
+    # Materialize the normalized text as its OWN projection before the
+    # gram transform: the HOF lambdas evaluate interpreted, and an
+    # inlined `norm` expression re-runs the regexp_replace PER K-GRAM
+    # (jstack at the 100× sweep: all 32 workers inside
+    # RegExpReplace.nullSafeEval) — as a bound column it evaluates
+    # once per row (measured 1.3× on the full extraction; Catalyst's
+    # CollapseProject leaves it un-inlined because the alias is
+    # referenced more than once by a non-cheap expression).
+    d0 = df.select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+    )
+    norm = F.col("_norm")
     grams = F.when(
         F.length(norm) >= k,
         F.transform(
@@ -1201,7 +1212,7 @@ def winnow_fingerprints(
         ),
     ).otherwise(F.array(norm))
     hashes = F.transform(grams, lambda g: F.md5(g))
-    d = df.select(F.col(id_col), hashes.alias("_hs"))
+    d = d0.select(F.col(id_col), hashes.alias("_hs"))
     m = F.size("_hs")
     fps = F.array_distinct(
         F.transform(
