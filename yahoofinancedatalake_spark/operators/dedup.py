@@ -1263,11 +1263,20 @@ def winnow_near_dup_pairs(
     ``cache=True`` (default) ``persist()``\\ s the per-doc fingerprint
     table — it feeds the exploded index (hence df-counts, both join
     sides) AND both size lookups; uncached, the md5-per-k-gram
-    extraction re-executes per branch. Same caller-owned lifetime
-    contract as :func:`prefix_filter_jaccard_pairs`: the result is
-    lazy so this function cannot unpersist — call
-    ``spark.catalog.clearCache()`` after consuming the result when
-    looping over parameters, or pass ``cache=False``.
+    extraction re-executes per branch, and WORSE: with the extraction
+    inlined into each consumer plan the optimizer can collapse the
+    window-min transform onto the un-materialized k-gram-hash array,
+    re-evaluating the whole per-doc hash array PER WINDOW — measured
+    396.7 s uncached vs 7.2 s cached for the identical 25-pair answer
+    on the 500-doc sf0.01 corpus (r11; jstack shows workers inside
+    the per-gram expression evaluators). ``cache=False`` is therefore
+    a fixture-scale testing mode only; at corpus scale use the
+    default, or land the fingerprint table to parquet first and pass
+    it via ``fingerprints`` (what tools/scale_sweep.py's sharded
+    runner does). Same caller-owned lifetime contract as
+    :func:`prefix_filter_jaccard_pairs`: the result is lazy so this
+    function cannot unpersist — call ``spark.catalog.clearCache()``
+    after consuming the result when looping over parameters.
 
     ``fingerprints`` (optional) supplies a precomputed
     ``(id_col, fps)`` frame — any member of the winnow hash family
