@@ -383,10 +383,14 @@ def winnow_sharded_count(spark, d, factor, workdir, n_shards=8):
     in exactly one slice, so sum-of-partials equals the un-sharded
     ``shared``. Returns (pair_count, per-slice seconds, reduce
     seconds)."""
+    import gc  # noqa: PLC0415
     import time as _t  # noqa: PLC0415
 
     from pyspark.sql import functions as FF  # noqa: PLC0415
 
+    from yahoofinancedatalake_spark.session import (  # noqa: PLC0415
+        drain_if_pressured,
+    )
     from yahoofinancedatalake_spark.catalog import fan_out, load_table  # noqa: PLC0415
     from yahoofinancedatalake_spark.functions.scalars import dround  # noqa: PLC0415
     from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
@@ -440,24 +444,48 @@ def winnow_sharded_count(spark, d, factor, workdir, n_shards=8):
         part.write.mode("overwrite").parquet(f"{workdir}/part_{s}")
         slice_secs.append(round(_t.time() - t0, 1))
         print(f"  shard {s}: {slice_secs[-1]}s", flush=True)
+        # Release the finished shard's shuffle files NOW: Spark keeps
+        # them for plan reuse until the driver GCs the shuffle
+        # dependencies, and 8 shards × ~20 GB of retained shuffle is
+        # exactly the disk the sharding exists to avoid (the first
+        # sharded run died ENOSPC in the final REDUCE with all 8
+        # shards' spill still on disk). Python ref first, then the
+        # JVM GC that lets ContextCleaner unlink the files.
+        del part
+        gc.collect()
+        drain_if_pressured(spark, force=True)
+    # The reduce is sliced too (4 sequential id_a-hash sub-reduces):
+    # the landed partials total ~34 GB at the 100× point and a
+    # one-shot groupBy over them ENOSPC'd with 41 GB free — the same
+    # disk arithmetic as the pair-gen shards, one level up. Slicing
+    # on id_a is exact: a pair's partials all share its id_a.
     t0 = _t.time()
     parts = spark.read.parquet(
         *[f"{workdir}/part_{s}" for s in range(n_shards)]
     )
     sz = spark.read.parquet(f"{workdir}/sizes")
-    pairs = parts.groupBy("id_a", "id_b").agg(
-        FF.sum("shared").alias("shared")
-    )
     sa = sz.select(FF.col("doc_id").alias("id_a"), FF.col("n_fp").alias("n_a"))
     sb = sz.select(FF.col("doc_id").alias("id_b"), FF.col("n_fp").alias("n_b"))
-    ov = FF.col("shared").cast("double") / FF.least("n_a", "n_b")
-    n = (
-        pairs.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
-        .filter(ov >= _WIN_T)
-        .select("id_a", "id_b", "shared", dround(ov, 4).alias("overlap"))
-        .count()
-    )
+    n_slices = 4
+    n = 0
+    for i in range(n_slices):
+        p = parts.filter(
+            FF.pmod(FF.xxhash64(FF.col("id_a")), FF.lit(n_slices)) == i
+        )
+        pairs = p.groupBy("id_a", "id_b").agg(
+            FF.sum("shared").alias("shared")
+        )
+        ov = FF.col("shared").cast("double") / FF.least("n_a", "n_b")
+        n += (
+            pairs.join(sa.hint("shuffle_hash"), "id_a")
+            .join(sb.hint("shuffle_hash"), "id_b")
+            .filter(ov >= _WIN_T)
+            .select(
+                "id_a", "id_b", "shared", dround(ov, 4).alias("overlap")
+            )
+            .count()
+        )
+        drain_if_pressured(spark, force=True)
     reduce_sec = round(_t.time() - t0, 1)
     return n, slice_secs, reduce_sec
 
