@@ -313,7 +313,7 @@ def _run(sf_dir: str, sf: float, only: set[str] | None = None) -> None:
         "prep_stage_counts_winnow",
         # r11: LSH banding + fingerprint explode + array-intersect
         # verify — the union of the two families' burst profiles
-        "hybrid_near_dup",
+        "hybrid_near_dup", "prep_stage_counts_hybrid",
     }
     # Guard against silent staleness: a renamed query would otherwise
     # keep its old name here and lose the forced pre-query drain.

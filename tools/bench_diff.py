@@ -111,6 +111,7 @@ _GATE_EXTRA = {
     "prep_stage_counts",
     "incremental_prep_counts",
     "prep_stage_counts_winnow",
+    "prep_stage_counts_hybrid",
 }
 
 

@@ -126,6 +126,7 @@ _GATE_EXTRA = frozenset(
         "prep_stage_counts",
         "incremental_prep_counts",
         "prep_stage_counts_winnow",
+        "prep_stage_counts_hybrid",
     }
 )
 

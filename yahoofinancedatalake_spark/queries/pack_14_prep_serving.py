@@ -30,6 +30,12 @@ pack.py — new queries go at the END of this module):
   classifier over the DSIR hashed-n-gram buckets)
 - ``selection_funnel_cls`` (r11, funnel variant: Gopher bounds →
   NB classifier keep → DSIR top-k)
+- ``classifier_auc`` (r11, exact tie-corrected rank-sum ROC-AUC of
+  the NB classifier on its held-out split)
+- ``classifier_calibration`` (r11, reliability-diagram bins)
+- ``stream_nb_score_batch_eq`` (r11, streaming rung 15 — online
+  scoring against a frozen seed-trained NB model + prior)
+- ``prep_stage_counts_hybrid`` (r11, hybrid near-dup backend gate)
 """
 
 from __future__ import annotations
@@ -2288,3 +2294,430 @@ def q_selection_funnel_cls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "logodds", "prob", "logw", "gkey")
         .orderBy(F.desc("gkey"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 second wave: classifier EVALUATION ops (exact ROC-AUC via the
+# tie-corrected rank-sum, reliability/calibration bins), streaming
+# rung 15 (online scoring against a frozen NB model), and the hybrid
+# backend's composed prep gate.
+# ---------------------------------------------------------------------------
+
+#: shared held-out scoring CTE tail: NB model/prior from the train
+#: split, logodds per held-out doc. Appended after _nb_ctes("tr").
+_NB_HO_SCORE_CTES = f"""
+    hog AS ({_GRAMS_SQL.format(src="ho")}
+    ), hob AS (
+      SELECT doc_id, substr(md5(g), 1, 3) AS bucket FROM hog
+    ), hosc AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(coalesce(wgt, dflt)) AS sw
+      FROM hob LEFT JOIN nbm USING (bucket) CROSS JOIN nbd
+      GROUP BY doc_id
+    ), scored AS (
+      SELECT doc_id, n_grams,
+             {sql_dround("prior + sw", 6)} AS logodds,
+             {sql_dround(
+                 "1.0 / (1.0 + exp(-(" + sql_dround("prior + sw", 6)
+                 + ")))", 6)} AS prob
+      FROM hosc CROSS JOIN nbp
+    )"""
+
+
+@_register(
+    "classifier_auc",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), tr AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) < 'cd'
+    ), ho AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) >= 'cd'
+    ), {_nb_ctes("tr")},
+    {_NB_HO_SCORE_CTES},
+    lab AS (
+      SELECT s.logodds, ho.is_t FROM scored s JOIN ho USING (doc_id)
+    ), r AS (
+      SELECT is_t,
+             rank() OVER (ORDER BY logodds)
+               + (count(*) OVER (PARTITION BY logodds) - 1) / 2.0 AS ar
+      FROM lab
+    ), a AS (
+      SELECT sum(CASE WHEN is_t THEN ar END) AS rs,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS nn
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           {sql_dround(
+               "(rs - np * (np + 1) / 2.0) / (np * nn)", 6)} AS auc
+    FROM a
+    """,
+    doc="Classifier-evaluation op: EXACT ROC-AUC of the NB quality "
+    "classifier on its held-out split, via the tie-corrected "
+    "Mann-Whitney rank-sum — AUC = (sum of positives' average ranks "
+    "- n_pos(n_pos+1)/2) / (n_pos*n_neg), average rank per tie group "
+    "= rank + (ties-1)/2. O(n log n), no O(n^2) pair join; ties are "
+    "engine-identical because the ranking key is the dround(6)-"
+    "pinned logodds. Completes the model-based rung with the metric "
+    "every quality-classifier paper reports (FineWeb-edu reports "
+    "F1/agreement on its held-out set; CCNet eyeballs head/tail "
+    "precision). Scale note: the rank window is a single partition "
+    "BY DESIGN — evaluation sets are bounded samples (here the 20% "
+    "held-out split), not the corpus; a corpus-sized AUC would "
+    "switch to the grouped histogram approximation. Reference "
+    "analog: none.",
+    parts=8,
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("toks"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = base.filter(h < "cd")
+    held_out = base.filter(h >= "cd")
+    model = nb_quality_model(train, "toks", "is_t")
+    prior = nb_prior(train, "is_t")
+    scores = nb_quality_scores(held_out, "toks", "doc_id", model, prior)
+    lab = scores.join(held_out.select("doc_id", "is_t"), "doc_id")
+    ar = (
+        F.rank().over(Window.orderBy("logodds"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("logodds")) - 1)
+        / 2.0
+    )
+    r = lab.select("is_t", ar.alias("ar"))
+    a = r.agg(
+        F.sum(F.when(F.col("is_t"), F.col("ar"))).alias("rs"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("nn"),
+    )
+    return a.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        dround(
+            (F.col("rs") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@_register(
+    "classifier_calibration",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), tr AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) < 'cd'
+    ), ho AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) >= 'cd'
+    ), {_nb_ctes("tr")},
+    {_NB_HO_SCORE_CTES},
+    lab AS (
+      SELECT s.prob, ho.is_t FROM scored s JOIN ho USING (doc_id)
+    )
+    SELECT CAST(least(floor(prob * 10), 9) AS INTEGER) AS bin,
+           count(*) AS n,
+           {sql_dround("avg(prob)", 6)} AS avg_conf,
+           {sql_dround(
+               "avg(CASE WHEN is_t THEN 1.0 ELSE 0.0 END)", 6
+           )} AS frac_pos
+    FROM lab GROUP BY 1 ORDER BY bin
+    """,
+    doc="Classifier-evaluation op: the RELIABILITY DIAGRAM "
+    "(calibration bins) of the NB quality classifier on its held-out "
+    "split — posterior probability bucketed into 10 equal-width bins "
+    "(the top bin closed at 1.0), per-bin count, mean predicted "
+    "confidence, and empirical positive rate. A well-calibrated "
+    "scorer puts frac_pos ~ avg_conf per bin; NB's independence "
+    "assumption typically over-confidences the extremes — exactly "
+    "what a selection pipeline must know before thresholding on "
+    "prob. One grouped aggregation over the bounded held-out set, "
+    "zero windows; probs are dround(6)-pinned upstream so binning "
+    "is engine-identical. Pairs with classifier_auc as the eval "
+    "suite of the model-based rung. Reference analog: none.",
+    parts=8,
+)
+def q_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("toks"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = base.filter(h < "cd")
+    held_out = base.filter(h >= "cd")
+    model = nb_quality_model(train, "toks", "is_t")
+    prior = nb_prior(train, "is_t")
+    scores = nb_quality_scores(held_out, "toks", "doc_id", model, prior)
+    lab = scores.join(held_out.select("doc_id", "is_t"), "doc_id")
+    return (
+        lab.groupBy(
+            F.least(F.floor(F.col("prob") * 10), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.avg("prob"), 6).alias("avg_conf"),
+            dround(
+                F.avg(F.when(F.col("is_t"), 1.0).otherwise(0.0)), 6
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+@_register(
+    "stream_nb_score_batch_eq",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), n AS (SELECT count(*) AS n FROM d
+    ), thr AS (
+      SELECT doc_id AS p60 FROM d ORDER BY doc_id
+      OFFSET (SELECT CAST(floor(n * 0.6) AS BIGINT) FROM n) LIMIT 1
+    ), seed AS (
+      SELECT * FROM d WHERE doc_id < (SELECT p60 FROM thr)
+    ), inc AS (
+      SELECT * FROM d WHERE doc_id >= (SELECT p60 FROM thr)
+    ), {_nb_ctes("seed")},
+    ig AS ({_GRAMS_SQL.format(src="inc")}
+    ), ib AS (
+      SELECT doc_id, substr(md5(g), 1, 3) AS bucket FROM ig
+    ), sc AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(coalesce(wgt, dflt)) AS sw
+      FROM ib LEFT JOIN nbm USING (bucket) CROSS JOIN nbd
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           {sql_dround("prior + sw", 6)} AS logodds,
+           {sql_dround(
+               "1.0 / (1.0 + exp(-(" + sql_dround("prior + sw", 6)
+               + ")))", 6)} AS prob
+    FROM sc CROSS JOIN nbp ORDER BY doc_id
+    """,
+    doc="Streaming rung 15 — ONLINE quality classification: the NB "
+    "model + class prior train once on the seed corpus (first 60% "
+    "by doc_id, lang='en' positives) and are FROZEN, then two "
+    "id-ordered increments land as parquet drained by separate "
+    "availableNow runs sharing one checkpoint, foreachBatch scoring "
+    "each arriving doc against the frozen broadcast model — the "
+    "rung-13 delivery shape with the selection tier's SECOND model "
+    "family (a production funnel streams docs through BOTH the DSIR "
+    "weights and the quality classifier). What the hash gates: "
+    "exactly-once micro-batch delivery, model/prior freshness (a "
+    "batch-2 re-train breaks the weights AND the prior), and the "
+    "unseen-bucket backoff through the classifier's dflt path. The "
+    "streamed per-doc (n_grams, logodds, prob) rows must hash-match "
+    "a full DuckDB recompute of seed-model + increment scoring. "
+    "Scale: scoring is two 1-row broadcasts + one <=4096-row "
+    "broadcast + a per-doc agg per micro-batch; model and prior "
+    "persist across batches, released in the finally.",
+    parts=8,
+)
+def q_stream_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+    from yahoofinancedatalake_spark.queries._registry import (  # noqa: PLC0415
+        _await_stream,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("toks"),
+    )
+    n = base.count()
+    p60 = (
+        base.select("doc_id")
+        .orderBy("doc_id")
+        .offset(int(n * 0.6))
+        .limit(1)
+        .collect()[0][0]
+    )
+    seed = base.filter(F.col("doc_id") < p60)
+    incs = [
+        base.filter(
+            (F.col("doc_id") >= p60) & (F.col("doc_id") % 2 == 0)
+        ),
+        base.filter(
+            (F.col("doc_id") >= p60) & (F.col("doc_id") % 2 == 1)
+        ),
+    ]
+
+    root = tempfile.mkdtemp(prefix="stream_nb_")
+    indir = f"{root}/incoming"
+    outdir = f"{root}/scored"
+    ckpt = f"{root}/ckpt"
+    os.makedirs(indir)
+    model = nb_quality_model(seed, "toks", "is_t").persist()
+    prior = nb_prior(seed, "is_t").persist()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        nb_quality_scores(
+            batch_df, "toks", "doc_id", model, prior
+        ).write.mode("append").parquet(outdir)
+
+    try:
+        model.count()  # materialize BEFORE any increment lands
+        prior.count()
+        for inc in incs:
+            inc.coalesce(1).write.mode("append").parquet(indir)
+            q = (
+                spark.readStream.schema(base.schema)
+                .parquet(indir)
+                .writeStream.foreachBatch(_process)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q)
+        rows = spark.read.parquet(outdir).collect()
+    finally:
+        model.unpersist()
+        prior.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        rows,
+        schema="doc_id bigint, n_grams bigint, logodds double,"
+        " prob double",
+    ).orderBy("doc_id")
+
+
+@_register(
+    "prep_stage_counts_hybrid",
+    f"""
+    WITH RECURSIVE
+    {_PREP_Q_EX_CTES},
+    {_winnow_ctes("ex")},
+    dfreq AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+    kept AS (
+      SELECT sel.doc_id, sel.fp FROM sel
+      JOIN dfreq USING (fp) WHERE df BETWEEN 2 AND {_WIN_CAP}
+    ),
+    wp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    wnd AS (
+      SELECT id_a, id_b FROM wp
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+            >= {_HYB_T}
+    ),
+    {_cc_decontam_ctes("wnd")}
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'quality_gate' AS stage,
+             (SELECT count(*) FROM documents) AS rows_in,
+             (SELECT count(*) FROM q) AS rows_out,
+             (SELECT count(*) FROM documents) - (SELECT count(*) FROM q)
+               AS dropped
+      UNION ALL SELECT 2, 'exact_dedup',
+             (SELECT count(*) FROM q), (SELECT count(*) FROM ex),
+             (SELECT count(*) FROM q) - (SELECT count(*) FROM ex)
+      UNION ALL SELECT 3, 'near_dedup_hybrid',
+             (SELECT count(*) FROM ex), (SELECT count(*) FROM dd),
+             (SELECT count(*) FROM ex) - (SELECT count(*) FROM dd)
+      UNION ALL SELECT 4, 'decontaminate',
+             (SELECT count(*) FROM dd), (SELECT count(*) FROM cl),
+             (SELECT count(*) FROM dd) - (SELECT count(*) FROM cl)
+    ) ORDER BY stage_idx
+    """,
+    doc="The composed prep pipeline with near_dup_backend='hybrid' "
+    "(the r11 LSH-proposes/winnow-decides matcher at its gated "
+    f"parameters, accept threshold {_HYB_T}): prep.py's quality_gate "
+    "→ exact_stage → near_dup_stage(backend='hybrid') → "
+    "decontaminate run in sequence, per-stage audit value-hashed "
+    "against one DuckDB statement. The oracle is the pure winnow "
+    "recompute at the hybrid's threshold — valid because at "
+    f"{_HYB_T} the hybrid EQUALS the pure winnow policy on this "
+    "corpus (the hybrid_near_dup gate's measured premise, which "
+    "holds a fortiori on the exact-dedup survivor subset), so the "
+    "composition gate doubles as a standing re-verification of that "
+    "equality inside the full pipeline. Stages 5-7 are backend-"
+    "independent code already composed under prep_stage_counts. "
+    "Scale: inherits the hybrid matcher's posture — LSH-bounded "
+    "candidate volume, array-intersect verify moving |candidates| "
+    "rows; the matcher's internal fingerprint persist is released "
+    "in the query's finally.",
+    parts=8,
+)
+def q_prep_stage_counts_hybrid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yahoofinancedatalake_spark import prep  # noqa: PLC0415
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+
+    persisted: list = []
+
+    def _stage(frame):
+        persisted.append(frame.persist())
+        return persisted[-1]
+
+    try:
+        n_input = docs.count()
+        gated = _stage(prep.quality_gate(docs))
+        n_gate = gated.count()
+        exact = _stage(prep.exact_stage(gated))
+        n_exact = exact.count()
+        deduped = _stage(prep.near_dup_stage(exact, backend="hybrid"))
+        n_dedup = deduped.count()
+        n_clean = prep.decontaminate(deduped, eval_set).count()
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+        # the hybrid matcher persists its fingerprint table
+        # internally (cache=True, caller-owned release)
+        spark.catalog.clearCache()
+
+    stages = [
+        (1, "quality_gate", n_input, n_gate),
+        (2, "exact_dedup", n_gate, n_exact),
+        (3, "near_dedup_hybrid", n_exact, n_dedup),
+        (4, "decontaminate", n_dedup, n_clean),
+    ]
+    rows = [(i, s, a, b, a - b) for i, s, a, b in stages]
+    return spark.createDataFrame(
+        rows, schema="stage_idx int, stage string, rows_in bigint, "
+        "rows_out bigint, dropped bigint"
+    ).orderBy("stage_idx")
