@@ -36,6 +36,8 @@ pack.py — new queries go at the END of this module):
 - ``stream_nb_score_batch_eq`` (r11, streaming rung 15 — online
   scoring against a frozen seed-trained NB model + prior)
 - ``prep_stage_counts_hybrid`` (r11, hybrid near-dup backend gate)
+- ``data_card`` (r11, per-(source, lang) corpus datasheet)
+- ``classifier_pr_points`` (r11, precision/recall/F1 threshold sweep)
 """
 
 from __future__ import annotations
@@ -2721,3 +2723,204 @@ def q_prep_stage_counts_hybrid(
         rows, schema="stage_idx int, stage string, rows_in bigint, "
         "rows_out bigint, dropped bigint"
     ).orderBy("stage_idx")
+
+
+@_register(
+    "data_card",
+    f"""
+    WITH d AS (
+      SELECT source, lang, n_chars, text,
+             len({_WORD_TOKS_SQL}) AS n_toks,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fp
+      FROM documents
+    )
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           {sql_dround("avg(n_chars)", 4)} AS avg_chars,
+           {sql_dround(
+               "avg(CASE WHEN n_toks >= " + str(_PREP_MIN_TOKENS)
+               + " AND n_chars >= " + str(_PREP_MIN_CHARS)
+               + " THEN 1.0 ELSE 0.0 END)", 6)} AS quality_pass_frac,
+           {sql_dround(
+               "count(DISTINCT fp)::DOUBLE / count(*)", 6
+           )} AS distinct_frac,
+           {sql_dround("quantile_cont(n_chars, 0.5)", 4)} AS p50_chars,
+           {sql_dround("quantile_cont(n_chars, 0.9)", 4)} AS p90_chars
+    FROM d GROUP BY source, lang ORDER BY source, lang
+    """,
+    doc="Training-data op: the DATA CARD — the per-(source, lang) "
+    "datasheet a training-data pipeline publishes with every corpus "
+    "release (Gebru et al.'s Datasheets; the table every dataset "
+    "paper's composition section carries): doc and token counts, "
+    "mean chars, the fraction passing the prep quality gate (the "
+    "exact MIN_TOKENS/MIN_CHARS rule prep.py applies), the "
+    "exact-dedup distinct fraction (distinct normalized-text md5 "
+    "over docs — 1 minus it is the duplicate rate the dedup stage "
+    "will reclaim), and interpolated length percentiles (the "
+    "percentiles_price cross-engine pattern). ONE grouped "
+    "aggregation over the corpus — every statistic is a map-side "
+    "partial except the exact distinct and percentiles, whose 100 TB "
+    "twins are approx_count_distinct / approx_percentile (same call "
+    "shape, documented on their gated queries). Reference analog: "
+    "none — the reference publishes no corpus datasheet.",
+    parts=8,
+)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        normalized_text,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(_word_toks()).alias("n_toks"),
+        F.md5(normalized_text(F.col("text"))).alias("fp"),
+    )
+    pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9)))
+    qpass = F.when(
+        (F.col("n_toks") >= _PREP_MIN_TOKENS)
+        & (F.col("n_chars") >= _PREP_MIN_CHARS),
+        1.0,
+    ).otherwise(0.0)
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            dround(F.avg("n_chars"), 4).alias("avg_chars"),
+            dround(F.avg(qpass), 6).alias("quality_pass_frac"),
+            dround(
+                F.countDistinct("fp").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("distinct_frac"),
+            dround(F.element_at(pct, 1), 4).alias("p50_chars"),
+            dround(F.element_at(pct, 2), 4).alias("p90_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+#: PR-sweep thresholds (posterior deciles).
+_PR_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@_register(
+    "classifier_pr_points",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), tr AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) < 'cd'
+    ), ho AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) >= 'cd'
+    ), {_nb_ctes("tr")},
+    {_NB_HO_SCORE_CTES},
+    lab AS (
+      SELECT s.prob, ho.is_t FROM scored s JOIN ho USING (doc_id)
+    ), pts AS (
+      SELECT t, 
+             sum(CASE WHEN prob >= t AND is_t THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN prob >= t AND NOT is_t THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN prob < t AND is_t THEN 1 ELSE 0 END) AS fn
+      FROM lab CROSS JOIN (
+        SELECT unnest({_PR_THRESHOLDS!r}::DOUBLE[]) AS t)
+      GROUP BY t
+    )
+    SELECT t AS threshold, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           {sql_dround(
+               "tp::DOUBLE / greatest(tp + fp, 1)", 6)} AS precision,
+           {sql_dround(
+               "tp::DOUBLE / greatest(tp + fn, 1)", 6)} AS recall,
+           {sql_dround(
+               "CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0"
+               " ELSE 2.0 * tp / (2 * tp + fp + fn) END", 6)} AS f1
+    FROM pts ORDER BY threshold
+    """,
+    doc="Classifier-evaluation op: the PRECISION/RECALL SWEEP of the "
+    "NB quality classifier on its held-out split at nine posterior "
+    "deciles — tp/fp/fn counts, precision, recall, and F1 (computed "
+    "in the 2tp/(2tp+fp+fn) form, zero-guarded) per threshold: the "
+    "table that turns classifier_calibration's reliability read "
+    "into an operating-point choice (FineWeb-edu ships exactly this "
+    "when it picks its int-score cutoff). Threshold comparisons are "
+    "engine-identical because prob is dround(6)-pinned upstream and "
+    "the decile literals are exact binary64 on both engines. Plan: "
+    "the bounded held-out scores explode 9x (one row per threshold) "
+    "into ONE grouped aggregation — no window, no join beyond the "
+    "label attach; a corpus-sized sweep would move to the "
+    "cumulative-histogram form. Completes the eval suite: "
+    "classifier_auc (ranking), classifier_calibration "
+    "(probability quality), classifier_pr_points (thresholding).",
+    parts=8,
+)
+def q_classifier_pr_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("toks"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = base.filter(h < "cd")
+    held_out = base.filter(h >= "cd")
+    model = nb_quality_model(train, "toks", "is_t")
+    prior = nb_prior(train, "is_t")
+    scores = nb_quality_scores(held_out, "toks", "doc_id", model, prior)
+    lab = scores.join(held_out.select("doc_id", "is_t"), "doc_id")
+    exploded = lab.withColumn(
+        "threshold",
+        F.explode(F.array(*[F.lit(t) for t in _PR_THRESHOLDS])),
+    )
+    hit = F.col("prob") >= F.col("threshold")
+    pts = exploded.groupBy("threshold").agg(
+        F.sum(F.when(hit & F.col("is_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(hit & ~F.col("is_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~hit & F.col("is_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return pts.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        dround(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+            6,
+        ).alias("precision"),
+        dround(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
+            6,
+        ).alias("recall"),
+        dround(
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") == 0,
+                F.lit(0.0),
+            ).otherwise(
+                2.0 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold")
