@@ -91,7 +91,19 @@ def _adjudicate(
 ) -> dict[str, dict]:
     """Fresh-subprocess solo re-run of every >gate flag vs the
     committed baseline; returns the adjudication table (empty when
-    nothing flagged / no baseline / probing disabled)."""
+    nothing flagged / no baseline / probing disabled).
+
+    Provenance (ADVICE r11): flags here are computed against
+    ``bench_baseline.json`` — the artifact ``round_gate.py`` also
+    feeds ``bench_diff.py`` — but a manual ``bench_diff OLD NEW``
+    against some other OLD compares a different pair. Every entry
+    therefore records ``baseline_src``, and ``bench_diff`` re-derives
+    in-band-ness from the recorded ``solo_s`` against ITS OWN old
+    side rather than trusting the verdict string. The one residual
+    gap is unprobed-by-construction: a query in band vs the committed
+    baseline but >gate vs a manual OLD artifact has no ``solo_s`` and
+    so cannot be exonerated — conservative (it surfaces as a
+    regression to re-run), by design."""
     if os.environ.get("SPARK_GRAFT_NO_ADJUDICATE") == "1":
         return {}
     base = _baseline_queries()
@@ -110,6 +122,7 @@ def _adjudicate(
         out[n] = {
             "in_bench_s": timings[n],
             "baseline_s": base[n],
+            "baseline_src": "bench_baseline.json",
             "adjudication": "unprobed_over_cap",
         }
     for name in probes:
@@ -131,6 +144,7 @@ def _adjudicate(
             out[name] = {
                 "in_bench_s": timings[name],
                 "baseline_s": base[name],
+                "baseline_src": "bench_baseline.json",
                 "adjudication": f"probe_error: {type(e).__name__}",
             }
             continue
@@ -142,6 +156,7 @@ def _adjudicate(
             "in_bench_s": timings[name],
             "solo_s": solo,
             "baseline_s": base[name],
+            "baseline_src": "bench_baseline.json",
             "adjudication": "host_stall" if in_band else "regression",
         }
     return out

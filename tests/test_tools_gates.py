@@ -246,6 +246,54 @@ def test_diff_honors_host_stall_adjudication():
                for n in notes)
 
 
+def test_diff_rederives_adjudication_vs_own_old_side():
+    """ADVICE r11: the verdict STRING is baseline-relative; the diff
+    re-derives in-band-ness from solo_s against ITS old side. A
+    'host_stall' whose solo still trips the gate vs this OLD stays a
+    regression; an entry with no solo_s (unprobed) is never
+    downgraded."""
+    old = {"queries": {"a": 2.0, "b": 2.0}}
+    new = {
+        "queries": {"a": 9.0, "b": 9.0},
+        "adjudications": {
+            # labeled host_stall vs a lenient committed baseline
+            # (baseline_s 5.0), but solo 8.0 is >2x of OUR old 2.0
+            "a": {
+                "in_bench_s": 9.0,
+                "solo_s": 8.0,
+                "baseline_s": 5.0,
+                "baseline_src": "bench_baseline.json",
+                "adjudication": "host_stall",
+            },
+            # probed fine vs baseline too — and genuinely in band
+            # vs our old side: downgraded regardless of the label
+            "b": {
+                "in_bench_s": 9.0,
+                "solo_s": 2.1,
+                "baseline_s": 5.0,
+                "baseline_src": "bench_baseline.json",
+                "adjudication": "regression",
+            },
+        },
+    }
+    regressions, notes = diff(old, new, ratio=2.0)
+    assert len(regressions) == 1
+    assert regressions[0].startswith("a [operator]:")
+    assert any("ADJUDICATED host_stall" in n and n.startswith("b ")
+               for n in notes)
+    # unprobed entry (no solo_s): stays a regression
+    new2 = {
+        "queries": {"a": 9.0},
+        "adjudications": {
+            "a": {"in_bench_s": 9.0, "baseline_s": 5.0,
+                  "baseline_src": "bench_baseline.json",
+                  "adjudication": "unprobed_over_cap"},
+        },
+    }
+    regressions2, _ = diff({"queries": {"a": 2.0}}, new2, ratio=2.0)
+    assert len(regressions2) == 1
+
+
 def test_bench_solo_arg_parsing():
     """--solo parses the subset and rejects unregistered names."""
     import bench

@@ -301,6 +301,41 @@ def test_hybrid_equals_winnow_at_gate_threshold(spark):
     }
 
 
+def test_hybrid_empty_doc_exception_documented(spark):
+    """ADVICE r11: the ONE divergence class between hybrid and pure
+    winnow — empty/whitespace-normalized docs carry no MinHash
+    signature, so LSH never proposes their pairs; pure winnow accepts
+    them at overlap 1.0 over the shared empty fingerprint set. Pinned
+    here so a behavior change (either direction) is a conscious one,
+    together with the documented mitigation: exact_dedup upstream
+    collapses every empty-text group before a matcher runs."""
+    from yahoofinancedatalake_spark.operators.dedup import (
+        exact_dedup,
+        hybrid_near_dup_pairs,
+    )
+
+    rows = [(1, ""), (2, "real content words here"), (3, "   ")]
+    d = spark.createDataFrame(rows, "id long, text string")
+    win = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_near_dup_pairs(
+            d, "text", "id", cache=False
+        ).collect()
+    }
+    hyb = {
+        (r["id_a"], r["id_b"])
+        for r in hybrid_near_dup_pairs(
+            d, "text", "id", cache=False
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert win == {(1, 3)}   # pure winnow pairs the empty docs
+    assert hyb == set()      # LSH never proposes them
+    # the documented mitigation: exact dedup collapses the group
+    survivors = {r.id for r in exact_dedup(d, "text", "id").collect()}
+    assert survivors == {1, 2}
+
+
 def test_sharded_pair_count_equals_unsharded(spark, tmp_path):
     """tools/scale_sweep.winnow_sharded_count (the 100×-measurement
     protocol) is EXACT: fingerprint-hash slicing partitions each

@@ -127,7 +127,14 @@ def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
     # bench.py's in-run stall adjudication (VERDICT r10 #2): a flag
     # whose fresh-subprocess solo probe came back in band is the
     # box's documented intermittent stall, not a plan regression —
-    # the exoneration that used to take a manual re-run per flag
+    # the exoneration that used to take a manual re-run per flag.
+    # Provenance guard (ADVICE r11): bench.py flags against the
+    # committed bench_baseline.json, but THIS diff may compare a
+    # different OLD artifact — so the verdict string is not trusted;
+    # in-band-ness is re-derived from the recorded solo_s against
+    # OUR old side with the same gate rule. (A query bench.py never
+    # probed — in band vs baseline, >gate vs this OLD — has no
+    # solo_s and stays a regression to re-run: conservative.)
     adj = new.get("adjudications") or {}
     regressions, notes = [], []
     for name in shared:
@@ -135,11 +142,15 @@ def diff(old: dict, new: dict, ratio: float) -> tuple[list[str], list[str]]:
         tier = "gate" if name in gates else "operator"
         if b > a * ratio and b - a > MIN_ABS_S:
             verdict = adj.get(name, {})
-            if verdict.get("adjudication") == "host_stall":
+            solo = verdict.get("solo_s")
+            if solo is not None and not (
+                solo > a * ratio and solo - a > MIN_ABS_S
+            ):
                 notes.append(
                     f"{name} [{tier}]: {a:.2f}s -> {b:.2f}s in-bench, "
-                    f"ADJUDICATED host_stall (solo "
-                    f"{verdict.get('solo_s', float('nan')):.2f}s in band)"
+                    f"ADJUDICATED host_stall (solo {solo:.2f}s in band "
+                    f"vs this old side; probe baseline "
+                    f"{verdict.get('baseline_src', 'unrecorded')})"
                 )
             else:
                 regressions.append(

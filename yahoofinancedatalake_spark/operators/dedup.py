@@ -1515,7 +1515,17 @@ def hybrid_near_dup_pairs(
     is the same O(n²)-free winnow ground truth — the ``hybrid_near_dup``
     query hash-gates that equality end to end. A pair LSH misses is,
     by construction, low-Jaccard (below the ~0.72 banding knee), i.e.
-    outside the near-dup contract both matchers target.
+    outside the near-dup contract both matchers target — with ONE
+    documented exception (ADVICE r11): docs whose normalized text is
+    EMPTY (``""``/whitespace-only) produce a null MinHash signature
+    and are dropped before banding, so a winnow-accepted pair of two
+    such docs (overlap 1.0 over their shared empty fingerprint set)
+    is never proposed here. Those pairs are exact duplicates of the
+    empty string, i.e. exact-dedup's job, and :func:`prep`'s
+    ``exact_stage`` runs upstream of every near-dup backend, so the
+    composed pipeline never sees the gap; standalone callers on a
+    corpus where empty docs survive should run :func:`exact_dedup`
+    first (the same precondition the LSH backend has always had).
 
     Plan shape: the LSH stage is the bucket-key shuffle +
     capped-bucket pair explode (never a self-join — see
@@ -1608,4 +1618,120 @@ def hybrid_near_dup_pairs(
             "shared",
             dround(ov, 4).alias("overlap"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granularity dedup (Lee et al. 2022 / Dolma paragraph dedup)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    para_words: int = 20,
+    tokens: Column | None = None,
+) -> DataFrame:
+    """Sub-document dedup at PARAGRAPH granularity — the last
+    published member of the dedup ladder (Lee et al. 2022,
+    arXiv:2107.06499: duplicated spans are removed from *surviving*
+    documents too; Dolma's paragraph-level dedup, arXiv:2402.00159
+    §2.2): split each doc into paragraphs, fingerprint the normalized
+    paragraph, keep only the FIRST occurrence corpus-wide
+    (deterministic min ``(id, position)`` — the same survivor
+    convention as :func:`exact_dedup` / the winnow matcher), and
+    reassemble each doc from its surviving paragraphs.
+
+    Semantics vs the two span-family neighbors already in the pack:
+    ``span_dedup_c4`` removes EVERY occurrence of a corpus-frequent
+    span (C4's boilerplate rule); ``chunk_dedup``/``exact_dedup``
+    decide whole documents. This keeps exactly one copy of each
+    duplicated paragraph and rewrites the rest — the rule the
+    published pipelines apply between doc-level dedup and selection.
+
+    The paragraph unit is parameterized: production corpora split on
+    blank lines (``\\n{2,}``) — pass ``tokens=None`` and pre-split
+    upstream, or pass a custom token Column; this corpus carries no
+    newlines (TESTDATA.md), so the unit is non-overlapping
+    ``para_words``-word windows over the word-token stream, exactly
+    the ``span_dedup_c4`` convention. Docs with zero tokens are
+    excluded (no paragraphs to decide).
+
+    Returns ``(id_col, n_paras, n_kept, chars_removed, new_text)``
+    per doc, where ``new_text`` is the kept paragraphs joined in
+    original order (empty string when every paragraph lost) and
+    ``chars_removed`` sums the dropped paragraphs' lengths.
+
+    Plan/scale shape: paragraph TEXT never rides a shuffle — the
+    winner election groups only ``(md5, id, pos)`` rows (~50 bytes)
+    with MAP-SIDE partial min, so a boilerplate mega-paragraph
+    collapses per task before its exchange (the window/row_number
+    formulation the oracle uses was rejected for the engine side: no
+    partial aggregation, one hot task per viral paragraph); the
+    flag join back is hinted shuffle_hash (both sides corpus-sized);
+    reassembly re-derives spans map-side from the doc's own tokens
+    and keeps positions from the per-doc kept-array, so the only
+    text movement is the final ``id``-equi-join — exchange-free when
+    the corpus is bucketed by id at rest. Fully SQL-expressible →
+    hash-gated end to end (the ``paragraph_dedup`` query).
+    """
+    toks = (
+        tokens
+        if tokens is not None
+        else F.filter(
+            F.split(normalized_text(F.col(text_col)), " "),
+            lambda t: t != "",
+        )
+    )
+    base = df.select(F.col(id_col), toks.alias("__w")).filter(
+        F.size("__w") > 0
+    )
+    n_spans = F.ceil(F.size("__w") / F.lit(float(para_words))).cast("int")
+    span_at = lambda p: F.array_join(  # noqa: E731
+        F.slice("__w", p * para_words + 1, para_words), " "
+    )
+    spans_meta = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_spans - 1), span_at)
+        ).alias("pos", "__span"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5("__span").alias("h"),
+        F.length("__span").alias("span_len"),
+    )
+    win = spans_meta.groupBy("h").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("w_id"), F.col("pos").alias("w_pos")
+            )
+        ).alias("w")
+    )
+    keep = (F.col(id_col) == F.col("w.w_id")) & (
+        F.col("pos") == F.col("w.w_pos")
+    )
+    flags = spans_meta.join(win.hint("shuffle_hash"), "h").select(
+        id_col, "pos", "span_len", keep.alias("keep")
+    )
+    per_doc = flags.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(
+            F.when(~F.col("keep"), F.col("span_len")).otherwise(0)
+        ).cast("bigint").alias("chars_removed"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.col("pos")))
+        ).alias("__kept_pos"),
+    )
+    return base.join(per_doc, id_col).select(
+        id_col,
+        "n_paras",
+        "n_kept",
+        "chars_removed",
+        F.array_join(
+            F.transform("__kept_pos", span_at), " "
+        ).alias("new_text"),
     )

@@ -131,6 +131,14 @@ def near_dup_stage(
     0.9 exact-ish replicas vs overlap-coefficient 0.5 substring
     containment); the equivalence pytest plants near-dups that trip
     both.
+
+    Precondition (shared by "lsh" and "hybrid", ADVICE r11): docs
+    whose normalized text is empty/whitespace-only carry no MinHash
+    signature, so LSH-proposed backends never pair two of them —
+    the pure "winnow" backend would (overlap 1.0 on the empty
+    fingerprint set). Irrelevant in this pipeline because
+    :func:`exact_stage` runs first and collapses every empty-text
+    group to its min-id keeper before any matcher sees the corpus.
     """
     from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
         connected_components,
@@ -175,6 +183,50 @@ def drop_near_dups(
 ) -> DataFrame:
     """Stages 2+3 — exact dedup, then near-dup cluster removal."""
     return near_dup_stage(exact_stage(docs, id_col), id_col, backend)
+
+
+#: paragraph unit for paragraph_stage on the no-newline synthetic
+#: corpus (the gated paragraph_dedup query's parameter).
+PARA_WORDS = 20
+
+
+def paragraph_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    para_words: int = PARA_WORDS,
+) -> DataFrame:
+    """Stage 3b (r12, off by default) — PARAGRAPH-granularity dedup
+    (Lee et al. 2022; Dolma's paragraph dedup): after the doc-level
+    matchers have decided whole documents, duplicated paragraphs
+    *inside* the survivors are collapsed to their first occurrence
+    corpus-wide and each doc's text is rewritten to its surviving
+    paragraph stream (the gated ``paragraph_dedup`` query's operator
+    at its exact parameters). Docs whose every paragraph was a later
+    duplicate — and docs with no tokens at all — drop out entirely;
+    ``n_chars`` is recomputed so the downstream datasheet/packing
+    stages see the rewritten corpus honestly. Runs BETWEEN near-dup
+    removal and decontamination, where the published pipelines put
+    it."""
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        paragraph_dedup,
+    )
+
+    rewritten = paragraph_dedup(
+        docs, "text", id_col,
+        para_words=para_words, tokens=_word_tokens(),
+    ).select(id_col, F.col("new_text").alias("text"))
+    keep = [c for c in docs.columns if c not in ("text", "n_chars")]
+    out = (
+        docs.select(*keep)
+        .join(rewritten, id_col)
+        .filter(F.length("text") > 0)
+    )
+    if "n_chars" in docs.columns:
+        out = out.withColumn(
+            "n_chars",
+            F.length("text").cast(dict(docs.dtypes)["n_chars"]),
+        )
+    return out.select(*docs.columns)
 
 
 def decontaminate(
@@ -490,8 +542,15 @@ def run_prep(
     eval_docs: DataFrame | None = None,
     docs: DataFrame | None = None,
     near_dup_backend: str = "lsh",
+    paragraph_level: bool = False,
 ) -> dict[str, int]:
     """Run the whole prep DAG and land each stage under ``root``.
+
+    ``paragraph_level=True`` (r12) inserts :func:`paragraph_stage`
+    between near-dup removal and decontamination — sub-document
+    dedup that rewrites survivors' text to their first-occurrence
+    paragraph stream (Lee et al. 2022 / Dolma); off by default so
+    existing composed gates keep their committed counts.
 
     ``eval_docs`` defaults to the corpus rows with ``doc_id % 37 = 0``
     (the contamination_ngrams query's stand-in benchmark); pass a real
@@ -522,6 +581,10 @@ def run_prep(
     deduped = drop_near_dups(gated, backend=near_dup_backend)
     counts["after_dedup"] = deduped.count()
     _land_dedup_state(spark, root, deduped)
+
+    if paragraph_level:
+        deduped = paragraph_stage(deduped)
+        counts["after_paragraph"] = deduped.count()
 
     clean = decontaminate(deduped, eval_set)
     counts["after_decontam"] = clean.count()

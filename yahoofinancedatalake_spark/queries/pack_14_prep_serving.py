@@ -2352,8 +2352,8 @@ _NB_HO_SCORE_CTES = f"""
       FROM r
     )
     SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-           {sql_dround(
-               "(rs - np * (np + 1) / 2.0) / (np * nn)", 6)} AS auc
+           CASE WHEN np * nn = 0 THEN NULL ELSE {sql_dround(
+               "(rs - np * (np + 1) / 2.0) / (np * nn)", 6)} END AS auc
     FROM a
     """,
     doc="Classifier-evaluation op: EXACT ROC-AUC of the NB quality "
@@ -2367,9 +2367,12 @@ _NB_HO_SCORE_CTES = f"""
     "F1/agreement on its held-out set; CCNet eyeballs head/tail "
     "precision). Scale note: the rank window is a single partition "
     "BY DESIGN — evaluation sets are bounded samples (here the 20% "
-    "held-out split), not the corpus; a corpus-sized AUC would "
-    "switch to the grouped histogram approximation. Reference "
-    "analog: none.",
+    "held-out split), not the corpus; the corpus-scale twin is "
+    "classifier_auc_scaled (per-score cumulative histogram, zero "
+    "unpartitioned windows, hash-equal to this form). A single-class "
+    "split (np*nn = 0) is pinned to auc = NULL on BOTH engines — "
+    "unguarded it is NULL on Spark but a division error in DuckDB "
+    "(ADVICE r11). Reference analog: none.",
     parts=8,
 )
 def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2405,13 +2408,18 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("nn"),
     )
+    # single-class guard (ADVICE r11): np*nn = 0 is NULL on Spark's
+    # Divide but a hard division-by-zero ERROR in DuckDB — pin the
+    # degenerate split to an explicit NULL sentinel on both engines
     return a.select(
         F.col("np").cast("bigint").alias("n_pos"),
         F.col("nn").cast("bigint").alias("n_neg"),
-        dround(
-            (F.col("rs") - F.col("np") * (F.col("np") + 1) / 2.0)
-            / (F.col("np") * F.col("nn")),
-            6,
+        F.when(F.col("np") * F.col("nn") == 0, F.lit(None)).otherwise(
+            dround(
+                (F.col("rs") - F.col("np") * (F.col("np") + 1) / 2.0)
+                / (F.col("np") * F.col("nn")),
+                6,
+            )
         ).alias("auc"),
     )
 
@@ -2895,6 +2903,335 @@ def q_classifier_pr_points(
         .cast("bigint")
         .alias("fp"),
         F.sum(F.when(~hit & F.col("is_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return pts.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        dround(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+            6,
+        ).alias("precision"),
+        dround(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
+            6,
+        ).alias("recall"),
+        dround(
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") == 0,
+                F.lit(0.0),
+            ).otherwise(
+                2.0 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# r12: paragraph-granularity dedup (Lee et al. 2022 / Dolma shape) —
+# sub-document member of the dedup ladder (VERDICT r11 #2).
+# ---------------------------------------------------------------------------
+
+#: paragraph unit for the no-newline synthetic corpus: non-overlapping
+#: word windows (production corpora split on blank lines — the
+#: operator's ``tokens`` hook), the span_dedup_c4 convention.
+_PARA_W = 20
+
+
+@_register(
+    "paragraph_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS w FROM documents
+    ), base AS (
+      SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0
+    ), spans AS (
+      SELECT doc_id, st // {_PARA_W} AS pos,
+             array_to_string(w[st + 1 : st + {_PARA_W}], ' ') AS span
+      FROM (SELECT doc_id, w, n,
+                   unnest(generate_series(0, n - 1, {_PARA_W})) AS st
+            FROM base)
+    ), flags AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY md5(span)
+                                ORDER BY doc_id, pos) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn > 1 THEN length(span) ELSE 0 END)
+             AS BIGINT) AS chars_removed,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                               ORDER BY pos), '') AS new_text
+    FROM flags GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Training-data op: PARAGRAPH-granularity dedup — the last "
+    "published member of the dedup ladder (Lee et al. 2022, "
+    "arXiv:2107.06499; Dolma's paragraph dedup, arXiv:2402.00159): "
+    "every current matcher (exact/MinHash/winnow/hybrid/SemDeDup) "
+    "decides whole DOCUMENTS; this keeps the FIRST occurrence of "
+    "each duplicated paragraph corpus-wide (deterministic min "
+    "(doc_id, position) — the exact_dedup survivor convention), "
+    "drops every later occurrence, and REASSEMBLES each doc from "
+    "its surviving paragraphs, reporting paragraphs kept and chars "
+    f"removed per doc. Unit = non-overlapping {_PARA_W}-word windows "
+    "(this corpus has no newlines — span_dedup_c4's convention; "
+    "production splits on blank lines via the operator's tokens "
+    "hook). Distinct from span_dedup_c4: C4 removes EVERY occurrence "
+    "of corpus-frequent spans; this keeps exactly one. Plan: winner "
+    "election is a map-side-partial min over (md5, id, pos) rows — "
+    "paragraph text never shuffles; a viral boilerplate paragraph "
+    "collapses per task before the exchange (the oracle's "
+    "row_number window form was rejected engine-side: no partial "
+    "agg, one hot task per mega-paragraph); reassembly re-derives "
+    "spans map-side from the per-doc kept-position array, so the "
+    "only text movement is the final id-equi-join (exchange-free "
+    "bucketed at rest). prep.py exposes it as paragraph_stage / "
+    "run_prep(paragraph_level=True). Reference analog: none.",
+    parts=8,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        paragraph_dedup,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return paragraph_dedup(
+        docs, "text", "doc_id", para_words=_PARA_W, tokens=_word_toks()
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r12: corpus-scale classifier evaluation twins (VERDICT r11 #3) —
+# the cumulative-histogram forms of classifier_auc /
+# classifier_pr_points, hash-equal to the exact ops but with zero
+# unpartitioned windows and every shuffle bounded by the number of
+# DISTINCT dround(6) scores, not the number of documents.
+# ---------------------------------------------------------------------------
+
+
+def _nb_held_out_scored(spark: SparkSession, sf_dir: str):
+    """Shared eval harness: train the NB classifier on the 80% split,
+    score the held-out 20%, return (logodds, prob, is_t) rows — the
+    exact classifier_auc/pr_points preamble, factored."""
+    from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
+        nb_prior,
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        _word_toks().alias("toks"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = base.filter(h < "cd")
+    held_out = base.filter(h >= "cd")
+    model = nb_quality_model(train, "toks", "is_t")
+    prior = nb_prior(train, "is_t")
+    scores = nb_quality_scores(held_out, "toks", "doc_id", model, prior)
+    return scores.join(held_out.select("doc_id", "is_t"), "doc_id")
+
+
+@_register(
+    "classifier_auc_scaled",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), tr AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) < 'cd'
+    ), ho AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) >= 'cd'
+    ), {_nb_ctes("tr")},
+    {_NB_HO_SCORE_CTES},
+    lab AS (
+      SELECT s.logodds, ho.is_t FROM scored s JOIN ho USING (doc_id)
+    ), r AS (
+      SELECT is_t,
+             rank() OVER (ORDER BY logodds)
+               + (count(*) OVER (PARTITION BY logodds) - 1) / 2.0 AS ar
+      FROM lab
+    ), a AS (
+      SELECT sum(CASE WHEN is_t THEN ar END) AS rs,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS nn
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CASE WHEN np * nn = 0 THEN NULL ELSE {sql_dround(
+               "(rs - np * (np + 1) / 2.0) / (np * nn)", 6)} END AS auc
+    FROM a
+    """,
+    doc="Corpus-SCALE ROC-AUC of the NB quality classifier — the "
+    "cumulative-histogram twin of classifier_auc (VERDICT r11 #3), "
+    "hash-equal to the exact rank-sum form on any eval set (the "
+    "oracle IS classifier_auc's) but computable over a corpus-sized "
+    "one: scores are dround(6)-pinned, so group by score into a "
+    "(score, n_pos, n_neg) histogram (map-side partial; shuffle "
+    "keyed by DISTINCT scores, not docs), then AUC = sum over "
+    "scores of pos_s * (negs_below + neg_s/2) / (np*nn) — exactly "
+    "the tie-corrected Mann-Whitney sum regrouped by tie class. "
+    "Cumulation is two-level with ZERO unpartitioned windows: "
+    "within-bucket running sums use a window PARTITIONED by "
+    "floor(score); cross-bucket offsets come from the tiny "
+    "per-bucket totals table via sequence-explode + groupBy (B² "
+    "rows, B = O(score range)) — an equi-join shape, because the "
+    "bucket_lo < bucket_hi triangular join would plan as the "
+    "BroadcastNestedLoopJoin the plan suite bans. Single-class "
+    "split pinned to auc NULL on both engines. Reference analog: "
+    "none.",
+    parts=8,
+)
+def q_classifier_auc_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    lab = _nb_held_out_scored(spark, sf_dir)
+    hist = lab.groupBy("logodds").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("neg"),
+    ).withColumn("bucket", F.floor("logodds").cast("bigint"))
+    bt = hist.groupBy("bucket").agg(F.sum("neg").alias("neg_tot"))
+    # cross-bucket offsets WITHOUT a window or an inequality join (a
+    # bucket_lo < bucket_hi join would plan as the BNLJ the plan
+    # suite bans): each bucket total explodes to every HIGHER bucket
+    # id up to the max (a 1-row aggregate equi-joined in via the
+    # data-derived const key), then one groupBy sums the offsets —
+    # O(B²) rows for B = O(score range) buckets, all equi-join/agg
+    from yahoofinancedatalake_spark.queries._registry import (  # noqa: PLC0415
+        _const_key,
+    )
+
+    maxb = bt.agg(F.max("bucket").alias("mb")).withColumn(
+        "__k", _const_key(F.col("mb"))
+    )
+    lower = (
+        bt.withColumn("__k", _const_key(F.col("bucket")))
+        .join(F.broadcast(maxb), "__k")
+        .filter(F.col("bucket") < F.col("mb"))
+        .select(
+            F.explode(
+                F.sequence(F.col("bucket") + 1, F.col("mb"))
+            ).alias("bucket"),
+            "neg_tot",
+        )
+        .groupBy("bucket")
+        .agg(F.sum("neg_tot").alias("neg_below_bucket"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("logodds")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        hist.join(F.broadcast(lower), "bucket", "left")
+        .withColumn(
+            "cumneg",
+            F.coalesce("neg_below_bucket", F.lit(0))
+            + F.coalesce(F.sum("neg").over(w), F.lit(0)),
+        )
+    )
+    a = cum.agg(
+        F.sum(
+            F.col("pos") * (F.col("cumneg") + F.col("neg") / 2.0)
+        ).alias("rs"),
+        F.sum("pos").alias("np"),
+        F.sum("neg").alias("nn"),
+    )
+    return a.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.when(F.col("np") * F.col("nn") == 0, F.lit(None)).otherwise(
+            dround(
+                F.col("rs") / (F.col("np") * F.col("nn")), 6
+            )
+        ).alias("auc"),
+    )
+
+
+@_register(
+    "classifier_pr_curve",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_WORD_TOKS_SQL} AS t
+      FROM documents
+    ), tr AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) < 'cd'
+    ), ho AS (
+      SELECT * FROM d WHERE substr(md5(doc_id::VARCHAR), 1, 2) >= 'cd'
+    ), {_nb_ctes("tr")},
+    {_NB_HO_SCORE_CTES},
+    lab AS (
+      SELECT s.prob, ho.is_t FROM scored s JOIN ho USING (doc_id)
+    ), pts AS (
+      SELECT t, 
+             sum(CASE WHEN prob >= t AND is_t THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN prob >= t AND NOT is_t THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN prob < t AND is_t THEN 1 ELSE 0 END) AS fn
+      FROM lab CROSS JOIN (
+        SELECT unnest({_PR_THRESHOLDS!r}::DOUBLE[]) AS t)
+      GROUP BY t
+    )
+    SELECT t AS threshold, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           {sql_dround(
+               "tp::DOUBLE / greatest(tp + fp, 1)", 6)} AS precision,
+           {sql_dround(
+               "tp::DOUBLE / greatest(tp + fn, 1)", 6)} AS recall,
+           {sql_dround(
+               "CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0"
+               " ELSE 2.0 * tp / (2 * tp + fp + fn) END", 6)} AS f1
+    FROM pts ORDER BY threshold
+    """,
+    doc="Corpus-SCALE precision/recall sweep — the cumulative-"
+    "histogram twin of classifier_pr_points (VERDICT r11 #3), "
+    "hash-equal to the exact form (the oracle IS "
+    "classifier_pr_points's) but sized for a corpus: instead of "
+    "exploding every held-out DOC 9x, the dround(6)-pinned "
+    "posteriors first collapse into a (prob, n_pos, n_neg) "
+    "histogram (map-side partial, distinct-score-keyed shuffle); "
+    "the 9-threshold explode then multiplies HISTOGRAM rows, and "
+    "tp/fp/fn per threshold are one grouped aggregation with fn "
+    "counted from the sub-threshold side of the same pass. No "
+    "window anywhere, no range join (an interval join of scores x "
+    "thresholds would plan as the BroadcastNestedLoopJoin the plan "
+    "suite bans). Reference analog: none.",
+    parts=8,
+)
+def q_classifier_pr_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lab = _nb_held_out_scored(spark, sf_dir)
+    hist = lab.groupBy("prob").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("neg"),
+    )
+    exploded = hist.withColumn(
+        "threshold",
+        F.explode(F.array(*[F.lit(t) for t in _PR_THRESHOLDS])),
+    )
+    hit = F.col("prob") >= F.col("threshold")
+    pts = exploded.groupBy("threshold").agg(
+        F.sum(F.when(hit, F.col("pos")).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(hit, F.col("neg")).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~hit, F.col("pos")).otherwise(0))
         .cast("bigint")
         .alias("fn"),
     )
