@@ -670,3 +670,28 @@ def test_classifier_auc_single_class_null_guard(spark):
         .alias("auc")
     ).collect()[0]
     assert row["auc"] is None
+
+
+def test_mixture_plan_is_consistent_run_config(spark):
+    """mixture_plan (data card → UniMax) emits a consumable run
+    config: epochs bounded by the 2-epoch cap, total allocation at
+    most the 1.6x budget, weights normalized to 1, and groups =
+    exactly the corpus's (source, lang) cells."""
+    from yahoofinancedatalake_spark.queries.pack import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = QUERIES["mixture_plan"].spark(spark, sf_dir).collect()
+    import duckdb
+
+    cells = duckdb.sql(
+        f"SELECT DISTINCT source, lang FROM "
+        f"'{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert {(r["source"], r["lang"]) for r in rows} == set(cells)
+    assert all(0.0 <= r["epochs"] <= 2.0 + 1e-9 for r in rows)
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    assert sum(r["alloc"] for r in rows) <= 1.6 * total_tokens + 1e-6
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    # budget 1.6x with cap 2.0x means not every group can be capped:
+    # at least one group sits AT the water level (alloc < cap)
+    assert any(r["alloc"] < r["cap"] for r in rows)

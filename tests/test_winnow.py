@@ -361,3 +361,69 @@ def test_sharded_pair_count_equals_unsharded(spark, tmp_path):
     spark.catalog.clearCache()
     assert n == want
     assert len(slice_secs) == 4
+
+
+def test_incremental_hybrid_probe_is_batch_local(spark):
+    """Streaming rung 16's cost contract, asserted functionally: the
+    incremental hybrid probe touches history ONLY through (a) band
+    rows in buckets the batch lands in and (b) fingerprint rows of
+    candidate-touched ids — so corrupting every fp_index row of
+    non-touched history docs (and dropping their fp_df entries'
+    support beyond what full-corpus df needs) changes NOTHING. That
+    is the O(batch)-vs-O(corpus) distinction: a probe that rescanned
+    history would see the corruption."""
+    from yahoofinancedatalake_spark.operators.dedup import (
+        hybrid_near_dup_pairs,
+        incremental_hybrid_pairs,
+        minhash_band_table,
+        winnow_fingerprints,
+    )
+
+    # corpus: a planted near-dup pair split across history/batch,
+    # plus history-only filler docs the batch never touches
+    base = " ".join(f"dup_{j} word{j}" for j in range(15))
+    rows = [(100, base), (200, base + " tailX")]
+    rows += [
+        (i, " ".join(f"uniq{i}_{j} filler{j}" for j in range(20)))
+        for i in range(10)
+    ]
+    d = spark.createDataFrame(rows, "id long, text string")
+    hist = d.filter(F.col("id") != 200)
+    batch = d.filter(F.col("id") == 200)
+    band = minhash_band_table(hist, "text", "id")
+    fps = winnow_fingerprints(hist, "text", "id").persist()
+    fpi = fps.select("id", F.explode("fps").alias("fp"))
+    fpd = fpi.groupBy("fp").agg(F.count("*").alias("df"))
+
+    def pairs(fpi_frame):
+        got = {
+            (r["id_a"], r["id_b"], r["shared"], r["overlap"])
+            for r in incremental_hybrid_pairs(
+                batch, band, fpi_frame, fpd, "text", "id"
+            ).collect()
+        }
+        spark.catalog.clearCache()
+        return got
+
+    clean = pairs(fpi)
+    # the planted cross-epoch pair is found, and equals the full
+    # batch matcher minus old×old
+    full = {
+        (r["id_a"], r["id_b"], r["shared"], r["overlap"])
+        for r in hybrid_near_dup_pairs(d, "text", "id").collect()
+    }
+    spark.catalog.clearCache()
+    old_ids = {r["id"] for r in hist.collect()}
+    assert clean == {
+        p for p in full if not (p[0] in old_ids and p[1] in old_ids)
+    }
+    assert {(a, b) for a, b, _, _ in clean} == {(100, 200)}
+    # corrupt every non-touched history doc's fingerprint rows: the
+    # probe must not notice (it never reads them)
+    corrupted = fpi.withColumn(
+        "fp",
+        F.when(F.col("id") != 100, F.lit("poisoned")).otherwise(
+            F.col("fp")
+        ),
+    )
+    assert pairs(corrupted) == clean
