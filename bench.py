@@ -329,6 +329,11 @@ def _run(sf_dir: str, sf: float, only: set[str] | None = None) -> None:
         # r11: LSH banding + fingerprint explode + array-intersect
         # verify — the union of the two families' burst profiles
         "hybrid_near_dup", "prep_stage_counts_hybrid",
+        # r12: paragraph explode + keep-first join + reassembly; and
+        # rung 16 runs the full incremental hybrid stack (banding +
+        # fingerprint explode + verify) twice plus state landings
+        "paragraph_dedup", "stream_hybrid_dedup_batch_eq",
+        "prep_stage_counts_paragraph",
     }
     # Guard against silent staleness: a renamed query would otherwise
     # keep its old name here and lose the forced pre-query drain.

@@ -126,7 +126,19 @@ TABLE_OF = {
     # dsir_ess; the funnel variant composes it with already-swept
     # stages
     "quality_classifier_select": ("documents", "doc_id"),
+    # r12: paragraph dedup — exact replicas make every replica's
+    # every paragraph a duplicate of the original's (winner = the
+    # min-id original), so the 100x cell decides 100x the paragraphs
+    # with ~99% of them losers: the keep-first join and the
+    # reassembly both face their worst duplicate ratio
+    "paragraph_dedup": ("documents", "doc_id"),
 }
+
+#: TABLE_OF entries run as .count() instead of .collect(): their
+#: output is corpus-sized (per-doc rewritten text for
+#: paragraph_dedup) — a driver collect at 100x would measure result
+#: serialization (and trip maxResultSize), not the operator.
+COUNT_ONLY = {"paragraph_dedup"}
 
 #: Sweep aliases whose replicas are NEAR-duplicates (replica-salted
 #: token appended to ``text_col``) instead of exact copies — the LSH
@@ -614,7 +626,10 @@ def main() -> int:
                     return winnow_query_scaled(spark, d, factor).count()
             else:
                 def run(d=d, real_q=real_q):
-                    return QUERIES[real_q].spark(spark, d).collect()
+                    frame = QUERIES[real_q].spark(spark, d)
+                    if real_q in COUNT_ONLY:
+                        return frame.count()
+                    return frame.collect()
             # Untimed warm-up per (query, factor): one-time plan/codegen
             # and the cold page cache of the freshly written replica
             # would otherwise inflate exactly the scaling ratios this

@@ -127,6 +127,7 @@ _GATE_EXTRA = frozenset(
         "incremental_prep_counts",
         "prep_stage_counts_winnow",
         "prep_stage_counts_hybrid",
+        "prep_stage_counts_paragraph",
     }
 )
 

@@ -38,6 +38,18 @@ pack.py — new queries go at the END of this module):
 - ``prep_stage_counts_hybrid`` (r11, hybrid near-dup backend gate)
 - ``data_card`` (r11, per-(source, lang) corpus datasheet)
 - ``classifier_pr_points`` (r11, precision/recall/F1 threshold sweep)
+- ``paragraph_dedup`` (r12, keep-first sub-document dedup — Lee et
+  al. 2022 / Dolma shape — with per-doc text reassembly)
+- ``classifier_auc_scaled`` (r12, cumulative-histogram AUC — zero
+  unpartitioned windows, hash-equal to classifier_auc)
+- ``classifier_pr_curve`` (r12, histogram PR sweep — hash-equal to
+  classifier_pr_points)
+- ``mixture_plan`` (r12, data-card token counts → UniMax allocation
+  → per-group sampling-rate table)
+- ``stream_hybrid_dedup_batch_eq`` (r12, streaming rung 16 —
+  incremental hybrid near-dup against persisted band/fp/df state)
+- ``prep_stage_counts_paragraph`` (r12, paragraph-composed prep
+  gate — run_prep(paragraph_level=True)'s stage chain)
 """
 
 from __future__ import annotations
@@ -98,11 +110,11 @@ _PREP_Q_EX_CTES = f"""
     ex AS MATERIALIZED (SELECT q.* FROM q JOIN keepers USING (doc_id))"""
 
 
-def _cc_decontam_ctes(pairs_cte: str) -> str:
+def _cc_dd_ctes(pairs_cte: str) -> str:
     """Connected components over ``pairs_cte`` (columns id_a, id_b) →
-    min-id keeper survivors (`dd`) → decontamination (`cl`) — the
-    backend-independent tail of the prep chain (the survivor policy is
-    identical whichever matcher produced the pairs)."""
+    min-id keeper survivors (`dd`) — the backend-independent survivor
+    policy, split from the decontamination tail (r12) so a gate can
+    interpose a stage between them."""
     return f"""
     edges AS (
       SELECT id_a AS a, id_b AS b FROM {pairs_cte}
@@ -117,7 +129,14 @@ def _cc_decontam_ctes(pairs_cte: str) -> str:
     dd AS MATERIALIZED (
       SELECT ex.* FROM ex
       WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> comp)
-    ),
+    )"""
+
+
+def _decontam_ctes(src: str) -> str:
+    """Decontamination (`cl`) of the ``src`` CTE's docs against the
+    doc_id % 37 stand-in benchmark — n-grams recomputed from ``src``'s
+    (possibly rewritten) text, the run_prep stage order's contract."""
+    return f"""
     evt AS (
       SELECT {_WORD_TOKS_SQL} AS tokens
       FROM documents WHERE doc_id % 37 = 0
@@ -136,17 +155,24 @@ def _cc_decontam_ctes(pairs_cte: str) -> str:
         FROM (SELECT doc_id, tokens,
                      unnest(generate_series(0, len(tokens) - {_CONTAM_N}))
                        AS i
-              FROM (SELECT doc_id, {_WORD_TOKS_SQL} AS tokens FROM dd)
+              FROM (SELECT doc_id, {_WORD_TOKS_SQL} AS tokens
+                    FROM {src})
               WHERE len(tokens) >= {_CONTAM_N})
       ) JOIN evg USING (g)
     ),
     cl AS MATERIALIZED (
-      SELECT * FROM dd
+      SELECT * FROM {src}
       WHERE doc_id NOT IN (SELECT doc_id FROM contam)
     )"""
 
 
-_PREP_CTES_THROUGH_CL = f"""
+def _cc_decontam_ctes(pairs_cte: str) -> str:
+    """CC survivors (`dd`) → decontamination (`cl`) — the original
+    composed tail, unchanged output (pure refactor split)."""
+    return _cc_dd_ctes(pairs_cte) + ",\n" + _decontam_ctes("dd")
+
+
+_PREP_CTES_THROUGH_JAC = f"""
     {_PREP_Q_EX_CTES},
     wt AS MATERIALIZED (
       SELECT doc_id,
@@ -173,8 +199,11 @@ _PREP_CTES_THROUGH_CL = f"""
       WHERE len(list_intersect(a.s, b.s))::DOUBLE
             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1)
             >= {_PREP_JT}
-    ),
-    {_cc_decontam_ctes("jac")}"""
+    )"""
+
+_PREP_CTES_THROUGH_CL = (
+    _PREP_CTES_THROUGH_JAC + ",\n    " + _cc_decontam_ctes("jac")
+)
 
 _PREP_STAGES_ORACLE = f"""
     WITH RECURSIVE
@@ -3507,3 +3536,121 @@ def q_stream_hybrid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("incremental_hybrid_equals_full", n_bad == 0)],
         schema="metric string, passed boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: paragraph-composed prep gate — run_prep(paragraph_level=True)'s
+# stage chain (quality → exact → LSH near-dup → PARAGRAPH rewrite →
+# decontaminate) value-hashed against one DuckDB recompute.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "prep_stage_counts_paragraph",
+    f"""
+    WITH RECURSIVE
+    {_PREP_CTES_THROUGH_JAC},
+    {_cc_dd_ctes("jac")},
+    ptoks AS (
+      SELECT doc_id, {_WORD_TOKS_SQL} AS w FROM dd
+    ), pspans AS (
+      SELECT doc_id, st // {_PARA_W} AS pos,
+             array_to_string(w[st + 1 : st + {_PARA_W}], ' ') AS span
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(0, len(w) - 1, {_PARA_W}))
+                     AS st
+            FROM ptoks WHERE len(w) > 0)
+    ), pflags AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY md5(span)
+                                ORDER BY doc_id, pos) AS rn
+      FROM pspans
+    ), ppx AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                                 ORDER BY pos), '') AS text
+      FROM pflags GROUP BY doc_id
+    ), pp AS MATERIALIZED (
+      SELECT dd.doc_id, ppx.text, dd.lang, dd.source,
+             length(ppx.text) AS n_chars
+      FROM dd JOIN ppx USING (doc_id) WHERE length(ppx.text) > 0
+    ),
+    {_decontam_ctes("pp")}
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'quality_gate' AS stage,
+             (SELECT count(*) FROM documents) AS rows_in,
+             (SELECT count(*) FROM q) AS rows_out,
+             (SELECT count(*) FROM documents) - (SELECT count(*) FROM q)
+               AS dropped
+      UNION ALL SELECT 2, 'exact_dedup',
+             (SELECT count(*) FROM q), (SELECT count(*) FROM ex),
+             (SELECT count(*) FROM q) - (SELECT count(*) FROM ex)
+      UNION ALL SELECT 3, 'near_dedup',
+             (SELECT count(*) FROM ex), (SELECT count(*) FROM dd),
+             (SELECT count(*) FROM ex) - (SELECT count(*) FROM dd)
+      UNION ALL SELECT 4, 'paragraph_rewrite',
+             (SELECT count(*) FROM dd), (SELECT count(*) FROM pp),
+             (SELECT count(*) FROM dd) - (SELECT count(*) FROM pp)
+      UNION ALL SELECT 5, 'decontaminate',
+             (SELECT count(*) FROM pp), (SELECT count(*) FROM cl),
+             (SELECT count(*) FROM pp) - (SELECT count(*) FROM cl)
+    ) ORDER BY stage_idx
+    """,
+    doc="The composed prep pipeline with the r12 PARAGRAPH stage "
+    "(run_prep(paragraph_level=True)'s chain): prep.py's "
+    "quality_gate → exact_stage → near_dup_stage('lsh') → "
+    "paragraph_stage → decontaminate run in sequence, per-stage "
+    "audit value-hashed against one DuckDB statement that recomputes "
+    "the same semantics (quadratic-Jaccard near-dup oracle as in "
+    "prep_stage_counts; keep-first paragraph rewrite as in "
+    "paragraph_dedup; decontamination n-grams recomputed from the "
+    "REWRITTEN text — the stage-order contract). What only this "
+    "gate can catch: a drift in how the rewrite composes (e.g. "
+    "decontaminating against pre-rewrite text, or paragraph winners "
+    "elected before the near-dup survivor set is fixed). Scale: "
+    "inherits each stage's documented posture; the paragraph "
+    "stage's winner election shuffles fingerprint metadata only.",
+    parts=8,
+)
+def q_prep_stage_counts_paragraph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from yahoofinancedatalake_spark import prep  # noqa: PLC0415
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    eval_set = docs.filter(F.col("doc_id") % 37 == 0)
+
+    persisted: list = []
+
+    def _stage(frame):
+        persisted.append(frame.persist())
+        return persisted[-1]
+
+    try:
+        n_input = docs.count()
+        gated = _stage(prep.quality_gate(docs))
+        n_gate = gated.count()
+        exact = _stage(prep.exact_stage(gated))
+        n_exact = exact.count()
+        deduped = _stage(prep.near_dup_stage(exact, backend="lsh"))
+        n_dedup = deduped.count()
+        rewritten = _stage(prep.paragraph_stage(deduped))
+        n_para = rewritten.count()
+        n_clean = prep.decontaminate(rewritten, eval_set).count()
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+        spark.catalog.clearCache()
+
+    stages = [
+        (1, "quality_gate", n_input, n_gate),
+        (2, "exact_dedup", n_gate, n_exact),
+        (3, "near_dedup", n_exact, n_dedup),
+        (4, "paragraph_rewrite", n_dedup, n_para),
+        (5, "decontaminate", n_para, n_clean),
+    ]
+    rows = [(i, s, a, b, a - b) for i, s, a, b in stages]
+    return spark.createDataFrame(
+        rows, schema="stage_idx int, stage string, rows_in bigint, "
+        "rows_out bigint, dropped bigint"
+    ).orderBy("stage_idx")
