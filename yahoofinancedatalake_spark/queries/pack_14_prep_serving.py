@@ -3129,10 +3129,20 @@ def q_classifier_auc_scaled(
     from pyspark.sql import Window  # noqa: PLC0415
 
     lab = _nb_held_out_scored(spark, sf_dir)
-    hist = lab.groupBy("logodds").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("pos"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("neg"),
-    ).withColumn("bucket", F.floor("logodds").cast("bigint"))
+    hist = (
+        lab.groupBy("logodds")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("neg"),
+        )
+        .withColumn("bucket", F.floor("logodds").cast("bigint"))
+        # stage boundary (the selection_funnel convention): hist is
+        # the BOUNDED distinct-score histogram but embeds the whole
+        # NB train+score subtree; bt/lower/cum each reference it, so
+        # un-materialized the subtree re-executes 3x (plan audit: 90
+        # exchanges vs the exact form's 28 before this line)
+        .localCheckpoint()
+    )
     bt = hist.groupBy("bucket").agg(F.sum("neg").alias("neg_tot"))
     # cross-bucket offsets WITHOUT a window or an inequality join (a
     # bucket_lo < bucket_hi join would plan as the BNLJ the plan
@@ -3367,7 +3377,12 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gkey")
         .agg(F.sum("nt").cast("bigint").alias("n_toks"))
     )
-    al = unimax_allocation(counts, "gkey")
+    # stage boundary: al is the ~n_groups-row allocation but embeds
+    # the corpus token aggregation; the total-alloc agg and the
+    # output projection both reference it (un-materialized, the
+    # corpus agg would run twice — plan audit: 15 exchanges vs
+    # unimax_mixture's 7)
+    al = unimax_allocation(counts, "gkey").localCheckpoint()
     tot = al.agg(F.sum("alloc").alias("ta")).withColumn(
         "__k", _const_key(F.col("ta"))
     )
