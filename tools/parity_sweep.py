@@ -77,6 +77,10 @@ _REWRITE_QUERIES = {
     # full-corpus LSH candidates are a sound superset of the subset's
     # (banding is pairwise), and the jac consumers filter downstream
     "stream_incremental_prep_batch_eq",
+    # r12: same jac CTE prefix (the paragraph-composed gate inserts
+    # its stage AFTER the near-dup survivors, so the pair source and
+    # its downstream filtering are identical to prep_stage_counts)
+    "prep_stage_counts_paragraph",
 }
 #: The quadratic pair source shared by the dedup-family oracles …
 _QUADRATIC_JOIN = "FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
