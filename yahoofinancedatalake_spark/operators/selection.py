@@ -183,10 +183,18 @@ def dsir_logweights(
     """Per-document DSIR log importance weight of the corpus under
     its OWN model — :func:`dsir_model` trained on ``df`` then
     :func:`dsir_score` of ``df`` (self-scoring only ever hits seen
-    buckets, so the ``dflt`` backoff is inert here)."""
-    return dsir_score(
-        df, toks_col, id_col, dsir_model(df, toks_col, target_col)
-    )
+    buckets, so the ``dflt`` backoff is inert here).
+
+    The model is ``localCheckpoint()``\\ ed here (r12, EAGER): scoring
+    consumes the model table twice (the unseen-bucket default
+    aggregate and the per-bucket broadcast), and un-materialized each
+    consumer re-executes the corpus-sized gram aggregation under it —
+    three corpus passes where train-once needs one. The checkpoint is
+    ≤``N_BUCKETS`` rows, so materialization is O(model), not
+    O(corpus); blocks are released by the ContextCleaner when the
+    frame is garbage-collected."""
+    model = dsir_model(df, toks_col, target_col).localCheckpoint()
+    return dsir_score(df, toks_col, id_col, model)
 
 
 def gumbel_key(id_col: Column) -> Column:
@@ -220,7 +228,11 @@ def dsir_resample(
 
 
 def kn_prob_table(
-    df: DataFrame, toks_col: str, *, discount: float = KN_DISCOUNT
+    df: DataFrame,
+    toks_col: str,
+    *,
+    discount: float = KN_DISCOUNT,
+    cache: bool = True,
 ) -> DataFrame:
     """Train an interpolated Kneser-Ney bigram LM on the corpus:
     returns the model as ``(w1, w2, lp)`` over every SEEN bigram type,
@@ -235,7 +247,18 @@ def kn_prob_table(
     but "San"). All four statistics derive from the single bigram
     count table, so the model build is vocabulary-sized end to end;
     ``lp = dround(ln P, 6)`` is pinned here once so scoring engines
-    sum identical doubles."""
+    sum identical doubles.
+
+    ``cache=True`` (default, r12) ``persist()``\\ s the bigram count
+    table ``bc``: it feeds FOUR consumers (ctx, cont, dtot, the final
+    join), and un-materialized each reference re-executes the
+    corpus-sized bigram explode+count shuffle — four corpus passes
+    for one vocabulary-sized table (the winnow-matcher fingerprint
+    lesson; see OPTIMIZATION_r12.md for the measured delta).
+    Same caller-owned lifetime contract as
+    :func:`..operators.dedup.winnow_near_dup_pairs`: release via
+    ``spark.catalog.clearCache()`` after consuming (bench/driver runs
+    already do)."""
     base = df.filter(F.size(toks_col) >= 2)
     bg = base.select(
         F.explode(
@@ -247,6 +270,8 @@ def kn_prob_table(
         ).alias("x")
     ).select("x.w1", "x.w2")
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    if cache:
+        bc = bc.persist()
     ctx = bc.groupBy("w1").agg(
         F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1v")
     )
@@ -327,7 +352,15 @@ def dsir_ess(weights: DataFrame) -> DataFrame:
     weight table itself ever shuffles. ``logw`` is dround(6)-pinned
     upstream, so both engines exponentiate identical doubles; the
     outputs are re-pinned here (sum-order ulp noise is ~1e-14
-    relative, far inside the rounding bin)."""
+    relative, far inside the rounding bin).
+
+    The weight table is ``localCheckpoint()``\\ ed first (r12, EAGER):
+    the max-shift needs two passes over it by construction, and when
+    ``weights`` arrives as a lazy scoring plan (the
+    :func:`dsir_logweights` composition) each pass re-executes that
+    whole plan. The checkpoint is one (id, n_grams, logw) row per
+    document — O(doc count), never O(gram count)."""
+    weights = weights.localCheckpoint()
     mx = weights.agg(F.max("logw").alias("max_logw")).withColumn(
         "__k", _const_key(F.col("max_logw"))
     )

@@ -1955,13 +1955,25 @@ def q_selection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").between(50, 100000)
         & mean_len.between(3, 10)
         & (alpha >= 0.8)
-    )
+    # materialize the Gopher-survivor pool ONCE (r12): stage1 feeds
+    # the KN model build, the KN scoring bigrams, AND the kept-pool
+    # join — each reference otherwise re-executes the scan +
+    # tokenize + HOF rule filter. CCNet materializes each funnel
+    # stage to disk; localCheckpoint is the in-session form.
+    ).localCheckpoint()
 
     from yahoofinancedatalake_spark.operators.selection import (  # noqa: PLC0415
         kneser_ney_scores,
     )
 
-    pplt = kneser_ney_scores(stage1, "t", "doc_id").select("doc_id", "ppl")
+    # per-doc (doc_id, ppl) is O(pool) tiny rows consumed twice (the
+    # percentile aggregate + the bucket projection) — materialize so
+    # the KN model+score subtree runs once (r12)
+    pplt = (
+        kneser_ney_scores(stage1, "t", "doc_id")
+        .select("doc_id", "ppl")
+        .localCheckpoint()
+    )
     thr = pplt.agg(
         F.percentile(
             "ppl", F.array(F.lit(1 / 3), F.lit(2 / 3))
@@ -2190,8 +2202,13 @@ def q_quality_classifier_select(
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     train = base.filter(h < "cd")
     held_out = base.filter(h >= "cd")
-    model = nb_quality_model(train, "toks", "is_t")
-    prior = nb_prior(train, "is_t")
+    # materialize the ≤4096-row model + 1-row prior ONCE (r12): the
+    # scorer consumes the model twice (dflt agg + broadcast) and the
+    # prior once, and un-checkpointed each consumer re-executes the
+    # corpus-sized train-gram aggregation under it — 3-4 train passes
+    # for tables that are O(model), not O(corpus)
+    model = nb_quality_model(train, "toks", "is_t").localCheckpoint()
+    prior = nb_prior(train, "is_t").localCheckpoint()
     return (
         nb_quality_scores(held_out, "toks", "doc_id", model, prior)
         .withColumn("predicted", F.col("logodds") >= 0)
@@ -2304,9 +2321,17 @@ def q_selection_funnel_cls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").between(50, 100000)
         & mean_len.between(3, 10)
         & (alpha >= 0.8)
-    )
-    model = nb_quality_model(stage1, "t", "is_t")
-    prior = nb_prior(stage1, "is_t")
+    # materialize the Gopher-survivor pool ONCE (r12): stage1 feeds
+    # the NB model build, the prior, the scoring grams, AND the
+    # kept-pool join — four re-executions of the scan + tokenize +
+    # HOF rule filter otherwise. CCNet materializes each funnel
+    # stage to disk for the same reason; localCheckpoint is the
+    # in-session form.
+    ).localCheckpoint()
+    # model/prior materialized for the same reason as
+    # quality_classifier_select's (3-4 train passes → 1)
+    model = nb_quality_model(stage1, "t", "is_t").localCheckpoint()
+    prior = nb_prior(stage1, "is_t").localCheckpoint()
     keep = (
         nb_quality_scores(stage1, "t", "doc_id", model, prior)
         .filter(F.col("logodds") >= 0)
@@ -2422,8 +2447,13 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     train = base.filter(h < "cd")
     held_out = base.filter(h >= "cd")
-    model = nb_quality_model(train, "toks", "is_t")
-    prior = nb_prior(train, "is_t")
+    # materialize the ≤4096-row model + 1-row prior ONCE (r12): the
+    # scorer consumes the model twice (dflt agg + broadcast) and the
+    # prior once, and un-checkpointed each consumer re-executes the
+    # corpus-sized train-gram aggregation under it — 3-4 train passes
+    # for tables that are O(model), not O(corpus)
+    model = nb_quality_model(train, "toks", "is_t").localCheckpoint()
+    prior = nb_prior(train, "is_t").localCheckpoint()
     scores = nb_quality_scores(held_out, "toks", "doc_id", model, prior)
     lab = scores.join(held_out.select("doc_id", "is_t"), "doc_id")
     ar = (
@@ -2508,8 +2538,13 @@ def q_classifier_calibration(
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     train = base.filter(h < "cd")
     held_out = base.filter(h >= "cd")
-    model = nb_quality_model(train, "toks", "is_t")
-    prior = nb_prior(train, "is_t")
+    # materialize the ≤4096-row model + 1-row prior ONCE (r12): the
+    # scorer consumes the model twice (dflt agg + broadcast) and the
+    # prior once, and un-checkpointed each consumer re-executes the
+    # corpus-sized train-gram aggregation under it — 3-4 train passes
+    # for tables that are O(model), not O(corpus)
+    model = nb_quality_model(train, "toks", "is_t").localCheckpoint()
+    prior = nb_prior(train, "is_t").localCheckpoint()
     scores = nb_quality_scores(held_out, "toks", "doc_id", model, prior)
     lab = scores.join(held_out.select("doc_id", "is_t"), "doc_id")
     return (
@@ -2915,8 +2950,13 @@ def q_classifier_pr_points(
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     train = base.filter(h < "cd")
     held_out = base.filter(h >= "cd")
-    model = nb_quality_model(train, "toks", "is_t")
-    prior = nb_prior(train, "is_t")
+    # materialize the ≤4096-row model + 1-row prior ONCE (r12): the
+    # scorer consumes the model twice (dflt agg + broadcast) and the
+    # prior once, and un-checkpointed each consumer re-executes the
+    # corpus-sized train-gram aggregation under it — 3-4 train passes
+    # for tables that are O(model), not O(corpus)
+    model = nb_quality_model(train, "toks", "is_t").localCheckpoint()
+    prior = nb_prior(train, "is_t").localCheckpoint()
     scores = nb_quality_scores(held_out, "toks", "doc_id", model, prior)
     lab = scores.join(held_out.select("doc_id", "is_t"), "doc_id")
     exploded = lab.withColumn(
@@ -3067,8 +3107,13 @@ def _nb_held_out_scored(spark: SparkSession, sf_dir: str):
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     train = base.filter(h < "cd")
     held_out = base.filter(h >= "cd")
-    model = nb_quality_model(train, "toks", "is_t")
-    prior = nb_prior(train, "is_t")
+    # materialize the ≤4096-row model + 1-row prior ONCE (r12): the
+    # scorer consumes the model twice (dflt agg + broadcast) and the
+    # prior once, and un-checkpointed each consumer re-executes the
+    # corpus-sized train-gram aggregation under it — 3-4 train passes
+    # for tables that are O(model), not O(corpus)
+    model = nb_quality_model(train, "toks", "is_t").localCheckpoint()
+    prior = nb_prior(train, "is_t").localCheckpoint()
     scores = nb_quality_scores(held_out, "toks", "doc_id", model, prior)
     return scores.join(held_out.select("doc_id", "is_t"), "doc_id")
 
