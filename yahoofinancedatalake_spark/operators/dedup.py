@@ -1560,6 +1560,11 @@ def hybrid_near_dup_pairs(
         dround,
     )
 
+    # Materialize the candidate pairs (r12): the verify stage below
+    # now consumes them twice — the touched-id set that bounds the
+    # array build, and the pair joins themselves — and the table is
+    # the LSH stage's bounded output (candidate-sized by design), so
+    # the checkpoint is cheap at any corpus size.
     cand = minhash_lsh_pairs(
         df,
         text_col,
@@ -1569,7 +1574,10 @@ def hybrid_near_dup_pairs(
         shingle_n=shingle_n,
         seed=seed,
         max_bucket_size=max_bucket_size,
-    )
+    ).localCheckpoint()
+    touched = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).dropDuplicates([id_col])
     fps = (
         fingerprints
         if fingerprints is not None
@@ -1579,10 +1587,20 @@ def hybrid_near_dup_pairs(
         fps = fps.persist()
     idx = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
     sizes = fps.select(F.col(id_col), F.size("fps").alias("n_fp"))
+    # document frequencies stay GLOBAL (the df-cap is a corpus-wide
+    # statistic — restricting it would change which fingerprints are
+    # boilerplate and break the winnow-equality contract)
     dfreq = idx.groupBy("fp").agg(F.count("*").alias("df"))
-    # per-doc df-capped fingerprint arrays, int64-rehashed (docstring)
+    # per-doc df-capped fingerprint arrays, int64-rehashed
+    # (docstring), built ONLY for candidate-touched docs (r12 — the
+    # incremental_hybrid_pairs verify shape applied to the batch
+    # matcher): the downstream pair joins are inner on the ids, so a
+    # left-semi restriction to `touched` is result-invariant and the
+    # collect_list aggregation shrinks from every doc to the pair
+    # universe's endpoints
     kept_arr = (
-        idx.join(
+        idx.join(touched.hint("shuffle_hash"), id_col, "left_semi")
+        .join(
             dfreq.filter(
                 (F.col("df") >= 2) & (F.col("df") <= df_cap)
             ).hint("shuffle_hash"),

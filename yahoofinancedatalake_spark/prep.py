@@ -149,11 +149,25 @@ def near_dup_stage(
     )
 
     if backend == "lsh":
+        # Materialize the candidate pairs, then verify ONLY the docs a
+        # candidate touches (r12 — the run_prep_incremental verify
+        # shape applied to the batch path): un-restricted, the verify
+        # join computed shingle hashes for EVERY doc on both join
+        # sides — two corpus-sized Python-boundary passes to score a
+        # candidate set that touches a tiny fraction of docs. The
+        # checkpoint is candidate-sized (the LSH stage's bounded
+        # output); the semi-join restricts the shingle recompute to
+        # touched docs. Inner joins on (id_a, id_b) make the
+        # restriction result-invariant.
         cand = minhash_lsh_pairs(
             exact, "text", id_col, n_hashes=32, n_bands=8, shingle_n=3
-        )
+        ).localCheckpoint()
+        cand_ids = cand.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).dropDuplicates([id_col])
+        verify_docs = exact.join(cand_ids, id_col, "left_semi")
         verified = hashed_ngram_jaccard(
-            cand, exact, id_col, "text", shingle_n=3
+            cand, verify_docs, id_col, "text", shingle_n=3
         ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     elif backend == "winnow":
         # defaults = the gated winnow_near_dup query's parameters
@@ -525,7 +539,15 @@ def seed_prep_state(
     try:
         gated = _stage(quality_gate(docs))
         counts["quality_pass"] = gated.count()
-        deduped = _stage(drop_near_dups(gated, backend=near_dup_backend))
+        # persist the exact-dedup survivors too (r12): near_dup_stage
+        # consumes them THREE times (LSH candidate generation, the
+        # Jaccard verify side, the final keeper anti-join), and
+        # un-persisted each consumer re-runs the fingerprint shuffle
+        # over the (persisted) quality survivors
+        exact = _stage(exact_stage(gated))
+        deduped = _stage(
+            near_dup_stage(exact, backend=near_dup_backend)
+        )
         counts["after_dedup"] = deduped.count()
         counts["after_decontam"] = decontaminate(deduped, eval_docs).count()
         _land_dedup_state(spark, root, deduped)
@@ -575,18 +597,41 @@ def run_prep(
 
     counts: dict[str, int] = {"input": docs.count()}
 
-    gated = quality_gate(docs)
-    counts["quality_pass"] = gated.count()
+    # Stage boundaries are persist()ed while both their own count and
+    # the downstream stage consume them (r12 — the same subplan-reuse
+    # convention as seed_prep_state/prep_stage_counts; un-persisted,
+    # every stage count + next-stage consumption re-ran the whole
+    # prefix, compounding with depth). Post-dedup stages read the
+    # LANDED survivor parquet instead of the lazy dedup plan — the
+    # guide's materialize-the-intermediate rule; the state landing
+    # already paid that write.
+    persisted: list[DataFrame] = []
 
-    deduped = drop_near_dups(gated, backend=near_dup_backend)
-    counts["after_dedup"] = deduped.count()
-    _land_dedup_state(spark, root, deduped)
+    def _stage(frame: DataFrame) -> DataFrame:
+        persisted.append(frame.persist())
+        return persisted[-1]
+
+    try:
+        gated = _stage(quality_gate(docs))
+        counts["quality_pass"] = gated.count()
+
+        exact = _stage(exact_stage(gated))
+        deduped = _stage(near_dup_stage(exact, backend=near_dup_backend))
+        counts["after_dedup"] = deduped.count()
+        _land_dedup_state(spark, root, deduped)
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+
+    # every downstream consumer reads the landed survivors — the
+    # dedup subgraph never re-executes past this point
+    deduped = spark.read.parquet(f"{root}/dedup_survivors")
 
     if paragraph_level:
-        deduped = paragraph_stage(deduped)
+        deduped = paragraph_stage(deduped).persist()
         counts["after_paragraph"] = deduped.count()
 
-    clean = decontaminate(deduped, eval_set)
+    clean = decontaminate(deduped, eval_set).persist()
     counts["after_decontam"] = clean.count()
 
     rebalanced = rebalance_languages(clean)
@@ -596,8 +641,10 @@ def run_prep(
     split.write.mode("overwrite").partitionBy("split").parquet(
         f"{root}/clean_docs"
     )
+    for frame in (clean, deduped):
+        frame.unpersist()
 
-    chunks = chunk_docs(split)
+    chunks = chunk_docs(spark.read.parquet(f"{root}/clean_docs"))
     chunks.write.mode("overwrite").partitionBy("split").parquet(
         f"{root}/chunks"
     )
@@ -662,6 +709,12 @@ def run_prep_incremental(
         .join(F.broadcast(hist_fp.select("fingerprint")), "fingerprint",
               "left_anti")
         .drop("fingerprint")
+        # persist (r12): consumed FOUR times below (the stage count,
+        # candidate generation, the verify-side union, the loser
+        # anti-join) — un-persisted each re-runs the quality gate +
+        # within-batch exact dedup + history anti-join; released
+        # after the post-dedup localCheckpoint (its last consumer)
+        .persist()
     )
     counts["after_exact"] = batch_exact.count()
 
@@ -714,10 +767,12 @@ def run_prep_incremental(
         losers, "doc_id", "left_anti"
     ).localCheckpoint()
     counts["after_dedup"] = batch_deduped.count()
-    # the localCheckpoint above was cand's last consumer — release
-    # the cached candidate table now, or a long-lived session running
-    # daily increments accumulates one orphaned cache per batch
+    # the localCheckpoint above was cand's and batch_exact's last
+    # consumer — release both cached tables now, or a long-lived
+    # session running daily increments accumulates orphaned caches
+    # per batch
     cand.unpersist()
+    batch_exact.unpersist()
 
     clean = decontaminate(batch_deduped, eval_docs).localCheckpoint()
     counts["after_decontam"] = clean.count()

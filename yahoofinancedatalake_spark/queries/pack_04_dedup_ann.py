@@ -133,11 +133,20 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
+    # checkpoint the candidate-sized pair table, then verify only the
+    # docs a candidate touches (r12 — the incremental verify shape on
+    # the batch path): un-restricted, the Jaccard join computed
+    # shingle hashes for EVERY doc on both sides; inner joins on the
+    # pair ids make the semi-join restriction result-invariant
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    )
+    ).localCheckpoint()
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).dropDuplicates(["doc_id"])
+    touched = docs.join(cand_ids, "doc_id", "left_semi")
     return hashed_ngram_jaccard(
-        cand, docs, "doc_id", "text", shingle_n=3
+        cand, touched, "doc_id", "text", shingle_n=3
     ).filter(F.col("jaccard") >= 0.9)
 
 

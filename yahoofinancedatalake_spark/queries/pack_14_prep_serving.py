@@ -3583,6 +3583,12 @@ def q_stream_hybrid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("__ha").isNull() | F.col("__hb").isNull())
             .select("id_a", "id_b")
+            # materialize the small expected-pair table ONCE (r12):
+            # the symmetric diff consumes each side twice, and
+            # un-checkpointed the second consumption re-ran the whole
+            # full-corpus hybrid matcher (the gate's most expensive
+            # subtree) a second time
+            .localCheckpoint()
         )
         sym_diff = expected.exceptAll(streamed).unionByName(
             streamed.exceptAll(expected)
