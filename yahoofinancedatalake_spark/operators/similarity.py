@@ -698,16 +698,21 @@ def pq_cosine_topk(
     1. Train ``m``×``ks`` sub-codebooks on the same deterministic
        size-capped sample as IVF (the only driver collect,
        O(m·ks) result).
-    2. Encode the corpus map-side: each vector → ``m`` codes
-       (m·log2(ks) bits ≈ 4 bytes at the defaults vs 256 bytes of
-       float32 — a 64× compression; at 100 TB the codes table is
-       ~1.6 TB and fits page-cached where the raw vectors cannot).
-    3. ADC scan (``mapInPandas``): per partition, score every code
-       row against ALL queries using per-query lookup tables
-       (LUT[s][c] = q_s · codebook[s][c]; approximate norm from the
-       codebook norms), keep the per-partition top-``rerank`` per
-       query. Only (query, id, score) triples — never vectors —
-       leave the scan.
+    2. Encode + ADC-scan the corpus in ONE ``mapInPandas`` pass
+       (r12, guide §4.1 — encode used to be its own ArrowEvalPython
+       stage, so the corpus crossed the Python boundary twice: the
+       raw vectors into the encoder, then the codes back out and
+       into the scanner; fused, the vectors cross once and the codes
+       live only as a numpy intermediate inside the kernel): per
+       batch, each vector → ``m`` codes (m·log2(ks) bits ≈ 4 bytes
+       at the defaults vs 256 bytes of float32 — a 64× compression;
+       a *persisted* 100 TB deployment would still materialize the
+       codes table once at write time and scan it here), then score
+       every code row against ALL queries using per-query lookup
+       tables (LUT[s][c] = q_s · codebook[s][c]; approximate norm
+       from the codebook norms), keep the per-partition
+       top-``rerank`` per query. Only (query, id, score) triples —
+       never vectors, never codes — leave the scan.
     4. Global top-``rerank`` per query, then exact cosine re-rank on
        the raw vectors of the ≤ Q·rerank candidates (broadcast
        semi-join back to the corpus), top-k.
@@ -734,11 +739,6 @@ def pq_cosine_topk(
         m,
         ks,
         seed,
-    )
-
-    codes = corpus.select(
-        F.col(id_col),
-        _pq_encode_udf(books)(F.col(vec_col)).alias("codes"),
     )
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
@@ -769,6 +769,8 @@ def pq_cosine_topk(
         f"{query_id_col} long, neighbor_id long, adc double"
     )
 
+    books_norm2 = [(b**2).sum(1)[None, :] for b in books_np]  # (1, ks) each
+
     def adc_scan(batches):
         import pandas as pd  # noqa: PLC0415
 
@@ -776,7 +778,15 @@ def pq_cosine_topk(
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
-            c = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            # inline PQ encode (was a separate ArrowEvalPython stage):
+            # per subspace, argmin ||xs - c||² via the one-matmul
+            # expansion — bit-identical to _pq_encode_udf
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            c = np.empty((len(x), m), dtype=np.int64)  # (n, m)
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d2 = -2.0 * (xs @ books_np[s].T) + books_norm2[s]
+                c[:, s] = d2.argmin(1)
             n = len(ids)
             scores = np.zeros((len(q_ids_np), n))
             approx_sq = np.zeros(n)
@@ -801,7 +811,9 @@ def pq_cosine_topk(
                 }
             )
 
-    partial = codes.mapInPandas(adc_scan, schema=out_schema)
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        adc_scan, schema=out_schema
+    )
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc").desc_nulls_last(), F.col("neighbor_id").asc()
     )
@@ -859,18 +871,27 @@ def ivfpq_cosine_topk(
     absorbs the difference).
 
     IVF contributes the PRUNING axis (only ``n_probe/n_centroids`` of
-    the corpus is scanned per query), PQ the COMPRESSION axis (what
-    does flow through the candidate equi-join is the ``m``-byte code
-    array + cluster id, never the raw vector — where plain
-    :func:`ivf_cosine_topk` ships the full ``__cv`` double array
-    through its join). Pipeline: one shared size-capped training
-    sample → coarse centroids + sub-codebooks; corpus encoded
-    map-side to (cluster, codes); query probes exploded and
-    broadcast; ADC scoring on the joined candidates via a per-query
-    lookup table; top-``rerank`` per query; exact cosine re-rank of
-    those ids only. At 100 TB the corpus index is bucketed by
-    cluster, codes are ~25× smaller than vectors, and the only raw
-    vectors read are the ≤ Q·rerank re-rank rows.
+    the corpus is scored per query), PQ the COMPRESSION axis (what
+    flows out of the index scan is (query, neighbor, adc) triples,
+    never the raw vector — where plain :func:`ivf_cosine_topk` ships
+    the full ``__cv`` double array through its join). Pipeline: one
+    shared size-capped training sample → coarse centroids +
+    sub-codebooks; then ONE fused ``mapInPandas`` pass over the
+    corpus (r12, guide §4.1/§2.3 — previously assign and encode were
+    two separate ArrowEvalPython corpus passes feeding a
+    broadcast-join + a third per-candidate ADC pass + a
+    dropDuplicates exchange): per Arrow batch, assign ``n_assign``
+    clusters and encode codes in numpy, match rows against the
+    driver-computed query probe sets (the broadcast join as a
+    closure constant — queries are the bounded side by contract),
+    ADC-score each matching (row, query) pair exactly once (so the
+    multi-assign dedup disappears by construction), and emit only
+    the batch-local top-``rerank`` per query under the exact final
+    order (adc DESC, neighbor id ASC) — lossless for the global
+    ranking window. One ranking shuffle of ≤ Q·rerank triples per
+    batch, then exact cosine re-rank of the surviving ids only. At
+    100 TB the raw vectors cross the Python boundary once and the
+    only ones re-read are the ≤ Q·rerank re-rank rows.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -902,87 +923,111 @@ def ivfpq_cosine_topk(
         seed,
     )
 
-    # n_assign-way corpus replication (FAISS-style spilled assignment,
-    # same as ivf_cosine_topk): a true neighbor is found if ANY of its
-    # clusters is probed — lifts recall steeply on weakly-clustered
-    # data for an n_assign× larger (but still code-compressed) index
-    corpus_enc = corpus.select(
-        F.col(id_col),
-        F.explode(
-            _ivf_assign_udf(cent, n_assign)(F.col(vec_col))
-        ).alias("cluster"),
-        _pq_encode_udf(books)(F.col(vec_col)).alias("codes"),
-    )
-    query_probes = queries.select(
-        F.col(query_id_col),
-        F.explode(
-            _ivf_assign_udf(cent, n_probe)(F.col(query_vec_col))
-        ).alias("cluster"),
-    )
-
+    # ONE fused corpus pass (r12). Replaces: assign(ArrowEvalPython)
+    # → explode → encode(ArrowEvalPython) → broadcast-join with the
+    # exploded query probes → per-candidate adc(ArrowEvalPython) →
+    # dropDuplicates exchange → ranking window. The probe match runs
+    # against a closure-held (Q × n_centroids) boolean table — the
+    # broadcast join in constant form (queries are the bounded side
+    # by contract); each (row, query) pair is scored exactly once, so
+    # the multi-assign duplicate never exists; batch-local pruning
+    # keeps only the top-``rerank`` per query under the EXACT global
+    # order (adc DESC, neighbor id ASC — np.lexsort), lossless for
+    # the ranking window that follows.
+    cent_np = np.asarray(cent, dtype=np.float64)
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    nq = len(qrows)
     q_mat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    q_ids_np = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    if nq:
+        # query probe clusters, driver-side — bit-identical math to
+        # _ivf_assign_udf (normalize with zero guard, stable argsort)
+        qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        qm = q_mat / np.where(qn == 0, 1.0, qn)
+        qorder = np.argsort(-(qm @ cent_np.T), axis=1, kind="stable")
+        probe_mask = np.zeros((nq, len(cent)), dtype=np.uint8)
+        probe_mask[
+            np.arange(nq)[:, None], qorder[:, :n_probe]
+        ] = 1
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
     dsub = books_np[0].shape[1]
-    lut_by_qid = {}
-    for i, r in enumerate(qrows):
-        lut_by_qid[r[0]] = np.stack(
+    books_norm2 = [(b**2).sum(1)[None, :] for b in books_np]
+    # per-query (m, ks) ADC lookup tables; norms exactly as before
+    # (scalar np.linalg.norm per query — not the axis form, whose
+    # reduction can differ in the last ULP)
+    luts = [
+        np.stack(
             [
                 q_mat[i, s * dsub : (s + 1) * dsub] @ books_np[s].T
                 for s in range(m)
             ],
             axis=0,
-        )  # (m, ks)
-    norm_lut = np.stack([(b**2).sum(1) for b in books_np], axis=0)
-    qnorm_by_qid = {
-        r[0]: float(np.linalg.norm(q_mat[i]))
-        for i, r in enumerate(qrows)
-    }
-
-    import pandas as pd  # noqa: PLC0415
-    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
-
-    def adc(codes, qid):
-        c = np.asarray(codes.tolist(), dtype=np.int64)
-        q = qid.to_numpy()
-        out = np.full(len(c), -np.inf)
-        idx_all = np.arange(m)
-        approx_sq = norm_lut[idx_all[None, :], c].sum(1)  # (n,)
-        approx_n = np.sqrt(approx_sq)
-        for u in np.unique(q):
-            lut = lut_by_qid.get(u)
-            if lut is None:
-                continue
-            mask = q == u
-            dots = lut[idx_all[None, :], c[mask]].sum(1)
-            denom = qnorm_by_qid[u] * approx_n[mask]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                out[mask] = np.where(denom > 0, dots / denom, -np.inf)
-        return pd.Series(out)
-
-    adc.__annotations__ = {
-        "codes": pd.Series, "qid": pd.Series, "return": pd.Series
-    }
-    adc_udf = pandas_udf(adc, "double")
-
-    cand = (
-        corpus_enc.join(F.broadcast(query_probes), "cluster")
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col,
-            F.col(id_col).alias("neighbor_id"),
-            adc_udf(F.col("codes"), F.col(query_id_col)).alias("adc"),
         )
-        # multi-assign can surface the same (query, neighbor) through
-        # several shared clusters — identical ADC score, dedup before
-        # ranking so a duplicate never occupies two shortlist slots
-        .dropDuplicates([query_id_col, "neighbor_id"])
+        for i in range(nq)
+    ]
+    norm_lut = np.stack([(b**2).sum(1) for b in books_np], axis=0)
+    q_norms = [float(np.linalg.norm(q_mat[i])) for i in range(nq)]
+    idx_all = np.arange(m)
+
+    out_schema = f"{query_id_col} long, neighbor_id long, adc double"
+
+    def fused_scan(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(ids)
+            # n_assign-way spilled assignment (FAISS-style, same math
+            # as _ivf_assign_udf): a true neighbor is found if ANY of
+            # its clusters is probed
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            xm = x / np.where(norms == 0, 1.0, norms)
+            order = np.argsort(-(xm @ cent_np.T), axis=1, kind="stable")
+            row_mask = np.zeros((n, len(cent)), dtype=np.uint8)
+            row_mask[np.arange(n)[:, None], order[:, :n_assign]] = 1
+            cand = (probe_mask @ row_mask.T) > 0  # (Q, n)
+            # PQ encode — same one-matmul expansion as _pq_encode_udf
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d2 = -2.0 * (xs @ books_np[s].T) + books_norm2[s]
+                codes[:, s] = d2.argmin(1)
+            approx_sq = norm_lut[idx_all[None, :], codes].sum(1)
+            approx_n = np.sqrt(approx_sq)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                mask = cand[qi] & (ids != q_ids_np[qi])
+                if not mask.any():
+                    continue
+                cn = ids[mask]
+                dots = luts[qi][idx_all[None, :], codes[mask]].sum(1)
+                denom = q_norms[qi] * approx_n[mask]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    adc = np.where(denom > 0, dots / denom, -np.inf)
+                sel = np.lexsort((cn, -adc))[:rerank]
+                out_q.append(np.full(len(sel), q_ids_np[qi]))
+                out_n.append(cn[sel])
+                out_s.append(adc[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adc": np.concatenate(out_s),
+                    }
+                )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        fused_scan, schema=out_schema
     )
     w_adc = Window.partitionBy(query_id_col).orderBy(
         F.col("adc").desc_nulls_last(), F.col("neighbor_id").asc()
     )
     shortlist = (
-        cand.withColumn("__rn", F.row_number().over(w_adc))
+        partial.withColumn("__rn", F.row_number().over(w_adc))
         .filter(F.col("__rn") <= rerank)
         .select(query_id_col, "neighbor_id")
     )
