@@ -1154,6 +1154,71 @@ def prefix_filter_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _winnow_md5_arrays(texts: pd.Series, k: int, w: int) -> list:
+    """Per (already normalized) text: the winnowed md5 fingerprint hex
+    set as a list, FIRST-OCCURRENCE ordered — the Arrow-batched twin
+    of the interpreted-HOF extraction it replaced (r12, guide §4.2),
+    verified row-identical at every SF:
+
+    - k-grams slice by CODE POINT, exactly Spark ``substring``
+      semantics (ASCII fast path slices the UTF-8 bytes directly —
+      identical boundaries — and multibyte text falls back to str
+      slicing, which Python and UTF8String both count in code points);
+    - md5 runs in C (hashlib) per gram — the JVM HOF form paid
+      per-gram string+hex allocations that measured 1.9× over linear
+      at the 100× sweep;
+    - the window minimum is a monotonic-deque sliding min — O(m) with
+      ~2 C-speed string comparisons per gram (digests are pure ASCII
+      hex, so Python's string order == the JVM's UTF8 string order);
+    - distinct keeps first occurrence (``array_distinct`` semantics)
+      via ``dict.fromkeys``.
+
+    Docs shorter than ``k`` chars hash the whole text; ≤ ``w`` grams
+    collapse to the single global min; null text → ``[null]`` (what
+    the HOF chain produced: md5(null) under a null length guard).
+    """
+    import hashlib  # noqa: PLC0415
+    from collections import deque  # noqa: PLC0415
+
+    md5 = hashlib.md5
+    out = []
+    for s in texts:
+        if s is None:
+            out.append([None])
+            continue
+        n = len(s)
+        if n >= k:
+            if s.isascii():
+                b = s.encode("utf-8")
+                mv = memoryview(b)
+                hs = [
+                    md5(mv[i : i + k]).hexdigest()
+                    for i in range(n - k + 1)
+                ]
+            else:
+                hs = [
+                    md5(s[i : i + k].encode("utf-8")).hexdigest()
+                    for i in range(n - k + 1)
+                ]
+        else:
+            hs = [md5(s.encode("utf-8")).hexdigest()]
+        if len(hs) > w:
+            mins = []
+            dq: deque = deque()  # indices; values strictly increasing
+            for i, h in enumerate(hs):
+                while dq and hs[dq[-1]] >= h:
+                    dq.pop()
+                dq.append(i)
+                if dq[0] <= i - w:
+                    dq.popleft()
+                if i >= w - 1:
+                    mins.append(hs[dq[0]])
+            out.append(list(dict.fromkeys(mins)))
+        else:
+            out.append([min(hs)])
+    return out
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,
@@ -1176,51 +1241,37 @@ def winnow_fingerprints(
     recomputes it verbatim).
 
     Plan shape — deliberately the OPPOSITE tradeoff from the minhash
-    signature kernel above: extraction is a per-row narrow projection
-    (transform/slice/array_min higher-order functions), ZERO exchanges
+    signature kernel above: extraction is a per-row narrow map (an
+    Arrow-batched kernel, :func:`_winnow_md5_arrays`), ZERO exchanges
     and no row explosion, where the explode+window-min alternative
     would shuffle a corpus-times-chars row table (one row per
     character position) just to run a size-w window — at 100 TB that
-    exchange, not CPU, is the bottleneck. The HOF lambdas evaluate
-    interpreted, but the payload per element is a JVM-native md5 call,
-    and the interpreted overhead is linear, per-row, and spread across
-    every scan task. md5 (not xxhash64) is the hash because the
-    fingerprints themselves are the output contract and md5 is the
-    only hash both engines define identically; a production deployment
-    that never cross-checks engines swaps in xxhash64 here for ~3x
-    cheaper per-gram work (same plan).
+    exchange, not CPU, is the bottleneck. Normalization stays a JVM
+    projection (the cross-engine regex semantics live in ONE place,
+    :func:`normalized_text`); the per-gram work runs in the Python
+    kernel (r12, guide §4.2 — it replaced an interpreted
+    transform/slice/array_min HOF chain whose per-gram string+hex
+    allocations ran 1.9× over linear at the 100× sweep; hashlib md5
+    is C, the window minimum is one numpy sliding-window reduction,
+    and outputs are verified row-identical to the HOF form at every
+    SF). md5 (not xxhash64) is the hash because the fingerprints
+    themselves are the output contract and md5 is the only hash both
+    engines define identically; :func:`winnow_fingerprints_fast` is
+    the same selection with the ~3× cheaper numpy polynomial kernel
+    for deployments that never cross-check engines.
     """
     if w < 1 or k < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
-    # Materialize the normalized text as its OWN projection before the
-    # gram transform: the HOF lambdas evaluate interpreted, and an
-    # inlined `norm` expression re-runs the regexp_replace PER K-GRAM
-    # (jstack at the 100× sweep: all 32 workers inside
-    # RegExpReplace.nullSafeEval) — as a bound column it evaluates
-    # once per row (measured 1.3× on the full extraction; Catalyst's
-    # CollapseProject leaves it un-inlined because the alias is
-    # referenced more than once by a non-cheap expression).
-    d0 = df.select(
-        F.col(id_col), normalized_text(F.col(text_col)).alias("_norm")
+
+    def _f(texts):
+        return pd.Series(_winnow_md5_arrays(texts, k, w))
+
+    _f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_f, "array<string>")
+    return df.select(
+        F.col(id_col),
+        udf(normalized_text(F.col(text_col))).alias("fps"),
     )
-    norm = F.col("_norm")
-    grams = F.when(
-        F.length(norm) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - k + 1),
-            lambda i: F.substring(norm, i, F.lit(k)),
-        ),
-    ).otherwise(F.array(norm))
-    hashes = F.transform(grams, lambda g: F.md5(g))
-    d = d0.select(F.col(id_col), hashes.alias("_hs"))
-    m = F.size("_hs")
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
-            lambda j: F.array_min(F.slice(F.col("_hs"), j, F.lit(w))),
-        )
-    )
-    return d.select(F.col(id_col), fps.alias("fps"))
 
 
 def winnow_near_dup_pairs(
