@@ -299,10 +299,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     docs = fan_out(docs)  # single-row-group file → parallelize the hot compute
+    # checkpoint the candidate-sized pair table, then verify only the
+    # docs a candidate touches (r12 — the minhash_near_dup shape):
+    # un-restricted, the Jaccard join re-shingled EVERY doc on both
+    # sides to score a candidate set that touches a vanishing
+    # fraction; inner joins on the pair ids make the semi-join
+    # restriction result-invariant
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    )
-    pairs = hashed_ngram_jaccard(cand, docs, "doc_id", "text", 3).filter(
+    ).localCheckpoint()
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).dropDuplicates(["doc_id"])
+    touched = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    pairs = hashed_ngram_jaccard(cand, touched, "doc_id", "text", 3).filter(
         F.col("jaccard") >= 0.9
     )
     cc = connected_components(pairs.select("id_a", "id_b"))

@@ -1566,10 +1566,16 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     docs = fan_out(docs)
+    # candidate-touched verify restriction (r12 — the minhash_near_dup
+    # shape; result-invariant, the Jaccard joins are inner on pair ids)
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    )
-    pairs = hashed_ngram_jaccard(cand, docs, "doc_id", "text", 3).filter(
+    ).localCheckpoint()
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).dropDuplicates(["doc_id"])
+    touched = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    pairs = hashed_ngram_jaccard(cand, touched, "doc_id", "text", 3).filter(
         F.col("jaccard") >= 0.9
     )
     cc = connected_components_star(pairs.select("id_a", "id_b"))
