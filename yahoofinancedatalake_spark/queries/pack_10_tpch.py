@@ -608,13 +608,15 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(one rung up the CCNet/KenLM ladder): each doc's mean "
     "ln P(w_i | w_{{i-1}}) under the corpus's own bigram counts. "
     "Bigrams build JVM-side (zip_with over sliced token arrays, no "
-    "Python), context counts come from the same bigram rows, and "
-    "the vocabulary size folds in via the data-derived constant-key "
-    "broadcast. Per-position log-probs are dround(6)-fixed BEFORE "
-    "the per-doc sum. At 100 TB both count tables are "
-    "vocabulary-bounded (distinct bigrams ≪ corpus positions) — "
-    "broadcastable or bucketed — and the only corpus-sized "
-    "exchanges are the two count aggregations.",
+    "Python); the bigram count table is checkpointed and the "
+    "context counts are DERIVED from it (uc(w1) = Σ bc — "
+    "vocabulary-sized input) rather than re-aggregating the corpus "
+    "positions a second time; the vocabulary size folds in via the "
+    "data-derived constant-key broadcast. Per-position log-probs "
+    "are dround(6)-fixed BEFORE the per-doc sum. At 100 TB the "
+    "count tables are vocabulary-bounded (distinct bigrams ≪ corpus "
+    "positions) — broadcastable or bucketed — and the only "
+    "corpus-sized exchange is the one bigram count aggregation.",
     parts=8,
 )
 def q_bigram_logprob_quality(
@@ -638,8 +640,22 @@ def q_bigram_logprob_quality(
             )
         ).alias("x"),
     ).select("doc_id", F.col("x.w1").alias("w1"), F.col("x.b").alias("b"))
-    bc = bgrows.groupBy("b").agg(F.count(F.lit(1)).alias("bc"))
-    uc = bgrows.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    # one corpus-sized count shuffle, not two (r12, guide §2.3/§2.4):
+    # the bigram count table is vocabulary-bounded, so checkpoint it
+    # and derive the context counts FROM it (uc(w1) = Σ bc over
+    # bigrams starting with w1 — tokens are whitespace-split, so the
+    # first space in `b` delimits w1 exactly) instead of re-running
+    # the corpus tokenize+explode through a second corpus-wide
+    # aggregation. Counts are identical integers; values unchanged.
+    bc = (
+        bgrows.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .localCheckpoint()
+    )
+    uc = (
+        bc.groupBy(F.substring_index("b", " ", 1).alias("w1"))
+        .agg(F.sum("bc").alias("uc"))
+    )
     vocab = (
         docs.select("doc_id", _word_toks().alias("t"))
         .select(F.explode("t").alias("w"))
