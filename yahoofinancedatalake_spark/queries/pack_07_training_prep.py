@@ -765,7 +765,15 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks") >= 1
     )
     words = base.select("doc_id", F.explode("toks").alias("w"))
-    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the vocabulary-bounded frequency table (r12): it
+    # feeds BOTH the single-row total and the scoring join —
+    # un-materialized, building the total re-ran the whole corpus
+    # tokenize+explode+aggregate a second time
+    freq = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     # fold the single-row total into the frequency table via a
     # constant-key EQUI-join (BroadcastHashJoin): a bare crossJoin of a
     # 1-row frame plans as BroadcastNestedLoopJoin, which the plan

@@ -1416,11 +1416,24 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     )
-    bgc = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint both vocabulary-bounded count tables (r12): each
+    # feeds its single-row total AND the collocation join —
+    # un-materialized, each total re-ran its full corpus
+    # tokenize+explode+aggregate subtree (4 corpus passes for the
+    # 2-pass minimum)
+    bgc = (
+        bigrams.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     words = toks.filter(F.size("toks") >= 1).select(
         F.explode("toks").alias("w")
     )
-    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    uni = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint()
+    )
     nuni = (
         uni.agg(F.sum("cw").cast("double").alias("nu"))
         .withColumn("__k", _const_key(F.col("nu")))
