@@ -1146,7 +1146,14 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # checkpointed (r12): the key-count table feeds both the 1-row
+    # total and the share join — un-materialized, the total re-scanned
+    # and re-aggregated the fact table a second time
+    counts = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     tot = counts.agg(
         F.sum("n").alias("total"), F.max("n").alias("mx")
     ).withColumn("__k", _const_key(F.col("total")))

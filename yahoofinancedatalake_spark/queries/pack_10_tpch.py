@@ -1373,7 +1373,14 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_extendedprice"
     )
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_cents"))
+    # checkpointed so "computed ONCE, consumed twice" is true in the
+    # physical plan too (r12): un-materialized, the total re-scanned
+    # and re-aggregated lineitem a second time
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+        .localCheckpoint()
+    )
     tot = pv.agg(
         F.sum("value_cents").alias("t"), F.count(F.lit(1)).alias("n")
     ).withColumn("__k", _const_key(F.col("t")))
