@@ -1650,7 +1650,10 @@ def hybrid_near_dup_pairs(
     # collect_list aggregation shrinks from every doc to the pair
     # universe's endpoints
     kept_arr = (
-        idx.join(touched.hint("shuffle_hash"), id_col, "left_semi")
+        # broadcast (r13): `touched` is <= 2x candidate pairs — bounded
+        # small by design — so the shuffle_hash hint here paid two
+        # corpus-side Exchanges for a model-sized build side
+        idx.join(F.broadcast(touched), id_col, "left_semi")
         .join(
             dfreq.filter(
                 (F.col("df") >= 2) & (F.col("df") <= df_cap)

@@ -255,10 +255,15 @@ def kn_prob_table(
     corpus-sized bigram explode+count shuffle — four corpus passes
     for one vocabulary-sized table (the winnow-matcher fingerprint
     lesson; see OPTIMIZATION_r12.md for the measured delta).
-    Same caller-owned lifetime contract as
-    :func:`..operators.dedup.winnow_near_dup_pairs`: release via
-    ``spark.catalog.clearCache()`` after consuming (bench/driver runs
-    already do)."""
+
+    Lifetime (r13, VERDICT r12 #8): the persist no longer leaks to the
+    caller. The returned model is ``localCheckpoint()``\\ ed here —
+    materializing all four ``bc`` consumers eagerly — and ``bc`` is
+    unpersisted before returning, so a long-lived serving session
+    invoking KN queries holds no cached table per call (checkpoint
+    blocks are released by the ContextCleaner when the frame is
+    collected). The checkpointed model is bigram-TYPE-bounded
+    (vocabulary-sized), never corpus-sized."""
     base = df.filter(F.size(toks_col) >= 2)
     bg = base.select(
         F.explode(
@@ -289,11 +294,15 @@ def kn_prob_table(
         F.greatest(F.col("c") - d, F.lit(0.0))
         + d * F.col("n1v") * (F.col("n1w") / F.col("dtot"))
     ) / F.col("cv")
-    return (
+    model = (
         bc.join(ctx, "w1")
         .join(cont_d, "w2")
         .select("w1", "w2", dround(F.log(p), 6).alias("lp"))
     )
+    if cache:
+        model = model.localCheckpoint()
+        bc.unpersist()
+    return model
 
 
 def kneser_ney_scores(

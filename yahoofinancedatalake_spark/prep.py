@@ -165,7 +165,9 @@ def near_dup_stage(
         cand_ids = cand.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)
         ).dropDuplicates([id_col])
-        verify_docs = exact.join(cand_ids, id_col, "left_semi")
+        # broadcast (r13): the touched-id set is candidate-bounded, so
+        # the restriction must not cost a corpus-side shuffle
+        verify_docs = exact.join(F.broadcast(cand_ids), id_col, "left_semi")
         verified = hashed_ngram_jaccard(
             cand, verify_docs, id_col, "text", shingle_n=3
         ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)

@@ -144,7 +144,11 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id")
     ).dropDuplicates(["doc_id"])
-    touched = docs.join(cand_ids, "doc_id", "left_semi")
+    # broadcast (r13): the touched set is <= 2x candidate pairs —
+    # bounded and small by design — so the semi-join must not shuffle
+    # the corpus side (the +2 Exchanges the r12 plan paid for nothing;
+    # dedup_clusters already did this)
+    touched = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     return hashed_ngram_jaccard(
         cand, touched, "doc_id", "text", shingle_n=3
     ).filter(F.col("jaccard") >= 0.9)
