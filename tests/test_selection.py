@@ -695,3 +695,36 @@ def test_mixture_plan_is_consistent_run_config(spark):
     # budget 1.6x with cap 2.0x means not every group can be capped:
     # at least one group sits AT the water level (alloc < cap)
     assert any(r["alloc"] < r["cap"] for r in rows)
+
+
+def test_kn_prob_table_releases_cache(spark):
+    """kn_prob_table(cache=True) must not leave a catalog-cached
+    table behind (VERDICT r12 #8): the bigram count table's persist
+    is released inside the function after the model checkpoint, so a
+    long-lived serving session invoking KN queries holds no cached
+    table per call."""
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.operators.selection import (
+        kneser_ney_scores,
+    )
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    out = kneser_ney_scores(docs, "toks", "doc_id").collect()
+    assert len(out) == 30
+    # localCheckpoint blocks (released by the ContextCleaner on GC)
+    # are allowed; a live persist() of the count table is not. Every
+    # entry left in the persistent-RDD map must be a checkpoint
+    # block, never an un-released cache of the KN build.
+    persistent = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in persistent.values():
+        lvl = rdd.getStorageLevel()
+        assert "Checkpoint" in str(rdd.toDebugString()) or not (
+            lvl.useMemory() or lvl.useDisk()
+        ), f"leaked persist: {rdd.name()}"

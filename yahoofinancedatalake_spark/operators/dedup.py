@@ -429,6 +429,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_size: int = 512,
     log_drops: bool = False,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -448,9 +449,20 @@ def minhash_lsh_pairs(
     total counted from it and logged, and the subsequent pair
     consumption reuses the persisted buckets instead of re-running
     the scan→signature→shuffle pipeline a second time.
+
+    ``bands`` (optional, r13) supplies a precomputed
+    :func:`minhash_band_table` frame for ``df`` (``n_hashes`` /
+    ``n_bands`` / ``shingle_n`` / ``seed`` are then ignored) — the
+    prep pipeline computes the band table once, shares it here AND
+    lands it as the incremental index, instead of paying the
+    signature pass twice (the winnow ``fingerprints=`` convention).
     """
-    banded = minhash_band_table(
-        df, text_col, id_col, n_hashes, n_bands, shingle_n, seed
+    banded = (
+        bands
+        if bands is not None
+        else minhash_band_table(
+            df, text_col, id_col, n_hashes, n_bands, shingle_n, seed
+        )
     )
     # group-by-bucket pair generation (not a self-join): the signature
     # is computed ONCE, and the only exchanges are the bucket-key
@@ -487,6 +499,7 @@ def incremental_minhash_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     max_bucket_size: int = 512,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs for an INCREMENT against a persisted
     LSH index — the daily-ingest shape: only the new batch is
@@ -508,12 +521,20 @@ def incremental_minhash_pairs(
     Pair set == what a full :func:`minhash_lsh_pairs` over
     (history ∪ batch) emits, minus old×old pairs (already known) —
     asserted in tests, including above the cap.
+
+    ``new_bands`` (optional, r13) supplies the batch's precomputed
+    :func:`minhash_band_table` frame (hash/band parameters are then
+    ignored). The band rows feed TWO consumers here (the touched-
+    bucket set and the union membership), and the caller appends the
+    same rows to the landed index afterward — pass a persisted frame
+    and the batch pays ONE signature pass instead of three.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
-    new_bands = minhash_band_table(
-        new_docs, text_col, id_col, n_hashes, n_bands, shingle_n, seed
-    )
+    if new_bands is None:
+        new_bands = minhash_band_table(
+            new_docs, text_col, id_col, n_hashes, n_bands, shingle_n, seed
+        )
     # only history rows in buckets the batch touches participate
     touched = new_bands.select("band", "bucket").distinct()
     old_in_touched = index.join(touched, ["band", "bucket"]).select(
@@ -739,6 +760,7 @@ def connected_components(
         .persist()
     )
     labels.count()
+    held = labels  # the frame whose materialized blocks each round releases
     # Size the iterative stage by the graph, not the session default:
     # each round is 3 shuffles of the label/edge tables, and scheduling
     # 32+ tasks per stage over a few hundred edges costs more than the
@@ -754,6 +776,13 @@ def connected_components(
                 .groupBy("a")
                 .agg(F.min("comp").alias("ncomp"))
             )
+            # the changed flag rides the checkpointed frame (r13):
+            # labels only ever DECREASE, so "some neighbor label is
+            # strictly lower" == "this round changed the label" — the
+            # convergence count is then one scan of the checkpoint,
+            # not the extra node-keyed self-join per round it used to
+            # be (one join + shuffle saved per round, across every
+            # CC consumer in the pack)
             new_labels = (
                 labels.join(
                     neighbor_min, labels.node == neighbor_min.a, "left"
@@ -763,17 +792,19 @@ def connected_components(
                     F.least(
                         F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                     ).alias("comp"),
+                    (
+                        F.coalesce("ncomp", F.col("comp")) < F.col("comp")
+                    ).alias("__chg"),
                 )
                 .localCheckpoint()  # materialize + truncate lineage
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            changed = new_labels.filter(F.col("__chg")).count()
+            # release the PREVIOUS round's materialized blocks (the
+            # derived `labels` view of round >= 2 is not itself the
+            # holder — `held` is)
+            held.unpersist()
+            held = new_labels
+            labels = new_labels.drop("__chg")
             if changed == 0:
                 break
         return labels.select(
@@ -1252,7 +1283,7 @@ def winnow_fingerprints(
     kernel (r12, guide §4.2 — it replaced an interpreted
     transform/slice/array_min HOF chain whose per-gram string+hex
     allocations ran 1.9× over linear at the 100× sweep; hashlib md5
-    is C, the window minimum is one numpy sliding-window reduction,
+    is C, the window minimum is a monotonic-deque sliding min,
     and outputs are verified row-identical to the HOF form at every
     SF). md5 (not xxhash64) is the hash because the fingerprints
     themselves are the output contract and md5 is the only hash both
@@ -1536,6 +1567,7 @@ def hybrid_near_dup_pairs(
     max_bucket_size: int = 512,
     cache: bool = True,
     fingerprints: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid near-dup matcher: MinHash-LSH *proposes* candidate
     pairs, winnowed-fingerprint overlap *decides* — the composition
@@ -1606,6 +1638,8 @@ def hybrid_near_dup_pairs(
     ignored); ``cache=True`` persists the fingerprint table across
     its four consumers (index explode → dfreq, the kept-array build,
     sizes) — caller releases via ``spark.catalog.clearCache()``.
+    ``bands`` (optional, r13) forwards a precomputed band table to
+    the LSH proposal stage — see :func:`minhash_lsh_pairs`.
     """
     from yahoofinancedatalake_spark.functions.scalars import (  # noqa: PLC0415
         dround,
@@ -1625,6 +1659,7 @@ def hybrid_near_dup_pairs(
         shingle_n=shingle_n,
         seed=seed,
         max_bucket_size=max_bucket_size,
+        bands=bands,
     ).localCheckpoint()
     touched = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
@@ -1827,6 +1862,8 @@ def incremental_hybrid_pairs(
     seed: int = 42,
     max_bucket_size: int = 512,
     cache: bool = True,
+    new_bands: DataFrame | None = None,
+    new_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid near-dup pairs for an INCREMENT against persisted state
     — the daily-ingest mode of :func:`hybrid_near_dup_pairs`
@@ -1873,6 +1910,12 @@ def incremental_hybrid_pairs(
     the whole candidate pipeline re-evaluate inside every join
     branch, the same measured blowup the batch matcher documents;
     caller releases via ``spark.catalog.clearCache()``.
+
+    ``new_bands`` / ``new_fps`` (optional, r13) supply the batch's
+    precomputed band table / winnow fingerprint frame (hash and
+    ``k``/``w`` parameters are then ignored). The streaming caller
+    appends both to state after the probe — pass persisted frames
+    and the batch pays each extraction pass once instead of twice.
     """
     cand = incremental_minhash_pairs(
         new_docs,
@@ -1884,8 +1927,10 @@ def incremental_hybrid_pairs(
         shingle_n=shingle_n,
         seed=seed,
         max_bucket_size=max_bucket_size,
+        new_bands=new_bands,
     )
-    new_fps = winnow_fingerprints(new_docs, text_col, id_col, k=k, w=w)
+    if new_fps is None:
+        new_fps = winnow_fingerprints(new_docs, text_col, id_col, k=k, w=w)
     if cache:
         # persist the ARRAY form before exploding: Generate over the
         # un-materialized interpreted-HOF extraction re-evaluates the

@@ -938,6 +938,9 @@ def ivfpq_cosine_topk(
     qrows = queries.select(query_id_col, query_vec_col).collect()
     nq = len(qrows)
     q_mat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    # int64 query ids are the contract (as for pq_cosine_topk): the
+    # fused kernel emits the id through the hardcoded `long` output
+    # schema below (ADVICE r12 — documented constraint, not a bug)
     q_ids_np = np.asarray([r[0] for r in qrows], dtype=np.int64)
     if nq:
         # query probe clusters, driver-side — bit-identical math to
@@ -988,7 +991,14 @@ def ivfpq_cosine_topk(
             order = np.argsort(-(xm @ cent_np.T), axis=1, kind="stable")
             row_mask = np.zeros((n, len(cent)), dtype=np.uint8)
             row_mask[np.arange(n)[:, None], order[:, :n_assign]] = 1
-            cand = (probe_mask @ row_mask.T) > 0  # (Q, n)
+            # widen before the matmul (ADVICE r12): a uint8 @ uint8
+            # product stays uint8, so with n_probe/n_assign/n_centroids
+            # all >= 256 the overlap count could wrap mod 256 to 0 and
+            # silently drop true candidates — unreachable at current
+            # defaults (n_centroids=8) but a latent trap
+            cand = (
+                probe_mask.astype(np.int32) @ row_mask.T.astype(np.int32)
+            ) > 0  # (Q, n)
             # PQ encode — same one-matmul expansion as _pq_encode_udf
             codes = np.empty((n, m), dtype=np.int64)
             for s in range(m):

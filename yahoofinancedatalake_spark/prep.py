@@ -92,6 +92,7 @@ def near_dup_stage(
     exact: DataFrame,
     id_col: str = "doc_id",
     backend: str = "lsh",
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 3 — near-dup cluster removal over exact-dedup survivors:
     candidate/verified pairs from the selected matcher → connected
@@ -160,7 +161,8 @@ def near_dup_stage(
         # touched docs. Inner joins on (id_a, id_b) make the
         # restriction result-invariant.
         cand = minhash_lsh_pairs(
-            exact, "text", id_col, n_hashes=32, n_bands=8, shingle_n=3
+            exact, "text", id_col, n_hashes=32, n_bands=8, shingle_n=3,
+            bands=bands,
         ).localCheckpoint()
         cand_ids = cand.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)
@@ -180,7 +182,7 @@ def near_dup_stage(
         # defaults = the gated hybrid_near_dup query's parameters
         # (LSH 32 hashes / 8 bands / 3-shingles proposing; winnow
         # k=16, w=8, df_cap=64, overlap >= 0.6 deciding)
-        verified = hybrid_near_dup_pairs(exact, "text", id_col)
+        verified = hybrid_near_dup_pairs(exact, "text", id_col, bands=bands)
     else:
         raise ValueError(
             f"unknown near-dup backend {backend!r} (lsh|winnow|hybrid)"
@@ -411,6 +413,29 @@ def _state_manifest_path(root: str) -> str:
     return f"{root}/dedup_state_manifest.json"
 
 
+def _parquet_count(path: str) -> int:
+    """Row count of a landed parquet table from its FOOTERS — no
+    Spark job. Sums ``metadata.num_rows`` over the part files, which
+    is exactly the number a ``spark.read.parquet(path).count()``
+    returns (the footers are the writers' own committed row counts).
+    Replaces the three count jobs each seal/verify used to launch
+    (r13): a metadata read per file costs ~1 ms where each Spark
+    count paid a full job's scheduling floor; at real scale this is
+    the same O(files) driver metadata work a scan's planning phase
+    already does."""
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files and not os.path.isdir(path):
+        # keep the pre-r13 failure mode: a missing table raises like
+        # the Spark read did, rather than sealing a silent zero
+        raise FileNotFoundError(path)
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _seal_dedup_state(spark: SparkSession, root: str) -> dict[str, int]:
     """Write the state manifest LAST — the commit record for the
     three-table landing. Counts are parquet-metadata reads (footer
@@ -422,9 +447,7 @@ def _seal_dedup_state(spark: SparkSession, root: str) -> dict[str, int]:
     import json  # noqa: PLC0415
     import os  # noqa: PLC0415
 
-    counts = {
-        t: spark.read.parquet(f"{root}/{t}").count() for t in _STATE_TABLES
-    }
+    counts = {t: _parquet_count(f"{root}/{t}") for t in _STATE_TABLES}
     path = _state_manifest_path(root)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -454,9 +477,7 @@ def verify_dedup_state(spark: SparkSession, root: str) -> dict[str, int]:
         )
     with open(path) as f:
         sealed = json.load(f)
-    actual = {
-        t: spark.read.parquet(f"{root}/{t}").count() for t in _STATE_TABLES
-    }
+    actual = {t: _parquet_count(f"{root}/{t}") for t in _STATE_TABLES}
     if actual != sealed:
         raise RuntimeError(
             f"dedup state at {root} is inconsistent with its manifest "
@@ -466,14 +487,28 @@ def verify_dedup_state(spark: SparkSession, root: str) -> dict[str, int]:
     return actual
 
 
-def _land_dedup_state(spark: SparkSession, root: str, deduped: DataFrame):
+def _land_dedup_state(
+    spark: SparkSession,
+    root: str,
+    deduped: DataFrame,
+    bands: DataFrame | None = None,
+):
     """Persist the incremental-dedup state next to the outputs: the
     post-dedup survivor docs (text included — the near-dup verify side
     for future increments), their fingerprints, and their LSH band
     index. These three tables are what lets the NEXT batch dedup
     against history in O(batch) instead of re-shingling the corpus.
     The landing is sealed by a manifest written last
-    (:func:`verify_dedup_state` checks it before any increment)."""
+    (:func:`verify_dedup_state` checks it before any increment).
+
+    ``bands`` (optional, r13): a precomputed
+    :func:`minhash_band_table` frame covering a SUPERSET of the
+    survivors (the prep runners compute it once over the exact-dedup
+    survivors and share it with the near-dup matcher). The landed
+    band index is then that frame semi-joined to the survivor ids —
+    identical rows to recomputing, because the band table is a
+    deterministic per-doc map — instead of paying the corpus
+    signature pass a second time."""
     import os  # noqa: PLC0415
 
     from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
@@ -495,9 +530,16 @@ def _land_dedup_state(spark: SparkSession, root: str, deduped: DataFrame):
     survivors.select(
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
     ).write.mode("overwrite").parquet(f"{root}/fingerprints")
-    minhash_band_table(
-        survivors, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    ).write.mode("overwrite").parquet(f"{root}/band_index")
+    # no broadcast hint: survivor ids scale with the corpus, so the
+    # semi-join strategy is left to the planner's size estimates
+    band_rows = (
+        bands.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        if bands is not None
+        else minhash_band_table(
+            survivors, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
+        )
+    )
+    band_rows.write.mode("overwrite").parquet(f"{root}/band_index")
     _seal_dedup_state(spark, root)
 
 
@@ -531,6 +573,10 @@ def seed_prep_state(
     the next stage consume them (the subplan-reuse lesson), and
     released before returning.
     """
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_band_table,
+    )
+
     counts: dict[str, int] = {"input": docs.count()}
     persisted: list[DataFrame] = []
 
@@ -547,12 +593,24 @@ def seed_prep_state(
         # un-persisted each consumer re-runs the fingerprint shuffle
         # over the (persisted) quality survivors
         exact = _stage(exact_stage(gated))
+        # compute the LSH band table ONCE over the exact survivors
+        # (r13) and share it between the matcher's candidate stage
+        # and the landed band index — previously the landing re-ran
+        # the full corpus signature pass the matcher had just paid
+        bands = (
+            _stage(minhash_band_table(
+                exact, "text", "doc_id",
+                n_hashes=32, n_bands=8, shingle_n=3,
+            ))
+            if near_dup_backend in ("lsh", "hybrid")
+            else None
+        )
         deduped = _stage(
-            near_dup_stage(exact, backend=near_dup_backend)
+            near_dup_stage(exact, backend=near_dup_backend, bands=bands)
         )
         counts["after_dedup"] = deduped.count()
         counts["after_decontam"] = decontaminate(deduped, eval_docs).count()
-        _land_dedup_state(spark, root, deduped)
+        _land_dedup_state(spark, root, deduped, bands=bands)
     finally:
         for frame in persisted:
             frame.unpersist()
@@ -599,6 +657,10 @@ def run_prep(
 
     counts: dict[str, int] = {"input": docs.count()}
 
+    from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_band_table,
+    )
+
     # Stage boundaries are persist()ed while both their own count and
     # the downstream stage consume them (r12 — the same subplan-reuse
     # convention as seed_prep_state/prep_stage_counts; un-persisted,
@@ -618,9 +680,21 @@ def run_prep(
         counts["quality_pass"] = gated.count()
 
         exact = _stage(exact_stage(gated))
-        deduped = _stage(near_dup_stage(exact, backend=near_dup_backend))
+        # one band-table pass shared by the matcher and the landed
+        # index (r13) — see seed_prep_state
+        bands = (
+            _stage(minhash_band_table(
+                exact, "text", "doc_id",
+                n_hashes=32, n_bands=8, shingle_n=3,
+            ))
+            if near_dup_backend in ("lsh", "hybrid")
+            else None
+        )
+        deduped = _stage(
+            near_dup_stage(exact, backend=near_dup_backend, bands=bands)
+        )
         counts["after_dedup"] = deduped.count()
-        _land_dedup_state(spark, root, deduped)
+        _land_dedup_state(spark, root, deduped, bands=bands)
     finally:
         for frame in persisted:
             frame.unpersist()
@@ -721,11 +795,17 @@ def run_prep_incremental(
     counts["after_exact"] = batch_exact.count()
 
     # near-dup: candidates vs history index + within batch, verify,
-    # components over the (small) incremental pair set
+    # components over the (small) incremental pair set. The batch's
+    # band table is computed ONCE (r13) and shared by the candidate
+    # stage (which consumes it twice) and the state append below —
+    # previously the batch paid the signature pass three times.
     index = spark.read.parquet(f"{root}/band_index")
+    new_bands = minhash_band_table(
+        batch_exact, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
+    ).persist()
     cand = incremental_minhash_pairs(
         batch_exact, index, "text", "doc_id",
-        n_hashes=32, n_bands=8, shingle_n=3,
+        n_hashes=32, n_bands=8, shingle_n=3, new_bands=new_bands,
     ).persist()
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id")
@@ -797,9 +877,13 @@ def run_prep_incremental(
     batch_deduped.select(
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
     ).write.mode("append").parquet(f"{root}/fingerprints")
-    minhash_band_table(
-        batch_deduped, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
+    # the deduped batch's band rows are the precomputed batch band
+    # table filtered to survivors (deterministic per-doc map — same
+    # rows a recompute would emit)
+    new_bands.join(
+        batch_deduped.select("doc_id"), "doc_id", "left_semi"
     ).write.mode("append").parquet(f"{root}/band_index")
+    new_bands.unpersist()
     clean.write.mode("append").parquet(f"{root}/clean_increments")
     # re-seal: this batch's appends are now part of committed history
     _seal_dedup_state(spark, root)

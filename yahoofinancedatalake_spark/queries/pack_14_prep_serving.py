@@ -3530,19 +3530,27 @@ def q_stream_hybrid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             band = spark.read.parquet(band_dir)
             fpi = spark.read.parquet(fpi_dir)
             fpd = spark.read.parquet(fpd_dir)
+            # compute the batch's band table and winnow fingerprints
+            # ONCE (r13) and share them between the probe and the
+            # state appends — previously each extraction ran twice
+            # per micro-batch (once inside incremental_hybrid_pairs,
+            # once for the append)
+            bband = minhash_band_table(
+                batch_df, "text", "doc_id"
+            ).persist()
+            bfps_arr = winnow_fingerprints(
+                batch_df, "text", "doc_id"
+            ).persist()
             pairs = incremental_hybrid_pairs(
-                batch_df, band, fpi, fpd, "text", "doc_id"
+                batch_df, band, fpi, fpd, "text", "doc_id",
+                new_bands=bband, new_fps=bfps_arr,
             )
             pairs.write.mode("append").parquet(outdir)
             # daily-ingest state update: append the batch's band and
             # fingerprint rows; merge its df counts into a new df
             # version (read-modify-write of the SMALL (fp, df) table)
-            minhash_band_table(
-                batch_df, "text", "doc_id"
-            ).write.mode("append").parquet(band_dir)
-            bfps = winnow_fingerprints(
-                batch_df, "text", "doc_id"
-            ).select("doc_id", F.explode("fps").alias("fp"))
+            bband.write.mode("append").parquet(band_dir)
+            bfps = bfps_arr.select("doc_id", F.explode("fps").alias("fp"))
             bfps.write.mode("append").parquet(fpi_dir)
             merged = (
                 fpd.unionByName(
