@@ -1357,9 +1357,21 @@ def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        dsir_score(batch_df, "toks", "doc_id", model).write.mode(
-            "append"
-        ).parquet(outdir)
+        # size the per-batch score table by the BATCH, not the session
+        # default (r13, VERDICT item 1 / guide §2.2): AQE is off in
+        # streaming plans, so the per-doc agg fanned out to the full
+        # session shuffle width and appended that many near-empty
+        # files per micro-batch — at 32 cores the reduce/task/file
+        # overhead made this rung SLOWER than at 8. coalesce to the
+        # batch's own source-file count (no-op when the batch is
+        # already wider) keeps it scale-adaptive: a production-sized
+        # batch arriving as N files keeps N-way reduce parallelism.
+        # inputFiles() is a metadata read — no job, no .rdd plan
+        # conversion.
+        width = max(1, len(batch_df.inputFiles()))
+        dsir_score(batch_df, "toks", "doc_id", model).coalesce(
+            width
+        ).write.mode("append").parquet(outdir)
 
     try:
         model.count()  # materialize BEFORE any increment lands
@@ -1794,6 +1806,20 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdir = f"{root}/agg"
     ckpt = f"{root}/ckpt"
     os.makedirs(indir)
+    # Size the stream's stateful-agg width by the DATA, not the
+    # session default (r13, guide §2.2 — the connected_components
+    # partition rule): AQE cannot coalesce streaming shuffles, so the
+    # windowed agg ran one state-store instance (with its per-batch
+    # commit + output file) per session shuffle partition — at 32
+    # cores the per-partition overhead made the rung slower than at
+    # 8. ~1M events per state partition, floor 2; a production-sized
+    # stream raises it with volume. The first run's value is baked
+    # into the checkpoint and reused on restart, so both availableNow
+    # runs see one consistent width.
+    n_events = batch.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, min(int(old_parts), n_events // 1_000_000 + 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         for inc in incs:
             inc.coalesce(1).write.mode("append").parquet(indir)
@@ -1812,6 +1838,7 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             _await_stream(q)
         rows = spark.read.parquet(outdir).collect()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(root, ignore_errors=True)
 
     return spark.createDataFrame(
@@ -2663,9 +2690,11 @@ def q_stream_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # batch-derived reduce width — see q_stream_dsir_score
+        width = max(1, len(batch_df.inputFiles()))
         nb_quality_scores(
             batch_df, "toks", "doc_id", model, prior
-        ).write.mode("append").parquet(outdir)
+        ).coalesce(width).write.mode("append").parquet(outdir)
 
     try:
         model.count()  # materialize BEFORE any increment lands
