@@ -1256,6 +1256,8 @@ def winnow_fingerprints(
     id_col: str,
     k: int = 16,
     w: int = 8,
+    *,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Per-doc winnowed fingerprint sets: (id_col, fps array<string>).
 
@@ -1299,10 +1301,17 @@ def winnow_fingerprints(
 
     _f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_f, "array<string>")
-    return df.select(
-        F.col(id_col),
-        udf(normalized_text(F.col(text_col))).alias("fps"),
+    # ``pre_normalized=True`` (r13): ``text_col`` already holds
+    # :func:`normalized_text` output (the accuracy gate shares ONE
+    # normalization pass between both hash families) — skip the
+    # second, identical regex projection. normalized_text is
+    # idempotent, so this is a pure cost knob, never a semantic one.
+    src = (
+        F.col(text_col)
+        if pre_normalized
+        else normalized_text(F.col(text_col))
     )
+    return df.select(F.col(id_col), udf(src).alias("fps"))
 
 
 def winnow_near_dup_pairs(
@@ -1520,6 +1529,8 @@ def winnow_fingerprints_fast(
     id_col: str,
     k: int = 16,
     w: int = 8,
+    *,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Production-path winnowing: (id_col, fps array<bigint>).
 
@@ -1545,10 +1556,14 @@ def winnow_fingerprints_fast(
 
     _f.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_f, "array<bigint>")
-    return df.select(
-        F.col(id_col),
-        udf(normalized_text(F.col(text_col))).alias("fps"),
+    # pre_normalized: see winnow_fingerprints — share one
+    # normalization pass when the caller already applied it
+    src = (
+        F.col(text_col)
+        if pre_normalized
+        else normalized_text(F.col(text_col))
     )
+    return df.select(F.col(id_col), udf(src).alias("fps"))
 
 
 def hybrid_near_dup_pairs(

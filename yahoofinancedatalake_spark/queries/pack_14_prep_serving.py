@@ -790,6 +790,8 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winnow_fast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yahoofinancedatalake_spark.operators.dedup import (  # noqa: PLC0415
+        normalized_text,
+        winnow_fingerprints,
         winnow_fingerprints_fast,
         winnow_near_dup_pairs,
     )
@@ -797,22 +799,36 @@ def q_winnow_fast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("n_chars") >= 150
     )
+    # BOTH hash families extract from the same normalized text (r13,
+    # VERDICT item 4): compute the scan + normalization regex ONCE,
+    # checkpoint, and feed the two kernels with pre_normalized=True —
+    # previously each matcher re-read the corpus and re-ran the
+    # identical projection. normalized_text is idempotent, so the
+    # fingerprints are bit-identical to the un-shared form.
+    norm = docs.select(
+        "doc_id", normalized_text(F.col("text")).alias("text")
+    ).localCheckpoint()
     fast = winnow_near_dup_pairs(
-        docs,
+        norm,
         "text",
         "doc_id",
         df_cap=_WIN_CAP,
         overlap_threshold=_WIN_T,
         fingerprints=winnow_fingerprints_fast(
-            docs, "text", "doc_id", k=_WIN_K, w=_WIN_W
+            norm, "text", "doc_id", k=_WIN_K, w=_WIN_W,
+            pre_normalized=True,
         ),
     ).select("id_a", "id_b").persist()
     # ONE md5 matcher run at the relaxed floor; the high-margin truth
     # set is a filter over its overlap column (matcher output is
     # monotone in threshold, so this equals a second run at 0.65)
     md5_relaxed = winnow_near_dup_pairs(
-        docs, "text", "doc_id", k=_WIN_K, w=_WIN_W,
+        norm, "text", "doc_id",
         df_cap=_WIN_CAP, overlap_threshold=0.35,
+        fingerprints=winnow_fingerprints(
+            norm, "text", "doc_id", k=_WIN_K, w=_WIN_W,
+            pre_normalized=True,
+        ),
     ).persist()
     truth = md5_relaxed.filter(F.col("overlap") >= 0.65).select(
         "id_a", "id_b"
