@@ -463,6 +463,19 @@ def _run(sf_dir: str, sf: float, only: set[str] | None = None) -> None:
     }
     if errors:
         out["errors"] = errors
+    # Belt-and-suspenders artifact (r13, VERDICT r12 #6): the driver's
+    # stdout tail capture truncated r11's one-line JSON, which cost
+    # that round its round-over-round table. The same payload lands in
+    # a file so comparisons never depend on capture length. Additive
+    # only — the stdout contract line below is unchanged.
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+        )
+        with open(path, "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
     print(json.dumps(out))
     if errors:
         sys.exit(1)

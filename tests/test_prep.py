@@ -489,3 +489,64 @@ def test_run_prep_paragraph_flag(spark, tmp_path):
     vals = [counts[k] for k in order]
     assert vals == sorted(vals, reverse=True)
     assert counts["after_paragraph"] > 0
+
+
+def test_state_tables_complete_after_each_increment(
+    spark, tmp_path_factory
+):
+    """Every dedup survivor must have band-index rows after EVERY
+    increment, and a near-dup pair spanning two increments must be
+    caught by the second one (r13 regression guard: a cached batch
+    band table whose lineage read root/fingerprints was invalidated
+    by the fingerprint APPEND — the write's refreshByPath — and the
+    recompute saw the batch's own fingerprints as history, appending
+    ZERO band rows; the next increment then under-deduped)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.prep import (
+        run_prep_incremental,
+        seed_prep_state,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    mk = lambda i, tail: (  # noqa: E731
+        i, f"{base} {tail}", "en", "src1", len(base) + len(tail) + 1
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # seed: two unrelated docs; inc1: doc 10 (unique); inc2: doc 20,
+    # a NEAR-DUP of doc 10 (one trailing token differs)
+    seed = spark.createDataFrame(
+        [mk(0, "zero unique suffix here now"), mk(1, "one other tail words go")],
+        schema,
+    )
+    inc1 = spark.createDataFrame([mk(10, "shared ending tail one")], schema)
+    inc2 = spark.createDataFrame([mk(20, "shared ending tail two")], schema)
+    eval_set = spark.createDataFrame([], schema)
+
+    root = str(tmp_path_factory.mktemp("state_complete"))
+    seed_prep_state(spark, root, seed, eval_set)
+    run_prep_incremental(spark, root, inc1, eval_set)
+    surv1 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{root}/dedup_survivors").collect()
+    }
+    idx1 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{root}/band_index")
+        .select("doc_id").distinct().collect()
+    }
+    assert 10 in surv1
+    assert surv1 - idx1 == set(), "survivors missing from band index"
+    c2 = run_prep_incremental(spark, root, inc2, eval_set)
+    # doc 20 is a near-dup of history doc 10 -> must be dropped
+    assert c2["after_dedup"] == 0
+    surv2 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{root}/dedup_survivors").collect()
+    }
+    assert 20 not in surv2

@@ -728,3 +728,27 @@ def test_kn_prob_table_releases_cache(spark):
         assert "Checkpoint" in str(rdd.toDebugString()) or not (
             lvl.useMemory() or lvl.useDisk()
         ), f"leaked persist: {rdd.name()}"
+
+
+def test_stage_boundary_reliable_checkpoint_knob(spark, monkeypatch):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT=1 switches every stage
+    boundary from localCheckpoint to reliable checkpoint() (r13,
+    VERDICT r12 #9) — same rows, blocks under a checkpoint dir that
+    survives executor loss."""
+    from pyspark.sql import functions as F
+
+    from yahoofinancedatalake_spark.operators.selection import (
+        dsir_logweights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, i % 2 == 0, f"tok{i % 5} tok{(i + 1) % 5}") for i in range(20)],
+        "doc_id long, is_t boolean, text string",
+    ).select("doc_id", "is_t", F.split("text", " ").alias("toks"))
+    base = dsir_logweights(docs, "toks", "doc_id", "is_t").collect()
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    reliable = dsir_logweights(docs, "toks", "doc_id", "is_t").collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, reliable))
+    # the knob forced a checkpoint dir onto the context
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()

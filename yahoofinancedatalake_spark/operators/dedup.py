@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from yahoofinancedatalake_spark.session import stage_boundary
+
 # Mersenne prime permutation family for minhash: h_i(x) = (a_i*x + b_i) mod p.
 # p = 2^31 - 1 keeps a_i * x + b_i < 2^62 — exact in uint64 arithmetic.
 _MERSENNE = (1 << 31) - 1
@@ -796,7 +798,7 @@ def connected_components(
                         F.coalesce("ncomp", F.col("comp")) < F.col("comp")
                     ).alias("__chg"),
                 )
-                .localCheckpoint()  # materialize + truncate lineage
+                .transform(stage_boundary)  # materialize + truncate lineage
             )
             changed = new_labels.filter(F.col("__chg")).count()
             # release the PREVIOUS round's materialized blocks (the
@@ -922,7 +924,7 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint()
+        .transform(stage_boundary)
     )
 
     def signature(e: DataFrame) -> tuple:
@@ -965,7 +967,7 @@ def connected_components_star(
             )
             .dropDuplicates(["u", "v"])
         )
-        return out.localCheckpoint()
+        return out.transform(stage_boundary)
 
     sig = signature(edges)
     for _ in range(max_iter):
@@ -1675,7 +1677,7 @@ def hybrid_near_dup_pairs(
         seed=seed,
         max_bucket_size=max_bucket_size,
         bands=bands,
-    ).localCheckpoint()
+    ).transform(stage_boundary)
     touched = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).dropDuplicates([id_col])

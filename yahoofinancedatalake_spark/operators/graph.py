@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yahoofinancedatalake_spark.session import stage_boundary
+
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row triangle census of an undirected simple graph.
@@ -54,13 +56,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     """
     e = edges.select(
         F.col("a").cast("long"), F.col("b").cast("long")
-    ).localCheckpoint()
+    ).transform(stage_boundary)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint()
+        .transform(stage_boundary)
     )
     # Attach degrees to both endpoints, then orient small -> large by
     # (deg, id). Both joins shuffle on the node key; deg is node-sized.

@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from yahoofinancedatalake_spark.session import stage_boundary
+
 from yahoofinancedatalake_spark.functions.scalars import dround
 
 #: Hex prefix length of the md5 gram hash → 16^3 = 4096 feature
@@ -83,18 +85,26 @@ def hashed_gram_rows(
     carries ~4-byte keys, not document text.
     """
     keep = [id_col, *extra_cols]
-    uni = df.select(*keep, F.explode(toks_col).alias("g"))
-    bi = df.filter(F.size(toks_col) >= 2).select(
-        *keep,
-        F.explode(
-            F.zip_with(
-                F.slice(toks_col, 1, F.size(toks_col) - 1),
-                F.slice(toks_col, 2, F.size(toks_col) - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("g"),
+    toks = F.col(toks_col)
+    # ONE pass (r13): the former unigram/bigram UNION consumed the
+    # input twice — two text scans + two tokenizations per gram pass,
+    # paid by every DSIR/NB train and score plan. Concatenating the
+    # per-row bigram array onto the token array and exploding once
+    # emits the same row multiset (downstream is bucket/id-keyed
+    # aggregation — order-free). The when-guard keeps the negative
+    # slice length of 0/1-token docs unevaluated (ANSI mode throws).
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    return uni.unionByName(bi).select(
+    allgrams = F.concat(
+        toks,
+        F.when(F.size(toks) >= 2, bigrams).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    return df.select(*keep, F.explode(allgrams).alias("g")).select(
         *keep, F.substring(F.md5("g"), 1, N_BUCKET_HEX).alias("bucket")
     )
 
@@ -193,7 +203,7 @@ def dsir_logweights(
     ≤``N_BUCKETS`` rows, so materialization is O(model), not
     O(corpus); blocks are released by the ContextCleaner when the
     frame is garbage-collected."""
-    model = dsir_model(df, toks_col, target_col).localCheckpoint()
+    model = dsir_model(df, toks_col, target_col).transform(stage_boundary)
     return dsir_score(df, toks_col, id_col, model)
 
 
@@ -300,7 +310,7 @@ def kn_prob_table(
         .select("w1", "w2", dround(F.log(p), 6).alias("lp"))
     )
     if cache:
-        model = model.localCheckpoint()
+        model = model.transform(stage_boundary)
         bc.unpersist()
     return model
 
@@ -369,7 +379,7 @@ def dsir_ess(weights: DataFrame) -> DataFrame:
     :func:`dsir_logweights` composition) each pass re-executes that
     whole plan. The checkpoint is one (id, n_grams, logw) row per
     document — O(doc count), never O(gram count)."""
-    weights = weights.localCheckpoint()
+    weights = weights.transform(stage_boundary)
     mx = weights.agg(F.max("logw").alias("max_logw")).withColumn(
         "__k", _const_key(F.col("max_logw"))
     )

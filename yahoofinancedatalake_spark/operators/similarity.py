@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from yahoofinancedatalake_spark.session import stage_boundary
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -1277,7 +1279,7 @@ def kmeans_lloyd_rounds(
             # rounds-deep lineage (the connected_components
             # convention) and materializes the k x dim table so comp
             # can be unpersisted before returning
-            .localCheckpoint(eager=True)
+            .transform(stage_boundary)
         )
     # safe for rounds=0 too: unpersist only drops the cache, the
     # lazy seed frame recomputes from source if consumed afterwards
@@ -1456,7 +1458,7 @@ def _cosine_dup_rollup(clustered: DataFrame, threshold: float) -> DataFrame:
         .orderBy("cluster")
     )
     # materialize before unpersisting the build table the plan reads
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(stage_boundary)
     clustered.unpersist()
     return out
 
@@ -1587,7 +1589,7 @@ def mmr_rerank(
             "__v",
             "__n",
         )
-        .localCheckpoint(eager=True)
+        .transform(stage_boundary)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc_nulls_last(), F.col("neighbor_id").asc()
@@ -1654,7 +1656,7 @@ def mmr_rerank(
                 "__n",
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        sel = sel.unionByName(pick).transform(stage_boundary)
     return sel.select(
         "query_id",
         "rank",

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from yahoofinancedatalake_spark.session import stage_boundary
+
 from yahoofinancedatalake_spark.catalog import fan_out, load_table
 
 #: Quality gate thresholds (the text_quality query's length gate).
@@ -163,7 +165,7 @@ def near_dup_stage(
         cand = minhash_lsh_pairs(
             exact, "text", id_col, n_hashes=32, n_bands=8, shingle_n=3,
             bands=bands,
-        ).localCheckpoint()
+        ).transform(stage_boundary)
         cand_ids = cand.select(
             F.explode(F.array("id_a", "id_b")).alias(id_col)
         ).dropDuplicates([id_col])
@@ -800,9 +802,17 @@ def run_prep_incremental(
     # stage (which consumes it twice) and the state append below —
     # previously the batch paid the signature pass three times.
     index = spark.read.parquet(f"{root}/band_index")
-    new_bands = minhash_band_table(
+    # stage_boundary (NOT persist): the band append below runs AFTER
+    # the fingerprint append, and new_bands' lineage reads
+    # root/fingerprints through batch_exact's history anti-join — the
+    # file write invalidates any cache over that path, and the
+    # recompute would see the batch's own fingerprints as history and
+    # emit ZERO band rows (the read-then-append self-reference the
+    # batch_deduped checkpoint below already guards against). A
+    # lineage-truncating checkpoint is immune.
+    new_bands = stage_boundary(minhash_band_table(
         batch_exact, "text", "doc_id", n_hashes=32, n_bands=8, shingle_n=3
-    ).persist()
+    ))
     cand = incremental_minhash_pairs(
         batch_exact, index, "text", "doc_id",
         n_hashes=32, n_bands=8, shingle_n=3, new_bands=new_bands,
@@ -847,7 +857,7 @@ def run_prep_incremental(
     # everything (the classic read-then-append self-reference)
     batch_deduped = batch_exact.join(
         losers, "doc_id", "left_anti"
-    ).localCheckpoint()
+    ).transform(stage_boundary)
     counts["after_dedup"] = batch_deduped.count()
     # the localCheckpoint above was cand's and batch_exact's last
     # consumer — release both cached tables now, or a long-lived
@@ -856,7 +866,7 @@ def run_prep_incremental(
     cand.unpersist()
     batch_exact.unpersist()
 
-    clean = decontaminate(batch_deduped, eval_docs).localCheckpoint()
+    clean = decontaminate(batch_deduped, eval_docs).transform(stage_boundary)
     counts["after_decontam"] = clean.count()
 
     # Invalidate the old seal BEFORE the first append, mirroring
@@ -883,7 +893,6 @@ def run_prep_incremental(
     new_bands.join(
         batch_deduped.select("doc_id"), "doc_id", "left_semi"
     ).write.mode("append").parquet(f"{root}/band_index")
-    new_bands.unpersist()
     clean.write.mode("append").parquet(f"{root}/clean_increments")
     # re-seal: this batch's appends are now part of committed history
     _seal_dedup_state(spark, root)

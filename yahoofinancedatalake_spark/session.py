@@ -88,6 +88,38 @@ def get_spark(
     return spark
 
 
+def stage_boundary(df):
+    """Materialize an intermediate DataFrame at a stage boundary and
+    truncate its lineage — the engine's one place to choose HOW.
+
+    Default: ``localCheckpoint()`` (eager) — blocks live on executors
+    with NO lineage fallback. That is the right trade on ``local[*]``
+    and on clusters where a lost executor may simply rerun the query,
+    but on a long-running 100 TB job an executor loss mid-query kills
+    the job instead of recomputing the boundary (a documented Spark
+    caveat of the API). Set ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` to
+    switch every boundary to reliable ``checkpoint()`` — blocks land
+    under the checkpoint dir (``SPARK_GRAFT_CHECKPOINT_DIR``, or a
+    per-session temp dir), surviving executor loss at the cost of a
+    write+read per boundary. The boundaries the engine materializes
+    are model-/key-/candidate-bounded by convention, so the reliable
+    form's extra I/O is bounded too; production deployments should
+    point the dir at the cluster's durable scratch (HDFS/object
+    store).
+    """
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT") == "1":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            import tempfile  # noqa: PLC0415
+
+            sc.setCheckpointDir(
+                os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+                or tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+            )
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def heap_used_fraction(spark: SparkSession) -> float:
     """Fraction of the driver JVM heap currently holding live+garbage
     objects. One py4j round-trip (~1 ms) — cheap enough per query."""
